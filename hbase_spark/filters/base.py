@@ -1,0 +1,46 @@
+"""Filter protocol.
+
+HBase filters (filter/Filter.java:120-153) fuse a per-cell predicate
+with skip-ahead *advice* (ReturnCodes like NEXT_ROW / SEEK_NEXT_USING_HINT)
+and optional whole-row post-processing (filterRow/filterRowCells,
+filter/FilterBase.java).  In Spark the advice half is subsumed by
+columnar pruning + predicate pushdown (SURVEY.md §4.2), so a filter here
+is just:
+
+- ``cell_pred()`` — an optional Column predicate evaluated per visible
+  cell (the filterCell half); and
+- ``post(df)``    — an optional row-stage transformation evaluated after
+  version capping / row assembly (the filterRow half).
+
+Scan applies them in the reference's order: tombstone masking -> cell
+predicate -> version counting -> row stage
+(rs/querymatcher/UserScanQueryMatcher.java:168,216;
+rs/RegionScannerImpl.java:463-472).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+class Filter:
+    """Base class; concrete filters live in hbase_spark.filters.filters."""
+
+    def cell_pred(self) -> Column | None:
+        """Per-cell predicate over CellFrame columns, or None."""
+        return None
+
+    def post(self, df: DataFrame) -> DataFrame:
+        """Row-stage transformation (filterRow analog); default no-op."""
+        return df
+
+    # Python operator sugar mirroring FilterList (filter/FilterList.java:46)
+    def __and__(self, other: "Filter") -> "Filter":
+        from hbase_spark.filters.filters import FilterList
+
+        return FilterList("AND", [self, other])
+
+    def __or__(self, other: "Filter") -> "Filter":
+        from hbase_spark.filters.filters import FilterList
+
+        return FilterList("OR", [self, other])

@@ -1,0 +1,37 @@
+"""Point reads — client/Get.java:65 and the multi-get batch path
+(client/Table.java:156,176).
+
+A Get is a single-row Scan (the reference literally converts it,
+rs/HRegion.java get -> Scan); a multi-get over a key list is a
+broadcast semi-join (SURVEY.md §2.2) so the big table is never
+shuffled — the Spark analog of fanning RPCs to only the regions
+holding the keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_spark.operators.scan import Scan, scan
+
+
+def get(cells: DataFrame, row_key, **scan_kwargs) -> DataFrame:
+    """Fetch one row (client/Table.java:156)."""
+    spec = Scan(
+        start_row=row_key, stop_row=row_key, stop_inclusive=True, **scan_kwargs
+    )
+    return scan(cells, spec)
+
+
+def multi_get(cells: DataFrame, row_keys: list, **scan_kwargs) -> DataFrame:
+    """Batch point reads (client/Table.java:176) as a broadcast semi-join."""
+    spark = cells.sparkSession
+    keys = spark.createDataFrame([(k,) for k in row_keys], ["row"])
+    narrowed = cells.join(F.broadcast(keys), "row", "left_semi")
+    return scan(narrowed, Scan(**scan_kwargs))
+
+
+def exists(cells: DataFrame, row_key) -> bool:
+    """client/Table.java:91 — existence check without value transfer."""
+    return get(cells, row_key).select("row").limit(1).count() > 0

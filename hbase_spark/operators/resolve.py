@@ -1,0 +1,222 @@
+"""Snapshot resolution — the implicit core operator of every HBase read.
+
+Turns a raw CellFrame (puts + tombstones + multiple versions) into the
+visible table.  This reproduces, as a pure DataFrame transformation, what
+the reference computes per cell in its read path (SURVEY.md §2.9):
+
+- k-way merge of sorted runs        -> reference rs/KeyValueHeap.java:51
+- tombstone masking (4 delete kinds)-> rs/querymatcher/ScanDeleteTracker.java:46,102
+- version counting                  -> rs/querymatcher/ExplicitColumnTracker.java:155
+- TTL expiry                        -> rs/StoreScanner.java:100,194 (oldestUnexpiredTS)
+- time-range check                  -> rs/querymatcher/UserScanQueryMatcher.java:168
+- raw-mode bypass                   -> rs/querymatcher/RawScanQueryMatcher.java
+- NEW_VERSION_BEHAVIOR tie-breaking -> rs/querymatcher/NewVersionBehaviorTracker.java
+
+Evaluation order mirrors ScanQueryMatcher.match (deletes are applied
+*before* the time-range check, so a tombstone outside the queried time
+range still masks older puts; version counting happens only among cells
+that survived both).
+
+Scale notes (100 TB posture): tombstones are normally a small fraction
+of cells, so all four masking joins have a tiny build side — with AQE on,
+Catalyst turns them into broadcast joins and the big put side is never
+shuffled.  The version-capping step is the only required shuffle, keyed
+by (row, family, qualifier); for the common ``versions=1`` case we use a
+hash aggregation (``max_by``) instead of a window so Spark applies a
+map-side partial aggregate before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_spark.model import CellType
+
+_VERSION_ORDER = ["ts", "seq"]  # newest ts first, then latest mutation
+
+
+def resolve(
+    cells: DataFrame,
+    *,
+    versions: int = 1,
+    as_of: int | None = None,
+    time_range: tuple[int | None, int | None] | None = None,
+    ttl_by_family: dict[str, int] | None = None,
+    now: int | None = None,
+    raw: bool = False,
+    new_version_behavior: bool = False,
+) -> DataFrame:
+    """Resolve a raw CellFrame into the visible snapshot.
+
+    Parameters
+    ----------
+    versions:
+        Max versions returned per (row, family, qualifier) — the
+        min(schema MAX_VERSIONS, Scan.readVersions) the reference
+        applies (client/Scan.java:487).
+    as_of:
+        Read point: only cells with ``ts <= as_of`` participate at all
+        (both puts and tombstones).  Models a historical snapshot read.
+    time_range:
+        ``(min_ts, max_ts)`` half-open like common/io/TimeRange.java:30
+        — applied to *puts only*, after tombstone masking, matching
+        ScanQueryMatcher's check order.
+    ttl_by_family:
+        family -> TTL millis; cells (of any type) older than
+        ``now - ttl`` vanish (ColumnFamilyDescriptorBuilder.java:139).
+    now:
+        Clock for TTL, epoch millis.  Required if ttl_by_family is set
+        (explicit for determinism — no wall-clock reads inside a plan).
+    raw:
+        Scan.setRaw (client/Scan.java:848): expose tombstones and all
+        versions, skipping masking, version capping, and TTL.
+    new_version_behavior:
+        ColumnFamilyDescriptorBuilder.java:197 — when True, a Put
+        written *after* a same-timestamp DELETE (higher seq) survives;
+        default (False) the delete always wins at equal ts.
+    """
+    c = cells
+    if as_of is not None:
+        c = c.filter(F.col("ts") <= F.lit(as_of))
+
+    if raw:
+        # Raw scans bypass masking, version capping AND TTL
+        # (rs/StoreScanner.java:194 exempts raw scans from oldestUnexpiredTS).
+        if time_range is not None:
+            c = c.filter(_time_range_pred(time_range))
+        return c
+
+    if ttl_by_family:
+        if now is None:
+            raise ValueError("now= is required when ttl_by_family is set")
+        cutoff = F.lit(None).cast("long")
+        for fam, ttl_ms in ttl_by_family.items():
+            cutoff = F.when(F.col("family") == fam, F.lit(now - ttl_ms)).otherwise(cutoff)
+        c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+
+    puts = c.filter(F.col("type") == CellType.PUT)
+    dels = c.filter(F.col("type") != CellType.PUT)
+    masked = mask_deletes(puts, dels, new_version_behavior=new_version_behavior)
+
+    if time_range is not None:
+        masked = masked.filter(_time_range_pred(time_range))
+
+    return cap_versions(masked, versions)
+
+
+def mask_deletes(
+    puts: DataFrame, dels: DataFrame, *, new_version_behavior: bool = False
+) -> DataFrame:
+    """Apply the four tombstone scopes of ScanDeleteTracker.isDeleted
+    (rs/querymatcher/ScanDeleteTracker.java:102) to a put-only frame.
+
+    Each delete kind becomes one join whose build side is the (small)
+    aggregated tombstone set — broadcast-able under AQE, so the large
+    put side streams through unshuffled.
+    """
+    # DELETE_FAMILY: everything in (row, family) at ts <= marker ts.
+    fam = (
+        dels.filter(F.col("type") == CellType.DELETE_FAMILY)
+        .groupBy("row", "family")
+        .agg(F.max("ts").alias("_dfam_ts"))
+    )
+    out = (
+        puts.join(fam, ["row", "family"], "left")
+        .filter(F.col("_dfam_ts").isNull() | (F.col("ts") > F.col("_dfam_ts")))
+        .drop("_dfam_ts")
+    )
+
+    # DELETE_COLUMN: all versions of (row, family, qualifier) at ts <= marker.
+    col = (
+        dels.filter(F.col("type") == CellType.DELETE_COLUMN)
+        .groupBy("row", "family", "qualifier")
+        .agg(F.max("ts").alias("_dcol_ts"))
+    )
+    out = (
+        out.join(col, ["row", "family", "qualifier"], "left")
+        .filter(F.col("_dcol_ts").isNull() | (F.col("ts") > F.col("_dcol_ts")))
+        .drop("_dcol_ts")
+    )
+
+    # DELETE_FAMILY_VERSION: exact-ts, whole family.
+    dfv = (
+        dels.filter(F.col("type") == CellType.DELETE_FAMILY_VERSION)
+        .select("row", "family", "ts")
+        .distinct()
+    )
+    out = out.join(dfv, ["row", "family", "ts"], "left_anti")
+
+    # Joins with list keys move the keys to the front of the schema;
+    # restore the caller's column order for a stable output contract.
+    out = out.select(*puts.columns)
+
+    # DELETE (single version): exact (row, family, qualifier, ts).
+    dv = dels.filter(F.col("type") == CellType.DELETE).select(
+        F.col("row").alias("_dr"),
+        F.col("family").alias("_df"),
+        F.col("qualifier").alias("_dq"),
+        F.col("ts").alias("_dt"),
+        F.col("seq").alias("_dseq"),
+    )
+    cond = (
+        (out["row"] == dv["_dr"])
+        & (out["family"] == dv["_df"])
+        & (out["qualifier"] == dv["_dq"])
+        & (out["ts"] == dv["_dt"])
+    )
+    if new_version_behavior:
+        # NewVersionBehaviorTracker: mvcc (seq) decides ties — a put
+        # written after the delete marker survives.
+        cond = cond & (dv["_dseq"] >= out["seq"])
+    return out.join(dv, cond, "left_anti")
+
+
+def cap_versions(masked: DataFrame, versions: int) -> DataFrame:
+    """Keep the newest ``versions`` cells per (row, family, qualifier).
+
+    versions=1 uses max_by (hash agg with map-side combine — one
+    shuffle of pre-aggregated partials); versions>1 uses a window.
+    """
+    if versions <= 0:
+        raise ValueError("versions must be >= 1")
+    extra = [c for c in masked.columns if c not in ("row", "family", "qualifier")]
+    if versions == 1:
+        payload = F.struct(*[F.col(c) for c in extra])
+        ordering = F.struct(F.col("ts"), F.col("seq"))
+        agged = masked.groupBy("row", "family", "qualifier").agg(
+            F.max_by(payload, ordering).alias("_cell")
+        )
+        return agged.select(
+            "row", "family", "qualifier", *[F.col(f"_cell.{c}").alias(c) for c in extra]
+        ).select(*masked.columns)
+    w = Window.partitionBy("row", "family", "qualifier").orderBy(
+        *[F.col(c).desc() for c in _VERSION_ORDER]
+    )
+    return (
+        masked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= versions)
+        .drop("_rn")
+    )
+
+
+def _time_range_pred(time_range: tuple[int | None, int | None]) -> Column:
+    """min <= ts < max, either bound open (common/io/TimeRange.java:30)."""
+    lo, hi = time_range
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col("ts") >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col("ts") < F.lit(hi))
+    return pred
+
+
+def compact(cells: DataFrame, *, ttl_by_family=None, now=None, versions: int = 1) -> DataFrame:
+    """Major compaction ≡ materialized snapshot resolution
+    (rs/querymatcher/MajorCompactionScanQueryMatcher.java): rewrite the
+    CellFrame with tombstones applied and old versions pruned.  Use as
+    an OPTIMIZE-style maintenance job: ``compact(cells).write...``.
+    """
+    return resolve(
+        cells, versions=versions, ttl_by_family=ttl_by_family, now=now
+    )

@@ -1,0 +1,152 @@
+"""Range scans — the Spark translation of client/Scan.java:84 (§2.3).
+
+A Scan is declarative query state; ``scan()`` compiles it to one
+DataFrame plan:
+
+1. source pruning: row range + family/qualifier projection (these reach
+   the parquet scan as pushed filters — the Spark analog of region
+   pruning and HFile key-range pruning, SURVEY.md §4.1);
+2. snapshot resolution (tombstones / TTL / time-range / as-of);
+3. cell-level filter predicate (UserScanQueryMatcher.java:216 order:
+   after delete masking, before version counting);
+4. version capping (readVersions, client/Scan.java:487);
+5. row-stage filter (filterRow, rs/RegionScannerImpl.java:463-472);
+6. reversed ordering (client/Scan.java:692) and row limit (:958).
+
+The reference advances region-by-region sequentially
+(client/AsyncClientScanner.java:65); here all partitions scan in
+parallel — a capability upgrade (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_spark.filters.base import Filter
+from hbase_spark.model import CellType
+from hbase_spark.operators.resolve import cap_versions, mask_deletes, _time_range_pred
+
+
+@dataclass
+class Scan:
+    """Declarative scan spec — field-for-field analog of client/Scan.java."""
+
+    start_row: object | None = None          # withStartRow, Scan.java:349
+    stop_row: object | None = None           # withStopRow,  Scan.java:391
+    start_inclusive: bool = True             # Scan.java:368
+    stop_inclusive: bool = False             # Scan.java:410
+    families: list[str] | None = None        # addFamily,    Scan.java:269
+    qualifiers: list | None = None           # addColumn,    Scan.java:282
+    versions: int = 1                        # readVersions, Scan.java:487
+    time_range: tuple | None = None          # setTimeRange, Scan.java:304
+    raw: bool = False                        # setRaw,       Scan.java:848
+    reversed: bool = False                   # setReversed,  Scan.java:692
+    limit: int | None = None                 # setLimit,     Scan.java:958
+    filter: Filter | Column | None = None    # setFilter,    Scan.java:556
+    as_of: int | None = None                 # mvccReadPoint analog, Scan.java:997
+    max_results_per_family: int | None = None   # Scan.java:514
+    row_offset_per_family: int = 0              # Scan.java:523
+    extra: dict = field(default_factory=dict)
+
+
+def row_range_pred(scan: Scan) -> Column:
+    pred = F.lit(True)
+    if scan.start_row is not None:
+        op = F.col("row").__ge__ if scan.start_inclusive else F.col("row").__gt__
+        pred = pred & op(F.lit(scan.start_row))
+    if scan.stop_row is not None:
+        op = F.col("row").__le__ if scan.stop_inclusive else F.col("row").__lt__
+        pred = pred & op(F.lit(scan.stop_row))
+    return pred
+
+
+def scan(
+    cells: DataFrame,
+    spec: Scan | None = None,
+    *,
+    ttl_by_family: dict[str, int] | None = None,
+    now: int | None = None,
+    new_version_behavior: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Execute a Scan over a raw CellFrame, returning visible cells."""
+    spec = spec or Scan(**kwargs)
+
+    c = cells.filter(row_range_pred(spec))
+    if spec.families:
+        c = c.filter(F.col("family").isin(spec.families))
+    if spec.qualifiers:
+        # Keep family-scope tombstones: their masking must still apply
+        # even when the projection drops other qualifiers.
+        c = c.filter(
+            F.col("qualifier").isin(spec.qualifiers)
+            | F.col("type").isin(
+                [CellType.DELETE_FAMILY, CellType.DELETE_FAMILY_VERSION]
+            )
+        )
+
+    if spec.as_of is not None:
+        c = c.filter(F.col("ts") <= F.lit(spec.as_of))
+
+    if spec.raw:
+        out = c
+        if spec.time_range is not None:
+            out = out.filter(_time_range_pred(spec.time_range))
+    else:
+        if ttl_by_family:
+            if now is None:
+                raise ValueError("now= required with ttl_by_family")
+            cutoff = F.lit(None).cast("long")
+            for fam, ttl_ms in ttl_by_family.items():
+                cutoff = F.when(F.col("family") == fam, F.lit(now - ttl_ms)).otherwise(
+                    cutoff
+                )
+            c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+        puts = c.filter(F.col("type") == CellType.PUT)
+        dels = c.filter(F.col("type") != CellType.PUT)
+        out = mask_deletes(puts, dels, new_version_behavior=new_version_behavior)
+        if spec.time_range is not None:
+            out = out.filter(_time_range_pred(spec.time_range))
+
+        # cell-level filter BEFORE version counting (matcher order)
+        if isinstance(spec.filter, Column):
+            out = out.filter(spec.filter)
+        elif isinstance(spec.filter, Filter):
+            pred = spec.filter.cell_pred()
+            if pred is not None:
+                out = out.filter(pred)
+
+        out = cap_versions(out, spec.versions)
+
+        # per-row per-family column pagination (Scan.java:514,523)
+        if spec.max_results_per_family is not None or spec.row_offset_per_family:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("row", "family").orderBy("qualifier")
+            out = out.withColumn("_cn", F.dense_rank().over(w))
+            lo = spec.row_offset_per_family
+            out = out.filter(F.col("_cn") > lo)
+            if spec.max_results_per_family is not None:
+                out = out.filter(F.col("_cn") <= lo + spec.max_results_per_family)
+            out = out.drop("_cn")
+
+        # row-stage filter (filterRow analog)
+        if isinstance(spec.filter, Filter):
+            out = spec.filter.post(out)
+
+    if spec.limit is not None:
+        key = F.col("row").desc() if spec.reversed else F.col("row").asc()
+        keep = out.select("row").distinct().orderBy(key).limit(spec.limit)
+        out = out.join(F.broadcast(keep), "row", "left_semi")
+
+    if spec.reversed:
+        out = out.orderBy(
+            F.col("row").desc(),
+            F.col("family").asc(),
+            F.col("qualifier").asc(),
+            F.col("ts").desc(),
+        )
+    return out

@@ -1,0 +1,96 @@
+"""Table — the user-facing HBase-parity facade.
+
+Wraps a raw CellFrame plus per-family schema knobs
+(client/ColumnFamilyDescriptorBuilder.java: MAX_VERSIONS :147, TTL :139,
+NEW_VERSION_BEHAVIOR :197) and exposes the client surface:
+get / exists / scan / put / delete / increment / append /
+check_and_mutate (client/Table.java).
+
+The Table is immutable-functional: mutations return a new Table whose
+CellFrame has the mutation cells appended (deletes are tombstones, not
+physical removal) — visibility happens at read time via snapshot
+resolution, exactly the reference's LSM write path re-expressed
+declaratively.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from hbase_spark.operators import get as get_ops
+from hbase_spark.operators.resolve import resolve
+from hbase_spark.operators.scan import Scan, scan as scan_op
+
+
+@dataclass(frozen=True)
+class FamilyDescriptor:
+    """Per-CF schema knobs that change query results (SURVEY.md §1.3)."""
+
+    max_versions: int = 1          # ColumnFamilyDescriptorBuilder.java:147
+    ttl_ms: int | None = None      # :139 (reference stores seconds; we use ms)
+    new_version_behavior: bool = False  # :197
+
+
+@dataclass
+class Table:
+    cells: DataFrame
+    families: dict[str, FamilyDescriptor] = field(default_factory=dict)
+    now: int | None = None  # TTL clock, explicit for determinism
+
+    # -- reads ---------------------------------------------------------------
+
+    def _ttl_map(self) -> dict[str, int] | None:
+        ttl = {f: d.ttl_ms for f, d in self.families.items() if d.ttl_ms}
+        return ttl or None
+
+    def _nvb(self) -> bool:
+        return any(d.new_version_behavior for d in self.families.values())
+
+    def snapshot(self, versions: int | None = None, **kw) -> DataFrame:
+        """The resolved visible table (default: schema MAX_VERSIONS)."""
+        v = versions or max(
+            [d.max_versions for d in self.families.values()] or [1]
+        )
+        return resolve(
+            self.cells,
+            versions=v,
+            ttl_by_family=self._ttl_map(),
+            now=self.now,
+            new_version_behavior=self._nvb(),
+            **kw,
+        )
+
+    def scan(self, spec: Scan | None = None, **kwargs) -> DataFrame:
+        return scan_op(
+            self.cells,
+            spec,
+            ttl_by_family=self._ttl_map(),
+            now=self.now,
+            new_version_behavior=self._nvb(),
+            **kwargs,
+        )
+
+    def get(self, row_key, **kw) -> DataFrame:
+        return get_ops.get(self.cells, row_key, **kw)
+
+    def multi_get(self, row_keys: list, **kw) -> DataFrame:
+        return get_ops.multi_get(self.cells, row_keys, **kw)
+
+    def exists(self, row_key) -> bool:
+        return get_ops.exists(self.cells, row_key)
+
+    # -- writes (batch merges; see operators/mutations.py) --------------------
+
+    def with_cells(self, more: DataFrame) -> "Table":
+        """Append mutation cells (the memstore-apply analog)."""
+        return Table(
+            self.cells.unionByName(more.select(*self.cells.columns)),
+            self.families,
+            self.now,
+        )
+
+    def compact(self) -> "Table":
+        """Major compaction: materialize the snapshot (SURVEY.md §2.9)."""
+        return Table(self.snapshot(), self.families, self.now)

@@ -1,0 +1,82 @@
+"""Naive single-threaded executable spec of HBase read semantics.
+
+A direct, obviously-correct Python model of ScanQueryMatcher /
+ScanDeleteTracker / version tracking (SURVEY.md §5.2 item 4) used as
+the oracle for property-based tests of hbase_spark.operators.resolve.
+Intentionally O(n^2)-ish and simple.
+"""
+
+from __future__ import annotations
+
+from hbase_spark.model import CellType
+
+# cell = dict(row, family, qualifier, ts, type, value, seq)
+
+
+def resolve_spec(
+    cells: list[dict],
+    *,
+    versions: int = 1,
+    as_of: int | None = None,
+    time_range: tuple[int | None, int | None] | None = None,
+    ttl_by_family: dict[str, int] | None = None,
+    now: int | None = None,
+    raw: bool = False,
+    new_version_behavior: bool = False,
+) -> list[dict]:
+    cs = [c for c in cells if as_of is None or c["ts"] <= as_of]
+
+    def in_range(ts):
+        if time_range is None:
+            return True
+        lo, hi = time_range
+        return (lo is None or ts >= lo) and (hi is None or ts < hi)
+
+    if raw:
+        return [c for c in cs if in_range(c["ts"])]
+
+    if ttl_by_family:
+        cs = [
+            c
+            for c in cs
+            if c["family"] not in ttl_by_family
+            or c["ts"] >= now - ttl_by_family[c["family"]]
+        ]
+
+    puts = [c for c in cs if c["type"] == CellType.PUT]
+    dels = [c for c in cs if c["type"] != CellType.PUT]
+
+    def deleted(p):
+        for d in dels:
+            if d["row"] != p["row"] or d["family"] != p["family"]:
+                continue
+            t = d["type"]
+            if t == CellType.DELETE_FAMILY and p["ts"] <= d["ts"]:
+                return True
+            if t == CellType.DELETE_FAMILY_VERSION and p["ts"] == d["ts"]:
+                return True
+            if d["qualifier"] != p["qualifier"]:
+                continue
+            if t == CellType.DELETE_COLUMN and p["ts"] <= d["ts"]:
+                return True
+            if t == CellType.DELETE and p["ts"] == d["ts"]:
+                if not new_version_behavior or d["seq"] >= p["seq"]:
+                    return True
+        return False
+
+    live = [p for p in puts if not deleted(p) and in_range(p["ts"])]
+
+    by_col: dict[tuple, list[dict]] = {}
+    for p in live:
+        by_col.setdefault((p["row"], p["family"], p["qualifier"]), []).append(p)
+    out = []
+    for _, group in by_col.items():
+        group.sort(key=lambda c: (-c["ts"], -c["seq"]))
+        out.extend(group[:versions])
+    return out
+
+
+def key_set(cells: list[dict]) -> set[tuple]:
+    return {
+        (c["row"], c["family"], c["qualifier"], c["ts"], c["value"]) for c in cells
+    }

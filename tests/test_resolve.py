@@ -1,0 +1,268 @@
+"""Snapshot-resolution matrix tests, mirroring the reference's
+TestStoreScanner.java / TestHRegion.java handcrafted-cell cases
+(FIXTURES.md §A1), plus a hypothesis property test against the naive
+executable spec in tests/spec.py.
+"""
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hbase_spark.model import CELL_COLUMNS, CellType, cell_schema
+from hbase_spark.operators.resolve import cap_versions, resolve
+from tests.spec import key_set, resolve_spec
+
+PUT = CellType.PUT
+D = CellType.DELETE
+DFV = CellType.DELETE_FAMILY_VERSION
+DC = CellType.DELETE_COLUMN
+DF_ = CellType.DELETE_FAMILY
+
+
+def cell(row, fam, qual, ts, typ=PUT, value=None, seq=None):
+    return {
+        "row": row,
+        "family": fam,
+        "qualifier": qual,
+        "ts": ts,
+        "type": typ,
+        "value": value if value is not None else f"{row}/{qual}@{ts}",
+        "seq": seq if seq is not None else ts,
+    }
+
+
+def to_df(spark, cells):
+    rows = [tuple(c[k] for k in CELL_COLUMNS) for c in cells]
+    return spark.createDataFrame(rows, schema=cell_schema())
+
+
+def run(spark, cells, **kw):
+    got = resolve(to_df(spark, cells), **kw).collect()
+    return {(r.row, r.family, r.qualifier, r.ts, r.value) for r in got}
+
+
+def test_latest_version_wins(spark):
+    cells = [cell("r1", "f", "q", t) for t in (10, 20, 30)]
+    assert run(spark, cells) == {("r1", "f", "q", 30, "r1/q@30")}
+
+
+def test_multi_versions(spark):
+    cells = [cell("r1", "f", "q", t) for t in (10, 20, 30)]
+    assert run(spark, cells, versions=2) == {
+        ("r1", "f", "q", 30, "r1/q@30"),
+        ("r1", "f", "q", 20, "r1/q@20"),
+    }
+
+
+def test_same_ts_seq_tiebreak(spark):
+    cells = [
+        cell("r1", "f", "q", 10, value="old", seq=1),
+        cell("r1", "f", "q", 10, value="new", seq=2),
+    ]
+    assert run(spark, cells) == {("r1", "f", "q", 10, "new")}
+
+
+def test_delete_version_masks_exact_ts(spark):
+    cells = [
+        cell("r1", "f", "q", 10),
+        cell("r1", "f", "q", 20),
+        cell("r1", "f", "q", 20, typ=D, seq=99),
+    ]
+    assert run(spark, cells) == {("r1", "f", "q", 10, "r1/q@10")}
+
+
+def test_delete_column_masks_older(spark):
+    cells = [
+        cell("r1", "f", "q", 10),
+        cell("r1", "f", "q", 20),
+        cell("r1", "f", "q", 15, typ=DC, seq=99),
+        cell("r1", "f", "q2", 10),
+    ]
+    assert run(spark, cells, versions=3) == {
+        ("r1", "f", "q", 20, "r1/q@20"),
+        ("r1", "f", "q2", 10, "r1/q2@10"),
+    }
+
+
+def test_delete_family_masks_all_columns(spark):
+    cells = [
+        cell("r1", "f", "a", 10),
+        cell("r1", "f", "b", 10),
+        cell("r1", "f", "b", 30),
+        cell("r1", "f", None, 20, typ=DF_, seq=99),
+        cell("r2", "f", "a", 10),
+    ]
+    assert run(spark, cells, versions=3) == {
+        ("r1", "f", "b", 30, "r1/b@30"),
+        ("r2", "f", "a", 10, "r2/a@10"),
+    }
+
+
+def test_delete_family_version_exact_ts(spark):
+    cells = [
+        cell("r1", "f", "a", 10),
+        cell("r1", "f", "b", 10),
+        cell("r1", "f", "b", 11),
+        cell("r1", "f", None, 10, typ=DFV, seq=99),
+    ]
+    assert run(spark, cells, versions=3) == {("r1", "f", "b", 11, "r1/b@11")}
+
+
+def test_delete_only_masks_same_family(spark):
+    cells = [
+        cell("r1", "f1", "q", 10),
+        cell("r1", "f2", "q", 10),
+        cell("r1", "f1", None, 20, typ=DF_, seq=99),
+    ]
+    assert run(spark, cells) == {("r1", "f2", "q", 10, "r1/q@10")}
+
+
+def test_put_newer_than_delete_survives(spark):
+    cells = [
+        cell("r1", "f", "q", 10),
+        cell("r1", "f", "q", 15, typ=DC, seq=2),
+        cell("r1", "f", "q", 20, seq=3),
+    ]
+    assert run(spark, cells) == {("r1", "f", "q", 20, "r1/q@20")}
+
+
+def test_new_version_behavior_same_ts(spark):
+    # put(seq=1), delete(seq=2), put(seq=3) all at ts=10
+    cells = [
+        cell("r1", "f", "q", 10, value="v1", seq=1),
+        cell("r1", "f", "q", 10, typ=D, seq=2),
+        cell("r1", "f", "q", 10, value="v3", seq=3),
+    ]
+    # default: delete wins at equal ts regardless of write order
+    assert run(spark, cells) == set()
+    # NEW_VERSION_BEHAVIOR: seq ordering decides — the later put survives
+    assert run(spark, cells, new_version_behavior=True) == {
+        ("r1", "f", "q", 10, "v3")
+    }
+
+
+def test_as_of_snapshot(spark):
+    cells = [
+        cell("r1", "f", "q", 10),
+        cell("r1", "f", "q", 20, typ=DC, seq=99),
+        cell("r1", "f", "q", 30),
+    ]
+    assert run(spark, cells, as_of=15) == {("r1", "f", "q", 10, "r1/q@10")}
+    assert run(spark, cells, as_of=25) == set()
+    assert run(spark, cells) == {("r1", "f", "q", 30, "r1/q@30")}
+
+
+def test_time_range_applied_after_deletes(spark):
+    # tombstone at ts=50 outside the queried range still masks ts=10
+    cells = [
+        cell("r1", "f", "q", 10),
+        cell("r1", "f", "q", 50, typ=DC, seq=99),
+        cell("r1", "f", "q2", 10),
+    ]
+    assert run(spark, cells, time_range=(0, 20)) == {
+        ("r1", "f", "q2", 10, "r1/q2@10")
+    }
+
+
+def test_time_range_half_open(spark):
+    cells = [cell("r1", "f", "q", t) for t in (10, 20, 30)]
+    assert run(spark, cells, versions=3, time_range=(10, 30)) == {
+        ("r1", "f", "q", 10, "r1/q@10"),
+        ("r1", "f", "q", 20, "r1/q@20"),
+    }
+
+
+def test_versions_counted_within_time_range(spark):
+    # ScanQueryMatcher skips out-of-range cells before version counting
+    cells = [cell("r1", "f", "q", t) for t in (10, 20, 30, 40)]
+    assert run(spark, cells, versions=2, time_range=(0, 35)) == {
+        ("r1", "f", "q", 30, "r1/q@30"),
+        ("r1", "f", "q", 20, "r1/q@20"),
+    }
+
+
+def test_ttl(spark):
+    cells = [
+        cell("r1", "f1", "q", 1_000),
+        cell("r1", "f2", "q", 1_000),
+        cell("r1", "f2", "q2", 9_000),
+    ]
+    got = run(spark, cells, ttl_by_family={"f2": 5_000}, now=10_000)
+    assert got == {
+        ("r1", "f1", "q", 1_000, "r1/q@1000"),
+        ("r1", "f2", "q2", 9_000, "r1/q2@9000"),
+    }
+
+
+def test_ttl_requires_now(spark):
+    with pytest.raises(ValueError):
+        resolve(to_df(spark, [cell("r", "f", "q", 1)]), ttl_by_family={"f": 1})
+
+
+def test_raw_exposes_tombstones_and_versions(spark):
+    cells = [
+        cell("r1", "f", "q", 10),
+        cell("r1", "f", "q", 20),
+        cell("r1", "f", "q", 20, typ=D, seq=99),
+    ]
+    got = resolve(to_df(spark, cells), raw=True).collect()
+    assert len(got) == 3
+    assert {r.type for r in got} == {PUT, D}
+
+
+def test_cap_versions_window_path_matches_agg_path(spark):
+    cells = [cell(f"r{i}", "f", f"q{j}", t) for i in range(5) for j in range(3) for t in (1, 2, 3)]
+    df = to_df(spark, cells)
+    one_agg = {(r.row, r.qualifier, r.ts) for r in cap_versions(df, 1).collect()}
+    one_win = {
+        (r.row, r.qualifier, r.ts)
+        for r in cap_versions(df, 2).filter("ts = 3").collect()
+    }
+    assert one_agg == one_win
+
+
+# ---- property test vs the executable spec ----------------------------------
+
+cell_strategy = st.fixed_dictionaries(
+    {
+        "row": st.sampled_from(["r1", "r2", "r3"]),
+        "family": st.sampled_from(["f1", "f2"]),
+        "qualifier": st.sampled_from(["a", "b", "c"]),
+        "ts": st.integers(min_value=1, max_value=8),
+        "type": st.sampled_from([PUT, PUT, PUT, PUT, D, DFV, DC, DF_]),
+    }
+)
+
+
+@given(
+    cells=st.lists(cell_strategy, min_size=1, max_size=40),
+    versions=st.sampled_from([1, 2, 3]),
+    nvb=st.booleans(),
+    time_range=st.sampled_from([None, (2, 6), (None, 5), (4, None)]),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resolve_matches_spec(spark, cells, versions, nvb, time_range):
+    rng = random.Random(42)
+    full = []
+    for i, c in enumerate(cells):
+        c = dict(c)
+        c["seq"] = i
+        c["value"] = f"v{i}" if c["type"] == PUT else None
+        if c["type"] in (DF_, DFV) and rng.random() < 0.5:
+            c["qualifier"] = None
+        full.append(c)
+    expected = key_set(
+        resolve_spec(
+            full, versions=versions, new_version_behavior=nvb, time_range=time_range
+        )
+    )
+    got = run(
+        spark, full, versions=versions, new_version_behavior=nvb, time_range=time_range
+    )
+    assert got == expected
