@@ -1,10 +1,24 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()``
+exposes one callable per implemented operator from SURVEY.md §2 (plus
+the training-data pipeline extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query.
+
+Design notes for the oracle pairing:
+
+- Cell-layer queries run over two canonical melts that are defined
+  identically on both engines (see ``_orders_cells`` / ``_events_cells``
+  and the matching ``_ORDERS_CELLS_SQL`` / ``_EVENTS_CELLS_SQL`` CTEs):
+  the orders table becomes single-version string cells; the events
+  table becomes multi-versioned cells keyed by user with deterministic
+  DeleteColumn tombstones (event_id % 23 == 0).
+- Output column ``rk`` is used instead of ``row`` (a DuckDB keyword).
+- Doubles are rendered through fixed-scale decimals; averages and
+  other float outputs are rounded so both engines hash identically.
+- Queries whose internals are hash-seeded (MinHash/SimHash/LSH) have
+  deterministic *outputs* but no portable SQL form; they appear in
+  ``queries()`` without an oracle entry (driver records rows-only).
 """
 
 from __future__ import annotations
@@ -12,27 +26,1167 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_spark.model import CellType
+from hbase_spark.operators.mutations import (
+    apply_appends,
+    apply_check_and_mutate,
+    apply_increments,
+)
+from hbase_spark.operators.resolve import resolve
+from hbase_spark.operators.scan import Scan, scan
+from hbase_spark.operators.sync import sync_diff
+from hbase_spark.sources.melt import melt_table
+from hbase_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# canonical melts (Spark side)
+# ---------------------------------------------------------------------------
+
+_ORDERS_COLS = [
+    "o_custkey",
+    "o_orderdate",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+]
+
+
+def _orders_cells(spark: SparkSession, sf: str) -> DataFrame:
+    return melt_table(
+        load_table(spark, sf, "orders"), "o_orderkey", "o", _ORDERS_COLS, ts=1
+    )
+
+
+def _events_cells(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        F.lpad(F.col("user_id").cast("string"), 8, "0").alias("row"),
+        F.lit("e").alias("family"),
+        F.col("event_type").alias("qualifier"),
+        F.unix_millis(F.col("ts")).alias("ts"),
+        F.when(F.col("event_id") % 23 == 0, F.lit(CellType.DELETE_COLUMN))
+        .otherwise(F.lit(CellType.PUT))
+        .cast("int")
+        .alias("type"),
+        F.col("value").cast("decimal(18,4)").cast("string").alias("value"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def _rk(df: DataFrame, *cols: str) -> DataFrame:
+    """Rename CellFrame 'row' to 'rk' and project."""
+    return df.select(F.col("row").alias("rk"), *cols)
+
+
+# ---------------------------------------------------------------------------
+# canonical melts (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_ORDERS_VALUE_SQL = {
+    "o_custkey": "cast(o_custkey as varchar)",
+    "o_orderdate": "strftime(o_orderdate, '%Y-%m-%d')",
+    "o_orderpriority": "o_orderpriority",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": "cast(cast(o_totalprice as decimal(18,2)) as varchar)",
+}
+
+_ORDERS_CELLS_SQL = "\nUNION ALL\n".join(
+    f"SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk, 'o' AS family, "
+    f"'{q}' AS qualifier, CAST(1 AS BIGINT) AS ts, 4 AS type, "
+    f"{expr} AS value, CAST(1 AS BIGINT) AS seq FROM orders"
+    for q, expr in _ORDERS_VALUE_SQL.items()
+)
+
+_EVENTS_CELLS_SQL = """
+SELECT lpad(cast(user_id as varchar), 8, '0') AS rk, 'e' AS family,
+       event_type AS qualifier, epoch_ms(ts) AS ts,
+       CASE WHEN event_id % 23 = 0 THEN 12 ELSE 4 END AS type,
+       cast(cast(value as decimal(18,4)) as varchar) AS value,
+       event_id AS seq
+FROM events
+"""
+
+def _events_resolved_sql(extra_put_pred: str = "TRUE", cells_pred: str = "TRUE") -> str:
+    """Shared oracle CTE chain: melt -> tombstone mask -> version rank.
+
+    ``cells_pred`` restricts the whole mutation set (the as-of read
+    point); ``extra_put_pred`` restricts puts only, after masking (the
+    time-range check order of ScanQueryMatcher).
+    """
+    return f"""
+cells AS (SELECT * FROM ({_EVENTS_CELLS_SQL}) WHERE {cells_pred}),
+dels AS (SELECT rk, qualifier, ts FROM cells WHERE type = 12),
+live AS (
+    SELECT c.* FROM cells c
+    WHERE c.type = 4 AND ({extra_put_pred}) AND NOT EXISTS (
+        SELECT 1 FROM dels d
+        WHERE d.rk = c.rk AND d.qualifier = c.qualifier AND d.ts >= c.ts)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY rk, qualifier ORDER BY ts DESC, seq DESC) AS rn
+    FROM live
+)
+"""
+
+
+_EVENTS_RESOLVED_SQL = _events_resolved_sql()
+
+# portable text normalization / tokenization (ASCII corpus)
+_NORM_SPARK = lambda c: F.trim(  # noqa: E731
+    F.regexp_replace(
+        F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+    )
+)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS_SPARK = lambda c: F.filter(  # noqa: E731
+    F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != ""
+)
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------ cell layer
+# scans / point reads (SURVEY §2.2–2.3)
+
+
+@_q(
+    "scan_range",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk >= lpad('100', 12, '0') AND rk < lpad('200', 12, '0')""",
+)
+def q_scan_range(spark, sf):
+    """Range scan with projection (client/Scan.java:349,391)."""
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(start_row="100".zfill(12), stop_row="200".zfill(12)),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "scan_reversed_limit",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk IN (SELECT DISTINCT rk FROM cells ORDER BY rk DESC LIMIT 100)""",
+)
+def q_scan_reversed_limit(spark, sf):
+    """Reversed scan + row limit (client/Scan.java:692,958)."""
+    out = scan(_orders_cells(spark, sf), Scan(reversed=True, limit=100))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "get_row",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE rk = lpad('42', 12, '0')""",
+)
+def q_get_row(spark, sf):
+    """Point read (client/Get.java:65)."""
+    from hbase_spark.operators.get import get
+
+    return _rk(get(_orders_cells(spark, sf), "42".zfill(12)), "qualifier", "value")
+
+
+@_q(
+    "multi_get",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk IN (lpad('1',12,'0'), lpad('7',12,'0'), lpad('32',12,'0'),
+                 lpad('999',12,'0'))""",
+)
+def q_multi_get(spark, sf):
+    """Batch point reads as broadcast semi-join (client/Table.java:176)."""
+    from hbase_spark.operators.get import multi_get
+
+    keys = [k.zfill(12) for k in ("1", "7", "32", "999")]
+    return _rk(multi_get(_orders_cells(spark, sf), keys), "qualifier", "value")
+
+
+# snapshot resolution (SURVEY §2.9)
+
+
+@_q(
+    "resolve_latest",
+    f"""WITH {_EVENTS_RESOLVED_SQL}
+    SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",
+)
+def q_resolve_latest(spark, sf):
+    """Tombstone masking + latest version (ScanDeleteTracker/version cap)."""
+    out = resolve(_events_cells(spark, sf), versions=1)
+    return _rk(out, "qualifier", "ts", "value")
+
+
+@_q(
+    "resolve_versions2",
+    f"""WITH {_EVENTS_RESOLVED_SQL}
+    SELECT rk, qualifier, ts, value FROM ranked WHERE rn <= 2""",
+)
+def q_resolve_versions2(spark, sf):
+    """readVersions(2) (client/Scan.java:487)."""
+    out = resolve(_events_cells(spark, sf), versions=2)
+    return _rk(out, "qualifier", "ts", "value")
+
+
+@_q(
+    "resolve_timerange",
+    f"""WITH {_events_resolved_sql(extra_put_pred="c.ts < 1706000000000")}
+    SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",
+)
+def q_resolve_timerange(spark, sf):
+    """Time-range read (TimeRange.java:30): deletes apply first, then
+    the range restricts puts, then versions count."""
+    out = resolve(
+        _events_cells(spark, sf), versions=1, time_range=(None, 1706000000000)
+    )
+    return _rk(out, "qualifier", "ts", "value")
+
+
+@_q(
+    "resolve_raw",
+    f"""WITH cells AS ({_EVENTS_CELLS_SQL})
+    SELECT rk, qualifier, ts, type, seq FROM cells""",
+)
+def q_resolve_raw(spark, sf):
+    """Raw scan exposes tombstones + all versions (client/Scan.java:848)."""
+    out = resolve(_events_cells(spark, sf), raw=True)
+    return _rk(out, "qualifier", "ts", "type", "seq")
+
+
+@_q(
+    "resolve_as_of",
+    f"""WITH {_events_resolved_sql(cells_pred="seq <= 5000")}
+    SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",
+)
+def q_resolve_as_of(spark, sf):
+    """Historical snapshot: only mutations with seq <= readpoint are
+    visible (the mvccReadPoint analog, client/Scan.java:997)."""
+    cells = _events_cells(spark, sf).filter(F.col("seq") <= 5000)
+    return _rk(resolve(cells, versions=1), "qualifier", "ts", "value")
+
+
+# filters (SURVEY §2.5) — each compiled over the orders melt
+
+
+@_q(
+    "filter_row_compare",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE rk >= lpad('1400', 12, '0')""",
+)
+def q_filter_row_compare(spark, sf):
+    from hbase_spark.filters import BinaryComparator, RowFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=RowFilter(">=", BinaryComparator("1400".zfill(12)))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_prefix",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE rk LIKE '00000000001%'""",
+)
+def q_filter_prefix(spark, sf):
+    from hbase_spark.filters import PrefixFilter
+
+    out = scan(_orders_cells(spark, sf), Scan(filter=PrefixFilter("00000000001")))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_qualifier",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE qualifier < 'o_orderpriority'""",
+)
+def q_filter_qualifier(spark, sf):
+    from hbase_spark.filters import BinaryComparator, QualifierFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=QualifierFilter("<", BinaryComparator("o_orderpriority"))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_value_regex",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE regexp_matches(value, '^[12]-')""",
+)
+def q_filter_value_regex(spark, sf):
+    from hbase_spark.filters import RegexStringComparator, ValueFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=ValueFilter("=", RegexStringComparator("^[12]-"))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_value_substring",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE contains(lower(value), 'urgent')""",
+)
+def q_filter_value_substring(spark, sf):
+    from hbase_spark.filters import SubstringComparator, ValueFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=ValueFilter("=", SubstringComparator("URGENT"))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_single_column_value",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk IN (SELECT rk FROM cells
+                 WHERE qualifier = 'o_orderstatus' AND value = 'F')""",
+)
+def q_filter_scvf(spark, sf):
+    from hbase_spark.filters import SingleColumnValueFilter
+
+    flt = SingleColumnValueFilter("o", "o_orderstatus", "=", "F")
+    out = scan(_orders_cells(spark, sf), Scan(filter=flt))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_scv_exclude",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE qualifier <> 'o_orderstatus'
+      AND rk IN (SELECT rk FROM cells
+                 WHERE qualifier = 'o_orderstatus' AND value = 'F')""",
+)
+def q_filter_scv_exclude(spark, sf):
+    from hbase_spark.filters import SingleColumnValueExcludeFilter
+
+    flt = SingleColumnValueExcludeFilter("o", "o_orderstatus", "=", "F")
+    out = scan(_orders_cells(spark, sf), Scan(filter=flt))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_column_range",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE qualifier >= 'o_custkey' AND qualifier < 'o_orderpriority'""",
+)
+def q_filter_column_range(spark, sf):
+    from hbase_spark.filters import ColumnRangeFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=ColumnRangeFilter("o_custkey", True, "o_orderpriority", False)),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_column_pagination",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    ranked AS (SELECT *, dense_rank() OVER (
+        PARTITION BY rk ORDER BY family, qualifier) AS cn FROM cells)
+    SELECT rk, qualifier, value FROM ranked WHERE cn > 1 AND cn <= 3""",
+)
+def q_filter_column_pagination(spark, sf):
+    from hbase_spark.filters import ColumnPaginationFilter
+
+    out = scan(_orders_cells(spark, sf), Scan(filter=ColumnPaginationFilter(2, 1)))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_multi_row_range",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE (rk >= lpad('10',12,'0') AND rk < lpad('20',12,'0'))
+       OR (rk >= lpad('14990',12,'0'))""",
+)
+def q_filter_multi_row_range(spark, sf):
+    from hbase_spark.filters import MultiRowRangeFilter
+
+    flt = MultiRowRangeFilter(
+        [
+            ("10".zfill(12), True, "20".zfill(12), False),
+            ("14990".zfill(12), True, None, False),
+        ]
+    )
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+@_q(
+    "filter_fuzzy_row",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE substr(rk, 1, 10) = '0000000001'""",
+)
+def q_filter_fuzzy_row(spark, sf):
+    from hbase_spark.filters import FuzzyRowFilter
+
+    # fixed 10-char prefix, last two bytes wildcard -> orderkeys 100-199
+    flt = FuzzyRowFilter([("0000000001??", "0000000000" + "11")])
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+@_q(
+    "filter_timestamps",
+    f"""WITH {_EVENTS_RESOLVED_SQL}
+    SELECT rk, qualifier, ts, value FROM live
+    WHERE ts IN (SELECT ts FROM ({_EVENTS_CELLS_SQL}) WHERE seq < 50)""",
+)
+def q_filter_timestamps(spark, sf):
+    """TimestampsFilter (explicit ts set, derived) over all visible
+    versions — the cell-level filter runs before version capping."""
+    cells = _events_cells(spark, sf)
+    ts_set = cells.filter(F.col("seq") < 50).select("ts").distinct()
+    out = resolve(cells, versions=1_000_000_000).join(
+        F.broadcast(ts_set), "ts", "left_semi"
+    )
+    return _rk(out, "qualifier", "ts", "value")
+
+
+@_q(
+    "filter_key_only",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, cast(length(value) as varchar) AS value FROM cells""",
+)
+def q_filter_key_only(spark, sf):
+    from hbase_spark.filters import KeyOnlyFilter
+
+    out = scan(_orders_cells(spark, sf), Scan(filter=KeyOnlyFilter(len_as_val=True)))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_first_key_only",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    ranked AS (SELECT *, row_number() OVER (
+        PARTITION BY rk ORDER BY family, qualifier, ts DESC, seq DESC) AS rn
+        FROM cells)
+    SELECT rk, qualifier, value FROM ranked WHERE rn = 1""",
+)
+def q_filter_first_key_only(spark, sf):
+    from hbase_spark.filters import FirstKeyOnlyFilter
+
+    out = scan(_orders_cells(spark, sf), Scan(filter=FirstKeyOnlyFilter()))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_skip",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk NOT IN (SELECT rk FROM cells WHERE value = '1-URGENT')""",
+)
+def q_filter_skip(spark, sf):
+    from hbase_spark.filters import BinaryComparator, SkipFilter, ValueFilter
+
+    flt = SkipFilter(ValueFilter("!=", BinaryComparator("1-URGENT")))
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+@_q(
+    "filter_while_match",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk < (SELECT min(rk) FROM cells
+                WHERE qualifier = 'o_orderstatus' AND value = 'P')""",
+)
+def q_filter_while_match(spark, sf):
+    from hbase_spark.filters import BinaryComparator, ValueFilter, WhileMatchFilter
+
+    flt = WhileMatchFilter(ValueFilter("!=", BinaryComparator("P")))
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+@_q(
+    "filter_page",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk IN (SELECT DISTINCT rk FROM cells ORDER BY rk LIMIT 50)""",
+)
+def q_filter_page(spark, sf):
+    from hbase_spark.filters import PageFilter
+
+    return _rk(
+        scan(_orders_cells(spark, sf), Scan(filter=PageFilter(50))),
+        "qualifier",
+        "value",
+    )
+
+
+@_q(
+    "filter_dependent_column",
+    f"""WITH {_EVENTS_RESOLVED_SQL},
+    latest AS (SELECT * FROM ranked WHERE rn = 1),
+    ref AS (SELECT DISTINCT rk, ts FROM latest WHERE qualifier = 'click')
+    SELECT l.rk AS rk, l.qualifier, l.ts, l.value FROM latest l
+    JOIN ref r ON l.rk = r.rk AND l.ts = r.ts""",
+)
+def q_filter_dependent_column(spark, sf):
+    from hbase_spark.filters import DependentColumnFilter
+
+    out = scan(
+        _events_cells(spark, sf),
+        Scan(filter=DependentColumnFilter("e", "click")),
+    )
+    return _rk(out, "qualifier", "ts", "value")
+
+
+@_q(
+    "filter_parse_combined",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE (rk LIKE '0000000001%' AND qualifier = 'o_orderstatus')
+       OR rk = lpad('9999', 12, '0')""",
+)
+def q_filter_parse_combined(spark, sf):
+    """ParseFilter string language (filter/ParseFilter.java:48)."""
+    from hbase_spark.filters import parse_filter
+
+    flt = parse_filter(
+        "(PrefixFilter('0000000001') AND QualifierFilter(=, 'binary:o_orderstatus'))"
+        " OR RowFilter(=, 'binary:000000009999')"
+    )
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+def q_filter_random_row(spark, sf):
+    """Deterministic seeded row sampling (RandomRowFilter analog) —
+    engine-internal hash, no portable SQL form (rows-only check)."""
+    from hbase_spark.filters import RandomRowFilter
+
+    out = scan(_orders_cells(spark, sf), Scan(filter=RandomRowFilter(0.1, seed=42)))
+    return _rk(out, "qualifier", "value")
+
+
+_QUERIES["filter_random_row"] = q_filter_random_row
+
+
+# mutations (SURVEY §2.4)
+
+
+@_q(
+    "increment_merge",
+    """WITH cnt AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
+    SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+           cast(o_custkey + coalesce(c, 0) as varchar) AS value
+    FROM orders LEFT JOIN cnt ON o_orderkey = l_orderkey""",
+)
+def q_increment_merge(spark, sf):
+    """Increment = delta-join merge (rs/HRegion.java:4207 reckonDeltas)."""
+    cells = _orders_cells(spark, sf)
+    li = load_table(spark, sf, "lineitem")
+    deltas = (
+        li.groupBy(F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("row"))
+        .agg(F.count("*").alias("delta"))
+        .select(
+            "row",
+            F.lit("o").alias("family"),
+            F.lit("o_custkey").alias("qualifier"),
+            "delta",
+        )
+    )
+    merged = apply_increments(cells, deltas, ts=2, seq=10_000_000)
+    out = resolve(merged, versions=1).filter(F.col("qualifier") == "o_custkey")
+    return _rk(out, "value")
+
+
+@_q(
+    "append_merge",
+    """SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+           CASE WHEN o_orderstatus = 'F'
+                THEN o_orderpriority || '|checked' ELSE o_orderpriority
+           END AS value
+    FROM orders""",
+)
+def q_append_merge(spark, sf):
+    """Append = concat merge (rs/HRegion.java:8324)."""
+    cells = _orders_cells(spark, sf)
+    o = load_table(spark, sf, "orders")
+    appends = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("row"),
+        F.lit("o").alias("family"),
+        F.lit("o_orderpriority").alias("qualifier"),
+        F.lit("|checked").alias("delta"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    merged = apply_appends(cells, appends, ts=2, seq=10_000_000)
+    out = resolve(merged, versions=1).filter(F.col("qualifier") == "o_orderpriority")
+    return _rk(out, "value")
+
+
+@_q(
+    "check_and_put",
+    """SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+              'fast' AS value
+    FROM orders WHERE o_orderstatus = 'O'""",
+)
+def q_check_and_put(spark, sf):
+    """CheckAndMutate guard merge (rs/HRegion.java:5140)."""
+    from hbase_spark.operators.mutations import put_cells
+
+    cells = _orders_cells(spark, sf)
+    keys = load_table(spark, sf, "orders").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("row")
+    )
+    muts = keys.select(
+        "row",
+        F.lit("o").alias("family"),
+        F.lit("flag").alias("qualifier"),
+        F.lit(2).cast("long").alias("ts"),
+        F.lit(CellType.PUT).cast("int").alias("type"),
+        F.lit("fast").alias("value"),
+        F.lit(10_000_000).cast("long").alias("seq"),
+    )
+    merged = apply_check_and_mutate(
+        cells, muts, guard_family="o", guard_qualifier="o_orderstatus", op="=", value="O"
+    )
+    out = resolve(merged, versions=1).filter(F.col("qualifier") == "flag")
+    return _rk(out, "value")
+
+
+@_q(
+    "sync_table_diff",
+    """SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+              'o_orderstatus' AS qualifier, 'value_mismatch' AS kind
+       FROM orders WHERE o_orderkey % 101 = 0
+    UNION ALL
+       SELECT lpad(cast(o_orderkey as varchar), 12, '0'),
+              'o_orderdate', 'only_in_source'
+       FROM orders WHERE o_orderkey % 97 = 0""",
+)
+def q_sync_table_diff(spark, sf):
+    """HashTable/SyncTable divergence detection (mr/SyncTable.java:64)."""
+    src = _orders_cells(spark, sf)
+    okey = F.col("row").cast("bigint")
+    tgt = (
+        src.withColumn(
+            "value",
+            F.when(
+                (F.col("qualifier") == "o_orderstatus") & (okey % 101 == 0),
+                F.lit("XX"),
+            ).otherwise(F.col("value")),
+        )
+        .filter(~((F.col("qualifier") == "o_orderdate") & (okey % 97 == 0)))
+    )
+    d = sync_diff(src, tgt)
+    return _rk(d, "qualifier", "kind")
+
+
+# aggregation endpoint (SURVEY §2.6)
+
+
+@_q(
+    "agg_endpoint",
+    """WITH t AS (SELECT cast(cast(l_quantity as decimal(18,2)) as decimal(38,10)) AS q
+                  FROM lineitem)
+    SELECT cast(max(q) as double) AS max_v, cast(min(q) as double) AS min_v,
+           cast(sum(q) as double) AS sum_v, count(q) AS count_v,
+           round(cast(sum(q) as double) / count(q), 4) AS avg_v,
+           round(stddev_pop(cast(q as double)), 4) AS std_v,
+           round(cast(median(q) as double), 4) AS median_v
+    FROM t""",
+)
+def q_agg_endpoint(spark, sf):
+    """AggregationClient max/min/sum/count/avg/std/median over a melted
+    column (endpoint/coprocessor/AggregateImplementation.java)."""
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "pk", F.monotonically_increasing_id()
+    )
+    cells = melt_table(li, "pk", "li", ["l_quantity"], key_width=16)
+    visible = resolve(cells, versions=1)
+    v = F.col("value").cast("decimal(18,2)").cast("decimal(38,10)")
+    return visible.agg(
+        F.max(v).cast("double").alias("max_v"),
+        F.min(v).cast("double").alias("min_v"),
+        F.sum(v).cast("double").alias("sum_v"),
+        F.count(v).alias("count_v"),
+        F.round(F.sum(v).cast("double") / F.count(v), 4).alias("avg_v"),
+        F.round(F.stddev_pop(v.cast("double")), 4).alias("std_v"),
+        F.round(F.expr("percentile(cast(value as double), 0.5)"), 4).alias("median_v"),
+    )
+
+
+@_q(
+    "row_counter",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT count(DISTINCT rk) AS rows_n FROM cells
+    WHERE rk >= lpad('1000', 12, '0') AND rk < lpad('2000', 12, '0')""",
+)
+def q_row_counter(spark, sf):
+    """RowCounter with a range (mr/RowCounter.java:60)."""
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(start_row="1000".zfill(12), stop_row="2000".zfill(12)),
+    )
+    return out.agg(F.countDistinct("row").alias("rows_n"))
+
+
+@_q(
+    "cell_counter",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT family, qualifier, count(*) AS cells_n FROM cells
+    GROUP BY family, qualifier""",
+)
+def q_cell_counter(spark, sf):
+    """CellCounter grouped counts (mr/CellCounter.java:73)."""
+    return (
+        _orders_cells(spark, sf)
+        .groupBy("family", "qualifier")
+        .agg(F.count("*").alias("cells_n"))
+    )
+
+
+@_q(
+    "copy_table_rename",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, 'archive' AS family, qualifier, value FROM cells""",
+)
+def q_copy_table_rename(spark, sf):
+    """CopyTable with renamed family (mr/CopyTable.java:55)."""
+    from hbase_spark.sources.copy import copy_table
+
+    out = copy_table(_orders_cells(spark, sf), rename_families={"o": "archive"})
+    return out.select(
+        F.col("row").alias("rk"), "family", "qualifier", "value"
+    )
+
+
+# ------------------------------------------------------------ frame layer
+# (groupBy/join generalization — SURVEY §2.6-2.7 "capability upgrade")
+
+
+@_q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+           sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+           sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
+           sum(cast(l_extendedprice as decimal(18,2))
+               * (1 - cast(l_discount as decimal(18,2)))) AS sum_disc_price,
+           round(cast(sum(cast(l_quantity as decimal(18,2))) as double)
+                 / count(*), 4) AS avg_qty,
+           round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+                 / count(*), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def q_q1(spark, sf):
+    """TPC-H Q1-style pricing summary (the flagship frame-layer query)."""
+    li = load_table(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (1 - disc)).alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_top_revenue",
+    """SELECT l_orderkey,
+              sum(cast(l_extendedprice as decimal(18,2))
+                  * (1 - cast(l_discount as decimal(18,2)))) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_q3(spark, sf):
+    """TPC-H Q3-style join + top-k; dimension side broadcast."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_nation_revenue",
+    """SELECT n_name,
+              sum(cast(l_extendedprice as decimal(18,2))
+                  * (1 - cast(l_discount as decimal(18,2)))) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name""",
+)
+def q_q5(spark, sf):
+    """TPC-H Q5-style star join: all dimensions broadcast."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+@_q(
+    "top_orders_per_customer",
+    """WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               cast(o_totalprice as decimal(18,2)) AS totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY cast(o_totalprice as decimal(18,2)) DESC, o_orderkey) AS rn
+        FROM orders)
+    SELECT o_custkey, o_orderkey, totalprice, rn FROM ranked WHERE rn <= 2""",
+)
+def q_topk_per_group(spark, sf):
+    """Top-k per group via window (no reference analog — Spark-native)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy(tp.desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            tp.alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@_q(
+    "events_daily_rollup",
+    """SELECT event_type, epoch_ms(ts) // 86400000 AS day_bucket,
+              count(*) AS n,
+              sum(cast(value as decimal(18,4))) AS total
+    FROM events GROUP BY event_type, day_bucket""",
+)
+def q_events_rollup(spark, sf):
+    """Tumbling daily rollup on the event stream table (the batch view
+    of the streaming windowed aggregation)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_millis("ts") / F.lit(86400000)).alias("day_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------- training-data pipeline ops
+
+
+@_q(
+    "doc_exact_dedup",
+    f"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+    SELECT min(doc_id) AS doc_id FROM corpus GROUP BY {_NORM_SQL}""",
+)
+def q_doc_exact_dedup(spark, sf):
+    """Exact dedup: hash-groupBy keeps the min-id representative."""
+    from hbase_spark.functions.dedup import exact_dedup
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return exact_dedup(docs.unionByName(clones)).select("doc_id")
+
+
+@_q(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+)
+def q_doc_fingerprint(spark, sf):
+    """Content fingerprint of normalized text (md5 for the portable
+    oracle; the engine also offers xxhash64 via functions.text)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", F.md5(_NORM_SPARK(F.col("text"))).alias("fp"))
+
+
+@_q(
+    "doc_token_stats",
+    f"""SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           length(text) AS n_chars_actual
+    FROM documents""",
+)
+def q_doc_token_stats(spark, sf):
+    """Token counting (whitespace/punct split, JVM-side)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_TOKS_SPARK(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@_q(
+    "doc_language_id",
+    """WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    scores AS (
+        SELECT doc_id,
+            len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','it','that','for']))) AS s_en,
+            len(list_distinct(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','zu','auf']))) AS s_de,
+            len(list_distinct(list_intersect(t, ['le','la','les','et','est','un','une','des','que','pour']))) AS s_fr,
+            len(list_distinct(list_intersect(t, ['el','la','los','las','y','es','un','una','que','por']))) AS s_es,
+            len(list_distinct(list_intersect(t, ['il','la','che','di','e','un','una','per','con','sono']))) AS s_it
+        FROM toks)
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'unknown'
+                WHEN s_it >= s_en AND s_it >= s_de AND s_it >= s_fr AND s_it > s_es THEN 'it'
+                WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr > s_es AND s_fr > s_it THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_it THEN 'es'
+                WHEN s_de >= s_en AND s_de > s_fr AND s_de > s_es AND s_de > s_it THEN 'de'
+                ELSE 'en' END AS lang_pred
+    FROM scores""",
+)
+def q_doc_language_id(spark, sf):
+    """Marker-word language ID (argmax with lang-desc tie-break,
+    mirrored exactly in the oracle CASE)."""
+    from hbase_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+def q_doc_quality(spark, sf):
+    """Composite quality score (rows-only: the formula's float path is
+    engine-internal)."""
+    from hbase_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+
+
+_QUERIES["doc_quality"] = q_doc_quality
+
+
+def q_doc_minhash_dedup(spark, sf):
+    """MinHash+LSH near-dedup (seeded xxhash64 internals — rows-only)."""
+    from hbase_spark.functions.dedup import minhash_dedup
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    out = minhash_dedup(
+        docs.unionByName(clones), threshold=0.99, num_hashes=64, bands=16
+    )
+    return out.select("doc_id")
+
+
+_QUERIES["doc_minhash_dedup"] = q_doc_minhash_dedup
+
+
+def q_doc_simhash_near_dups(spark, sf):
+    """SimHash near-dup candidate pairs (rows-only)."""
+    from hbase_spark.functions.dedup import simhash_candidates
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return simhash_candidates(
+        docs.unionByName(clones), max_hamming=3, bands=4
+    ).select("id_a", "id_b")
+
+
+_QUERIES["doc_simhash_near_dups"] = q_doc_simhash_near_dups
+
+
+@_q(
+    "doc_ngram_jaccard",
+    """WITH pairs AS (
+        SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+               list_filter(regexp_split_to_array(lower(d1.text), '[^a-z0-9]+'), x -> x <> '') AS t1,
+               list_filter(regexp_split_to_array(lower(d2.text), '[^a-z0-9]+'), x -> x <> '') AS t2
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        WHERE d1.doc_id < 20),
+    sh AS (
+        SELECT id_a, id_b,
+            list_distinct([concat(t1[i], ' ', t1[i+1], ' ', t1[i+2]) for i in range(1, len(t1) - 1)]) AS s1,
+            list_distinct([concat(t2[i], ' ', t2[i+1], ' ', t2[i+2]) for i in range(1, len(t2) - 1)]) AS s2
+        FROM pairs)
+    SELECT id_a, id_b,
+           round(cast(len(list_intersect(s1, s2)) as double)
+                 / greatest(len(list_distinct(list_concat(s1, s2))), 1), 6) AS jaccard
+    FROM sh""",
+)
+def q_doc_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard on an explicit pair list."""
+    from hbase_spark.functions.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    )
+    pairs = pairs.join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    out = jaccard_pairs(docs, pairs, shingle_n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_q(
+    "embedding_cosine_topk",
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS score
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id
+    LIMIT 10""",
+)
+def q_embedding_cosine_topk(spark, sf):
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    from hbase_spark.functions.similarity import cosine_topk
+
+    vecs = load_table(spark, sf, "embeddings")
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    vecs_d = vecs.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = cosine_topk(vecs_d, q, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_embedding_ann_topk(spark, sf):
+    """LSH-bucketed ANN top-k (hyperplane signatures — rows-only)."""
+    from hbase_spark.functions.similarity import ann_index, ann_topk
+
+    vecs = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    idx = ann_index(vecs, dim=len(q), planes=12)
+    return ann_topk(idx, q, k=10, planes=12, max_hamming=2).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+_QUERIES["embedding_ann_topk"] = q_embedding_ann_topk
+
+
+@_q(
+    "embedding_near_dups",
+    """WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= 0.9999""",
+)
+def q_embedding_near_dups(spark, sf):
+    """Embedding near-dup pairs via hyperplane LSH + exact verify."""
+    from hbase_spark.functions.dedup import embedding_near_dups
+
+    vecs = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = vecs.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    out = embedding_near_dups(
+        vecs.unionByName(clones), threshold=0.9999, planes=10
+    )
+    return out.select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries come straight from __spark_entry__.queries() so the benchmark
+measures exactly what the correctness gate validates.  Results are
+materialized through the noop sink (full execution, no driver
+collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from hbase_spark.sources.tables import get_spark
+
+HEADLINE = [
+    "resolve_latest",          # core snapshot resolution
+    "scan_range",              # pruned range scan
+    "filter_single_column_value",  # row-stage filter
+    "multi_get",               # point-read batch
+    "increment_merge",         # read-modify-write merge
+    "agg_endpoint",            # aggregation endpoint
+    "q1_pricing_summary",      # TPC-H-style agg
+    "q3_top_revenue",          # join + top-k
+    "q5_nation_revenue",       # star join
+    "top_orders_per_customer",  # window
+    "events_daily_rollup",     # time rollup
+    "doc_exact_dedup",         # dedup (hash)
+    "doc_minhash_dedup",       # dedup (MinHash+LSH)
+    "doc_language_id",         # text analysis
+    "embedding_cosine_topk",   # similarity search
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()  # JVM warmup
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

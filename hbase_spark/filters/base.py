@@ -34,6 +34,10 @@ class Filter:
         """Row-stage transformation (filterRow analog); default no-op."""
         return df
 
+    def has_row_stage(self) -> bool:
+        """True if this filter does row-stage work in ``post``."""
+        return type(self).post is not Filter.post
+
     # Python operator sugar mirroring FilterList (filter/FilterList.java:46)
     def __and__(self, other: "Filter") -> "Filter":
         from hbase_spark.filters.filters import FilterList

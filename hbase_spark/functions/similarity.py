@@ -1,0 +1,210 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers (SURVEY.md §7.2 phase 6 / task brief):
+
+- **Brute-force cosine top-k** — the exact baseline.  The dot product
+  is a JVM-side ``aggregate``/``zip_with`` against a broadcast literal
+  query vector: one narrow scan + a top-k (TakeOrdered), no shuffle of
+  the vectors themselves.
+- **LSH-bucketed ANN** (random hyperplanes) — the scale path: each
+  vector gets a ``planes``-bit signature; queries probe only matching
+  (or near-matching) buckets.  At 100 TB the bucket join touches a
+  ~2^-planes fraction of the corpus per probe.
+- **IVF-style variant** — coarse k-means-ish assignment to the nearest
+  of ``nlist`` seeded centroid vectors (deterministically sampled from
+  the corpus), probe the ``nprobe`` nearest lists.
+
+Deterministic throughout: hyperplanes/centroids derive from a seed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    vecs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    Plan shape: scan -> project score -> TakeOrderedAndProject (no full
+    sort; each partition keeps k, driver merges k·partitions rows).
+    """
+    q = _vec_lit(query)
+    qn = math.sqrt(sum(float(v) ** 2 for v in query)) or 1.0
+    score = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        vecs.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------ hyperplane LSH
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG; no numpy
+    needed at plan-build time, and stable across sessions)."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x40000000 - 1.0)  # ~U(-1, 1)
+        out.append(row)
+    return out
+
+
+def hyperplane_sig(vec: Column, *, dim: int, planes: int = 16, seed: int = 42) -> Column:
+    """planes-bit LSH signature: bit b = sign(vec · plane_b)."""
+    hp = _hyperplanes(dim, planes, seed)
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(hp):
+        d = dot(vec, _vec_lit(plane))
+        sig = sig.bitwiseOR(
+            F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def ann_index(
+    vecs: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the LSH signature column (write this out bucketed/
+    partitioned by ``sig`` as the persisted index)."""
+    return vecs.withColumn(
+        "sig", hyperplane_sig(F.col(vec_col), dim=dim, planes=planes, seed=seed)
+    )
+
+
+def ann_topk(
+    indexed: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    seed: int = 42,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: probe buckets whose signature is within
+    ``max_hamming`` bits of the query's, re-rank exactly by cosine.
+    With a bucketed layout the probe is a partition-pruned scan."""
+    hp = _hyperplanes(len(query), planes, seed)
+    qsig = 0
+    for b, plane in enumerate(hp):
+        if sum(x * y for x, y in zip(query, plane)) > 0:
+            qsig |= 1 << b
+    probe = F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    q = _vec_lit(query)
+    qn = math.sqrt(sum(float(v) ** 2 for v in query)) or 1.0
+    score = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        indexed.filter(probe)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------ IVF-style
+
+def ivf_centroids(
+    vecs: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id", nlist: int = 16
+) -> list[tuple[int, list[float]]]:
+    """Coarse centroids: deterministic corpus sample (every Nth vector
+    by id order) — one cheap pass; a k-means refinement can replace
+    this without changing the probe path."""
+    n = vecs.count()
+    step = max(n // nlist, 1)
+    rows = (
+        vecs.select(id_col, vec_col)
+        .orderBy(id_col)
+        .withColumn("_rn", F.monotonically_increasing_id())
+        .collect()
+    )
+    picked = [rows[min(i * step, n - 1)] for i in range(nlist)]
+    return [(i, list(r[vec_col])) for i, r in enumerate(picked)]
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (adds ``list_id``).
+    Persist partitioned by list_id for probe-time partition pruning."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), _vec_lit(c)).alias("score"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in centroids
+        ]
+    )
+    return vecs.withColumn("list_id", F.array_max(scored)["list_id"])
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest lists, exact cosine re-rank inside."""
+    def cos(c):
+        num = sum(x * y for x, y in zip(query, c))
+        dn = math.sqrt(sum(x * x for x in c)) * math.sqrt(sum(x * x for x in query))
+        return num / dn if dn else 0.0
+
+    probe_ids = [i for i, _ in sorted(centroids, key=lambda ic: -cos(ic[1]))[:nprobe]]
+    q = _vec_lit(query)
+    qn = math.sqrt(sum(float(v) ** 2 for v in query)) or 1.0
+    score = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        assigned.filter(F.col("list_id").isin(probe_ids))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the engine beyond the reference's KV surface (SURVEY.md
+§7.2 phase 6): language ID, quality scoring, token counting and
+document fingerprinting over a ``text`` column.  Everything here is
+built from JVM-side pyspark.sql.functions (no Python in the hot path),
+so the operators stay inside whole-stage codegen and scale linearly —
+at 100 TB they are a single map stage with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word sets for the n-gram/stopword heuristic.
+# Deliberately small and public-knowledge (top function words).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+    "it": ["il", "la", "che", "di", "e", "un", "una", "per", "con", "sono"],
+}
+
+_WORD_SPLIT = r"[^\p{L}\p{N}]+"  # unicode letters/digits
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace/punctuation tokenization into an array of words."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), _WORD_SPLIT), lambda t: t != "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+_BPE_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """A BPE-flavored count: splits letters / digits / punctuation into
+    separate tokens plus a length/4 subword correction — a cheap,
+    deterministic proxy for tokenizer budgeting at scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    # subword pieces ~ max(words, chars/4)
+    return F.greatest(pieces, (chars / 4).cast("int"))
+
+
+def lang_scores(col: str | Column = "text") -> Column:
+    """Map language -> marker-word hit ratio."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        # ratio of distinct marker hits is robust to doc length
+        entries.append(F.struct(F.lit(lang).alias("lang"), (hits / F.lit(len(markers))).alias("score")))
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_id(col: str | Column = "text", default: str = "unknown") -> Column:
+    """Argmax language by marker-hit score; 'unknown' when nothing hits
+    (e.g. non-Latin scripts not in the marker table)."""
+    toks = tokens(col)
+    scored = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        scored.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    top = F.array_max(F.array(*scored))
+    return F.when(top["score"] > 0, top["lang"]).otherwise(F.lit(default))
+
+
+def quality_features(col: str | Column = "text") -> dict[str, Column]:
+    """The classic cheap quality signals (length / punctuation /
+    stopword ratios, mean word length, repetition)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.length(c)
+    en_stop = F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": F.size(toks),
+        "mean_word_len": (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tok
+        ),
+        "stopword_ratio": (
+            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))) / n_tok
+        ),
+        "punct_ratio": (
+            F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]", "")) / F.greatest(n_chars, F.lit(1))
+        ),
+        "unique_token_ratio": F.size(F.array_distinct(toks)) / n_tok,
+    }
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite [0,1] quality score from the features above.  Weights
+    are heuristic; the point is a deterministic, fully JVM-side scorer
+    usable as a pre-training filter at scale."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100_000), 1.0).otherwise(0.2)
+    stop_ok = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    diversity = f["unique_token_ratio"]
+    punct_pen = F.greatest(F.lit(0.0), 1 - f["punct_ratio"] * 5)
+    word_ok = F.when((f["mean_word_len"] >= 2) & (f["mean_word_len"] <= 12), 1.0).otherwise(0.3)
+    return (
+        (length_ok * 0.25 + stop_ok * 0.2 + diversity * 0.2 + punct_pen * 0.15 + word_ok * 0.2)
+    ).alias("quality")
+
+
+def normalize_text(col: str | Column = "text") -> Column:
+    """Canonical form for hashing: lowercase, collapse whitespace,
+    strip non-alphanumerics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]", ""), r"\s+", " ")
+    )
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """64-bit content fingerprint of the normalized text (the rolling-
+    hash document signature, computed as one xxhash64)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: id columns + lang + quality + tokens +
+    fingerprint.  Single narrow map stage."""
+    feats = quality_features(text_col)
+    return docs.select(
+        "*",
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        fingerprint(text_col).alias("fingerprint"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["unique_token_ratio"].alias("unique_token_ratio"),
+    )

@@ -1,0 +1,192 @@
+"""Mutations as batch merges (SURVEY.md §2.4).
+
+HBase's write-side operators re-expressed declaratively: a mutation
+batch is a DataFrame; applying it appends cells (puts and tombstones)
+to the CellFrame — visibility happens at read time via snapshot
+resolution.  Read-modify-write ops (Increment/Append/CheckAndMutate)
+join the current snapshot first, exactly the shape of the reference's
+server-side logic:
+
+- Increment math:   rs/HRegion.java:4207 (reckonDeltas), entry :8343
+- Append concat:    rs/HRegion.java:8324
+- CheckAndMutate:   rs/HRegion.java:5140 (checkAndMutateInternal),
+                    guard compare :5298 (matches)
+- RowMutations:     client/RowMutations.java:37 (atomic multi-op per row)
+
+Atomicity: HBase serializes same-row mutations via row locks + MVCC;
+here the unit of atomicity is the whole batch merge (one commit),
+which is strictly stronger (SURVEY.md §3.3).  Within a batch,
+increments over the same column are summed (order-free), and appends
+concatenate in explicit ``seq`` order — the deterministic analog of
+arrival order under a row lock (SURVEY.md §7.4 item 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_spark.model import CELL_COLUMNS, CellType, cell_schema
+from hbase_spark.operators.resolve import resolve
+
+
+def make_cells(spark, rows: list[tuple], key_type=None, value_type=None) -> DataFrame:
+    """Build a CellFrame from (row, family, qualifier, ts, type, value, seq) tuples."""
+    return spark.createDataFrame(rows, schema=cell_schema(key_type, value_type))
+
+
+def put_cells(spark, puts: list[tuple], *, ts: int, seq: int) -> DataFrame:
+    """client/Put.java:46 — puts = [(row, family, qualifier, value)];
+    ts defaults to "server now" in the reference, here passed explicitly."""
+    rows = [(r, f, q, ts, CellType.PUT, v, seq) for (r, f, q, v) in puts]
+    return make_cells(spark, rows)
+
+
+def delete_cells(
+    spark, deletes: list[tuple], *, ts: int, seq: int, kind: int = CellType.DELETE_COLUMN
+) -> DataFrame:
+    """client/Delete.java:64 — tombstones of the requested granularity.
+    deletes = [(row, family, qualifier)] (qualifier None for family scopes)."""
+    rows = [(r, f, q, ts, kind, None, seq) for (r, f, q) in deletes]
+    return make_cells(spark, rows)
+
+
+def apply_mutations(cells: DataFrame, mutations: DataFrame) -> DataFrame:
+    """Append a mutation CellFrame (puts + tombstones) — the memstore
+    apply step (rs/HRegion.java:5485 applyToMemStore).  Pure union:
+    tombstones are data."""
+    return cells.unionByName(mutations.select(*cells.columns))
+
+
+def apply_increments(
+    cells: DataFrame,
+    deltas: DataFrame,
+    *,
+    ts: int,
+    seq: int,
+    versions: int = 1,
+) -> DataFrame:
+    """client/Increment.java:53 — atomic read-modify-write:
+    new = coalesce(current, 0) + sum(deltas per column).
+
+    ``deltas`` columns: row, family, qualifier, delta (long).  Returns
+    the CellFrame with the materialized new cells appended (the
+    reference likewise emits a real new cell, not a delta record).
+    Values are stored as decimal strings in canonical cells.
+    """
+    summed = deltas.groupBy("row", "family", "qualifier").agg(
+        F.sum("delta").alias("_delta")
+    )
+    current = (
+        resolve(cells, versions=1)
+        .join(summed.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
+        .select("row", "family", "qualifier", F.col("value").cast("long").alias("_old"))
+    )
+    new_cells = (
+        summed.join(current, ["row", "family", "qualifier"], "left")
+        .select(
+            "row",
+            "family",
+            "qualifier",
+            F.lit(ts).cast("long").alias("ts"),
+            F.lit(CellType.PUT).alias("type"),
+            (F.coalesce(F.col("_old"), F.lit(0)) + F.col("_delta"))
+            .cast("string")
+            .alias("value"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+    )
+    return apply_mutations(cells, new_cells)
+
+
+def apply_appends(cells: DataFrame, appends: DataFrame, *, ts: int, seq: int) -> DataFrame:
+    """client/Append.java:51 — atomic concat to the existing value.
+
+    ``appends`` columns: row, family, qualifier, delta (string), seq
+    (within-batch order).  Multiple appends to one column concatenate
+    in seq order (the row-lock arrival-order analog).
+    """
+    batch = appends.groupBy("row", "family", "qualifier").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "delta"))),
+                lambda s: s["delta"],
+            ),
+        ).alias("_suffix")
+    )
+    current = (
+        resolve(cells, versions=1)
+        .join(batch.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
+        .select("row", "family", "qualifier", F.col("value").alias("_old"))
+    )
+    new_cells = batch.join(current, ["row", "family", "qualifier"], "left").select(
+        "row",
+        "family",
+        "qualifier",
+        F.lit(ts).cast("long").alias("ts"),
+        F.lit(CellType.PUT).alias("type"),
+        F.concat(F.coalesce(F.col("_old"), F.lit("")), F.col("_suffix")).alias("value"),
+        F.lit(seq).cast("long").alias("seq"),
+    )
+    return apply_mutations(cells, new_cells)
+
+
+def apply_check_and_mutate(
+    cells: DataFrame,
+    mutations: DataFrame,
+    *,
+    guard_family: str,
+    guard_qualifier,
+    op: str,
+    comparator=None,
+    value=None,
+    filter=None,
+    time_range: tuple | None = None,
+) -> DataFrame:
+    """client/CheckAndMutate.java:58 — per-row conditional batch.
+
+    For each distinct row in ``mutations``, evaluate the guard against
+    the current snapshot (column ``op`` value, or an arbitrary Filter,
+    optionally time-ranged — server path rs/HRegion.java:5140); apply
+    that row's mutations only if the guard passes.  MERGE-style:
+    one snapshot read, one append.
+
+    Matching the reference (HRegion.matches :5298): with a column
+    guard, a *missing* column passes only the NOT_EQUAL-shaped checks —
+    concretely, op '=' with value None means "column absent" (checkAndPut
+    with null value), and any comparison against an absent column fails.
+    """
+    from hbase_spark.filters.base import Filter as _Filter
+    from hbase_spark.filters.comparators import BinaryComparator
+
+    snap = resolve(cells, versions=1, time_range=time_range)
+    if filter is not None:
+        assert isinstance(filter, _Filter)
+        guarded = snap
+        pred = filter.cell_pred()
+        if pred is not None:
+            guarded = guarded.filter(pred)
+        ok_rows = filter.post(guarded).select("row").distinct()
+    else:
+        col_cells = snap.filter(
+            (F.col("family") == guard_family)
+            & (F.col("qualifier") == guard_qualifier)
+        )
+        if value is None and comparator is None:
+            # checkAndPut(..., null): passes when the column is ABSENT
+            present = col_cells.select("row").distinct()
+            ok_rows = (
+                mutations.select("row")
+                .distinct()
+                .join(present, "row", "left_anti")
+            )
+        else:
+            cmpr = comparator or BinaryComparator(value)
+            ok_rows = (
+                col_cells.filter(cmpr.matches(F.col("value"), op))
+                .select("row")
+                .distinct()
+            )
+    passed = mutations.join(F.broadcast(ok_rows), "row", "left_semi")
+    return apply_mutations(cells, passed)

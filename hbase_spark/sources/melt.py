@@ -23,7 +23,7 @@ from hbase_spark.model import CellType
 def _render(df: DataFrame, col: str) -> F.Column:
     """Engine-portable string rendering of a column value."""
     dt = df.schema[col].dataType
-    if isinstance(dt, (T.TimestampType, T.DateType)):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return F.date_format(F.col(col), "yyyy-MM-dd")
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         # double -> string formatting differs across engines; go through

@@ -1,0 +1,123 @@
+"""Streaming: the WAL / replication surface (SURVEY.md §2.10).
+
+In HBase every mutation is durably logged (WAL append,
+rs/HRegion.java:8377 doWALAppend) and replication tails that log
+shipping edits to peers with tracked offsets
+(server/replication/regionserver/ReplicationSource.java:87,
+WALEntryStream.java:50).  The Spark-native shape: the mutation log IS
+a Structured Streaming source of cell records; a foreachBatch merge
+appends each micro-batch to the CellFrame table (tombstones included —
+they're data), and sink checkpointing replaces offset tracking.
+Ordering per row key is preserved by the explicit ``seq`` column, the
+analog of serial replication's per-region ordering.
+
+- ``wal_player``  — batch replay of a log range into a table
+  (mr/WALPlayer.java:76, time-windowed).
+- ``stream_merge`` — the ReplicationSource/Endpoint analog
+  (server/replication/ReplicationEndpoint.java:48): readStream ->
+  foreachBatch append with checkpoint.
+- ``latest_view_stream`` — a continuously-maintained latest-version
+  view (the "table is the state" pattern): streaming aggregation
+  keyed by (row, family, qualifier) with max_by(ts, seq).
+
+Invariant (tested): streaming merge of a mutation log ≡ batch
+resolve() over all cells — the ITBLL-style check of SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_spark.model import cell_schema
+from hbase_spark.operators.resolve import _time_range_pred
+
+
+def mutation_stream(
+    spark: SparkSession,
+    log_dir: str,
+    *,
+    key_type=None,
+    value_type=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """A file-based mutation-log stream of cell records (WALInputFormat
+    analog, mr/WALInputFormat.java:61; swap for Kafka by changing the
+    format — the schema contract is the same CellFrame)."""
+    reader = spark.readStream.schema(cell_schema(key_type, value_type))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(log_dir)
+
+
+def stream_merge(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    trigger_once: bool = True,
+):
+    """Merge the mutation stream into a CellFrame table directory.
+
+    foreachBatch append = ReplicationEndpoint.replicate; the checkpoint
+    directory carries the source offsets (ReplicationQueueStorage
+    analog), giving at-least-once delivery with idempotent effect
+    (cells are content-addressed by (row,family,qualifier,ts,type,seq),
+    and resolution is insensitive to duplicate appends).
+    """
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").parquet(table_dir)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_view_stream(stream: DataFrame, query_name: str):
+    """Maintain the latest-put-per-column view as a streaming state —
+    the low-latency analog of a resolved snapshot (complete-mode memory
+    sink for local use; production would target a keyed store)."""
+    latest = (
+        stream.filter(F.col("type") == 4)
+        .groupBy("row", "family", "qualifier")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value", "seq"), F.struct("ts", "seq")
+            ).alias("_c")
+        )
+        .select(
+            "row",
+            "family",
+            "qualifier",
+            F.col("_c.ts").alias("ts"),
+            F.col("_c.value").alias("value"),
+            F.col("_c.seq").alias("seq"),
+        )
+    )
+    return (
+        latest.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def wal_player(
+    spark: SparkSession,
+    log_dir: str,
+    *,
+    time_range: tuple | None = None,
+    key_type=None,
+    value_type=None,
+) -> DataFrame:
+    """Batch replay of a mutation-log range (WALPlayer: mr/WALPlayer.java:76):
+    read the log files, optionally time-window, return cells ready to
+    append to a table (or bulk-write via sources.layout.write_table)."""
+    df = spark.read.schema(cell_schema(key_type, value_type)).parquet(log_dir)
+    if time_range is not None:
+        df = df.filter(_time_range_pred(time_range))
+    return df

@@ -1,0 +1,105 @@
+"""Aggregation endpoint parity vs DuckDB oracle on TESTDATA (SURVEY.md
+§5.2 item 3), plus counters and SyncTable diff (FIXTURES.md §B)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_spark.model import CellType
+from hbase_spark.operators.aggregations import agg_table, row_count
+from hbase_spark.operators.counters import cell_counter, row_counter
+from hbase_spark.operators.resolve import resolve
+from hbase_spark.operators.sync import diff_buckets, sync_diff, sync_repair
+from hbase_spark.sources.melt import melt_table
+from hbase_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def li_cells(spark, sf_dir):
+    # NOTE: the synthetic lineitem has duplicate (orderkey, linenumber)
+    # pairs, so a unique per-source-row id is required for a faithful melt
+    li = load_table(spark, sf_dir, "lineitem").filter("l_orderkey <= 2000")
+    df = li.withColumn("pk", F.monotonically_increasing_id())
+    return melt_table(
+        df, "pk", "li", ["l_quantity", "l_extendedprice", "l_returnflag"], key_width=16
+    ).cache()
+
+
+def test_agg_endpoint_vs_duckdb(spark, sf_dir, li_cells):
+    visible = resolve(li_cells, versions=1)
+    got = agg_table(visible, "li", "l_quantity", interpreter="decimal").collect()[0]
+    exp = duckdb.sql(
+        f"""
+        WITH t AS (SELECT cast(cast(l_quantity as decimal(18,2)) as decimal(38,10)) q
+                   FROM '{sf_dir}/lineitem.parquet'
+                   WHERE l_orderkey <= 2000)
+        SELECT max(q), min(q), sum(q), count(q), avg(q),
+               stddev_pop(q), median(q) FROM t
+        """
+    ).fetchone()
+    assert float(got["max"]) == pytest.approx(float(exp[0]))
+    assert float(got["min"]) == pytest.approx(float(exp[1]))
+    assert float(got["sum"]) == pytest.approx(float(exp[2]))
+    assert got["count"] == exp[3]
+    assert float(got["avg"]) == pytest.approx(float(exp[4]))
+    assert float(got["std"]) == pytest.approx(float(exp[5]), rel=1e-6)
+    assert float(got["median"]) == pytest.approx(float(exp[6]))
+
+
+def test_row_count_and_cell_counter(spark, li_cells):
+    visible = resolve(li_cells, versions=1)
+    n = visible.select("row").distinct().count()
+    assert row_count(visible) == row_counter(visible) == n
+    counters = cell_counter(visible)
+    assert counters["total_cells"].collect()[0]["cells"] == 3 * n
+    fam = counters["cells_per_family"].collect()
+    assert len(fam) == 1 and fam[0]["family"] == "li" and fam[0]["cells"] == 3 * n
+    per_q = {
+        r.qualifier: r.cells for r in counters["cells_per_qualifier"].collect()
+    }
+    assert per_q == {
+        "l_quantity": n,
+        "l_extendedprice": n,
+        "l_returnflag": n,
+    }
+
+
+def test_sync_diff_finds_exact_perturbations(spark, li_cells):
+    src = li_cells
+    # perturb: change 5 values, drop 3 cells, add 2 cells
+    first_rows = [r.row for r in src.select("row").distinct().orderBy("row").limit(3).collect()]
+    changed = src.filter(
+        (F.col("qualifier") == "l_returnflag") & F.col("row").isin(first_rows)
+    )
+    n_changed = changed.count()
+    assert n_changed > 0
+    tgt = (
+        src.join(changed.select("row", "qualifier"), ["row", "qualifier"], "left_anti")
+        .unionByName(changed.withColumn("value", F.lit("XX")))
+    )
+    dropped = src.filter(
+        (F.col("qualifier") == "l_quantity") & F.col("row").isin(first_rows)
+    )
+    n_dropped = dropped.count()
+    assert n_dropped > 0
+    tgt = tgt.join(
+        dropped.select("row", "qualifier"), ["row", "qualifier"], "left_anti"
+    )
+    extra = spark.createDataFrame(
+        [("zzz-row", "li", "l_quantity", 1, CellType.PUT, "42", 0)],
+        schema=src.schema,
+    )
+    tgt = tgt.unionByName(extra)
+
+    d = sync_diff(src, tgt)
+    by_kind = {r.kind: r.cells for r in d.groupBy("kind").agg(F.count("*").alias("cells")).collect()}
+    assert by_kind.get("value_mismatch", 0) == n_changed
+    assert by_kind.get("only_in_source", 0) == n_dropped
+    assert by_kind.get("only_in_target", 0) == 1
+
+    # bucket digests catch the divergence cheaply
+    assert diff_buckets(src, tgt).count() > 0
+    # repair converges: diff(source, repaired) is empty
+    repaired = sync_repair(src, tgt)
+    assert sync_diff(src, repaired).count() == 0
+    assert diff_buckets(src, repaired).count() == 0

@@ -1,0 +1,214 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity
+search, multimodal plumbing — over the driver's documents/embeddings
+tables plus controlled fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_spark.functions.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    exact_dup_groups,
+    hamming64,
+    jaccard_pairs,
+    minhash_candidates,
+    minhash_dedup,
+    shingles,
+    simhash,
+    simhash_candidates,
+)
+from hbase_spark.functions.multimodal import decode_images, make_fake_media, sample_frames
+from hbase_spark.functions.similarity import (
+    ann_index,
+    ann_topk,
+    cosine_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+)
+from hbase_spark.functions.text import analyze_documents, lang_id, token_count
+from hbase_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_lang_id_on_real_language_samples(spark):
+    # the synthetic documents table uses one shared vocabulary for every
+    # lang label, so validate the classifier on real-language snippets
+    samples = [
+        ("the cat sat on the mat and it is a good day for a walk", "en"),
+        ("der Hund ist nicht mit der Katze auf das Sofa gegangen", "de"),
+        ("le chat est sur la table et les enfants sont pour une pomme", "fr"),
+        ("el perro y la gata son un ejemplo que por las calles", "es"),
+        ("xyzzy qwerty zzz", "unknown"),
+    ]
+    df = spark.createDataFrame(samples, ["text", "expected"])
+    out = df.select("expected", lang_id("text").alias("pred")).collect()
+    assert all(r.pred == r.expected for r in out)
+
+
+def test_lang_id_runs_on_documents(docs):
+    preds = docs.select(lang_id("text").alias("pred")).groupBy("pred").count()
+    got = {r.pred for r in preds.collect()}
+    assert got <= {"en", "de", "fr", "es", "it", "unknown"}
+    assert "en" in got  # shared vocabulary contains 'the'
+
+
+def test_analyze_documents_shape(docs):
+    out = analyze_documents(docs)
+    row = out.orderBy("doc_id").first()
+    assert row.n_tokens > 0 and row.n_bpe_tokens >= row.n_tokens
+    assert 0.0 <= row.quality <= 1.0
+    assert out.count() == docs.count()
+    assert token_count("text") is not None
+
+
+def test_exact_dedup(spark, docs):
+    # duplicate 10 docs verbatim with new ids
+    dups = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100_000)
+    corpus = docs.unionByName(dups)
+    kept = exact_dedup(corpus)
+    assert kept.count() == docs.count()
+    # representative = min id -> originals survive
+    assert kept.filter(F.col("doc_id") >= 100_000).count() == 0
+    groups = exact_dup_groups(corpus)
+    assert groups.count() == 10
+    assert all(r.size == 2 for r in groups.collect())
+
+
+def test_minhash_near_dedup(spark, docs):
+    # near-duplicates: append one token to 8 docs
+    near = (
+        docs.orderBy("doc_id")
+        .limit(8)
+        .withColumn("doc_id", F.col("doc_id") + 200_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    corpus = docs.unionByName(near)
+    cand = minhash_candidates(corpus, num_hashes=64, bands=16)
+    verified = jaccard_pairs(corpus, cand).filter(F.col("jaccard") >= 0.8)
+    found_pairs = {
+        (r.id_a, r.id_b) for r in verified.collect()
+    }
+    expected = {(i, i + 200_000) for i in [r.doc_id for r in docs.orderBy("doc_id").limit(8).collect()]}
+    assert expected <= found_pairs
+    deduped = minhash_dedup(corpus, threshold=0.8, num_hashes=64, bands=16)
+    assert deduped.filter(F.col("doc_id") >= 200_000).count() == 0
+    # the synthetic corpus has genuine near-dups of its own; adding
+    # clones (all dropped) must not change the surviving original set
+    base = minhash_dedup(docs, threshold=0.8, num_hashes=64, bands=16)
+    assert deduped.count() == base.count()
+
+
+def test_simhash_candidates(spark, docs):
+    # identical texts -> hamming 0 -> must always be candidates
+    near = docs.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 300_000
+    )
+    corpus = docs.unionByName(near)
+    out = simhash_candidates(corpus, max_hamming=3, bands=4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    expected = {
+        (i, i + 300_000)
+        for i in [r.doc_id for r in docs.orderBy("doc_id").limit(5).collect()]
+    }
+    assert expected <= pairs
+    # pigeonhole recall: every true pair within max_hamming must be found
+    # (verify against brute force on a small sample)
+    sample = docs.filter(F.col("doc_id") < 60).select("doc_id", simhash("text").alias("sig"))
+    a = sample.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sample.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("sa"), F.col("sb")) <= 3)
+    )
+    brute_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(
+            docs.filter(F.col("doc_id") < 60), max_hamming=3, bands=4
+        ).collect()
+    }
+    assert brute_pairs == got
+
+
+def test_simhash_deterministic(spark):
+    df = spark.createDataFrame([("a b c d e",), ("a b c d e",)], ["text"])
+    sigs = [r.s for r in df.select(simhash("text").alias("s")).collect()]
+    assert sigs[0] == sigs[1]
+    d = spark.range(1).select(
+        hamming64(F.lit(0b1011).cast("long"), F.lit(0b0010).cast("long")).alias("h")
+    )
+    assert d.collect()[0].h == 2
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("the quick brown fox",)], ["text"])
+    out = df.select(shingles("text", 2).alias("s")).collect()[0].s
+    assert set(out) == {"the quick", "quick brown", "brown fox"}
+
+
+def test_cosine_topk_self_retrieval(vecs):
+    target = vecs.orderBy("vec_id").first()
+    out = cosine_topk(vecs, list(target.embedding), k=5).collect()
+    assert out[0].vec_id == target.vec_id
+    assert out[0].score == pytest.approx(1.0, abs=1e-5)
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_ann_matches_brute_force_top1(vecs):
+    target = vecs.orderBy("vec_id").limit(5).collect()[3]
+    q = list(target.embedding)
+    idx = ann_index(vecs, dim=len(q), planes=12).cache()
+    ann = ann_topk(idx, q, k=3, planes=12, max_hamming=2).collect()
+    assert ann[0].vec_id == target.vec_id
+
+
+def test_ivf_topk(vecs):
+    target = vecs.orderBy("vec_id").first()
+    q = list(target.embedding)
+    cents = ivf_centroids(vecs, nlist=8)
+    assigned = ivf_assign(vecs, cents).cache()
+    assert assigned.select("list_id").distinct().count() > 1
+    out = ivf_topk(assigned, cents, q, k=3, nprobe=4).collect()
+    assert out[0].vec_id == target.vec_id
+
+
+def test_embedding_near_dups(spark, vecs):
+    # clone 5 vectors with new ids -> cosine 1.0 pairs must be found
+    clones = vecs.orderBy("vec_id").limit(5).withColumn(
+        "vec_id", F.col("vec_id") + 500_000
+    )
+    corpus = vecs.unionByName(clones)
+    pairs = embedding_near_dups(corpus, threshold=0.999, planes=10)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {
+        (i, i + 500_000)
+        for i in [r.vec_id for r in vecs.orderBy("vec_id").limit(5).collect()]
+    }
+    assert expected <= found
+
+
+def test_multimodal_plumbing(spark):
+    media = make_fake_media(spark, 30)
+    feats = decode_images(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 10  # a third are images
+    assert all(len(r.feature) == 8 for r in rows)
+    # determinism
+    again = {r.media_id: r.mean_luma for r in decode_images(media, fake=True).collect()}
+    assert {r.media_id: r.mean_luma for r in rows} == again
+    with pytest.raises(NotImplementedError):
+        decode_images(media)
+    frames = sample_frames(media, every_ms=1000)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 6 for r in per_video)  # 0..5000 step 1000
