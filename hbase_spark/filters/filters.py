@@ -105,18 +105,24 @@ class SingleColumnValueFilter(Filter):
         self.latest_version_only = latest_version_only
 
     def _row_flags(self, df: DataFrame):
+        # One window keyed by row computes both flags in a single
+        # shuffle: `max_by` picks the newest target cell's value for the
+        # latest_version_only test (no second window over
+        # (row, family, qualifier) needed).
         is_target = (F.col("family") == self.family) & (
             F.col("qualifier") == self.qualifier
         )
-        tested = is_target
-        if self.latest_version_only:
-            w = Window.partitionBy("row", "family", "qualifier")
-            newest = F.struct("ts", "seq") == F.max(F.struct("ts", "seq")).over(w)
-            tested = is_target & newest
-        pred = self.comparator.matches(F.col("value"), self.op)
         wr = Window.partitionBy("row")
         present = F.max(is_target.cast("int")).over(wr)
-        matched = F.max((tested & pred).cast("int")).over(wr)
+        if self.latest_version_only:
+            newest_val = F.max_by(
+                F.when(is_target, F.col("value")),
+                F.when(is_target, F.struct("ts", "seq")),
+            ).over(wr)
+            matched = self.comparator.matches(newest_val, self.op).cast("int")
+        else:
+            pred = self.comparator.matches(F.col("value"), self.op)
+            matched = F.max((is_target & pred).cast("int")).over(wr)
         return present, matched
 
     def post(self, df: DataFrame) -> DataFrame:

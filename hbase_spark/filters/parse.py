@@ -215,6 +215,8 @@ class _Parser:
             args = []
             while self.peek()[0] != "rparen":
                 kk, vv = self.next()
+                if kk is None:
+                    raise ValueError(f"ParseFilter: unterminated argument list for {v!r}")
                 if kk == "comma":
                     continue
                 args.append(vv)

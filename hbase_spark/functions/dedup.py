@@ -55,7 +55,12 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # -------------------------------------------------------------- shingles
 
 def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct)."""
+    """Word n-gram shingle array (distinct).
+
+    NOTE: array-lambda form — convenient for per-row use, but the
+    lambda re-evaluates the token split per gram (O(tokens²),
+    interpreted).  Bulk pipelines should use ``shingle_frame`` below.
+    """
     toks = tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -66,16 +71,118 @@ def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
     )
 
 
+def shingle_frame(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(_id, _s) — one row per word-n-gram occurrence, whole-stage-
+    codegen throughout: posexplode the token split, then assemble each
+    gram from ``lead`` over a window keyed by document.  The window's
+    hash partitioning on _id is reused by downstream groupBy(_id), so
+    the token stream is shuffled once total.  Same gram set as
+    ``shingles()`` (docs shorter than n yield one whole-doc gram;
+    token-less docs yield the empty gram); occurrences are NOT
+    deduplicated — min-hash is duplicate-insensitive and set consumers
+    aggregate with collect_set.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(text_col), "[^a-z0-9]+")).alias("_pos", "_t"),
+    ).filter(F.col("_t") != "")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, n)]
+    cnt = F.count("*").over(Window.partitionBy("_id"))
+    rn = F.row_number().over(w)
+    gram = F.when(
+        (cnt >= n) & leads[-1].isNotNull(), F.concat_ws(" ", *leads)
+    ).when(
+        # short doc: one whole-doc gram (concat_ws skips null leads)
+        (cnt < n) & (rn == 1),
+        F.concat_ws(" ", *leads),
+    )
+    out = tok.select("_id", gram.alias("_s")).filter(F.col("_s").isNotNull())
+    empty = (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .filter(F.size(tokens("_txt")) == 0)
+        .select("_id", F.lit("").alias("_s"))
+    )
+    return out.unionByName(empty)
+
+
 # --------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 31) - 1  # prime modulus for universal hashing
+
+
+def _uh_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p — a_i in [1, p), b_i in [0, p)."""
+    out = []
+    for i in range(num_hashes):
+        a = 1 + (i * 2654435761 + 0x9E3779B9) % (_MERSENNE - 1)
+        b = (i * 40503 + 0x85EBCA6B) % _MERSENNE
+        out.append((a, b))
+    return out
+
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     """k seeded min-hashes of the shingle set (the classic MinHash
-    signature; each seed is an independent permutation approximation)."""
-    sigs = [
-        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+    signature; each seed is an independent permutation approximation).
+
+    Cost shape: each shingle string is xxhash64-ed exactly ONCE; the k
+    slots are derived with integer universal hashes (a*h+b mod p) in a
+    single ``aggregate`` pass, so the per-document work is
+    O(shingles * k) integer ops, not k string-hash passes.  All values
+    stay < 2^62, safe under ANSI long arithmetic.
+    """
+    consts = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _uh_consts(num_hashes)
+        ]
+    )
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, consts, lambda accv, c: F.least(accv, (c["a"] * h + c["b"]) % _MERSENNE)
+        ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, _sig) signature frame via explode + hash aggregation.
+
+    This is the scale path: higher-order array functions are evaluated
+    interpreted (outside whole-stage codegen), so computing k minima
+    inside an ``aggregate`` lambda costs ~1µs per element-op.  Exploding
+    shingles and taking k ``min`` aggregates keeps every operator inside
+    codegen with map-side partial aggregation — the shuffle carries one
+    pre-aggregated row of k longs per (partition, doc).
+    """
+    hx = shingle_frame(docs, id_col=id_col, text_col=text_col, n=shingle_n).select(
+        "_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)).alias("_h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % _MERSENNE).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_uh_consts(num_hashes))
     ]
-    return F.array(*sigs)
+    return hx.groupBy("_id").agg(*aggs).select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
+    )
 
 
 def minhash_candidates(
@@ -95,29 +202,51 @@ def minhash_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
-    banded = docs.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+    banded = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    ).select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice(F.col("_sig"), b * r + 1, r)),
-                        ).alias("bucket"),
+                    # hash the band's r slots directly as longs — no
+                    # string materialization per (doc, band)
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at(F.col("_sig"), b * r + j + 1)
+                            for j in range(r)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
+        ).alias("_bucket"),
     )
-    left = banded.select("bb", F.col("_id").alias("id_a"))
-    right = banded.select("bb", F.col("_id").alias("id_b"))
+    return _bucket_pairs(banded, "_bucket")
+
+
+def _bucket_pairs(banded: DataFrame, bucket_col: str) -> DataFrame:
+    """(id_a, id_b) pairs of ids sharing an LSH bucket.
+
+    groupBy-then-explode instead of a bucket self-join: the signature
+    subtree is computed ONCE (a self-join would evaluate it per side —
+    Spark's exchange reuse does not dedupe across the join inputs), and
+    the pair blow-up happens on the tiny collision groups only.  Bucket
+    membership is capped at 1024 ids (sorted, deterministic) as a skew
+    guard: a hotter bucket means the banding threshold is mistuned, and
+    capping bounds the quadratic expansion at scale.
+    """
+    groups = (
+        banded.groupBy(bucket_col)
+        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, 1024).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
     return (
-        left.join(right, "bb")
+        groups.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -131,9 +260,24 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (verification stage).
-    Joins shingle sets to both sides of the pair list — candidates only,
-    never all pairs."""
-    sh = docs.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+
+    Shingle sets are built only for documents that appear in the pair
+    list (semi-join first): at scale the candidate set is a small
+    fraction of the corpus, so verification never re-tokenizes the
+    whole corpus."""
+    ids = (
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+        ).distinct()
+    )
+    sh = (
+        shingle_frame(
+            docs.join(ids, id_col, "left_semi"),
+            id_col=id_col, text_col=text_col, n=shingle_n,
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_s").alias("_sh"))
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
@@ -163,15 +307,60 @@ def minhash_dedup(
     """End-to-end near-dedup: LSH candidates -> exact Jaccard >= t ->
     drop the larger id of each dup pair (greedy representative-keeps-
     min-id; one connected-component hop, sufficient for near-dup
-    clusters where every member pairs with the representative)."""
-    cand = minhash_candidates(
-        docs, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    clusters where every member pairs with the representative).
+
+    Fused single-chain plan: each doc's shingle-HASH set rides along
+    with its banded signature into the bucket groupBy, so the Jaccard
+    verify runs inside each collision group with no join back to the
+    corpus and the expensive signature subtree is evaluated exactly
+    once.  (Jaccard over 64-bit shingle hashes instead of shingle
+    strings — collision probability is negligible and the shuffle
+    carries longs, not text.)  A same pair colliding in several bands
+    is verified once per band — cheap columnar ops on small arrays —
+    and collapsed by the final distinct over drop ids.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    hx = (
+        shingle_frame(docs, id_col=id_col, text_col=text_col, n=shingle_n)
+        .select("_id", F.xxhash64("_s").alias("_h64"))
+        .select("_id", "_h64", F.pmod(F.col("_h64"), F.lit(_MERSENNE)).alias("_h"))
     )
-    dup = jaccard_pairs(docs, cand, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % _MERSENNE).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_uh_consts(num_hashes))
+    ]
+    per_doc = hx.groupBy("_id").agg(*mins, F.collect_set("_h64").alias("_hs"))
+    banded = per_doc.select(
+        F.struct(F.col("_id").alias("i"), F.col("_hs").alias("hs")).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col(f"_m{b * r + j}") for j in range(r)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    )
+    groups = (
+        banded.groupBy("_bucket")
+        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, 1024).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pairs = (
+        groups.select(F.explode("_ids").alias("a"), F.col("_ids"))
+        .select("a", F.explode("_ids").alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+    )
+    jac = F.size(F.array_intersect("a.hs", "b.hs")) / F.greatest(
+        F.size(F.array_union("a.hs", "b.hs")), F.lit(1)
+    )
     drop = (
-        dup.filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
+        pairs.filter(jac >= threshold)
+        .select(F.col("b.i").alias(id_col))
         .distinct()
     )
     return docs.join(drop, id_col, "left_anti")
@@ -209,6 +398,33 @@ def simhash(text_col: str | Column = "text", bits: int = 64) -> Column:
     return out
 
 
+def simhash_signatures(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(_id, _sig) SimHash frame via explode + hash aggregation — same
+    values as ``simhash()`` but with every operator inside codegen (see
+    minhash_signatures for why the array-lambda form is the slow path).
+    ``explode_outer`` keeps token-less docs (their signature is 0, as in
+    the Column form where every bit-sum is empty)."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array_distinct(tokens(text_col))).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(_bit_lit(b)) != 0, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per_bit = tok.groupBy("_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long"))
+        )
+    return per_bit.select("_id", sig.alias("_sig"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (popcount of xor)."""
     x = a.bitwiseXOR(b)
@@ -227,31 +443,31 @@ def simhash_candidates(
     within ``max_hamming`` bits share at least one of ``bands`` equal
     16-bit blocks when bands > max_hamming), verified by exact Hamming."""
     width = 64 // bands
-    sig = docs.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sig"))
+    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     banded = sig.select(
-        "_id",
-        "_sig",
+        # carry the signature inside the id so the Hamming verify needs
+        # no join back: collision groups hold (id, sig) structs
+        F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")).alias("_id"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
                         F.shiftrightunsigned(F.col("_sig"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("block"),
+                        .bitwiseAND(F.lit((1 << width) - 1)),
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
+        ).alias("_bucket"),
     )
-    a = banded.select("bb", F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
-    b = banded.select("bb", F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
+    pairs = _bucket_pairs(banded, "_bucket")
     return (
-        a.join(b, "bb")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("_sig_a"), F.col("_sig_b")).alias("hamming"))
-        .distinct()
+        pairs.select(
+            F.col("id_a.i").alias("id_a"),
+            F.col("id_b.i").alias("id_b"),
+            hamming64(F.col("id_a.s"), F.col("id_b.s")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 

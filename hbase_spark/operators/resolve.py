@@ -111,65 +111,69 @@ def mask_deletes(
     """Apply the four tombstone scopes of ScanDeleteTracker.isDeleted
     (rs/querymatcher/ScanDeleteTracker.java:102) to a put-only frame.
 
-    Each delete kind becomes one join whose build side is the (small)
-    aggregated tombstone set — broadcast-able under AQE, so the large
-    put side streams through unshuffled.
+    The four delete scopes collapse into TWO left joins (one per key
+    shape), each with a small aggregated build side — broadcast-able
+    under AQE, so the large put side streams through unshuffled and
+    the tombstone log is scanned twice, not four times:
+
+    - (row, family):            DELETE_FAMILY max-ts + the exact-ts set
+                                of DELETE_FAMILY_VERSION markers;
+    - (row, family, qualifier): DELETE_COLUMN max-ts + the exact
+                                (ts, seq) markers of single-version
+                                DELETEs.
     """
-    # DELETE_FAMILY: everything in (row, family) at ts <= marker ts.
-    fam = (
-        dels.filter(F.col("type") == CellType.DELETE_FAMILY)
+    fam_side = (
+        dels.filter(
+            F.col("type").isin(CellType.DELETE_FAMILY, CellType.DELETE_FAMILY_VERSION)
+        )
         .groupBy("row", "family")
-        .agg(F.max("ts").alias("_dfam_ts"))
+        .agg(
+            F.max(
+                F.when(F.col("type") == CellType.DELETE_FAMILY, F.col("ts"))
+            ).alias("_dfam_ts"),
+            F.collect_set(
+                F.when(F.col("type") == CellType.DELETE_FAMILY_VERSION, F.col("ts"))
+            ).alias("_dfv_ts"),
+        )
     )
-    out = (
-        puts.join(fam, ["row", "family"], "left")
-        .filter(F.col("_dfam_ts").isNull() | (F.col("ts") > F.col("_dfam_ts")))
-        .drop("_dfam_ts")
-    )
-
-    # DELETE_COLUMN: all versions of (row, family, qualifier) at ts <= marker.
-    col = (
-        dels.filter(F.col("type") == CellType.DELETE_COLUMN)
+    col_side = (
+        dels.filter(F.col("type").isin(CellType.DELETE_COLUMN, CellType.DELETE))
         .groupBy("row", "family", "qualifier")
-        .agg(F.max("ts").alias("_dcol_ts"))
-    )
-    out = (
-        out.join(col, ["row", "family", "qualifier"], "left")
-        .filter(F.col("_dcol_ts").isNull() | (F.col("ts") > F.col("_dcol_ts")))
-        .drop("_dcol_ts")
-    )
-
-    # DELETE_FAMILY_VERSION: exact-ts, whole family.
-    dfv = (
-        dels.filter(F.col("type") == CellType.DELETE_FAMILY_VERSION)
-        .select("row", "family", "ts")
-        .distinct()
-    )
-    out = out.join(dfv, ["row", "family", "ts"], "left_anti")
-
-    # Joins with list keys move the keys to the front of the schema;
-    # restore the caller's column order for a stable output contract.
-    out = out.select(*puts.columns)
-
-    # DELETE (single version): exact (row, family, qualifier, ts).
-    dv = dels.filter(F.col("type") == CellType.DELETE).select(
-        F.col("row").alias("_dr"),
-        F.col("family").alias("_df"),
-        F.col("qualifier").alias("_dq"),
-        F.col("ts").alias("_dt"),
-        F.col("seq").alias("_dseq"),
-    )
-    cond = (
-        (out["row"] == dv["_dr"])
-        & (out["family"] == dv["_df"])
-        & (out["qualifier"] == dv["_dq"])
-        & (out["ts"] == dv["_dt"])
+        .agg(
+            F.max(
+                F.when(F.col("type") == CellType.DELETE_COLUMN, F.col("ts"))
+            ).alias("_dcol_ts"),
+            F.collect_list(
+                F.when(
+                    F.col("type") == CellType.DELETE,
+                    F.struct(F.col("ts").alias("ts"), F.col("seq").alias("seq")),
+                )
+            ).alias("_dver"),
+        )
     )
     if new_version_behavior:
         # NewVersionBehaviorTracker: mvcc (seq) decides ties — a put
         # written after the delete marker survives.
-        cond = cond & (dv["_dseq"] >= out["seq"])
-    return out.join(dv, cond, "left_anti")
+        ver_hit = F.exists(
+            F.col("_dver"),
+            lambda d: (d["ts"] == F.col("ts")) & (d["seq"] >= F.col("seq")),
+        )
+    else:
+        ver_hit = F.exists(F.col("_dver"), lambda d: d["ts"] == F.col("ts"))
+    keep = (
+        (F.col("_dfam_ts").isNull() | (F.col("ts") > F.col("_dfam_ts")))
+        & (F.col("_dfv_ts").isNull() | ~F.array_contains("_dfv_ts", F.col("ts")))
+        & (F.col("_dcol_ts").isNull() | (F.col("ts") > F.col("_dcol_ts")))
+        & (F.col("_dver").isNull() | ~F.coalesce(ver_hit, F.lit(False)))
+    )
+    return (
+        puts.join(fam_side, ["row", "family"], "left")
+        .join(col_side, ["row", "family", "qualifier"], "left")
+        .filter(keep)
+        # Joins with list keys move the keys to the front of the schema;
+        # restore the caller's column order for a stable output contract.
+        .select(*puts.columns)
+    )
 
 
 def cap_versions(masked: DataFrame, versions: int) -> DataFrame:
