@@ -1174,6 +1174,574 @@ def q_embedding_near_dups(spark, sf):
     return out.select("id_a", "id_b")
 
 
+# ------------------------------------------------------------ filter widening
+# (remaining SURVEY §2.5 filters/comparators, each with an oracle)
+
+# two-family orders melt for family-scoped tests
+_NUM_QUALS = ("o_custkey", "o_totalprice")
+_ORDERS_CELLS2_SQL = f"""
+SELECT rk, CASE WHEN qualifier IN ('o_custkey','o_totalprice')
+                THEN 'num' ELSE 'meta' END AS family,
+       qualifier, ts, type, value, seq
+FROM ({_ORDERS_CELLS_SQL})
+"""
+
+
+def _orders_cells2(spark, sf):
+    return _orders_cells(spark, sf).withColumn(
+        "family",
+        F.when(F.col("qualifier").isin(*_NUM_QUALS), "num").otherwise("meta"),
+    )
+
+
+@_q(
+    "filter_family",
+    f"""WITH cells AS ({_ORDERS_CELLS2_SQL})
+    SELECT rk, family, qualifier, value FROM cells WHERE family = 'num'""",
+)
+def q_filter_family(spark, sf):
+    from hbase_spark.filters import BinaryComparator, FamilyFilter
+
+    out = scan(
+        _orders_cells2(spark, sf),
+        Scan(filter=FamilyFilter("=", BinaryComparator("num"))),
+    )
+    return _rk(out, "family", "qualifier", "value")
+
+
+@_q(
+    "filter_column_prefix",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE substr(qualifier, 1, 7) = 'o_order'""",
+)
+def q_filter_column_prefix(spark, sf):
+    from hbase_spark.filters import ColumnPrefixFilter
+
+    out = scan(_orders_cells(spark, sf), Scan(filter=ColumnPrefixFilter("o_order")))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_multi_column_prefix",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE substr(qualifier, 1, 3) = 'o_c' OR substr(qualifier, 1, 3) = 'o_t'""",
+)
+def q_filter_multi_column_prefix(spark, sf):
+    from hbase_spark.filters import MultipleColumnPrefixFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=MultipleColumnPrefixFilter(["o_c", "o_t"])),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_column_count_get",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    ranked AS (SELECT *, dense_rank() OVER (
+        PARTITION BY rk ORDER BY family, qualifier) AS cn FROM cells)
+    SELECT rk, qualifier, value FROM ranked WHERE cn <= 2""",
+)
+def q_filter_column_count_get(spark, sf):
+    from hbase_spark.filters import ColumnCountGetFilter
+
+    out = scan(_orders_cells(spark, sf), Scan(filter=ColumnCountGetFilter(2)))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_inclusive_stop",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk >= lpad('100', 12, '0') AND rk <= lpad('200', 12, '0')""",
+)
+def q_filter_inclusive_stop(spark, sf):
+    from hbase_spark.filters import InclusiveStopFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(start_row="100".zfill(12), filter=InclusiveStopFilter("200".zfill(12))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_column_value",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE qualifier = 'o_orderstatus' AND value = 'F'""",
+)
+def q_filter_column_value(spark, sf):
+    """ColumnValueFilter: cell-level, emits only the matching column's
+    matching cells (vs SCVF's whole-row keep)."""
+    from hbase_spark.filters import BinaryComparator, ColumnValueFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=ColumnValueFilter("o", "o_orderstatus", "=", BinaryComparator("F"))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_list_long_cmp",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE qualifier = 'o_custkey' AND try_cast(value AS BIGINT) > 100""",
+)
+def q_filter_list_long_cmp(spark, sf):
+    """FilterList(AND) + LongComparator (numeric compare on rendered
+    values; try_cast both engines)."""
+    from hbase_spark.filters import (
+        BinaryComparator,
+        FilterList,
+        LongComparator,
+        QualifierFilter,
+        ValueFilter,
+    )
+
+    flt = FilterList(
+        "AND",
+        [
+            QualifierFilter("=", BinaryComparator("o_custkey")),
+            ValueFilter(">", LongComparator(100)),
+        ],
+    )
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+@_q(
+    "filter_bit_cmp",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE qualifier = 'o_custkey' AND (try_cast(value AS BIGINT) & 1) <> 0""",
+)
+def q_filter_bit_cmp(spark, sf):
+    """FilterList(AND) + BitComparator(AND) — odd keys have bit 0 set."""
+    from hbase_spark.filters import (
+        BinaryComparator,
+        BitComparator,
+        FilterList,
+        QualifierFilter,
+        ValueFilter,
+    )
+
+    flt = FilterList(
+        "AND",
+        [
+            QualifierFilter("=", BinaryComparator("o_custkey")),
+            ValueFilter("=", BitComparator(1, "AND")),
+        ],
+    )
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+@_q(
+    "filter_bigdecimal_cmp",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE qualifier = 'o_totalprice'
+      AND try_cast(value AS DECIMAL(38,10)) >= 150000""",
+)
+def q_filter_bigdecimal_cmp(spark, sf):
+    from hbase_spark.filters import (
+        BigDecimalComparator,
+        BinaryComparator,
+        FilterList,
+        QualifierFilter,
+        ValueFilter,
+    )
+
+    flt = FilterList(
+        "AND",
+        [
+            QualifierFilter("=", BinaryComparator("o_totalprice")),
+            ValueFilter(">=", BigDecimalComparator("150000")),
+        ],
+    )
+    return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
+
+
+@_q(
+    "filter_binary_prefix_cmp",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE substr(value, 1, 2) = '1-'""",
+)
+def q_filter_binary_prefix_cmp(spark, sf):
+    from hbase_spark.filters import BinaryPrefixComparator, ValueFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=ValueFilter("=", BinaryPrefixComparator("1-"))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_binary_component_cmp",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells WHERE substr(rk, 9, 3) = '001'""",
+)
+def q_filter_binary_component_cmp(spark, sf):
+    """BinaryComponentComparator: compare bytes at a fixed offset (a
+    compound-key component)."""
+    from hbase_spark.filters import BinaryComponentComparator, RowFilter
+
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(filter=RowFilter("=", BinaryComponentComparator("001", 8))),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "filter_null_cmp",
+    """SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+              'o_maybe' AS qualifier
+    FROM orders WHERE o_orderstatus = 'P'""",
+)
+def q_filter_null_cmp(spark, sf):
+    """NullComparator: is-empty test over a sparse column."""
+    from hbase_spark.filters import NullComparator, ValueFilter
+    from hbase_spark.model import CellType as CT
+
+    o = load_table(spark, sf, "orders")
+    cells = o.select(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("row"),
+        F.lit("o").alias("family"),
+        F.lit("o_maybe").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(CT.PUT).cast("int").alias("type"),
+        F.when(F.col("o_orderstatus") != "P", F.col("o_orderstatus")).alias("value"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    out = scan(cells, Scan(filter=ValueFilter("=", NullComparator())))
+    return _rk(out, "qualifier")
+
+
+@_q(
+    "scan_qualifier_projection",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE qualifier IN ('o_orderstatus', 'o_totalprice')""",
+)
+def q_scan_qualifier_projection(spark, sf):
+    """Scan.addColumn projection (client/Scan.java:282)."""
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(qualifiers=["o_orderstatus", "o_totalprice"]),
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "scan_family_pagination",
+    f"""WITH cells AS ({_ORDERS_CELLS2_SQL}),
+    ranked AS (SELECT *, dense_rank() OVER (
+        PARTITION BY rk, family ORDER BY qualifier) AS cn FROM cells)
+    SELECT rk, family, qualifier, value FROM ranked WHERE cn > 1 AND cn <= 2""",
+)
+def q_scan_family_pagination(spark, sf):
+    """Per-row per-family column pagination (Scan.java:514,523)."""
+    out = scan(
+        _orders_cells2(spark, sf),
+        Scan(max_results_per_family=1, row_offset_per_family=1),
+    )
+    return _rk(out, "family", "qualifier", "value")
+
+
+@_q(
+    "get_exists",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT EXISTS(SELECT 1 FROM cells WHERE rk = lpad('42', 12, '0')) AS ex_42,
+           EXISTS(SELECT 1 FROM cells WHERE rk = lpad('43', 12, '0')) AS ex_43""",
+)
+def q_get_exists(spark, sf):
+    """Table.exists (client/Table.java:91) — no value transfer."""
+    from hbase_spark.operators.get import exists
+
+    cells = _orders_cells(spark, sf)
+    e42 = exists(cells, "42".zfill(12))
+    e43 = exists(cells, "43".zfill(12))  # orderkeys are sparse; 43 absent
+    return spark.createDataFrame([(e42, e43)], "ex_42 boolean, ex_43 boolean")
+
+
+# ------------------------------------------------------- mutation widening
+
+
+@_q(
+    "delete_family_roundtrip",
+    f"""WITH cells AS ({_ORDERS_CELLS2_SQL})
+    SELECT rk, family, qualifier, value FROM cells
+    WHERE NOT (family = 'meta' AND cast(rk AS BIGINT) % 50 = 0)""",
+)
+def q_delete_family_roundtrip(spark, sf):
+    """DeleteFamily tombstones mask the whole family at ts <= marker
+    (client/Delete.java:64; ScanDeleteTracker scope 1)."""
+    from hbase_spark.model import CellType as CT
+    from hbase_spark.operators.mutations import apply_mutations
+
+    cells = _orders_cells2(spark, sf)
+    dels = (
+        cells.select("row").distinct()
+        .filter(F.col("row").cast("bigint") % 50 == 0)
+        .select(
+            "row",
+            F.lit("meta").alias("family"),
+            F.lit(None).cast("string").alias("qualifier"),
+            F.lit(5).cast("long").alias("ts"),
+            F.lit(CT.DELETE_FAMILY).cast("int").alias("type"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(9_000_000).cast("long").alias("seq"),
+        )
+    )
+    out = resolve(apply_mutations(cells, dels), versions=1)
+    return _rk(out, "family", "qualifier", "value")
+
+
+@_q(
+    "delete_family_version_roundtrip",
+    """WITH v1 AS (
+        SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+               o_orderpriority AS value, o_orderkey AS k FROM orders),
+    resolved AS (
+        SELECT rk,
+               CASE WHEN k % 3 = 0 AND k % 6 <> 0 THEN value || '+v2'
+                    ELSE value END AS value
+        FROM v1)
+    SELECT rk, value FROM resolved""",
+)
+def q_delete_family_version_roundtrip(spark, sf):
+    """DELETE_FAMILY_VERSION masks exactly one timestamp of a family:
+    v2 cells exist for k%3==0, the ts=2 family-version tombstone for
+    k%6==0 kills only those, falling back to the ts=1 version."""
+    from hbase_spark.model import CellType as CT
+    from hbase_spark.operators.mutations import apply_mutations
+
+    o = load_table(spark, sf, "orders")
+    key = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+
+    def cell(ts, typ, value, seq):
+        return [
+            key.alias("row"),
+            F.lit("o").alias("family"),
+            F.lit("o_orderpriority").alias("qualifier"),
+            F.lit(ts).cast("long").alias("ts"),
+            F.lit(typ).cast("int").alias("type"),
+            value.alias("value"),
+            F.lit(seq).cast("long").alias("seq"),
+        ]
+
+    v1 = o.select(*cell(1, CT.PUT, F.col("o_orderpriority"), 1))
+    v2 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        *cell(2, CT.PUT, F.concat(F.col("o_orderpriority"), F.lit("+v2")), 2)
+    )
+    dfv = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        *cell(2, CT.DELETE_FAMILY_VERSION, F.lit(None).cast("string"), 3)
+    )
+    out = resolve(apply_mutations(v1.unionByName(v2), dfv), versions=1)
+    return _rk(out, "value")
+
+
+@_q(
+    "row_mutations_batch",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    kept AS (SELECT rk, qualifier, value FROM cells
+             WHERE NOT (qualifier = 'o_orderstatus'
+                        AND cast(rk AS BIGINT) % 77 = 0)),
+    flags AS (SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+                     'flag' AS qualifier, 'rm' AS value
+              FROM orders WHERE o_orderkey % 77 = 0)
+    SELECT * FROM kept UNION ALL SELECT * FROM flags""",
+)
+def q_row_mutations_batch(spark, sf):
+    """RowMutations (client/RowMutations.java:37): one atomic batch of
+    heterogeneous ops per row — here DeleteColumn + Put applied in a
+    single merge (Table.batch analog)."""
+    from hbase_spark.model import CellType as CT
+    from hbase_spark.operators.mutations import apply_mutations
+
+    cells = _orders_cells(spark, sf)
+    target = cells.select("row").distinct().filter(F.col("row").cast("bigint") % 77 == 0)
+    dels = target.select(
+        "row",
+        F.lit("o").alias("family"),
+        F.lit("o_orderstatus").alias("qualifier"),
+        F.lit(5).cast("long").alias("ts"),
+        F.lit(CT.DELETE_COLUMN).cast("int").alias("type"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(9_000_000).cast("long").alias("seq"),
+    )
+    puts = target.select(
+        "row",
+        F.lit("o").alias("family"),
+        F.lit("flag").alias("qualifier"),
+        F.lit(5).cast("long").alias("ts"),
+        F.lit(CT.PUT).cast("int").alias("type"),
+        F.lit("rm").alias("value"),
+        F.lit(9_000_001).cast("long").alias("seq"),
+    )
+    out = resolve(apply_mutations(cells, dels.unionByName(puts)), versions=1)
+    return _rk(out, "qualifier", "value")
+
+
+# --------------------------------------------------- aggregation widening
+
+
+@_q(
+    "agg_endpoint_range",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    t AS (SELECT try_cast(value AS BIGINT) AS v FROM cells
+          WHERE qualifier = 'o_custkey'
+            AND rk >= lpad('2000', 12, '0') AND rk < lpad('4000', 12, '0'))
+    SELECT max(v) AS max_v, min(v) AS min_v, sum(v) AS sum_v,
+           count(v) AS count_v
+    FROM t""",
+)
+def q_agg_endpoint_range(spark, sf):
+    """AggregationClient over a Scan range — the endpoint only visits
+    regions overlapping the range (AggregationClient.java:437)."""
+    visible = scan(
+        _orders_cells(spark, sf),
+        Scan(start_row="2000".zfill(12), stop_row="4000".zfill(12)),
+    ).filter(F.col("qualifier") == "o_custkey")
+    v = F.col("value").cast("long")
+    return visible.agg(
+        F.max(v).alias("max_v"),
+        F.min(v).alias("min_v"),
+        F.sum(v).alias("sum_v"),
+        F.count(v).alias("count_v"),
+    )
+
+
+@_q(
+    "verify_replication",
+    """SELECT 'value_mismatch' AS kind,
+              count(*) FILTER (WHERE o_orderkey % 113 = 0) AS cells
+       FROM orders WHERE o_orderkey % 113 = 0
+    UNION ALL
+       SELECT 'only_in_source', count(*)
+       FROM orders WHERE o_orderkey % 127 = 0""",
+)
+def q_verify_replication(spark, sf):
+    """VerifyReplication-style summary: per-kind bad-cell counts
+    (mr/replication/VerifyReplication.java)."""
+    from hbase_spark.operators.sync import verify_replication
+
+    src = _orders_cells(spark, sf)
+    okey = F.col("row").cast("bigint")
+    peer = (
+        src.withColumn(
+            "value",
+            F.when(
+                (F.col("qualifier") == "o_orderdate") & (okey % 113 == 0),
+                F.lit("9999-12-31"),
+            ).otherwise(F.col("value")),
+        )
+        .filter(~((F.col("qualifier") == "o_orderstatus") & (okey % 127 == 0)))
+    )
+    return verify_replication(src, peer)
+
+
+@_q(
+    "sync_repair_roundtrip",
+    """SELECT CAST(NULL AS VARCHAR) AS rk, CAST(NULL AS VARCHAR) AS qualifier,
+              CAST(NULL AS VARCHAR) AS kind
+       WHERE FALSE""",
+)
+def q_sync_repair_roundtrip(spark, sf):
+    """SyncTable repair: after sync_repair the diff is empty
+    (mr/SyncTable.java:64 --doPuts/--doDeletes)."""
+    from hbase_spark.operators.sync import sync_repair
+
+    src = _orders_cells(spark, sf)
+    okey = F.col("row").cast("bigint")
+    tgt = (
+        src.withColumn(
+            "value",
+            F.when(
+                (F.col("qualifier") == "o_orderstatus") & (okey % 91 == 0), F.lit("ZZ")
+            ).otherwise(F.col("value")),
+        )
+        .filter(~((F.col("qualifier") == "o_custkey") & (okey % 87 == 0)))
+    )
+    repaired = sync_repair(src, tgt)
+    return _rk(sync_diff(src, repaired), "qualifier", "kind")
+
+
+# ------------------------------------------------------ visibility labels
+
+
+@_q(
+    "visibility_scan",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    labeled AS (SELECT *, CASE cast(rk AS BIGINT) % 4
+        WHEN 0 THEN 'public'
+        WHEN 1 THEN 'pii&audit'
+        WHEN 2 THEN 'public|internal'
+        ELSE 'finance&!pii' END AS labels
+        FROM cells WHERE qualifier = 'o_totalprice')
+    SELECT rk, labels, value FROM labeled
+    WHERE cast(rk AS BIGINT) % 4 IN (0, 2)""",
+)
+def q_visibility_scan(spark, sf):
+    """Visibility-label read check (VisibilityController.java:123):
+    auths={public,audit} admit 'public' and 'public|internal' but not
+    'pii&audit' (no pii) or 'finance&!pii' (no finance)."""
+    from hbase_spark.functions.visibility import visible
+
+    cells = _orders_cells(spark, sf).filter(F.col("qualifier") == "o_totalprice")
+    labeled = cells.withColumn(
+        "labels",
+        F.element_at(
+            F.array(
+                F.lit("public"),
+                F.lit("pii&audit"),
+                F.lit("public|internal"),
+                F.lit("finance&!pii"),
+            ),
+            (F.col("row").cast("bigint") % 4 + 1).cast("int"),
+        ),
+    )
+    out = visible(labeled, {"public", "audit"})
+    return _rk(out, "labels", "value")
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_multimodal_decode(spark, sf):
+    """Multimodal plumbing (rows-only): deterministic fake media ->
+    mapInPandas Arrow-batched decode -> features + JVM-side frame
+    sampling counts.  The real codec plugs in at functions/multimodal's
+    marked seam."""
+    from hbase_spark.functions.multimodal import (
+        decode_images,
+        make_fake_media,
+        sample_frames,
+    )
+
+    media = make_fake_media(spark, 300)
+    feats = decode_images(media, fake=True).select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
+    frames = (
+        sample_frames(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+        .select("media_id", F.lit(None).cast("int").alias("width"),
+                F.col("n_frames").alias("height"),
+                F.lit(None).cast("double").alias("mean_luma"))
+    )
+    return feats.unionByName(frames)
+
+
+_QUERIES["multimodal_decode"] = q_multimodal_decode
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -102,7 +102,7 @@ class BitComparator(Comparator):
         op = _norm_op(op)
         if op not in ("=", "!="):
             raise ValueError("BitComparator supports only EQUAL / NOT_EQUAL")
-        x = col.cast("long")
+        x = col.try_cast("long")
         combined = {
             "AND": x.bitwiseAND(F.lit(self.value)),
             "OR": x.bitwiseOR(F.lit(self.value)),
@@ -119,7 +119,7 @@ class LongComparator(Comparator):
         self.value = int(value)
 
     def matches(self, col: Column, op: str) -> Column:
-        return _OP_FN[_norm_op(op)](col.cast("long"), F.lit(self.value))
+        return _OP_FN[_norm_op(op)](col.try_cast("long"), F.lit(self.value))
 
 
 class BigDecimalComparator(Comparator):
@@ -131,7 +131,7 @@ class BigDecimalComparator(Comparator):
 
     def matches(self, col: Column, op: str) -> Column:
         t = f"decimal({self.precision},{self.scale})"
-        return _OP_FN[_norm_op(op)](col.cast(t), F.lit(self.value).cast(t))
+        return _OP_FN[_norm_op(op)](col.try_cast(t), F.lit(self.value).cast(t))
 
 
 class NullComparator(Comparator):

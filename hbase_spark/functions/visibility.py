@@ -1,0 +1,112 @@
+"""Cell-level visibility labels — the one read-time *evaluator* in the
+reference's scalar surface (SURVEY.md §2.8): each cell may carry a
+label expression like ``"A & (B | C)"`` checked against the reader's
+authorization set (server/security/visibility/
+VisibilityController.java:123; expression grammar in
+server/security/visibility/expression/).
+
+Scale shape: label expressions are policies, not data — their
+cardinality is tiny relative to the cell count.  So we evaluate each
+DISTINCT expression once driver-side against the auth set and filter
+the cell stream with an ``isin`` over the admitted expressions: the
+per-cell work is a hash probe inside codegen, and no Python ever sees
+a cell.
+
+Grammar: ident | '!' expr | expr '&' expr | expr '|' expr | '(' expr ')'
+with precedence ! > & > | (matching the reference's operator set).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOK = re.compile(r"\s*([A-Za-z0-9_.\-]+|[!&|()])")
+
+
+def _tokenize(expr: str) -> list[str]:
+    out, i = [], 0
+    while i < len(expr):
+        m = _TOK.match(expr, i)
+        if not m:
+            if expr[i:].strip() == "":
+                break
+            raise ValueError(f"bad visibility token at {expr[i:]!r}")
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+class _P:
+    def __init__(self, toks: list[str], auths: frozenset[str]):
+        self.t, self.i, self.auths = toks, 0, auths
+
+    def peek(self):
+        return self.t[self.i] if self.i < len(self.t) else None
+
+    def expr(self) -> bool:  # OR level
+        v = self.term()
+        while self.peek() == "|":
+            self.i += 1
+            v = self.term() or v
+        return v
+
+    def term(self) -> bool:  # AND level
+        v = self.unary()
+        while self.peek() == "&":
+            self.i += 1
+            v = self.unary() and v
+        return v
+
+    def unary(self) -> bool:
+        tok = self.peek()
+        if tok == "!":
+            self.i += 1
+            return not self.unary()
+        if tok == "(":
+            self.i += 1
+            v = self.expr()
+            if self.peek() != ")":
+                raise ValueError("unbalanced ( in visibility expression")
+            self.i += 1
+            return v
+        if tok is None or tok in "&|)":
+            raise ValueError(f"unexpected token {tok!r} in visibility expression")
+        self.i += 1
+        return tok in self.auths
+
+
+def evaluate(expr: str | None, auths) -> bool:
+    """True if a reader holding ``auths`` may see a cell labeled
+    ``expr``.  Unlabeled cells (None/empty) are public, like cells
+    written without visibility in the reference."""
+    if expr is None or expr.strip() == "":
+        return True
+    p = _P(_tokenize(expr), frozenset(auths))
+    v = p.expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens in visibility expression {expr!r}")
+    return v
+
+
+def visible(
+    cells: DataFrame, auths, label_col: str = "labels"
+) -> DataFrame:
+    """Filter a CellFrame to the cells the auth set may see.
+
+    Collects DISTINCT label expressions (policy-cardinality, small),
+    evaluates them driver-side, and filters with isin — the scan-time
+    check is a broadcast hash probe, never per-cell Python.
+    """
+    exprs = [
+        r[0]
+        for r in cells.select(label_col).distinct().collect()
+        if r[0] is not None
+    ]
+    admitted = [e for e in exprs if evaluate(e, auths)]
+    pred = F.col(label_col).isNull() | (F.col(label_col) == "")
+    if admitted:
+        pred = pred | F.col(label_col).isin(admitted)
+    return cells.filter(pred)
