@@ -91,6 +91,89 @@ class Table:
             self.now,
         )
 
+    def put(self, puts: list[tuple], *, ts: int, seq: int) -> "Table":
+        """client/Table.java:221 — puts = [(row, family, qualifier, value)]."""
+        from hbase_spark.operators.mutations import put_cells
+
+        return self.with_cells(
+            put_cells(self.cells.sparkSession, puts, ts=ts, seq=seq)
+        )
+
+    def delete(self, deletes: list[tuple], *, ts: int, seq: int, kind=None) -> "Table":
+        """Write tombstones — deletes = [(row, family, qualifier)]
+        (client/Delete.java:64; kind defaults to DeleteColumn)."""
+        from hbase_spark.model import CellType
+        from hbase_spark.operators.mutations import delete_cells
+
+        return self.with_cells(
+            delete_cells(
+                self.cells.sparkSession,
+                deletes,
+                ts=ts,
+                seq=seq,
+                kind=kind if kind is not None else CellType.DELETE_COLUMN,
+            )
+        )
+
+    def increment(self, deltas, *, ts: int, seq: int) -> "Table":
+        """client/Increment.java:53 — deltas: DataFrame(row, family,
+        qualifier, delta) or [(row, family, qualifier, delta)]."""
+        from hbase_spark.operators.mutations import apply_increments
+
+        deltas = self._mutation_frame(deltas, "delta", "long")
+        return Table(
+            apply_increments(self.cells, deltas, ts=ts, seq=seq),
+            self.families,
+            self.now,
+        )
+
+    def append(self, appends, *, ts: int, seq: int) -> "Table":
+        """client/Append.java:51 — appends: DataFrame(row, family,
+        qualifier, delta[, seq]) or [(row, family, qualifier, delta)]."""
+        from hbase_spark.operators.mutations import apply_appends
+
+        appends = self._mutation_frame(appends, "delta", "string", with_seq=True)
+        return Table(
+            apply_appends(self.cells, appends, ts=ts, seq=seq),
+            self.families,
+            self.now,
+        )
+
+    def check_and_mutate(self, mutations: DataFrame, **guard) -> "Table":
+        """client/CheckAndMutate.java:58 — guard kwargs as in
+        operators.mutations.apply_check_and_mutate."""
+        from hbase_spark.operators.mutations import apply_check_and_mutate
+
+        return Table(
+            apply_check_and_mutate(self.cells, mutations, **guard),
+            self.families,
+            self.now,
+        )
+
+    def batch(self, mutation_frames: list[DataFrame]) -> "Table":
+        """client/Table.java:127 — heterogeneous bulk ops: one merge."""
+        t = self
+        for m in mutation_frames:
+            t = t.with_cells(m)
+        return t
+
+    def _mutation_frame(self, m, value_col: str, value_type: str, with_seq: bool = False):
+        if isinstance(m, DataFrame):
+            return m
+        spark = self.cells.sparkSession
+        schema = f"row string, family string, qualifier string, {value_col} {value_type}"
+        rows = m
+        if with_seq:
+            schema += ", seq long"
+            rows = [(*t, i) for i, t in enumerate(m)]
+        return spark.createDataFrame(rows, schema)
+
+    # -- jobs ------------------------------------------------------------------
+
+    def count(self) -> int:
+        """Shell `count` / RowCounter: distinct visible rows."""
+        return self.snapshot().select("row").distinct().count()
+
     def compact(self) -> "Table":
         """Major compaction: materialize the snapshot (SURVEY.md §2.9)."""
         return Table(self.snapshot(), self.families, self.now)

@@ -1,0 +1,106 @@
+"""Table facade (client/Table.java surface) + visibility labels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_spark import Table
+from hbase_spark.model import CellType, cell_schema
+from hbase_spark.table import FamilyDescriptor
+from hbase_spark.functions.visibility import evaluate, visible
+
+
+@pytest.fixture()
+def table(spark):
+    cells = spark.createDataFrame(
+        [
+            ("r1", "f", "a", 10, CellType.PUT, "1", 1),
+            ("r1", "f", "b", 10, CellType.PUT, "x", 2),
+            ("r2", "f", "a", 10, CellType.PUT, "5", 3),
+        ],
+        schema=cell_schema(),
+    )
+    return Table(cells)
+
+
+def test_put_get_exists(table):
+    t = table.put([("r3", "f", "a", "9")], ts=20, seq=10)
+    assert t.exists("r3") and not t.exists("r9")
+    got = {(r.qualifier, r.value) for r in t.get("r3").collect()}
+    assert got == {("a", "9")}
+
+
+def test_delete_masks(table):
+    t = table.delete([("r1", "f", "a", )[:3]], ts=15, seq=10)
+    vis = {(r.row, r.qualifier) for r in t.snapshot().collect()}
+    assert ("r1", "a") not in vis and ("r1", "b") in vis
+
+
+def test_increment_and_append(table):
+    t = table.increment([("r1", "f", "a", 7)], ts=20, seq=10)
+    assert t.get("r1").filter("qualifier='a'").collect()[0].value == "8"
+    t = t.append([("r1", "f", "b", "!")], ts=21, seq=11)
+    assert t.get("r1").filter("qualifier='b'").collect()[0].value == "x!"
+
+
+def test_batch_and_count(table, spark):
+    m1 = spark.createDataFrame(
+        [("r4", "f", "a", 30, CellType.PUT, "z", 20)], schema=cell_schema()
+    )
+    m2 = spark.createDataFrame(
+        [("r2", "f", "a", 30, CellType.DELETE_FAMILY, None, 21)],
+        schema=cell_schema(),
+    )
+    t = table.batch([m1, m2])
+    assert t.count() == 2  # r1, r4 (r2 family-deleted)
+
+
+def test_max_versions_schema(spark):
+    cells = spark.createDataFrame(
+        [
+            ("r", "f", "q", t, CellType.PUT, f"v{t}", t)
+            for t in (1, 2, 3)
+        ],
+        schema=cell_schema(),
+    )
+    t = Table(cells, families={"f": FamilyDescriptor(max_versions=2)})
+    vals = sorted(r.value for r in t.snapshot().collect())
+    assert vals == ["v2", "v3"]
+
+
+def test_ttl(spark):
+    cells = spark.createDataFrame(
+        [
+            ("r", "f", "old", 100, CellType.PUT, "dead", 1),
+            ("r", "f", "new", 900, CellType.PUT, "live", 2),
+        ],
+        schema=cell_schema(),
+    )
+    t = Table(cells, families={"f": FamilyDescriptor(ttl_ms=500)}, now=1000)
+    assert [r.qualifier for r in t.snapshot().collect()] == ["new"]
+
+
+# ----------------------------------------------------------- visibility
+
+def test_visibility_evaluate():
+    auths = {"public", "audit"}
+    assert evaluate("public", auths)
+    assert evaluate(None, auths) and evaluate("", auths)
+    assert not evaluate("pii", auths)
+    assert evaluate("pii|audit", auths)
+    assert not evaluate("pii&audit", auths)
+    assert evaluate("!pii", auths)
+    assert evaluate("audit&(public|pii)", auths)
+    assert not evaluate("!(public|audit)", auths)
+    with pytest.raises(ValueError):
+        evaluate("a &", auths)
+    with pytest.raises(ValueError):
+        evaluate("(a", auths)
+
+
+def test_visible_filters_cells(spark):
+    df = spark.createDataFrame(
+        [("r1", "public"), ("r2", "pii&audit"), ("r3", None), ("r4", "!pii")],
+        "row string, labels string",
+    )
+    got = {r.row for r in visible(df, {"public", "audit"}).collect()}
+    assert got == {"r1", "r3", "r4"}
