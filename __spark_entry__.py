@@ -1130,6 +1130,48 @@ def q_embedding_cosine_topk(spark, sf):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@_q(
+    "embedding_cosine_topk_pandas",
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS score
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id
+    LIMIT 10""",
+)
+def q_embedding_cosine_topk_pandas(spark, sf):
+    """Same top-k through the Arrow-batched numpy scorer (the bulk
+    path) — must match the expression scorer and the oracle."""
+    from hbase_spark.functions.similarity import cosine_topk
+
+    vecs = load_table(spark, sf, "embeddings")
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    vecs_d = vecs.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = cosine_topk(vecs_d, q, k=10, impl="pandas")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_embedding_ivf_topk(spark, sf):
+    """IVF-style ANN: coarse centroid lists, nprobe-list probe, exact
+    re-rank (rows-only: centroid sampling is engine-internal)."""
+    from hbase_spark.functions.similarity import ivf_assign, ivf_centroids, ivf_topk
+
+    vecs = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    cents = ivf_centroids(vecs, nlist=16)
+    assigned = ivf_assign(vecs, cents)
+    return ivf_topk(assigned, cents, q, k=10, nprobe=4).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+_QUERIES["embedding_ivf_topk"] = q_embedding_ivf_topk
+
+
 def q_embedding_ann_topk(spark, sf):
     """LSH-bucketed ANN top-k (hyperplane signatures — rows-only)."""
     from hbase_spark.functions.similarity import ann_index, ann_topk
