@@ -1714,6 +1714,96 @@ def q_sync_repair_roundtrip(spark, sf):
     return _rk(sync_diff(src, repaired), "qualifier", "kind")
 
 
+# ------------------------------------------------- sources / sinks / jobs
+# file-based roundtrips: each writes deterministic temp data derived
+# from the sf tables, then returns the read-back frame
+
+
+def _tmp(name: str, sf: str) -> str:
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/hbase_spark_q/{name}/{tag}"
+
+
+@_q(
+    "import_tsv_roundtrip",
+    """SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+              'status' AS qualifier, o_orderstatus AS value FROM orders
+    UNION ALL
+    SELECT lpad(cast(o_orderkey as varchar), 12, '0'),
+           'priority', o_orderpriority FROM orders""",
+)
+def q_import_tsv_roundtrip(spark, sf):
+    """ImportTsv (mr/ImportTsv.java:75): TSV -> cells with
+    HBASE_ROW_KEY column spec."""
+    from hbase_spark.sources.tsv import import_tsv
+
+    path = _tmp("tsv", sf)
+    o = load_table(spark, sf, "orders")
+    o.select(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        "o_orderstatus",
+        "o_orderpriority",
+    ).write.mode("overwrite").option("sep", "\t").csv(path)
+    cells = import_tsv(
+        spark, path, ["HBASE_ROW_KEY", "o:status", "o:priority"], sep="\t"
+    )
+    return _rk(cells, "qualifier", "value")
+
+
+@_q(
+    "export_import_rename",
+    f"""WITH cells AS ({_ORDERS_CELLS2_SQL})
+    SELECT rk, CASE WHEN family = 'meta' THEN 'm2' ELSE family END AS family,
+           qualifier, value
+    FROM cells""",
+)
+def q_export_import_rename(spark, sf):
+    """Export raw cells to a bulk layout, Import back with a family
+    rename (mr/Export.java:43 / mr/Import.java:88)."""
+    from hbase_spark.sources.copy import export_table, import_table
+
+    path = _tmp("export", sf)
+    export_table(_orders_cells2(spark, sf), path)
+    back = import_table(spark, path, rename_families={"meta": "m2"})
+    return _rk(back, "family", "qualifier", "value")
+
+
+@_q(
+    "bulk_load_pruned_scan",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk >= lpad('1000', 12, '0') AND rk < lpad('2000', 12, '0')""",
+)
+def q_bulk_load_pruned_scan(spark, sf):
+    """Bulk load (HFileOutputFormat2/BulkLoadHFilesTool analog):
+    range-partitioned sorted parquet layout, then a range scan that
+    file-prunes via parquet row min/max."""
+    from hbase_spark.sources.layout import read_table, write_table
+
+    path = _tmp("bulk", sf)
+    write_table(_orders_cells(spark, sf), path, num_regions=8)
+    cells = read_table(spark, path)
+    out = scan(cells, Scan(start_row="1000".zfill(12), stop_row="2000".zfill(12)))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
+    "wal_replay_window",
+    f"""WITH cells AS ({_EVENTS_CELLS_SQL})
+    SELECT rk, qualifier, ts, type, seq FROM cells
+    WHERE ts >= 1706000000000 AND ts < 1706500000000""",
+)
+def q_wal_replay_window(spark, sf):
+    """WALPlayer time-windowed replay (mr/WALPlayer.java:76): write the
+    mutation log, replay only [min_ts, max_ts)."""
+    from hbase_spark.streaming.merge import wal_player
+
+    path = _tmp("wal", sf)
+    _events_cells(spark, sf).write.mode("overwrite").parquet(path)
+    replayed = wal_player(spark, path, time_range=(1706000000000, 1706500000000))
+    return _rk(replayed, "qualifier", "ts", "type", "seq")
+
+
 # ------------------------------------------------------ visibility labels
 
 
