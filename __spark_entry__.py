@@ -108,16 +108,21 @@ SELECT lpad(cast(user_id as varchar), 8, '0') AS rk, 'e' AS family,
 FROM events
 """
 
-def _events_resolved_sql(extra_put_pred: str = "TRUE", cells_pred: str = "TRUE") -> str:
+def _events_resolved_sql(
+    extra_put_pred: str = "TRUE",
+    cells_pred: str = "TRUE",
+    dels_pred: str = "TRUE",
+) -> str:
     """Shared oracle CTE chain: melt -> tombstone mask -> version rank.
 
     ``cells_pred`` restricts the whole mutation set (the as-of read
     point); ``extra_put_pred`` restricts puts only, after masking (the
-    time-range check order of ScanQueryMatcher).
+    time-range check order of ScanQueryMatcher); ``dels_pred``
+    restricts which tombstones are tracked (KEEP_DELETED_CELLS).
     """
     return f"""
 cells AS (SELECT * FROM ({_EVENTS_CELLS_SQL}) WHERE {cells_pred}),
-dels AS (SELECT rk, qualifier, ts FROM cells WHERE type = 12),
+dels AS (SELECT rk, qualifier, ts FROM cells WHERE type = 12 AND ({dels_pred})),
 live AS (
     SELECT c.* FROM cells c
     WHERE c.type = 4 AND ({extra_put_pred}) AND NOT EXISTS (
@@ -288,6 +293,100 @@ def q_resolve_as_of(spark, sf):
     visible (the mvccReadPoint analog, client/Scan.java:997)."""
     cells = _events_cells(spark, sf).filter(F.col("seq") <= 5000)
     return _rk(resolve(cells, versions=1), "qualifier", "ts", "value")
+
+
+@_q(
+    "resolve_min_versions_ttl",
+    f"""WITH {_EVENTS_RESOLVED_SQL}
+    SELECT rk, qualifier, ts, value FROM ranked
+    WHERE rn <= 2 AND (ts >= 1706300000000 OR rn <= 1)""",
+)
+def q_resolve_min_versions_ttl(spark, sf):
+    """MIN_VERSIONS × TTL (ColumnFamilyDescriptorBuilder.java:150):
+    the newest version survives expiry; expired cells still consume
+    version slots (ScanWildcardColumnTracker.checkVersions:143)."""
+    out = resolve(
+        _events_cells(spark, sf),
+        versions=2,
+        min_versions=1,
+        ttl_by_family={"e": 500_000_000},
+        now=1_706_800_000_000,
+    )
+    return _rk(out, "qualifier", "ts", "value")
+
+
+@_q(
+    "resolve_keep_deleted_timerange",
+    f"""WITH {_events_resolved_sql(
+        extra_put_pred="c.ts < 1706000000000",
+        dels_pred="ts < 1706000000000",
+    )}
+    SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",
+)
+def q_resolve_keep_deleted_timerange(spark, sf):
+    """KEEP_DELETED_CELLS back-in-time read (KeepDeletedCells.java:30):
+    markers outside the time range don't mask
+    (NormalUserScanQueryMatcher.java:95 withinTimeRange)."""
+    out = resolve(
+        _events_cells(spark, sf),
+        versions=1,
+        time_range=(None, 1_706_000_000_000),
+        keep_deleted_cells=True,
+    )
+    return _rk(out, "qualifier", "ts", "value")
+
+
+@_q(
+    "compact_keep_deleted",
+    f"""WITH cells AS ({_EVENTS_CELLS_SQL}),
+    pranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY rk, qualifier ORDER BY ts DESC, seq DESC) AS rn
+        FROM cells WHERE type = 4
+    )
+    SELECT rk, qualifier, ts, type, seq FROM pranked WHERE rn <= 2
+    UNION ALL
+    SELECT rk, qualifier, ts, type, seq FROM cells WHERE type = 12""",
+)
+def q_compact_keep_deleted(spark, sf):
+    """Major compaction with KEEP_DELETED_CELLS
+    (CompactionScanQueryMatcher.java:95-102): only versions/TTL prune;
+    tombstones and the cells they mask are retained."""
+    from hbase_spark.operators.resolve import compact
+
+    out = compact(_events_cells(spark, sf), versions=2, keep_deleted_cells=True)
+    return _rk(out, "qualifier", "ts", "type", "seq")
+
+
+@_q(
+    "bulk_delete_scan",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk NOT IN (
+        SELECT rk FROM cells
+        WHERE qualifier = 'o_orderstatus' AND value = 'F')""",
+)
+def q_bulk_delete_scan(spark, sf):
+    """Delete-by-scan (hbase-examples BulkDeleteEndpoint.java): write
+    DeleteFamily tombstones for every row whose status column matches,
+    then resolve — deletion is tombstones, not rewrite."""
+    from hbase_spark.operators.mutations import apply_mutations, bulk_delete
+
+    cells = _orders_cells(spark, sf)
+    vis = resolve(cells, versions=1)
+    doomed = vis.filter(
+        (F.col("qualifier") == "o_orderstatus") & (F.col("value") == "F")
+    )
+    tombs = bulk_delete(
+        cells,
+        F.lit(True),
+        ts=10,
+        seq=10,
+        kind=CellType.DELETE_FAMILY,
+        visible=doomed,
+    )
+    out = resolve(apply_mutations(cells, tombs), versions=1)
+    return _rk(out, "qualifier", "value")
 
 
 # filters (SURVEY §2.5) — each compiled over the orders melt

@@ -51,6 +51,54 @@ def delete_cells(
     return make_cells(spark, rows)
 
 
+def bulk_delete(
+    cells: DataFrame,
+    pred,
+    *,
+    ts: int,
+    seq: int,
+    kind: int = CellType.DELETE_COLUMN,
+    visible: DataFrame | None = None,
+) -> DataFrame:
+    """Delete-by-scan (hbase-examples BulkDeleteEndpoint.java): scan the
+    visible snapshot for cells matching ``pred`` and emit tombstones of
+    the requested granularity.  Returns the tombstone frame — union it
+    with the table via ``apply_mutations`` (deletes are data).
+
+    kind=DELETE removes the exact matched versions (ts per cell);
+    DELETE_COLUMN / DELETE_FAMILY use the supplied ``ts`` and collapse
+    to distinct column / family keys — fully distributed, no collect.
+    """
+    from hbase_spark.operators.resolve import resolve
+
+    vis = visible if visible is not None else resolve(cells, versions=1)
+    matched = vis.filter(pred)
+    dtypes = dict(cells.dtypes)
+    null_val = F.lit(None).cast(dtypes["value"]).alias("value")
+    if kind == CellType.DELETE:
+        keys = matched.select("row", "family", "qualifier", "ts").distinct()
+        ts_col = F.col("ts")
+    elif kind == CellType.DELETE_COLUMN:
+        keys = matched.select("row", "family", "qualifier").distinct()
+        ts_col = F.lit(ts).cast("long").alias("ts")
+    elif kind in (CellType.DELETE_FAMILY, CellType.DELETE_FAMILY_VERSION):
+        keys = matched.select(
+            "row", "family", F.lit(None).cast(dtypes["qualifier"]).alias("qualifier")
+        ).distinct()
+        ts_col = F.lit(ts).cast("long").alias("ts")
+    else:
+        raise ValueError(f"unknown delete kind {kind}")
+    return keys.select(
+        "row",
+        "family",
+        "qualifier",
+        ts_col,
+        F.lit(kind).cast("int").alias("type"),
+        null_val,
+        F.lit(seq).cast("long").alias("seq"),
+    )
+
+
 def apply_mutations(cells: DataFrame, mutations: DataFrame) -> DataFrame:
     """Append a mutation CellFrame (puts + tombstones) — the memstore
     apply step (rs/HRegion.java:5485 applyToMemStore).  Pure union:

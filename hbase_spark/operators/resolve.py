@@ -40,12 +40,14 @@ def resolve(
     cells: DataFrame,
     *,
     versions: int = 1,
+    min_versions: int = 0,
     as_of: int | None = None,
     time_range: tuple[int | None, int | None] | None = None,
     ttl_by_family: dict[str, int] | None = None,
     now: int | None = None,
     raw: bool = False,
     new_version_behavior: bool = False,
+    keep_deleted_cells: bool = False,
 ) -> DataFrame:
     """Resolve a raw CellFrame into the visible snapshot.
 
@@ -75,6 +77,24 @@ def resolve(
         ColumnFamilyDescriptorBuilder.java:197 — when True, a Put
         written *after* a same-timestamp DELETE (higher seq) survives;
         default (False) the delete always wins at equal ts.
+    min_versions:
+        ColumnFamilyDescriptorBuilder.java:150 — keep the newest
+        ``min_versions`` per column even when TTL-expired.  Matches
+        ScanWildcardColumnTracker.checkVersions:143
+        (``currentCount <= minVersions || !isExpired``): expired cells
+        still consume version slots, and with min_versions > 0 expired
+        tombstones still mask (ScanQueryMatcher.preCheck only
+        pre-drops expired cells when ``columns.isDone`` — i.e.
+        minVersions <= 0).
+    keep_deleted_cells:
+        ColumnFamilyDescriptorBuilder.java:158 / KeepDeletedCells.java:30.
+        When True (TRUE or TTL), a time-range read that ends *before* a
+        delete marker sees the pre-delete state: markers are only
+        tracked when within the scan's time range
+        (NormalUserScanQueryMatcher.java:95 —
+        ``seePastDeleteMarkers ? tr.withinTimeRange(ts) :
+        tr.withinOrAfterTimeRange(ts)``).  No-op without a bounded
+        time_range, exactly like the reference.
     """
     c = cells
     if as_of is not None:
@@ -87,22 +107,29 @@ def resolve(
             c = c.filter(_time_range_pred(time_range))
         return c
 
+    cutoff = None
     if ttl_by_family:
         if now is None:
             raise ValueError("now= is required when ttl_by_family is set")
         cutoff = F.lit(None).cast("long")
         for fam, ttl_ms in ttl_by_family.items():
             cutoff = F.when(F.col("family") == fam, F.lit(now - ttl_ms)).otherwise(cutoff)
-        c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+        if min_versions <= 0:
+            # With minVersions == 0 every expired cell (put or marker) is
+            # pre-dropped (ScanQueryMatcher.preCheck via columns.isDone).
+            c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+            cutoff = None
 
     puts = c.filter(F.col("type") == CellType.PUT)
     dels = c.filter(F.col("type") != CellType.PUT)
+    if keep_deleted_cells and time_range is not None and time_range[1] is not None:
+        dels = dels.filter(F.col("ts") < F.lit(time_range[1]))
     masked = mask_deletes(puts, dels, new_version_behavior=new_version_behavior)
 
     if time_range is not None:
         masked = masked.filter(_time_range_pred(time_range))
 
-    return cap_versions(masked, versions)
+    return cap_versions(masked, versions, min_versions=min_versions, ttl_cutoff=cutoff)
 
 
 def mask_deletes(
@@ -176,15 +203,39 @@ def mask_deletes(
     )
 
 
-def cap_versions(masked: DataFrame, versions: int) -> DataFrame:
+def cap_versions(
+    masked: DataFrame,
+    versions: int,
+    *,
+    min_versions: int = 0,
+    ttl_cutoff: Column | None = None,
+) -> DataFrame:
     """Keep the newest ``versions`` cells per (row, family, qualifier).
 
     versions=1 uses max_by (hash agg with map-side combine — one
     shuffle of pre-aggregated partials); versions>1 uses a window.
+
+    With ``min_versions``/``ttl_cutoff`` set, TTL expiry is applied
+    *here* so expired cells still consume version slots but survive
+    while their rank is <= min_versions
+    (ScanWildcardColumnTracker.checkVersions:143).
     """
     if versions <= 0:
         raise ValueError("versions must be >= 1")
     extra = [c for c in masked.columns if c not in ("row", "family", "qualifier")]
+    if min_versions > 0 and ttl_cutoff is not None:
+        w = Window.partitionBy("row", "family", "qualifier").orderBy(
+            *[F.col(c).desc() for c in _VERSION_ORDER]
+        )
+        unexpired = ttl_cutoff.isNull() | (F.col("ts") >= ttl_cutoff)
+        return (
+            masked.withColumn("_rn", F.row_number().over(w))
+            .filter(
+                (F.col("_rn") <= versions)
+                & (unexpired | (F.col("_rn") <= F.lit(min_versions)))
+            )
+            .drop("_rn")
+        )
     if versions == 1:
         payload = F.struct(*[F.col(c) for c in extra])
         ordering = F.struct(F.col("ts"), F.col("seq"))
@@ -215,12 +266,43 @@ def _time_range_pred(time_range: tuple[int | None, int | None]) -> Column:
     return pred
 
 
-def compact(cells: DataFrame, *, ttl_by_family=None, now=None, versions: int = 1) -> DataFrame:
+def compact(
+    cells: DataFrame,
+    *,
+    ttl_by_family=None,
+    now=None,
+    versions: int = 1,
+    min_versions: int = 0,
+    keep_deleted_cells: bool = False,
+) -> DataFrame:
     """Major compaction ≡ materialized snapshot resolution
     (rs/querymatcher/MajorCompactionScanQueryMatcher.java): rewrite the
     CellFrame with tombstones applied and old versions pruned.  Use as
     an OPTIMIZE-style maintenance job: ``compact(cells).write...``.
+
+    With ``keep_deleted_cells`` (CompactionScanQueryMatcher.java:95-102)
+    deleted cells and their markers are NOT dropped — compaction then
+    only removes cells by TTL and version count, so back-in-time reads
+    keep working after the rewrite.
     """
+    if keep_deleted_cells:
+        c = cells
+        if ttl_by_family:
+            if now is None:
+                raise ValueError("now= is required when ttl_by_family is set")
+            cutoff = F.lit(None).cast("long")
+            for fam, ttl_ms in ttl_by_family.items():
+                cutoff = F.when(
+                    F.col("family") == fam, F.lit(now - ttl_ms)
+                ).otherwise(cutoff)
+            c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+        puts = c.filter(F.col("type") == CellType.PUT)
+        dels = c.filter(F.col("type") != CellType.PUT)
+        return cap_versions(puts, versions).unionByName(dels)
     return resolve(
-        cells, versions=versions, ttl_by_family=ttl_by_family, now=now
+        cells,
+        versions=versions,
+        min_versions=min_versions,
+        ttl_by_family=ttl_by_family,
+        now=now,
     )

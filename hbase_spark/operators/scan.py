@@ -70,6 +70,8 @@ def scan(
     ttl_by_family: dict[str, int] | None = None,
     now: int | None = None,
     new_version_behavior: bool = False,
+    min_versions: int = 0,
+    keep_deleted_cells: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Execute a Scan over a raw CellFrame, returning visible cells."""
@@ -96,6 +98,7 @@ def scan(
         if spec.time_range is not None:
             out = out.filter(_time_range_pred(spec.time_range))
     else:
+        cutoff = None
         if ttl_by_family:
             if now is None:
                 raise ValueError("now= required with ttl_by_family")
@@ -104,9 +107,19 @@ def scan(
                 cutoff = F.when(F.col("family") == fam, F.lit(now - ttl_ms)).otherwise(
                     cutoff
                 )
-            c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+            if min_versions <= 0:
+                c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+                cutoff = None
         puts = c.filter(F.col("type") == CellType.PUT)
         dels = c.filter(F.col("type") != CellType.PUT)
+        if (
+            keep_deleted_cells
+            and spec.time_range is not None
+            and spec.time_range[1] is not None
+        ):
+            # KEEP_DELETED_CELLS: markers after the scan's time range
+            # don't mask (NormalUserScanQueryMatcher.java:95).
+            dels = dels.filter(F.col("ts") < F.lit(spec.time_range[1]))
         out = mask_deletes(puts, dels, new_version_behavior=new_version_behavior)
         if spec.time_range is not None:
             out = out.filter(_time_range_pred(spec.time_range))
@@ -119,7 +132,9 @@ def scan(
             if pred is not None:
                 out = out.filter(pred)
 
-        out = cap_versions(out, spec.versions)
+        out = cap_versions(
+            out, spec.versions, min_versions=min_versions, ttl_cutoff=cutoff
+        )
 
         # per-row per-family column pagination (Scan.java:514,523)
         if spec.max_results_per_family is not None or spec.row_offset_per_family:

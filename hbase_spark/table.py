@@ -29,8 +29,10 @@ class FamilyDescriptor:
     """Per-CF schema knobs that change query results (SURVEY.md §1.3)."""
 
     max_versions: int = 1          # ColumnFamilyDescriptorBuilder.java:147
+    min_versions: int = 0          # :150 — survive TTL while rank <= min
     ttl_ms: int | None = None      # :139 (reference stores seconds; we use ms)
     new_version_behavior: bool = False  # :197
+    keep_deleted_cells: bool = False    # :158 — back-in-time reads see deletes
 
 
 @dataclass
@@ -48,11 +50,19 @@ class Table:
     def _nvb(self) -> bool:
         return any(d.new_version_behavior for d in self.families.values())
 
+    def _min_versions(self) -> int:
+        return max([d.min_versions for d in self.families.values()] or [0])
+
+    def _kdc(self) -> bool:
+        return any(d.keep_deleted_cells for d in self.families.values())
+
     def snapshot(self, versions: int | None = None, **kw) -> DataFrame:
         """The resolved visible table (default: schema MAX_VERSIONS)."""
         v = versions or max(
             [d.max_versions for d in self.families.values()] or [1]
         )
+        kw.setdefault("min_versions", self._min_versions())
+        kw.setdefault("keep_deleted_cells", self._kdc())
         return resolve(
             self.cells,
             versions=v,
@@ -69,6 +79,8 @@ class Table:
             ttl_by_family=self._ttl_map(),
             now=self.now,
             new_version_behavior=self._nvb(),
+            min_versions=self._min_versions(),
+            keep_deleted_cells=self._kdc(),
             **kwargs,
         )
 

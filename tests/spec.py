@@ -17,12 +17,14 @@ def resolve_spec(
     cells: list[dict],
     *,
     versions: int = 1,
+    min_versions: int = 0,
     as_of: int | None = None,
     time_range: tuple[int | None, int | None] | None = None,
     ttl_by_family: dict[str, int] | None = None,
     now: int | None = None,
     raw: bool = False,
     new_version_behavior: bool = False,
+    keep_deleted_cells: bool = False,
 ) -> list[dict]:
     cs = [c for c in cells if as_of is None or c["ts"] <= as_of]
 
@@ -35,16 +37,24 @@ def resolve_spec(
     if raw:
         return [c for c in cs if in_range(c["ts"])]
 
-    if ttl_by_family:
-        cs = [
-            c
-            for c in cs
-            if c["family"] not in ttl_by_family
-            or c["ts"] >= now - ttl_by_family[c["family"]]
-        ]
+    def expired(c):
+        return (
+            ttl_by_family is not None
+            and c["family"] in ttl_by_family
+            and c["ts"] < now - ttl_by_family[c["family"]]
+        )
+
+    if ttl_by_family and min_versions <= 0:
+        cs = [c for c in cs if not expired(c)]
 
     puts = [c for c in cs if c["type"] == CellType.PUT]
     dels = [c for c in cs if c["type"] != CellType.PUT]
+    if (
+        keep_deleted_cells
+        and time_range is not None
+        and time_range[1] is not None
+    ):
+        dels = [d for d in dels if d["ts"] < time_range[1]]
 
     def deleted(p):
         for d in dels:
@@ -72,7 +82,11 @@ def resolve_spec(
     out = []
     for _, group in by_col.items():
         group.sort(key=lambda c: (-c["ts"], -c["seq"]))
-        out.extend(group[:versions])
+        for rank, c in enumerate(group[:versions], start=1):
+            # expired cells consume the slot but only survive while
+            # rank <= min_versions (ScanWildcardColumnTracker:143)
+            if not expired(c) or rank <= min_versions:
+                out.append(c)
     return out
 
 

@@ -132,6 +132,30 @@ def test_check_and_mutate_with_filter_guard(spark):
     assert ("r2", "f", "st") not in m
 
 
+def test_bulk_delete_by_scan(spark):
+    # BulkDeleteEndpoint analog: tombstone every cell the predicate matches
+    from hbase_spark.operators.mutations import bulk_delete
+
+    cells = base(spark)
+    tombs = bulk_delete(cells, F.col("qualifier") == "cnt", ts=20, seq=2)
+    m = snap_map(apply_mutations(cells, tombs))
+    assert set(m) == {("r1", "f", "log")}
+    # DELETE kind removes only the matched versions (exact ts)
+    cells2 = apply_mutations(
+        cells, put_cells(spark, [("r1", "f", "cnt", "6")], ts=30, seq=3)
+    )
+    tombs2 = bulk_delete(
+        cells2,
+        (F.col("qualifier") == "cnt") & (F.col("ts") == 30),
+        ts=0,
+        seq=4,
+        kind=CellType.DELETE,
+        visible=resolve(cells2, versions=9),
+    )
+    m2 = snap_map(apply_mutations(cells2, tombs2))
+    assert m2[("r1", "f", "cnt")] == "5"  # ts=30 masked, ts=10 resurfaces
+
+
 def test_row_mutations_atomic_batch(spark):
     # RowMutations = one batch: put one column, delete another, same row/seq
     cells = base(spark)

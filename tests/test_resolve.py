@@ -196,6 +196,77 @@ def test_ttl(spark):
     }
 
 
+def test_min_versions_keeps_expired(spark):
+    # MIN_VERSIONS (ColumnFamilyDescriptorBuilder.java:150): the newest
+    # min_versions survive TTL expiry; older expired versions vanish.
+    cells = [cell("r1", "f", "q", t) for t in (1_000, 2_000, 3_000)]
+    kw = {"ttl_by_family": {"f": 1_000}, "now": 10_000, "versions": 3}
+    assert run(spark, cells, **kw) == set()
+    assert run(spark, cells, min_versions=1, **kw) == {
+        ("r1", "f", "q", 3_000, "r1/q@3000")
+    }
+    assert run(spark, cells, min_versions=2, **kw) == {
+        ("r1", "f", "q", 3_000, "r1/q@3000"),
+        ("r1", "f", "q", 2_000, "r1/q@2000"),
+    }
+
+
+def test_min_versions_expired_consume_slots(spark):
+    # ScanWildcardColumnTracker.checkVersions:143 — an expired cell
+    # consumes its version slot even when dropped.
+    cells = [
+        cell("r1", "f", "q", 9_000),
+        cell("r1", "f", "q", 1_000),
+        cell("r1", "f", "q", 500),
+    ]
+    got = run(
+        spark,
+        cells,
+        versions=2,
+        min_versions=1,
+        ttl_by_family={"f": 5_000},
+        now=10_000,
+    )
+    # ts=1000 is rank 2 (<= versions) but expired with rank > min_versions;
+    # ts=500 is rank 3 and never considered.
+    assert got == {("r1", "f", "q", 9_000, "r1/q@9000")}
+
+
+def test_min_versions_expired_tombstone_still_masks(spark):
+    # With min_versions > 0 expired markers are still tracked
+    # (preCheck only pre-drops when columns.isDone, i.e. minVersions<=0).
+    cells = [
+        cell("r1", "f", "q", 1_000),
+        cell("r1", "f", "q", 1_500, typ=DC, seq=99),
+    ]
+    got = run(
+        spark, cells, min_versions=1, ttl_by_family={"f": 5_000}, now=10_000
+    )
+    assert got == set()
+
+
+def test_keep_deleted_cells_back_in_time(spark):
+    # KEEP_DELETED_CELLS (KeepDeletedCells.java:30): a time-range read
+    # ending before the delete marker sees the pre-delete state
+    # (NormalUserScanQueryMatcher.java:95 withinTimeRange).
+    cells = [
+        cell("r1", "f", "q", 10),
+        cell("r1", "f", "q", 50, typ=DC, seq=99),
+    ]
+    # default (FALSE): the marker after the range still masks
+    assert run(spark, cells, time_range=(0, 20)) == set()
+    # TRUE: marker at ts=50 is outside [0, 20) -> not tracked
+    assert run(spark, cells, time_range=(0, 20), keep_deleted_cells=True) == {
+        ("r1", "f", "q", 10, "r1/q@10")
+    }
+    # marker inside the range still masks either way
+    assert (
+        run(spark, cells, time_range=(0, 60), keep_deleted_cells=True) == set()
+    )
+    # without a bounded time range keep_deleted_cells is a no-op
+    assert run(spark, cells, keep_deleted_cells=True) == set()
+
+
 def test_ttl_requires_now(spark):
     with pytest.raises(ValueError):
         resolve(to_df(spark, [cell("r", "f", "q", 1)]), ttl_by_family={"f": 1})
@@ -241,13 +312,18 @@ cell_strategy = st.fixed_dictionaries(
     versions=st.sampled_from([1, 2, 3]),
     nvb=st.booleans(),
     time_range=st.sampled_from([None, (2, 6), (None, 5), (4, None)]),
+    ttl=st.sampled_from([None, {"f1": 4}, {"f1": 2, "f2": 5}]),
+    min_versions=st.sampled_from([0, 1, 2]),
+    kdc=st.booleans(),
 )
 @settings(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_resolve_matches_spec(spark, cells, versions, nvb, time_range):
+def test_resolve_matches_spec(
+    spark, cells, versions, nvb, time_range, ttl, min_versions, kdc
+):
     rng = random.Random(42)
     full = []
     for i, c in enumerate(cells):
@@ -257,12 +333,15 @@ def test_resolve_matches_spec(spark, cells, versions, nvb, time_range):
         if c["type"] in (DF_, DFV) and rng.random() < 0.5:
             c["qualifier"] = None
         full.append(c)
-    expected = key_set(
-        resolve_spec(
-            full, versions=versions, new_version_behavior=nvb, time_range=time_range
-        )
+    kw = dict(
+        versions=versions,
+        new_version_behavior=nvb,
+        time_range=time_range,
+        ttl_by_family=ttl,
+        now=8 if ttl else None,
+        min_versions=min_versions,
+        keep_deleted_cells=kdc,
     )
-    got = run(
-        spark, full, versions=versions, new_version_behavior=nvb, time_range=time_range
-    )
+    expected = key_set(resolve_spec(full, **kw))
+    got = run(spark, full, **kw)
     assert got == expected
