@@ -1903,6 +1903,34 @@ def q_wal_replay_window(spark, sf):
     return _rk(replayed, "qualifier", "ts", "type", "seq")
 
 
+@_q(
+    "ordered_struct_key_scan",
+    """SELECT o_custkey AS ck, o_orderkey AS ok FROM orders
+    WHERE o_custkey >= 500 AND o_custkey < 600""",
+)
+def q_ordered_struct_key_scan(spark, sf):
+    """OrderedBytes/Struct compound row keys (common/types/Struct.java,
+    common/util/OrderedBytes.java:297): a (custkey, orderkey) binary key
+    built with order-preserving codecs; the key-range scan on the
+    encoded bytes returns exactly the tuple range because Spark's
+    unsigned BinaryType comparison matches the HBase row comparator."""
+    from hbase_spark.functions.codecs import py_struct_key, struct_key
+
+    o = load_table(spark, sf, "orders")
+    keyed = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        struct_key(
+            (F.col("o_custkey"), "long"), (F.col("o_orderkey"), "long")
+        ).alias("row"),
+    )
+    lo = py_struct_key((500, "long"), (-(2**63), "long"))
+    hi = py_struct_key((600, "long"), (-(2**63), "long"))
+    return keyed.filter(
+        (F.col("row") >= F.lit(lo)) & (F.col("row") < F.lit(hi))
+    ).select("ck", "ok")
+
+
 # ------------------------------------------------------ visibility labels
 
 
