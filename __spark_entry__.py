@@ -1904,6 +1904,34 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "write_heavy_increment",
+    f"""WITH cells AS ({_EVENTS_CELLS_SQL})
+    SELECT rk, qualifier,
+           cast(sum(cast(value as decimal(18,4))) as varchar) AS value
+    FROM cells WHERE type = 4
+    GROUP BY rk, qualifier""",
+)
+def q_write_heavy_increment(spark, sf):
+    """WriteHeavyIncrementObserver (hbase-examples
+    WriteHeavyIncrementObserver.java:70): increments stored as plain
+    versioned cells, summed per column at scan time — O(1) appends on
+    write, one map-side-combinable aggregation on read; no per-batch
+    read-modify-write join at any scale."""
+    from hbase_spark.plans.observers import (
+        ObservedTable,
+        write_heavy_increment_observer,
+    )
+    from hbase_spark.table import Table
+
+    deltas = _events_cells(spark, sf).filter(F.col("type") == CellType.PUT)
+    ot = ObservedTable(
+        Table(deltas), [write_heavy_increment_observer("decimal(18,4)")]
+    )
+    out = ot.scan(versions=1_000_000_000)
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
     "ordered_struct_key_scan",
     """SELECT o_custkey AS ck, o_orderkey AS ok FROM orders
     WHERE o_custkey >= 500 AND o_custkey < 600""",

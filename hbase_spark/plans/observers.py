@@ -1,0 +1,119 @@
+"""Coprocessor-style observer hooks (SURVEY.md §2.11).
+
+The reference's RegionObserver (server/coprocessor/RegionObserver.java:101,
+143 hooks) intercepts gets/puts/scans/flushes server-side.  With no
+server to intercept, the Spark-native shape is *pipeline transform
+hooks*: pure functions applied around the Table's read and write paths.
+An ``ObservedTable`` wraps a Table with an ordered observer chain —
+the coprocessor load order analog.
+
+Concrete observers mirror the reference examples
+(hbase-examples/.../coprocessor/example/):
+
+- ``ScanModifyingObserver``   — rewrites the Scan spec before execution
+  (ScanModifyingObserver.java: adds a family/qualifier projection).
+- ``ValueRewritingObserver``  — rewrites cell values in scan results
+  (ValueRewritingObserver.java: value substitution at scan time).
+- ``WriteHeavyIncrementObserver`` — converts read-modify-write
+  increments into plain appended delta cells and aggregates at read
+  time (WriteHeavyIncrementObserver.java:70: each increment is stored
+  as its own versioned cell; scans sum all versions per column).  At
+  100 TB this is the right trade: O(1) append on write, a map-side
+  combinable sum on read, no per-batch join against the snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_spark.model import CellType
+from hbase_spark.operators.scan import Scan
+from hbase_spark.table import Table
+
+
+@dataclass
+class Observer:
+    """Hook bundle; any subset may be provided (RegionObserver's hooks
+    default to pass-through the same way)."""
+
+    pre_scan: Callable[[Scan], Scan] | None = None          # preScannerOpen
+    post_scan: Callable[[DataFrame], DataFrame] | None = None  # postScannerNext
+    pre_mutate: Callable[[DataFrame], DataFrame] | None = None  # prePut/preDelete
+
+
+@dataclass
+class ObservedTable:
+    """A Table with an observer chain applied around reads and writes."""
+
+    table: Table
+    observers: list[Observer] = field(default_factory=list)
+
+    def scan(self, spec: Scan | None = None, **kwargs) -> DataFrame:
+        spec = spec or Scan(**kwargs)
+        for ob in self.observers:
+            if ob.pre_scan:
+                spec = ob.pre_scan(spec)
+        out = self.table.scan(spec)
+        for ob in self.observers:
+            if ob.post_scan:
+                out = ob.post_scan(out)
+        return out
+
+    def with_cells(self, more: DataFrame) -> "ObservedTable":
+        for ob in self.observers:
+            if ob.pre_mutate:
+                more = ob.pre_mutate(more)
+        return ObservedTable(self.table.with_cells(more), self.observers)
+
+
+def scan_modifying_observer(families: list[str] | None = None,
+                            qualifiers: list | None = None) -> Observer:
+    """ScanModifyingObserver.java — force a projection onto every scan."""
+
+    def pre(spec: Scan) -> Scan:
+        return replace(
+            spec,
+            families=families if families is not None else spec.families,
+            qualifiers=qualifiers if qualifiers is not None else spec.qualifiers,
+        )
+
+    return Observer(pre_scan=pre)
+
+
+def value_rewriting_observer(match: Column, replacement: Column) -> Observer:
+    """ValueRewritingObserver.java — substitute values at scan time."""
+
+    def post(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "value", F.when(match, replacement).otherwise(F.col("value"))
+        )
+
+    return Observer(post_scan=post)
+
+
+def write_heavy_increment_observer(value_type: str = "long") -> Observer:
+    """WriteHeavyIncrementObserver.java:70 — increments become plain
+    versioned cells; the scan hook sums all versions per column.  Pair
+    with ``Table.scan(versions=<large>)`` (the reference's
+    readAllVersions flush/scan override, :80) so every delta survives
+    version capping until aggregated here."""
+
+    def post(df: DataFrame) -> DataFrame:
+        extra = [c for c in df.columns if c not in ("row", "family", "qualifier")]
+        return (
+            df.filter(F.col("type") == CellType.PUT)
+            .groupBy("row", "family", "qualifier")
+            .agg(
+                F.sum(F.col("value").cast(value_type)).cast("string").alias("value"),
+                F.max("ts").alias("ts"),
+                F.max("seq").alias("seq"),
+                F.max("type").alias("type"),
+            )
+            .select("row", "family", "qualifier", *extra)
+        )
+
+    return Observer(post_scan=post)

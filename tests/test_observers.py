@@ -1,0 +1,79 @@
+"""Observer-hook tests mirroring the reference coprocessor examples."""
+
+from pyspark.sql import functions as F
+
+from hbase_spark.operators.mutations import make_cells, put_cells
+from hbase_spark.plans.observers import (
+    ObservedTable,
+    scan_modifying_observer,
+    value_rewriting_observer,
+    write_heavy_increment_observer,
+)
+from hbase_spark.table import Table
+
+
+def base(spark):
+    return Table(
+        put_cells(
+            spark,
+            [("r1", "f", "a", "1"), ("r1", "f", "b", "2"), ("r2", "f", "a", "3")],
+            ts=10,
+            seq=1,
+        )
+    )
+
+
+def test_scan_modifying_observer(spark):
+    ot = ObservedTable(base(spark), [scan_modifying_observer(qualifiers=["a"])])
+    got = {(r.row, r.qualifier) for r in ot.scan().collect()}
+    assert got == {("r1", "a"), ("r2", "a")}
+
+
+def test_value_rewriting_observer(spark):
+    ot = ObservedTable(
+        base(spark),
+        [value_rewriting_observer(F.col("value") == "2", F.lit("rewritten"))],
+    )
+    vals = {r.qualifier: r.value for r in ot.scan().filter("row='r1'").collect()}
+    assert vals == {"a": "1", "b": "rewritten"}
+
+
+def test_write_heavy_increment_observer(spark):
+    # three delta cells for (r1,f,cnt) -> scan returns their sum
+    deltas = make_cells(
+        spark,
+        [
+            ("r1", "f", "cnt", 10, 4, "5", 1),
+            ("r1", "f", "cnt", 20, 4, "7", 2),
+            ("r1", "f", "cnt", 30, 4, "-2", 3),
+            ("r2", "f", "cnt", 10, 4, "100", 4),
+        ],
+    )
+    ot = ObservedTable(Table(deltas), [write_heavy_increment_observer()])
+    got = {(r.row, r.value) for r in ot.scan(versions=1_000_000).collect()}
+    assert got == {("r1", "10"), ("r2", "100")}
+
+
+def test_observer_chain_order(spark):
+    # pre_scan projection runs before post_scan rewrite sees the frame
+    ot = ObservedTable(
+        base(spark),
+        [
+            scan_modifying_observer(qualifiers=["b"]),
+            value_rewriting_observer(F.lit(True), F.lit("X")),
+        ],
+    )
+    rows = ot.scan().collect()
+    assert {(r.qualifier, r.value) for r in rows} == {("b", "X")}
+
+
+def test_pre_mutate_hook(spark):
+    from hbase_spark.plans.observers import Observer
+
+    audit = Observer(
+        pre_mutate=lambda df: df.withColumn("value", F.upper(F.col("value")))
+    )
+    ot = ObservedTable(base(spark), [audit])
+    ot2 = ot.with_cells(put_cells(spark, [("r3", "f", "a", "low")], ts=20, seq=5))
+    got = {r.value for r in ot2.table.scan().filter("row='r3'").collect()}
+    assert got == {"LOW"}
