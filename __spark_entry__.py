@@ -1904,6 +1904,26 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "backup_restore_pit",
+    f"""WITH {_events_resolved_sql(cells_pred="seq <= 6000")}
+    SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",
+)
+def q_backup_restore_pit(spark, sf):
+    """Incremental backup + point-in-time restore
+    (hbase-backup BackupDriver.java:66): full snapshot at seq<=3000,
+    one incremental segment, restore bounded at seq 6000 resolves to
+    the historical table state."""
+    from hbase_spark.sources.backup import backup_full, backup_incremental, restore
+
+    path = _tmp("backup", sf)
+    cells = _events_cells(spark, sf)
+    backup_full(cells.filter(F.col("seq") <= 3000), path, num_regions=4)
+    backup_incremental(cells, path)
+    restored = restore(spark, path, to_seq=6000)
+    return _rk(resolve(restored, versions=1), "qualifier", "ts", "value")
+
+
+@_q(
     "write_heavy_increment",
     f"""WITH cells AS ({_EVENTS_CELLS_SQL})
     SELECT rk, qualifier,
