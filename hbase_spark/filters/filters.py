@@ -104,35 +104,39 @@ class SingleColumnValueFilter(Filter):
         self.filter_if_missing = filter_if_missing
         self.latest_version_only = latest_version_only
 
-    def _row_flags(self, df: DataFrame):
-        # One window keyed by row computes both flags in a single
-        # shuffle: `max_by` picks the newest target cell's value for the
-        # latest_version_only test (no second window over
-        # (row, family, qualifier) needed).
-        is_target = (F.col("family") == self.family) & (
-            F.col("qualifier") == self.qualifier
+    def _row_verdicts(self, df: DataFrame):
+        """Per-row guard verdicts computed from ONLY the tested column's
+        cells — the essential-column-family two-phase read
+        (rs/RegionScannerImpl.java:167-202 "joinedHeap" /
+        Filter.isFamilyEssential): the guard family is scanned and
+        aggregated alone (filter pushed to the source scan), and the
+        full rows are fetched by semi/anti join afterwards.  At scale
+        this aggregates one column instead of windowing every cell of
+        every family by row."""
+        guard = df.filter(
+            (F.col("family") == self.family)
+            & (F.col("qualifier") == self.qualifier)
         )
-        wr = Window.partitionBy("row")
-        present = F.max(is_target.cast("int")).over(wr)
         if self.latest_version_only:
-            newest_val = F.max_by(
-                F.when(is_target, F.col("value")),
-                F.when(is_target, F.struct("ts", "seq")),
-            ).over(wr)
-            matched = self.comparator.matches(newest_val, self.op).cast("int")
+            per_row = guard.groupBy("row").agg(
+                F.max_by("value", F.struct("ts", "seq")).alias("_v")
+            )
+            matched = self.comparator.matches(F.col("_v"), self.op)
         else:
             pred = self.comparator.matches(F.col("value"), self.op)
-            matched = F.max((is_target & pred).cast("int")).over(wr)
-        return present, matched
+            per_row = guard.groupBy("row").agg(
+                F.max(F.coalesce(pred, F.lit(False)).cast("int")).alias("_m")
+            )
+            matched = F.col("_m") == 1
+        return per_row, F.coalesce(matched, F.lit(False))
 
     def post(self, df: DataFrame) -> DataFrame:
-        present, matched = self._row_flags(df)
-        keep = (matched == 1) | (
-            (present == 0) & F.lit(not self.filter_if_missing)
-        )
-        return (
-            df.withColumn("_keep", keep).filter(F.col("_keep")).drop("_keep")
-        )
+        per_row, matched = self._row_verdicts(df)
+        if self.filter_if_missing:
+            # only rows whose guard column exists AND matches survive
+            return df.join(per_row.filter(matched).select("row"), "row", "semi")
+        # rows with a failing guard drop; rows lacking the column pass
+        return df.join(per_row.filter(~matched).select("row"), "row", "anti")
 
 
 class SingleColumnValueExcludeFilter(SingleColumnValueFilter):

@@ -125,8 +125,14 @@ def apply_increments(
     summed = deltas.groupBy("row", "family", "qualifier").agg(
         F.sum("delta").alias("_delta")
     )
+    # Slice the table to touched (row, family) groups BEFORE resolving:
+    # masking is scoped per (row, family) so the slice resolves
+    # identically, and the snapshot shuffle runs over the touched rows
+    # only — the delta set is small, so this semi-join broadcasts.
+    touched = summed.select("row", "family").distinct()
+    sliced = cells.join(touched, ["row", "family"], "left_semi")
     current = (
-        resolve(cells, versions=1)
+        resolve(sliced, versions=1)
         .join(summed.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
         .select("row", "family", "qualifier", F.col("value").cast("long").alias("_old"))
     )
@@ -163,8 +169,10 @@ def apply_appends(cells: DataFrame, appends: DataFrame, *, ts: int, seq: int) ->
             ),
         ).alias("_suffix")
     )
+    touched = batch.select("row", "family").distinct()
+    sliced = cells.join(touched, ["row", "family"], "left_semi")
     current = (
-        resolve(cells, versions=1)
+        resolve(sliced, versions=1)
         .join(batch.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
         .select("row", "family", "qualifier", F.col("value").alias("_old"))
     )
@@ -208,7 +216,13 @@ def apply_check_and_mutate(
     from hbase_spark.filters.base import Filter as _Filter
     from hbase_spark.filters.comparators import BinaryComparator
 
-    snap = resolve(cells, versions=1, time_range=time_range)
+    # Guards only inspect rows that carry mutations — slice before
+    # resolving so the snapshot read is scoped to those rows
+    # (HRegion.checkAndMutateInternal likewise scans just the guarded row).
+    mut_rows = mutations.select("row").distinct()
+    snap = resolve(
+        cells.join(mut_rows, "row", "left_semi"), versions=1, time_range=time_range
+    )
     if filter is not None:
         assert isinstance(filter, _Filter)
         guarded = snap
