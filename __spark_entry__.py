@@ -1904,6 +1904,36 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "stream_replication_merge",
+    f"""WITH {_EVENTS_RESOLVED_SQL}
+    SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",
+)
+def q_stream_replication_merge(spark, sf):
+    """Structured-Streaming replication merge (ReplicationSource /
+    ReplicationEndpoint analog, SURVEY §2.10): the mutation log arrives
+    as a file stream in two segments; readStream -> foreachBatch append
+    with checkpointing merges them into the table, which then resolves
+    identically to a batch read of the full log."""
+    import shutil
+
+    from hbase_spark.model import cell_schema
+    from hbase_spark.streaming.merge import stream_merge
+
+    base = _tmp("streamrep", sf)
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir, tbl_dir, ckpt = f"{base}/log", f"{base}/table", f"{base}/ckpt"
+    cells = _events_cells(spark, sf)
+    cells.filter(F.col("seq") % 2 == 0).write.mode("overwrite").parquet(log_dir)
+    cells.filter(F.col("seq") % 2 == 1).write.mode("append").parquet(log_dir)
+    stream = spark.readStream.schema(cell_schema()).option(
+        "maxFilesPerTrigger", 8
+    ).parquet(log_dir)
+    stream_merge(stream, tbl_dir, ckpt).awaitTermination()
+    merged = spark.read.schema(cell_schema()).parquet(tbl_dir)
+    return _rk(resolve(merged, versions=1), "qualifier", "ts", "value")
+
+
+@_q(
     "backup_restore_pit",
     f"""WITH {_events_resolved_sql(cells_pred="seq <= 6000")}
     SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",

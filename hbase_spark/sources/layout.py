@@ -20,8 +20,65 @@ scaling story as region pruning, with no region servers to run.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Pre-split algorithms (server/util/RegionSplitter.java:148) — deterministic
+# region boundaries computed from the key space, not from data.  At 100 TB
+# this matters: ``repartitionByRange`` runs a sampling pass over the input
+# to pick boundaries; a pre-split assigns each cell its region with pure
+# arithmetic, no extra scan, and boundaries stay stable across loads
+# (so incremental bulk loads land in the same file ranges).
+# ---------------------------------------------------------------------------
+
+
+def hex_split_points(num_regions: int, width: int = 8) -> list[str]:
+    """HexStringSplit (RegionSplitter.java:825): evenly divide the
+    space of ``width``-digit lowercase hex keys."""
+    space = 16**width
+    return [
+        format(space * i // num_regions, f"0{width}x")
+        for i in range(1, num_regions)
+    ]
+
+
+def decimal_split_points(num_regions: int, width: int = 8) -> list[str]:
+    """DecimalStringSplit (RegionSplitter.java:842): evenly divide
+    ``width``-digit decimal keys."""
+    space = 10**width
+    return [
+        str(space * i // num_regions).zfill(width) for i in range(1, num_regions)
+    ]
+
+
+def region_id(
+    row: Column, num_regions: int, *, algo: str = "hex", width: int = 8
+) -> Column:
+    """The region a key belongs to under a pre-split — constant
+    arithmetic on the key prefix, evaluated JVM-side with no shuffle
+    of its own.  algo='hex' assumes hex-string keys
+    (HexStringSplit), 'decimal' zero-padded decimal keys
+    (DecimalStringSplit), 'uniform' raw binary keys (UniformSplit
+    RegionSplitter.java:1048 — first 4 bytes as an unsigned int)."""
+    if algo == "hex":
+        v = F.conv(F.substring(row, 1, width), 16, 10).cast("decimal(38,0)")
+        space = 16**width
+    elif algo == "decimal":
+        v = F.substring(row, 1, width).cast("decimal(38,0)")
+        space = 10**width
+    elif algo == "uniform":
+        v = F.conv(F.hex(F.substring(row, 1, 4)), 16, 10).cast("decimal(38,0)")
+        space = 2**32
+    else:
+        raise ValueError(f"unknown split algo {algo!r}")
+    # exact integer floor-division: decimal `/` rounds at scale 6, which
+    # misassigns keys near boundaries — subtract pmod first so the
+    # division is exact
+    space_lit = F.lit(str(space)).cast("decimal(38,0)")
+    num = v * num_regions
+    rid = ((num - F.pmod(num, space_lit)) / space_lit).cast("int")
+    return F.least(rid, F.lit(num_regions - 1))
 
 
 def write_table(
@@ -31,9 +88,27 @@ def write_table(
     num_regions: int = 32,
     by_family: bool = True,
     mode: str = "overwrite",
+    split_algo: str | None = None,
+    split_width: int = 8,
 ) -> None:
-    """Bulk-load a CellFrame to a range-partitioned, sorted parquet layout."""
-    out = cells.repartitionByRange(num_regions, "row").sortWithinPartitions(
+    """Bulk-load a CellFrame to a range-partitioned, sorted parquet layout.
+
+    Default boundaries come from ``repartitionByRange`` (a sampling
+    pass); pass ``split_algo`` for a deterministic pre-split with no
+    sampling scan (see region_id above).  Pre-split files group whole
+    regions (hash placement may co-locate two regions in one file);
+    each file still covers a bounded, sorted key set, so parquet
+    min/max pruning applies — trade a little pruning precision for
+    zero sampling cost and stable boundaries across incremental loads.
+    """
+    if split_algo is not None:
+        rid = region_id(
+            F.col("row"), num_regions, algo=split_algo, width=split_width
+        )
+        out = cells.repartition(num_regions, rid)
+    else:
+        out = cells.repartitionByRange(num_regions, "row")
+    out = out.sortWithinPartitions(
         "row", "family", "qualifier", F.col("ts").desc(), F.col("seq").desc()
     )
     writer = (
