@@ -5,6 +5,8 @@ expected (row, qualifier, value) set is enumerable by hand.
 """
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hbase_spark.filters import (
@@ -446,3 +448,19 @@ def test_parse_errors():
         parse_filter("NoSuchFilter(1)")
     with pytest.raises(ValueError):
         parse_filter("RowFilter(>=, 'binary:a'")
+
+
+@given(
+    st.text(
+        alphabet="RowFilter(>=,'binary:a') ANDORSKIPWHILE\"'x10",
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=2000)
+def test_parse_fuzz_never_hangs(s):
+    # any input must either parse or raise ValueError promptly —
+    # malformed strings previously looped forever in parse_unary
+    try:
+        parse_filter(s)
+    except ValueError:
+        pass

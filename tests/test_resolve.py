@@ -345,3 +345,47 @@ def test_resolve_matches_spec(
     expected = key_set(resolve_spec(full, **kw))
     got = run(spark, full, **kw)
     assert got == expected
+
+
+@given(
+    cells=st.lists(cell_strategy, min_size=1, max_size=30),
+    versions=st.sampled_from([1, 2]),
+    quals=st.sampled_from([None, ["a"], ["a", "b"]]),
+    fams=st.sampled_from([None, ["f1"]]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scan_projection_equals_post_resolve_filter(
+    spark, cells, versions, quals, fams
+):
+    # Law: scan with a family/qualifier projection == resolve-then-project.
+    # scan() projects BEFORE resolution (keeping family-scope tombstones),
+    # which is only correct if it matches the semantic definition.
+    from hbase_spark.operators.scan import Scan
+    from hbase_spark.operators.scan import scan as scan_op
+
+    full = []
+    for i, c in enumerate(cells):
+        c = dict(c)
+        c["seq"] = i
+        c["value"] = f"v{i}" if c["type"] == PUT else None
+        if c["type"] in (DF_, DFV):
+            c["qualifier"] = None
+        full.append(c)
+    df = to_df(spark, full)
+    got = {
+        (r.row, r.family, r.qualifier, r.ts, r.value)
+        for r in scan_op(
+            df, Scan(families=fams, qualifiers=quals, versions=versions)
+        ).collect()
+    }
+    expected = {
+        (c["row"], c["family"], c["qualifier"], c["ts"], c["value"])
+        for c in resolve_spec(full, versions=versions)
+        if (fams is None or c["family"] in fams)
+        and (quals is None or c["qualifier"] in quals)
+    }
+    assert got == expected
