@@ -1904,6 +1904,30 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "pivot_wide_orders",
+    """SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
+              cast(o_custkey as varchar) AS o_custkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+              o_orderpriority, o_orderstatus,
+              cast(cast(o_totalprice as decimal(18,2)) as varchar) AS o_totalprice
+    FROM orders""",
+)
+def q_pivot_wide_orders(spark, sf):
+    """Row assembly to a wide typed view (the inverse of the melt;
+    SURVEY §1.6): explicit-qualifier conditional aggregation — one
+    shuffle, no pivot value-inference pass."""
+    from hbase_spark.sources.melt import pivot_wide
+
+    wide = pivot_wide(
+        resolve(_orders_cells(spark, sf), versions=1),
+        ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus",
+         "o_totalprice"],
+        family="o",
+    )
+    return wide.withColumnRenamed("row", "rk")
+
+
+@_q(
     "stream_replication_merge",
     f"""WITH {_EVENTS_RESOLVED_SQL}
     SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",

@@ -83,3 +83,58 @@ def melt_table(
         F.col("cell.v").alias("value"),
         "seq",
     )
+
+
+def assemble_rows(visible: DataFrame) -> DataFrame:
+    """Row assembly — the Result.getMap analog (client/Result.java:595):
+    one output row per row key with a nested
+    ``map<family, map<qualifier, array<struct<ts, value>>>>``, versions
+    newest-first.  Input must already be resolved/visible cells.
+
+    Two hash aggregations keyed by progressively coarser keys — both
+    map-side combinable; no window, no pivot inference pass.
+    """
+    per_col = visible.groupBy("row", "family", "qualifier").agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("value")))
+            )
+        ).alias("versions")
+    )
+    per_family = per_col.groupBy("row", "family").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("qualifier", "versions"))
+        ).alias("columns")
+    )
+    return per_family.groupBy("row").agg(
+        F.map_from_entries(F.collect_list(F.struct("family", "columns"))).alias(
+            "families"
+        )
+    )
+
+
+def pivot_wide(
+    visible: DataFrame,
+    qualifiers: list[str],
+    *,
+    family: str | None = None,
+) -> DataFrame:
+    """Latest-version wide view: one column per qualifier (the inverse
+    of melt_table for fixed schemas — SURVEY §1.6 "pivot to wide").
+
+    Takes the qualifier list explicitly: ``DataFrame.pivot`` without
+    values runs a distinct-inference job over the input first — an
+    extra full pass at 100 TB.  Conditional max_by aggregation needs
+    exactly one shuffle.
+    """
+    src = visible
+    if family is not None:
+        src = src.filter(F.col("family") == family)
+    aggs = [
+        F.max_by(
+            F.when(F.col("qualifier") == q, F.col("value")),
+            F.when(F.col("qualifier") == q, F.struct("ts", "seq")),
+        ).alias(q)
+        for q in qualifiers
+    ]
+    return src.groupBy("row").agg(*aggs)

@@ -212,3 +212,40 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media, every_ms=1000)
     per_video = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 6 for r in per_video)  # 0..5000 step 1000
+
+
+def test_assemble_rows_nested_map(spark):
+    from hbase_spark.operators.mutations import make_cells
+    from hbase_spark.sources.melt import assemble_rows
+
+    cells = make_cells(
+        spark,
+        [
+            ("r1", "f1", "a", 10, 4, "v10", 1),
+            ("r1", "f1", "a", 20, 4, "v20", 2),
+            ("r1", "f2", "b", 10, 4, "w", 3),
+            ("r2", "f1", "a", 10, 4, "z", 4),
+        ],
+    )
+    rows = {r.row: r.families for r in assemble_rows(cells).collect()}
+    a_versions = rows["r1"]["f1"]["a"]
+    assert [(v.ts, v.value) for v in a_versions] == [(20, "v20"), (10, "v10")]
+    assert rows["r1"]["f2"]["b"][0].value == "w"
+    assert rows["r2"]["f1"]["a"][0].value == "z"
+
+
+def test_pivot_wide_latest_version(spark):
+    from hbase_spark.operators.mutations import make_cells
+    from hbase_spark.sources.melt import pivot_wide
+
+    cells = make_cells(
+        spark,
+        [
+            ("r1", "f", "a", 10, 4, "old", 1),
+            ("r1", "f", "a", 20, 4, "new", 2),
+            ("r1", "f", "b", 10, 4, "x", 3),
+            ("r2", "f", "a", 10, 4, "y", 4),
+        ],
+    )
+    got = {r.row: (r.a, r.b) for r in pivot_wide(cells, ["a", "b"]).collect()}
+    assert got == {"r1": ("new", "x"), "r2": ("y", None)}
