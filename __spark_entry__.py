@@ -1904,6 +1904,56 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "training_corpus_pipeline",
+    f"""WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    scores AS (
+        SELECT doc_id, text, len(t) AS n_tokens,
+            len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','it','that','for']))) AS s_en,
+            len(list_distinct(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','zu','auf']))) AS s_de,
+            len(list_distinct(list_intersect(t, ['le','la','les','et','est','un','une','des','que','pour']))) AS s_fr,
+            len(list_distinct(list_intersect(t, ['el','la','los','las','y','es','un','una','que','por']))) AS s_es,
+            len(list_distinct(list_intersect(t, ['il','la','che','di','e','un','una','per','con','sono']))) AS s_it
+        FROM toks),
+    english AS (
+        SELECT doc_id, text, n_tokens FROM scores
+        WHERE greatest(s_en, s_de, s_fr, s_es, s_it) > 0
+          AND NOT (s_it >= s_en AND s_it >= s_de AND s_it >= s_fr AND s_it > s_es)
+          AND NOT (s_fr >= s_en AND s_fr >= s_de AND s_fr > s_es AND s_fr > s_it)
+          AND NOT (s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_it)
+          AND NOT (s_de >= s_en AND s_de > s_fr AND s_de > s_es AND s_de > s_it)
+          AND n_tokens >= 5)
+    SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens
+    FROM english GROUP BY {_NORM_SQL}""",
+)
+def q_training_corpus_pipeline(spark, sf):
+    """End-to-end training-corpus curation: language-ID filter (en) ->
+    minimum-length filter -> exact dedup on normalized text keeping the
+    min-id representative -> per-doc token counts.  One declarative
+    plan: the filters run in the scan stage, dedup is a single
+    hash aggregation."""
+    from hbase_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf, "documents")
+    english = docs.select(
+        "doc_id",
+        "text",
+        F.size(_TOKS_SPARK(F.col("text"))).alias("n_tokens"),
+    ).filter((lang_id("text") == "en") & (F.col("n_tokens") >= 5))
+    return (
+        english.groupBy(_NORM_SPARK(F.col("text")).alias("_k"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .select("doc_id", "n_tokens")
+    )
+
+
+@_q(
     "pivot_wide_orders",
     """SELECT lpad(cast(o_orderkey as varchar), 12, '0') AS rk,
               cast(o_custkey as varchar) AS o_custkey,
