@@ -1904,6 +1904,30 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "multi_table_union_scan",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}
+    UNION ALL
+    {_EVENTS_CELLS_SQL})
+    SELECT rk, family, qualifier, count(*) AS n_cells
+    FROM cells WHERE type = 4
+    GROUP BY rk, family, qualifier""",
+)
+def q_multi_table_union_scan(spark, sf):
+    """MultiTableInputFormat (mr/MultiTableInputFormat.java): scan N
+    tables as one source — unionByName of CellFrames, then any
+    downstream operator; here CellCounter-style grouped counts."""
+    cells = _orders_cells(spark, sf).unionByName(_events_cells(spark, sf))
+    return _rk(
+        cells.filter(F.col("type") == CellType.PUT)
+        .groupBy("row", "family", "qualifier")
+        .agg(F.count("*").alias("n_cells")),
+        "family",
+        "qualifier",
+        "n_cells",
+    )
+
+
+@_q(
     "training_corpus_pipeline",
     f"""WITH toks AS (
         SELECT doc_id, text,
