@@ -1,0 +1,87 @@
+"""Physical-plan shape guards.
+
+Correctness tests prove WHAT is computed; these prove HOW — that the
+plans keep the shapes the 100 TB design depends on.  A regression that
+turns a broadcast mask join into a sort-merge join or loses parquet
+pushdown still passes every value test, so we pin the plan shape here.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_spark.filters import SingleColumnValueFilter
+from hbase_spark.operators.mutations import make_cells
+from hbase_spark.operators.resolve import resolve
+from hbase_spark.sources.layout import write_table
+
+
+def plan_of(df, execute: bool = True) -> str:
+    # AQE replans at runtime: materialize THIS DataFrame's own query
+    # execution (collect, not a writer — a writer builds a fresh one)
+    # so the final adaptive plan is what we assert on.
+    if execute:
+        df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints "Final Plan" then "Initial Plan"; only the
+    # final section is what actually ran.
+    return plan.split("Initial Plan")[0]
+
+
+def cells(spark, n=64):
+    rows = [
+        (str(i).zfill(6), "f", q, 1, 4, f"v{i}", i)
+        for i in range(n)
+        for q in ("a", "b")
+    ]
+    return make_cells(spark, rows)
+
+
+def test_resolve_masks_via_broadcast_not_sortmerge(spark):
+    rows = [(str(i).zfill(6), "f", "a", 1, 4, "v", i) for i in range(64)]
+    rows += [(str(i).zfill(6), "f", "a", 2, 12, None, 100 + i) for i in range(4)]
+    plan = plan_of(resolve(make_cells(spark, rows), versions=1))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scvf_plan_has_no_window(spark):
+    # the essential-family rewrite must not reintroduce a row window
+    flt = SingleColumnValueFilter("f", "a", "=", "v3")
+    plan = plan_of(flt.post(cells(spark)))
+    assert "Window" not in plan
+    assert "Join" in plan
+
+
+def test_range_scan_pushes_row_predicate_to_parquet(spark):
+    d = tempfile.mkdtemp(prefix="hb_plan_")
+    try:
+        write_table(cells(spark), d, num_regions=4, by_family=False)
+        back = spark.read.parquet(d)
+        pruned = back.filter((F.col("row") >= "000010") & (F.col("row") < "000020"))
+        plan = plan_of(pruned)
+        assert "PushedFilters: [" in plan
+        assert "GreaterThanOrEqual(row" in plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resolve_versions1_uses_hash_agg_not_window(spark):
+    plan = plan_of(resolve(cells(spark), versions=1))
+    assert "Window" not in plan  # max_by hash agg with map-side combine
+
+
+def test_multi_get_is_broadcast_semi_join(spark):
+    from hbase_spark.operators.get import multi_get
+
+    plan = plan_of(multi_get(cells(spark), ["000001", "000002"]))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("versions", [1, 3])
+def test_whole_stage_codegen_present(spark, versions):
+    # AQE's final-plan text marks codegen'd operators with a "*(n)" prefix
+    plan = plan_of(resolve(cells(spark), versions=versions))
+    assert "*(" in plan
