@@ -464,3 +464,35 @@ def test_parse_fuzz_never_hangs(s):
         parse_filter(s)
     except ValueError:
         pass
+
+
+def test_scvf_matrix_multi_family(region):
+    # the essential-family rewrite: 2x2 of filter_if_missing x
+    # latest_version_only over rows spanning three families.
+    # Guard column: (testFamilyOne, testQualifierOne-0); rowsOne have a
+    # ts=2 second version V1+"@2" there, rowsTwo have only ts=1 V2.
+    guard = ("testFamilyOne", "testQualifierOne-0")
+
+    # latest_version_only=True: rowsOne's newest guard value is V1@2
+    f = SingleColumnValueFilter(*guard, "=", V1 + "@2")
+    out = scan_with(region, f, versions=2)
+    assert rows_of(out) == set(ROWS_ONE)
+    # surviving rows keep their OTHER families' cells (whole-row keep)
+    fams = {r.family for r in out.collect()}
+    assert fams == {"testFamilyOne", "testFamilyTwo", "nums"}
+
+    # latest_version_only=False: the ts=1 version V1 also matches
+    f = SingleColumnValueFilter(*guard, "=", V1, latest_version_only=False)
+    assert rows_of(scan_with(region, f, versions=2)) == set(ROWS_ONE)
+    # ...but with latest_version_only=True it does not
+    f = SingleColumnValueFilter(*guard, "=", V1)
+    assert rows_of(scan_with(region, f, versions=2)) == set()
+
+    # filter_if_missing semantics on a guard column only rowsOne+Two
+    # have vs the nums-only guard nobody-but-everyone has:
+    f = SingleColumnValueFilter("nums", "missing-q", "=", "x")
+    assert rows_of(scan_with(region, f)) == set(ROWS_ONE + ROWS_TWO)
+    f = SingleColumnValueFilter(
+        "nums", "missing-q", "=", "x", filter_if_missing=True
+    )
+    assert rows_of(scan_with(region, f)) == set()
