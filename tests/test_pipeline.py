@@ -249,3 +249,16 @@ def test_pivot_wide_latest_version(spark):
     )
     got = {r.row: (r.a, r.b) for r in pivot_wide(cells, ["a", "b"]).collect()}
     assert got == {"r1": ("new", "x"), "r2": ("y", None)}
+
+
+def test_ivf_recall_at_10_vs_brute_force(vecs):
+    # query = perturbed member vector (not an exact match): IVF probing
+    # half the lists must keep most of the true top-10
+    base = vecs.orderBy("vec_id").limit(2).collect()
+    q = [0.7 * a + 0.3 * b for a, b in zip(base[0].embedding, base[1].embedding)]
+    truth = {r.vec_id for r in cosine_topk(vecs, q, k=10).collect()}
+    cents = ivf_centroids(vecs, nlist=8)
+    assigned = ivf_assign(vecs, cents).cache()
+    got = {r.vec_id for r in ivf_topk(assigned, cents, q, k=10, nprobe=4).collect()}
+    recall = len(truth & got) / 10
+    assert recall >= 0.6, f"IVF recall@10 too low: {recall}"
