@@ -1904,6 +1904,38 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "admin_shell_roundtrip",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk >= lpad('3000', 12, '0') AND rk < lpad('3200', 12, '0')
+      AND qualifier IN ('o_orderstatus')""",
+)
+def q_admin_shell_roundtrip(spark, sf):
+    """Admin catalog + shell DSL (client/Admin.java createTable /
+    hbase-shell scan.rb): create a table, bulk-flush the orders melt
+    into its layout, reopen, and scan with shell keyword arguments."""
+    import shutil
+
+    from hbase_spark.admin import Admin
+    from hbase_spark.shell import shell_scan
+    from hbase_spark.table import Table
+
+    path = _tmp("admin", sf)
+    shutil.rmtree(path, ignore_errors=True)
+    adm = Admin(spark, path)
+    adm.create_table("orders_cells", ["o"])
+    adm.flush("orders_cells", Table(_orders_cells(spark, sf)), num_regions=4)
+    t = adm.table("orders_cells")
+    out = shell_scan(
+        t,
+        STARTROW="3000".zfill(12),
+        STOPROW="3200".zfill(12),
+        COLUMNS=["o:o_orderstatus"],
+    )
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
     "multi_table_union_scan",
     f"""WITH cells AS ({_ORDERS_CELLS_SQL}
     UNION ALL

@@ -76,6 +76,13 @@ def scan(
 ) -> DataFrame:
     """Execute a Scan over a raw CellFrame, returning visible cells."""
     spec = spec or Scan(**kwargs)
+    if isinstance(spec.filter, str):
+        # shell/REST parity: a string filter goes through ParseFilter
+        from dataclasses import replace as _replace
+
+        from hbase_spark.filters.parse import parse_filter
+
+        spec = _replace(spec, filter=parse_filter(spec.filter))
 
     c = cells.filter(row_range_pred(spec))
     if spec.families:

@@ -1,0 +1,77 @@
+"""Admin catalog + shell-DSL surface tests."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from hbase_spark.admin import Admin, TableNotEnabledError
+from hbase_spark.shell import (
+    shell_count,
+    shell_delete,
+    shell_get,
+    shell_put,
+    shell_scan,
+)
+from hbase_spark.table import FamilyDescriptor
+
+
+@pytest.fixture()
+def catalog(spark):
+    d = tempfile.mkdtemp(prefix="hb_admin_")
+    yield Admin(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_create_mutate_flush_reopen(catalog):
+    catalog.create_table("t1", {"f": FamilyDescriptor(max_versions=2)})
+    t = catalog.table("t1")
+    t = shell_put(t, "r1", "f:a", "1", ts=10, seq=1)
+    t = shell_put(t, "r2", "f:a", "2", ts=10, seq=2)
+    catalog.flush("t1", t, num_regions=2)
+    t2 = catalog.table("t1")
+    assert shell_count(t2) == 2
+    got = {r.row: r.value for r in shell_get(t2, "r1", COLUMNS=["f:a"]).collect()}
+    assert got == {"r1": "1"}
+
+
+def test_shell_scan_filter_string_and_columns(catalog):
+    catalog.create_table("t2", ["f"])
+    t = catalog.table("t2")
+    for i in range(6):
+        t = shell_put(t, f"row-{i}", "f:q", f"v{i}", ts=10, seq=i)
+    out = shell_scan(
+        t, STARTROW="row-1", STOPROW="row-5", FILTER="PrefixFilter('row')",
+        COLUMNS=["f:q"], LIMIT=3,
+    )
+    assert [r.row for r in out.select("row").distinct().orderBy("row").collect()] == [
+        "row-1", "row-2", "row-3",
+    ]
+
+
+def test_shell_delete_masks(catalog):
+    catalog.create_table("t3", ["f"])
+    t = catalog.table("t3")
+    t = shell_put(t, "r", "f:q", "x", ts=10, seq=1)
+    t = shell_delete(t, "r", "f:q", ts=20, seq=2)
+    assert shell_count(t) == 0
+
+
+def test_disable_enable_delete(catalog):
+    catalog.create_table("t4", ["f"])
+    catalog.disable_table("t4")
+    with pytest.raises(TableNotEnabledError):
+        catalog.table("t4")
+    with pytest.raises(RuntimeError):
+        catalog.create_table("t5", ["f"]) or catalog.delete_table("t5")
+    catalog.enable_table("t4")
+    assert catalog.describe("t4")["enabled"]
+    catalog.disable_table("t4")
+    catalog.delete_table("t4")
+    assert "t4" not in catalog.list_tables()
+
+
+def test_list_tables(catalog):
+    catalog.create_table("a1", ["f"])
+    catalog.create_table("a2", ["f"])
+    assert catalog.list_tables() == ["a1", "a2"]
