@@ -15,10 +15,22 @@ Everything is DataFrame/SQL-first: Catalyst handles pruning, pushdown and
 join strategy; custom work is library-level transformations only.
 """
 
+from hbase_spark.admin import Admin
 from hbase_spark.model import CELL_COLUMNS, CellType, cell_schema
-from hbase_spark.operators.resolve import resolve
-from hbase_spark.table import Table
+from hbase_spark.operators.resolve import compact, resolve
+from hbase_spark.operators.scan import Scan
+from hbase_spark.table import FamilyDescriptor, Table
 
-__all__ = ["CELL_COLUMNS", "CellType", "cell_schema", "resolve", "Table"]
+__all__ = [
+    "Admin",
+    "CELL_COLUMNS",
+    "CellType",
+    "FamilyDescriptor",
+    "Scan",
+    "Table",
+    "cell_schema",
+    "compact",
+    "resolve",
+]
 
 __version__ = "0.1.0"
