@@ -126,3 +126,68 @@ def test_latest_view_stream(spark, dirs):
     row = view.filter("row = 'k001'").collect()[0]
     assert row.ts == 1003 and row.value == "v3-1"
     assert view.count() == 50
+
+
+def test_streaming_increment_totals(spark, dirs):
+    # write-heavy increments in streaming form: totals accumulate
+    # across micro-batches via applyInPandasWithState
+    from hbase_spark.streaming.stateful import streaming_increment_totals
+
+    b1 = [("r1", "f", "cnt", 1, CellType.PUT, "5", 1),
+          ("r2", "f", "cnt", 1, CellType.PUT, "10", 2)]
+    b2 = [("r1", "f", "cnt", 2, CellType.PUT, "7", 3),
+          ("r1", "f", "oth", 2, CellType.PUT, "1", 4)]
+    spark.createDataFrame(b1, schema=cell_schema()).write.parquet(dirs["log"])
+    spark.createDataFrame(b2, schema=cell_schema()).write.mode("append").parquet(
+        dirs["log"]
+    )
+    stream = mutation_stream(spark, dirs["log"], max_files_per_trigger=1)
+    q = (
+        streaming_increment_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per key is the running total
+    rows = spark.sql(
+        "SELECT row, qualifier, max(total) AS total FROM totals GROUP BY 1,2"
+    ).collect()
+    got = {(r.row, r.qualifier): r.total for r in rows}
+    assert got == {("r1", "cnt"): 12, ("r2", "cnt"): 10, ("r1", "oth"): 1}
+
+
+def test_serial_apply_orders_and_dedups(spark, dirs):
+    from hbase_spark.streaming.stateful import serial_apply
+
+    # batch 1 delivers seq 3,1; batch 2 replays seq 1 (stale) + new 4
+    b1 = [("r1", "f", "q", 1, CellType.PUT, "s3", 3),
+          ("r1", "f", "q", 1, CellType.PUT, "s1", 1)]
+    b2 = [("r1", "f", "q", 1, CellType.PUT, "s1", 1),
+          ("r1", "f", "q", 1, CellType.PUT, "s4", 4)]
+    spark.createDataFrame(b1, schema=cell_schema()).coalesce(1).write.parquet(
+        dirs["log"]
+    )
+    spark.createDataFrame(b2, schema=cell_schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["log"])
+    stream = mutation_stream(spark, dirs["log"], max_files_per_trigger=1)
+    q = (
+        serial_apply(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("serial")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT seq, value FROM serial ORDER BY seq").collect()
+    # within-batch ordered by seq; stale replay of seq 1 dropped
+    assert [(r.seq, r.value) for r in rows] in (
+        [(1, "s1"), (3, "s3"), (4, "s4")],   # batch1 first
+        [(1, "s1"), (3, "s3"), (4, "s4")],
+    )
