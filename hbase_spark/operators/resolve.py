@@ -163,6 +163,23 @@ def mask_deletes(
             ).alias("_dfv_ts"),
         )
     )
+    if new_version_behavior:
+        # NewVersionBehaviorTracker: mvcc (seq) decides ties — a put
+        # written after the delete marker survives.  Needs (ts, seq)
+        # pairs, so the probe is an exists() over structs.
+        ver_agg = F.collect_list(
+            F.when(
+                F.col("type") == CellType.DELETE,
+                F.struct(F.col("ts").alias("ts"), F.col("seq").alias("seq")),
+            )
+        ).alias("_dver")
+    else:
+        # default tie-breaking only needs the ts set — array_contains
+        # stays inside whole-stage codegen (exists() lambdas are
+        # interpreted per put cell, a real cost on the hot path).
+        ver_agg = F.collect_set(
+            F.when(F.col("type") == CellType.DELETE, F.col("ts"))
+        ).alias("_dver")
     col_side = (
         dels.filter(F.col("type").isin(CellType.DELETE_COLUMN, CellType.DELETE))
         .groupBy("row", "family", "qualifier")
@@ -170,23 +187,16 @@ def mask_deletes(
             F.max(
                 F.when(F.col("type") == CellType.DELETE_COLUMN, F.col("ts"))
             ).alias("_dcol_ts"),
-            F.collect_list(
-                F.when(
-                    F.col("type") == CellType.DELETE,
-                    F.struct(F.col("ts").alias("ts"), F.col("seq").alias("seq")),
-                )
-            ).alias("_dver"),
+            ver_agg,
         )
     )
     if new_version_behavior:
-        # NewVersionBehaviorTracker: mvcc (seq) decides ties — a put
-        # written after the delete marker survives.
         ver_hit = F.exists(
             F.col("_dver"),
             lambda d: (d["ts"] == F.col("ts")) & (d["seq"] >= F.col("seq")),
         )
     else:
-        ver_hit = F.exists(F.col("_dver"), lambda d: d["ts"] == F.col("ts"))
+        ver_hit = F.array_contains("_dver", F.col("ts"))
     keep = (
         (F.col("_dfam_ts").isNull() | (F.col("ts") > F.col("_dfam_ts")))
         & (F.col("_dfv_ts").isNull() | ~F.array_contains("_dfv_ts", F.col("ts")))
