@@ -30,7 +30,6 @@ def hash_ranges(cells: DataFrame, *, buckets: int = 1024) -> DataFrame:
     Deterministic: xor of per-cell hashes is order-independent, so it
     needs no sort — one map-side-combinable aggregation.
     """
-    cell_hash = F.xxhash64("row", "family", "qualifier", "ts", "type", "value")
     bucket = F.pmod(F.xxhash64("row"), F.lit(buckets))
     return (
         cells.groupBy(bucket.alias("bucket"))
