@@ -1904,6 +1904,32 @@ def q_wal_replay_window(spark, sf):
 
 
 @_q(
+    "filter_list_or_scvf",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE rk IN (SELECT rk FROM cells
+                 WHERE qualifier = 'o_orderstatus' AND value = 'F')
+       OR rk IN (SELECT rk FROM cells
+                 WHERE qualifier = 'o_orderpriority' AND value = '1-URGENT')""",
+)
+def q_filter_list_or_scvf(spark, sf):
+    """MUST_PASS_ONE FilterList of two row-stage SCVFs
+    (filter/FilterListWithOR.java:34): union of per-branch include
+    sets — a row passes when either guard matches."""
+    from hbase_spark.filters import FilterList, SingleColumnValueFilter
+
+    flt = FilterList(
+        "OR",
+        [
+            SingleColumnValueFilter("o", "o_orderstatus", "=", "F"),
+            SingleColumnValueFilter("o", "o_orderpriority", "=", "1-URGENT"),
+        ],
+    )
+    out = scan(_orders_cells(spark, sf), Scan(filter=flt))
+    return _rk(out, "qualifier", "value")
+
+
+@_q(
     "admin_shell_roundtrip",
     f"""WITH cells AS ({_ORDERS_CELLS_SQL})
     SELECT rk, qualifier, value FROM cells

@@ -38,6 +38,13 @@ class Filter:
         """True if this filter does row-stage work in ``post``."""
         return type(self).post is not Filter.post
 
+    def transforms_cells(self) -> bool:
+        """True if ``post`` rewrites cell CONTENT (not just selection) —
+        e.g. KeyOnlyFilter stripping values.  Such filters can't join an
+        OR FilterList: branch-union semantics would mix transformed and
+        untransformed copies of the same cell."""
+        return False
+
     # Python operator sugar mirroring FilterList (filter/FilterList.java:46)
     def __and__(self, other: "Filter") -> "Filter":
         from hbase_spark.filters.filters import FilterList

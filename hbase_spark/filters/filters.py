@@ -386,6 +386,9 @@ class KeyOnlyFilter(Filter):
         )
         return df.withColumn("value", new)
 
+    def transforms_cells(self) -> bool:
+        return True
+
 
 class FirstKeyOnlyFilter(Filter):
     """filter/FirstKeyOnlyFilter.java:37 — only the first cell of each
@@ -474,12 +477,19 @@ class FilterList(Filter):
         self.filters = list(filters)
         if self.op == "OR":
             for f in self.filters:
-                if f.has_row_stage():
+                if f.transforms_cells():
                     raise NotImplementedError(
-                        f"OR FilterList with row-stage child {type(f).__name__}"
+                        f"OR FilterList with cell-transforming child "
+                        f"{type(f).__name__}"
                     )
 
     def cell_pred(self) -> Column | None:
+        if self.op == "OR" and self.has_row_stage():
+            # handled wholly in post(): each branch computes its own
+            # include-set from the unfiltered frame (a cell a branch's
+            # row-stage would admit must not be pre-dropped by another
+            # branch's cell predicate)
+            return None
         preds = [f.cell_pred() for f in self.filters]
         preds = [p for p in preds if p is not None]
         if not preds:
@@ -496,4 +506,21 @@ class FilterList(Filter):
         if self.op == "AND":
             for f in self.filters:
                 df = f.post(df)
-        return df
+            return df
+        if not self.has_row_stage():
+            return df
+        # MUST_PASS_ONE with row-stage children
+        # (filter/FilterListWithOR.java:34): a cell is included if ANY
+        # branch includes it — union of per-branch include-sets, deduped
+        # by cell identity.
+        branches = []
+        for f in self.filters:
+            b = df
+            p = f.cell_pred()
+            if p is not None:
+                b = b.filter(p)
+            branches.append(f.post(b))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out.dropDuplicates(["row", "family", "qualifier", "ts", "seq"])

@@ -356,9 +356,12 @@ def test_filter_list_nested_with_row_stage(region):
     assert rows_of(out) == {"testRowOne-0", "testRowOne-1"}
 
 
-def test_filter_list_or_with_row_stage_raises(region):
-    with pytest.raises(NotImplementedError):
-        FilterList("OR", [PageFilter(1), PrefixFilter("x")])
+def test_filter_list_or_page_branch(region):
+    # OR with a row-stage PageFilter branch: the page branch admits its
+    # first row; the prefix branch admits all rowsTwo
+    f = FilterList("OR", [PageFilter(1), PrefixFilter("testRowTwo")])
+    out = scan_with(region, f)
+    assert rows_of(out) == {"testRowOne-0"} | set(ROWS_TWO)
 
 
 def test_long_comparator(region):
@@ -496,3 +499,44 @@ def test_scvf_matrix_multi_family(region):
         "nums", "missing-q", "=", "x", filter_if_missing=True
     )
     assert rows_of(scan_with(region, f)) == set()
+
+
+def test_filter_list_or_with_row_stage_children(region):
+    # MUST_PASS_ONE of two SCVFs (FilterListWithOR.java:34): a row
+    # passes if either guard matches — union of branch include-sets
+    f = FilterList(
+        "OR",
+        [
+            SingleColumnValueFilter(
+                "testFamilyOne", "testQualifierOne-1", "=", BinaryComparator(V1)
+            ),
+            SingleColumnValueFilter("nums", "n", "=", BinaryComparator("6")),
+        ],
+    )
+    out = scan_with(region, f)
+    assert rows_of(out) == set(ROWS_ONE) | {"testRowTwo-2"}  # nums "6" is row idx 6
+
+
+def test_filter_list_or_mixes_cell_and_row_stage(region):
+    # cell-level branch admits its matching cells; row-stage branch
+    # admits whole passing rows; result is the union
+    f = FilterList(
+        "OR",
+        [
+            ValueFilter("=", BinaryComparator("0")),  # nums cell of first row
+            SingleColumnValueFilter("nums", "n", "=", BinaryComparator("5")),
+        ],
+    )
+    out = scan_with(region, f)
+    rows = rows_of(out)
+    assert rows == {"testRowOne-0", "testRowTwo-1"}
+    # the cell-branch row contributes ONLY its matching cell
+    one = out.filter(F.col("row") == "testRowOne-0").collect()
+    assert {(r.qualifier, r.value) for r in one} == {("n", "0")}
+    # the row-stage branch keeps the whole row
+    assert out.filter(F.col("row") == "testRowTwo-1").count() > 1
+
+
+def test_filter_list_or_rejects_transforming_child(region):
+    with pytest.raises(NotImplementedError):
+        FilterList("OR", [KeyOnlyFilter(), PrefixFilter("x")])
