@@ -540,3 +540,14 @@ def test_filter_list_or_mixes_cell_and_row_stage(region):
 def test_filter_list_or_rejects_transforming_child(region):
     with pytest.raises(NotImplementedError):
         FilterList("OR", [KeyOnlyFilter(), PrefixFilter("x")])
+
+
+def test_parse_or_of_scvf_row_stage(region):
+    # the string language now reaches the OR-of-row-stage path
+    f = parse_filter(
+        "SingleColumnValueFilter('testFamilyOne','testQualifierOne-1',=,"
+        "'binary:testValueOne') OR SingleColumnValueFilter('nums','n',=,"
+        "'binary:6')"
+    )
+    out = scan_with(region, f)
+    assert rows_of(out) == set(ROWS_ONE) | {"testRowTwo-2"}
