@@ -187,5 +187,19 @@ class Table:
         return self.snapshot().select("row").distinct().count()
 
     def compact(self) -> "Table":
-        """Major compaction: materialize the snapshot (SURVEY.md §2.9)."""
-        return Table(self.snapshot(), self.families, self.now)
+        """Major compaction: materialize the snapshot (SURVEY.md §2.9).
+        KEEP_DELETED_CELLS families retain tombstones and masked cells
+        (CompactionScanQueryMatcher.java:95-102) so back-in-time reads
+        survive the rewrite."""
+        from hbase_spark.operators.resolve import compact as compact_op
+
+        v = max([d.max_versions for d in self.families.values()] or [1])
+        rewritten = compact_op(
+            self.cells,
+            versions=v,
+            min_versions=self._min_versions(),
+            ttl_by_family=self._ttl_map(),
+            now=self.now,
+            keep_deleted_cells=self._kdc(),
+        )
+        return Table(rewritten, self.families, self.now)

@@ -104,3 +104,23 @@ def test_visible_filters_cells(spark):
     )
     got = {r.row for r in visible(df, {"public", "audit"}).collect()}
     assert got == {"r1", "r3", "r4"}
+
+
+def test_compact_preserves_kdc_back_in_time(spark):
+    cells = spark.createDataFrame(
+        [
+            ("r1", "f", "q", 10, CellType.PUT, "old", 1),
+            ("r1", "f", "q", 50, CellType.DELETE_COLUMN, None, 2),
+        ],
+        schema=cell_schema(),
+    )
+    fams = {"f": FamilyDescriptor(keep_deleted_cells=True)}
+    t = Table(cells, fams).compact()
+    # tombstone and masked put survive the rewrite...
+    assert t.cells.count() == 2
+    # ...so the back-in-time read still works post-compaction
+    got = {r.value for r in t.snapshot(time_range=(0, 20)).collect()}
+    assert got == {"old"}
+    # without KDC, compaction physically drops both
+    t2 = Table(cells, {"f": FamilyDescriptor()}).compact()
+    assert t2.cells.count() == 0
