@@ -19,7 +19,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from hbase_spark.operators import get as get_ops
 from hbase_spark.operators.resolve import resolve
 from hbase_spark.operators.scan import Scan, scan as scan_op
 
@@ -85,13 +84,25 @@ class Table:
         )
 
     def get(self, row_key, **kw) -> DataFrame:
-        return get_ops.get(self.cells, row_key, **kw)
+        # route through scan() so the per-family schema knobs (TTL,
+        # NVB, MIN_VERSIONS, KEEP_DELETED_CELLS) apply to point reads
+        # exactly as they do to scans (a Get IS a one-row Scan —
+        # client/Get.java:65)
+        return self.scan(
+            Scan(start_row=row_key, stop_row=row_key, stop_inclusive=True, **kw)
+        )
 
     def multi_get(self, row_keys: list, **kw) -> DataFrame:
-        return get_ops.multi_get(self.cells, row_keys, **kw)
+        from pyspark.sql import functions as F
+
+        keys = self.cells.sparkSession.createDataFrame(
+            [(k,) for k in row_keys], ["row"]
+        )
+        narrowed = self.cells.join(F.broadcast(keys), "row", "left_semi")
+        return Table(narrowed, self.families, self.now).scan(Scan(**kw))
 
     def exists(self, row_key) -> bool:
-        return get_ops.exists(self.cells, row_key)
+        return self.get(row_key).select("row").limit(1).count() > 0
 
     # -- writes (batch merges; see operators/mutations.py) --------------------
 

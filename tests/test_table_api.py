@@ -124,3 +124,21 @@ def test_compact_preserves_kdc_back_in_time(spark):
     # without KDC, compaction physically drops both
     t2 = Table(cells, {"f": FamilyDescriptor()}).compact()
     assert t2.cells.count() == 0
+
+
+def test_get_applies_family_knobs(spark):
+    # a Get is a one-row Scan: TTL and max_versions from the descriptor
+    # must mask expired/old versions in point reads too
+    cells = spark.createDataFrame(
+        [
+            ("r1", "f", "q", 1_000, CellType.PUT, "stale", 1),
+            ("r1", "f", "q", 9_000, CellType.PUT, "fresh", 2),
+        ],
+        schema=cell_schema(),
+    )
+    t = Table(cells, {"f": FamilyDescriptor(ttl_ms=5_000)}, now=10_000)
+    got = {r.value for r in t.get("r1").collect()}
+    assert got == {"fresh"}
+    got2 = {r.value for r in t.multi_get(["r1", "rX"]).collect()}
+    assert got2 == {"fresh"}
+    assert t.exists("r1") and not t.exists("rX")
