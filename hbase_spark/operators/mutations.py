@@ -113,6 +113,7 @@ def apply_increments(
     ts: int,
     seq: int,
     versions: int = 1,
+    resolve_kw: dict | None = None,
 ) -> DataFrame:
     """client/Increment.java:53 — atomic read-modify-write:
     new = coalesce(current, 0) + sum(deltas per column).
@@ -132,7 +133,7 @@ def apply_increments(
     touched = summed.select("row", "family").distinct()
     sliced = cells.join(touched, ["row", "family"], "left_semi")
     current = (
-        resolve(sliced, versions=1)
+        resolve(sliced, versions=1, **(resolve_kw or {}))
         .join(summed.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
         .select("row", "family", "qualifier", F.col("value").cast("long").alias("_old"))
     )
@@ -153,7 +154,14 @@ def apply_increments(
     return apply_mutations(cells, new_cells)
 
 
-def apply_appends(cells: DataFrame, appends: DataFrame, *, ts: int, seq: int) -> DataFrame:
+def apply_appends(
+    cells: DataFrame,
+    appends: DataFrame,
+    *,
+    ts: int,
+    seq: int,
+    resolve_kw: dict | None = None,
+) -> DataFrame:
     """client/Append.java:51 — atomic concat to the existing value.
 
     ``appends`` columns: row, family, qualifier, delta (string), seq
@@ -172,7 +180,7 @@ def apply_appends(cells: DataFrame, appends: DataFrame, *, ts: int, seq: int) ->
     touched = batch.select("row", "family").distinct()
     sliced = cells.join(touched, ["row", "family"], "left_semi")
     current = (
-        resolve(sliced, versions=1)
+        resolve(sliced, versions=1, **(resolve_kw or {}))
         .join(batch.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
         .select("row", "family", "qualifier", F.col("value").alias("_old"))
     )
@@ -199,6 +207,7 @@ def apply_check_and_mutate(
     value=None,
     filter=None,
     time_range: tuple | None = None,
+    resolve_kw: dict | None = None,
 ) -> DataFrame:
     """client/CheckAndMutate.java:58 — per-row conditional batch.
 
@@ -221,7 +230,10 @@ def apply_check_and_mutate(
     # (HRegion.checkAndMutateInternal likewise scans just the guarded row).
     mut_rows = mutations.select("row").distinct()
     snap = resolve(
-        cells.join(mut_rows, "row", "left_semi"), versions=1, time_range=time_range
+        cells.join(mut_rows, "row", "left_semi"),
+        versions=1,
+        time_range=time_range,
+        **(resolve_kw or {}),
     )
     if filter is not None:
         assert isinstance(filter, _Filter)

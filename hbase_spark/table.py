@@ -138,6 +138,17 @@ class Table:
             )
         )
 
+    def _resolve_kw(self) -> dict:
+        """Descriptor knobs for the read half of read-modify-write ops —
+        the reference evaluates Increment/Append/CheckAndMutate guards
+        under the same read rules as any scan."""
+        return {
+            "ttl_by_family": self._ttl_map(),
+            "now": self.now,
+            "new_version_behavior": self._nvb(),
+            "min_versions": self._min_versions(),
+        }
+
     def increment(self, deltas, *, ts: int, seq: int) -> "Table":
         """client/Increment.java:53 — deltas: DataFrame(row, family,
         qualifier, delta) or [(row, family, qualifier, delta)]."""
@@ -145,7 +156,9 @@ class Table:
 
         deltas = self._mutation_frame(deltas, "delta", "long")
         return Table(
-            apply_increments(self.cells, deltas, ts=ts, seq=seq),
+            apply_increments(
+                self.cells, deltas, ts=ts, seq=seq, resolve_kw=self._resolve_kw()
+            ),
             self.families,
             self.now,
         )
@@ -157,7 +170,9 @@ class Table:
 
         appends = self._mutation_frame(appends, "delta", "string", with_seq=True)
         return Table(
-            apply_appends(self.cells, appends, ts=ts, seq=seq),
+            apply_appends(
+                self.cells, appends, ts=ts, seq=seq, resolve_kw=self._resolve_kw()
+            ),
             self.families,
             self.now,
         )
@@ -168,7 +183,9 @@ class Table:
         from hbase_spark.operators.mutations import apply_check_and_mutate
 
         return Table(
-            apply_check_and_mutate(self.cells, mutations, **guard),
+            apply_check_and_mutate(
+                self.cells, mutations, resolve_kw=self._resolve_kw(), **guard
+            ),
             self.families,
             self.now,
         )

@@ -142,3 +142,16 @@ def test_get_applies_family_knobs(spark):
     got2 = {r.value for r in t.multi_get(["r1", "rX"]).collect()}
     assert got2 == {"fresh"}
     assert t.exists("r1") and not t.exists("rX")
+
+
+def test_increment_reads_under_ttl(spark):
+    # the "current value" read of an increment must honor TTL: an
+    # expired base cell counts as absent (delta starts from 0)
+    cells = spark.createDataFrame(
+        [("r1", "f", "cnt", 1_000, CellType.PUT, "100", 1)],
+        schema=cell_schema(),
+    )
+    t = Table(cells, {"f": FamilyDescriptor(ttl_ms=5_000)}, now=10_000)
+    t2 = t.increment([("r1", "f", "cnt", 7)], ts=9_000, seq=2)
+    got = {r.value for r in t2.get("r1").collect()}
+    assert got == {"7"}  # not "107": the expired base was invisible
