@@ -352,6 +352,10 @@ def test_resolve_matches_spec(
     versions=st.sampled_from([1, 2]),
     quals=st.sampled_from([None, ["a"], ["a", "b"]]),
     fams=st.sampled_from([None, ["f1"]]),
+    ttl=st.sampled_from([None, {"f1": 4}]),
+    min_versions=st.sampled_from([0, 1]),
+    kdc=st.booleans(),
+    time_range=st.sampled_from([None, (2, 6)]),
 )
 @settings(
     max_examples=15,
@@ -359,7 +363,7 @@ def test_resolve_matches_spec(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_scan_projection_equals_post_resolve_filter(
-    spark, cells, versions, quals, fams
+    spark, cells, versions, quals, fams, ttl, min_versions, kdc, time_range
 ):
     # Law: scan with a family/qualifier projection == resolve-then-project.
     # scan() projects BEFORE resolution (keeping family-scope tombstones),
@@ -376,15 +380,33 @@ def test_scan_projection_equals_post_resolve_filter(
             c["qualifier"] = None
         full.append(c)
     df = to_df(spark, full)
+    kw = dict(
+        versions=versions,
+        ttl_by_family=ttl,
+        now=8 if ttl else None,
+        min_versions=min_versions,
+        keep_deleted_cells=kdc,
+        time_range=time_range,
+    )
     got = {
         (r.row, r.family, r.qualifier, r.ts, r.value)
         for r in scan_op(
-            df, Scan(families=fams, qualifiers=quals, versions=versions)
+            df,
+            Scan(
+                families=fams,
+                qualifiers=quals,
+                versions=versions,
+                time_range=time_range,
+            ),
+            ttl_by_family=ttl,
+            now=8 if ttl else None,
+            min_versions=min_versions,
+            keep_deleted_cells=kdc,
         ).collect()
     }
     expected = {
         (c["row"], c["family"], c["qualifier"], c["ts"], c["value"])
-        for c in resolve_spec(full, versions=versions)
+        for c in resolve_spec(full, **kw)
         if (fams is None or c["family"] in fams)
         and (quals is None or c["qualifier"] in quals)
     }
