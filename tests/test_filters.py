@@ -551,3 +551,39 @@ def test_parse_or_of_scvf_row_stage(region):
     )
     out = scan_with(region, f)
     assert rows_of(out) == set(ROWS_ONE) | {"testRowTwo-2"}
+
+
+def test_nested_filter_list_and_of_or(region):
+    # (prefix OR prefix) AND qualifier< — nested lists compose
+    inner = FilterList(
+        "OR", [PrefixFilter("testRowOne-1"), PrefixFilter("testRowTwo-2")]
+    )
+    outer = FilterList(
+        "AND",
+        [inner, QualifierFilter("<", BinaryComparator("testQualifierOne-1"))],
+    )
+    out = scan_with(region, outer)
+    got = rqv(out.filter(F.col("family") == "testFamilyOne"))
+    assert got == {
+        ("testRowOne-1", "testQualifierOne-0", V1 + "@2"),
+        ("testRowTwo-2", "testQualifierOne-0", V2),
+    }
+
+
+def test_skip_wrapping_filter_list(region):
+    # SKIP (value != "0") drops every row containing a "0" cell —
+    # i.e. only testRowOne-0's nums cell is "0", dropping that row
+    f = SkipFilter(
+        FilterList("AND", [ValueFilter("!=", BinaryComparator("0"))])
+    )
+    out = scan_with(region, f)
+    assert rows_of(out) == set(ROWS_ONE[1:] + ROWS_TWO)
+
+
+def test_while_match_with_list(region):
+    # WHILE row < testRowTwo-0: take-while over the AND list
+    f = WhileMatchFilter(
+        FilterList("AND", [RowFilter("<", BinaryComparator("testRowTwo-0"))])
+    )
+    out = scan_with(region, f)
+    assert rows_of(out) == set(ROWS_ONE)
