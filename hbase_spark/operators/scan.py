@@ -45,7 +45,8 @@ class Scan:
     raw: bool = False                        # setRaw,       Scan.java:848
     reversed: bool = False                   # setReversed,  Scan.java:692
     limit: int | None = None                 # setLimit,     Scan.java:958
-    filter: Filter | Column | None = None    # setFilter,    Scan.java:556
+    filter: Filter | Column | str | None = None  # setFilter, Scan.java:556
+    #   (str = ParseFilter language, parsed at scan time)
     as_of: int | None = None                 # mvccReadPoint analog, Scan.java:997
     max_results_per_family: int | None = None   # Scan.java:514
     row_offset_per_family: int = 0              # Scan.java:523

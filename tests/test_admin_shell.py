@@ -75,3 +75,19 @@ def test_list_tables(catalog):
     catalog.create_table("a1", ["f"])
     catalog.create_table("a2", ["f"])
     assert catalog.list_tables() == ["a1", "a2"]
+
+
+def test_shell_scan_raw_and_timerange(catalog):
+    catalog.create_table("t6", ["f"])
+    t = catalog.table("t6")
+    t = shell_put(t, "r", "f:q", "v1", ts=10, seq=1)
+    t = shell_put(t, "r", "f:q", "v2", ts=20, seq=2)
+    t = shell_delete(t, "r", "f:q", ts=30, seq=3)
+    # RAW exposes tombstone + both versions
+    raw = shell_scan(t, RAW=True)
+    assert raw.count() == 3
+    # TIMERANGE before the delete still masked (marker outside range
+    # masks under default KEEP_DELETED_CELLS=FALSE)
+    assert shell_scan(t, TIMERANGE=(0, 25)).count() == 0
+    # VERSIONS over raw-visible history
+    assert shell_scan(t, RAW=True, VERSIONS=2).count() == 3
