@@ -54,10 +54,14 @@ def salted_range_pred(start: str | None, stop: str | None, buckets: int) -> Colu
     preds = []
     for b in range(buckets):
         prefix = str(b).zfill(_WIDTH)
-        pred = F.lit(True)
-        if start is not None:
-            pred = pred & (F.col("row") >= F.lit(prefix + start))
+        # Lower bound is always at least the bucket prefix itself — without
+        # it an open-start scan would admit every row of every lower bucket
+        # (their keys sort below ``prefix + stop`` regardless of unsalted key).
+        lo = prefix + start if start is not None else prefix
+        pred = F.col("row") >= F.lit(lo)
         if stop is not None:
+            # prefix+stop also upper-bounds the bucket: any higher bucket's
+            # keys compare greater on the prefix digits alone.
             pred = pred & (F.col("row") < F.lit(prefix + stop))
         else:
             pred = pred & F.col("row").startswith(prefix)

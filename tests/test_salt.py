@@ -39,6 +39,39 @@ def test_salted_range_scan_matches_unsalted(spark):
     assert got == want
 
 
+def test_salted_open_start_scan(spark):
+    """Open-start scan (start=None, stop set) must respect the unsalted
+    stop in EVERY bucket — regression for the missing bucket-prefix guard."""
+    c = cells(spark)
+    salted = salt_cells(c, 8)
+    got = {
+        r.row[2:]
+        for r in salted.filter(salted_range_pred(None, "000020", 8)).collect()
+    }
+    want = {r.row for r in c.filter(F.col("row") < "000020").collect()}
+    assert got == want
+    assert len(got) == 20
+
+
+def test_salted_open_stop_scan(spark):
+    c = cells(spark)
+    salted = salt_cells(c, 8)
+    got = {
+        r.row[2:]
+        for r in salted.filter(salted_range_pred("000030", None, 8)).collect()
+    }
+    want = {r.row for r in c.filter(F.col("row") >= "000030").collect()}
+    assert got == want
+    assert len(got) == 10
+
+
+def test_salted_full_scan(spark):
+    c = cells(spark)
+    salted = salt_cells(c, 8)
+    got = {r.row[2:] for r in salted.filter(salted_range_pred(None, None, 8)).collect()}
+    assert got == {r.row for r in c.collect()}
+
+
 def test_salted_point_read_single_bucket(spark):
     c = cells(spark)
     salted = salt_cells(c, 8)
