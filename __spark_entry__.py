@@ -681,16 +681,20 @@ def q_filter_parse_combined(spark, sf):
     return _rk(scan(_orders_cells(spark, sf), Scan(filter=flt)), "qualifier", "value")
 
 
+@_q(
+    "filter_random_row",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
+    SELECT rk, qualifier, value FROM cells
+    WHERE CAST(('0x' || substr(md5(rk || '42'), 1, 8)) AS BIGINT) % 1000000
+          < 100000""",
+)
 def q_filter_random_row(spark, sf):
     """Deterministic seeded row sampling (RandomRowFilter analog) —
-    engine-internal hash, no portable SQL form (rows-only check)."""
+    first 32 bits of md5(row || seed), portable to the SQL oracle."""
     from hbase_spark.filters import RandomRowFilter
 
     out = scan(_orders_cells(spark, sf), Scan(filter=RandomRowFilter(0.1, seed=42)))
     return _rk(out, "qualifier", "value")
-
-
-_QUERIES["filter_random_row"] = q_filter_random_row
 
 
 # mutations (SURVEY §2.4)
@@ -890,53 +894,80 @@ def q_copy_table_rename(spark, sf):
 @_q(
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-           sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-           sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
-           sum(cast(l_extendedprice as decimal(18,2))
-               * (1 - cast(l_discount as decimal(18,2)))) AS sum_disc_price,
-           round(cast(sum(cast(l_quantity as decimal(18,2))) as double)
-                 / count(*), 4) AS avg_qty,
-           round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
-                 / count(*), 4) AS avg_price,
+           cast(cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2))
+                as varchar) AS sum_qty,
+           cast(cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(18,2))
+                as varchar) AS sum_base_price,
+           cast(cast(sum(cast(l_extendedprice as decimal(18,2))
+               * (1 - cast(l_discount as decimal(18,2)))) as decimal(18,4))
+                as varchar) AS sum_disc_price,
+           cast(cast(round(cast(sum(cast(l_quantity as decimal(18,2))) as double)
+                 / count(*), 4) as decimal(18,4)) as varchar) AS avg_qty,
+           cast(cast(round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+                 / count(*), 4) as decimal(18,4)) as varchar) AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus""",
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus""",
 )
 def q_q1(spark, sf):
-    """TPC-H Q1-style pricing summary (the flagship frame-layer query)."""
+    """TPC-H Q1-style pricing summary (the flagship frame-layer query).
+
+    Numeric outputs are rendered through fixed-scale decimals to strings
+    so the Spark and DuckDB result types (and any type-sensitive driver
+    hash) match exactly; the group keys give a deterministic order.
+    """
     li = load_table(spark, sf, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
+
+    def _s(c, scale):
+        return c.cast(f"decimal(18,{scale})").cast("string")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (1 - disc)).alias("sum_disc_price"),
-            F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
+            _s(F.sum(qty), 2).alias("sum_qty"),
+            _s(F.sum(price), 2).alias("sum_base_price"),
+            _s(F.sum(price * (1 - disc)), 4).alias("sum_disc_price"),
+            _s(F.round(F.sum(qty).cast("double") / F.count("*"), 4), 4).alias(
+                "avg_qty"
+            ),
+            _s(F.round(F.sum(price).cast("double") / F.count("*"), 4), 4).alias(
+                "avg_price"
+            ),
             F.count("*").alias("count_order"),
         )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 @_q(
     "q3_top_revenue",
     """SELECT l_orderkey,
-              sum(cast(l_extendedprice as decimal(18,2))
-                  * (1 - cast(l_discount as decimal(18,2)))) AS revenue,
+              cast(cast(sum(cast(l_extendedprice as decimal(18,2))
+                  * (1 - cast(l_discount as decimal(18,2)))) as decimal(18,4))
+                  as varchar) AS revenue,
               strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    ORDER BY sum(cast(l_extendedprice as decimal(18,2))
+                 * (1 - cast(l_discount as decimal(18,2)))) DESC, l_orderkey
+    LIMIT 10""",
 )
 def q_q3(spark, sf):
-    """TPC-H Q3-style join + top-k; dimension side broadcast."""
+    """TPC-H Q3-style join + top-k; small dimension naturally broadcast.
+
+    No forced ``F.broadcast`` on customer — it is fact-scale at real SF
+    (AQE still picks a broadcast join at test scale on its own).
+    Revenue is rendered through a fixed-scale decimal to string for a
+    type-exact oracle match.
+    """
     c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -945,16 +976,16 @@ def q_q3(spark, sf):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("l_orderkey"))
+        .limit(10)
         .select(
             "l_orderkey",
-            "revenue",
+            F.col("rev").cast("decimal(18,4)").cast("string").alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
     )
 
 
@@ -973,7 +1004,12 @@ def q_q3(spark, sf):
     GROUP BY n_name""",
 )
 def q_q5(spark, sf):
-    """TPC-H Q5-style star join: all dimensions broadcast."""
+    """TPC-H Q5-style star join.
+
+    Only the bounded dimensions (nation: 25 rows, region: 5 rows) get a
+    broadcast hint; customer and supplier are fact-scale at real SF, so
+    the join strategy for them is left to Catalyst/AQE.
+    """
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -985,8 +1021,8 @@ def q_q5(spark, sf):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -998,14 +1034,19 @@ def q_q5(spark, sf):
     "top_orders_per_customer",
     """WITH ranked AS (
         SELECT o_custkey, o_orderkey,
-               cast(o_totalprice as decimal(18,2)) AS totalprice,
+               cast(cast(o_totalprice as decimal(18,2)) as varchar) AS totalprice,
                row_number() OVER (PARTITION BY o_custkey
                    ORDER BY cast(o_totalprice as decimal(18,2)) DESC, o_orderkey) AS rn
         FROM orders)
-    SELECT o_custkey, o_orderkey, totalprice, rn FROM ranked WHERE rn <= 2""",
+    SELECT o_custkey, o_orderkey, totalprice, rn FROM ranked WHERE rn <= 2
+    ORDER BY o_custkey, rn""",
 )
 def q_topk_per_group(spark, sf):
-    """Top-k per group via window (no reference analog — Spark-native)."""
+    """Top-k per group via window (no reference analog — Spark-native).
+
+    ``rn`` is cast to bigint (Spark row_number is int32, DuckDB's is
+    int64) and totalprice rendered fixed-scale for a type-exact match.
+    """
     from pyspark.sql import Window
 
     o = load_table(spark, sf, "orders")
@@ -1015,10 +1056,11 @@ def q_topk_per_group(spark, sf):
         o.select(
             "o_custkey",
             "o_orderkey",
-            tp.alias("totalprice"),
-            F.row_number().over(w).alias("rn"),
+            tp.cast("string").alias("totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
     )
 
 
@@ -1026,12 +1068,16 @@ def q_topk_per_group(spark, sf):
     "events_daily_rollup",
     """SELECT event_type, epoch_ms(ts) // 86400000 AS day_bucket,
               count(*) AS n,
-              sum(cast(value as decimal(18,4))) AS total
-    FROM events GROUP BY event_type, day_bucket""",
+              cast(cast(sum(cast(value as decimal(18,4))) as decimal(18,4))
+                   as varchar) AS total
+    FROM events GROUP BY event_type, day_bucket
+    ORDER BY event_type, day_bucket""",
 )
 def q_events_rollup(spark, sf):
     """Tumbling daily rollup on the event stream table (the batch view
-    of the streaming windowed aggregation)."""
+    of the streaming windowed aggregation).  Total rendered fixed-scale
+    (Spark sums decimal(18,4) to (28,4), DuckDB to (38,4) — a string
+    makes both engines' output types identical)."""
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(
@@ -1040,8 +1086,12 @@ def q_events_rollup(spark, sf):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .cast("string")
+            .alias("total"),
         )
+        .orderBy("event_type", "day_bucket")
     )
 
 
@@ -1090,8 +1140,8 @@ def q_doc_token_stats(spark, sf):
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        F.size(_TOKS_SPARK(F.col("text"))).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        F.size(_TOKS_SPARK(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
     )
 
 
@@ -1738,7 +1788,7 @@ def q_row_mutations_batch(spark, sf):
     t AS (SELECT try_cast(value AS BIGINT) AS v FROM cells
           WHERE qualifier = 'o_custkey'
             AND rk >= lpad('2000', 12, '0') AND rk < lpad('4000', 12, '0'))
-    SELECT max(v) AS max_v, min(v) AS min_v, sum(v) AS sum_v,
+    SELECT max(v) AS max_v, min(v) AS min_v, cast(sum(v) as bigint) AS sum_v,
            count(v) AS count_v
     FROM t""",
 )
@@ -2029,7 +2079,7 @@ def q_training_corpus_pipeline(spark, sf):
         english.groupBy(_NORM_SPARK(F.col("text")).alias("_k"))
         .agg(
             F.min("doc_id").alias("doc_id"),
-            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
         )
         .select("doc_id", "n_tokens")
     )

@@ -409,14 +409,23 @@ class RandomRowFilter(Filter):
     """filter/RandomRowFilter.java:34 — include each row with
     probability p.  The reference draws java.util.Random per row
     (non-reproducible); we hash the row key with a seed so the sample
-    is deterministic and consistent across every cell of a row."""
+    is deterministic and consistent across every cell of a row.
+
+    The bucket hash is the first 32 bits of md5(row || seed) — chosen
+    over xxhash64 because md5 is portable to any SQL oracle (DuckDB:
+    ``CAST('0x' || substr(md5(rk || seed), 1, 8) AS BIGINT)``), so the
+    sample is verifiable engine-to-engine.  Still fully JVM-side."""
 
     def __init__(self, chance: float, seed: int = 42):
         self.chance, self.seed = chance, seed
 
     def cell_pred(self) -> Column:
-        bucket = F.pmod(F.hash(F.col("row"), F.lit(self.seed)), F.lit(1_000_000))
-        return bucket < int(self.chance * 1_000_000)
+        h32 = F.conv(
+            F.substring(F.md5(F.concat(F.col("row"), F.lit(str(self.seed)))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h32, F.lit(1_000_000)) < int(self.chance * 1_000_000)
 
 
 class SkipFilter(Filter):

@@ -30,6 +30,47 @@ def _norm_value(v) -> str:
     return str(v)
 
 
+_DUCK_TYPE_NORM = {
+    "VARCHAR": "string",
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "BLOB": "binary",
+    "HUGEINT": "decimal(38,0)",
+}
+
+
+def _norm_duck_type(t: str) -> str:
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return _DUCK_TYPE_NORM.get(t, t.lower())
+
+
+def _type_mismatches(
+    spark_dtypes: list[tuple[str, str]], duck_types: dict[str, str]
+) -> list[str]:
+    """Exact output-type comparison — the driver's value hash has proven
+    sensitive to int width and decimal precision, so name-identical
+    columns must also be type-identical between the two engines."""
+    out = []
+    for name, st in spark_dtypes:
+        dt = duck_types.get(name)
+        if dt is None:
+            continue
+        if st.replace(" ", "") != _norm_duck_type(dt):
+            out.append(f"{name}: spark={st} duck={dt}")
+    return out
+
+
 def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x1f".join(_norm_value(r[i]) for i in order) for r in rows)
@@ -79,6 +120,15 @@ def main() -> int:
         problems = []
         if sorted(cols) != sorted(ocols):
             problems.append(f"cols spark={sorted(cols)} duck={sorted(ocols)}")
+        else:
+            try:
+                desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+                duck_types = {r[0]: r[1] for r in desc}
+                tm = _type_mismatches(df.dtypes, duck_types)
+                if tm:
+                    problems.append("type mismatch " + "; ".join(tm))
+            except Exception:  # noqa: BLE001  (DESCRIBE can choke on CTEs)
+                pass
         if len(rows) != len(orows):
             problems.append(f"rowcount spark={len(rows)} duck={len(orows)}")
         if not problems:
