@@ -2190,17 +2190,27 @@ def q_write_heavy_increment(spark, sf):
 @_q(
     "ordered_struct_key_scan",
     """SELECT o_custkey AS ck, o_orderkey AS ok FROM orders
-    WHERE o_custkey >= 500 AND o_custkey < 600""",
+    WHERE o_custkey >= 500 AND o_custkey < 600
+    UNION ALL
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+      AND CAST(o_totalprice AS REAL) >= CAST(50000 AS REAL)
+      AND CAST(o_totalprice AS REAL) < CAST(150000 AS REAL)""",
 )
 def q_ordered_struct_key_scan(spark, sf):
     """OrderedBytes/Struct compound row keys (common/types/Struct.java,
-    common/util/OrderedBytes.java:297): a (custkey, orderkey) binary key
-    built with order-preserving codecs; the key-range scan on the
-    encoded bytes returns exactly the tuple range because Spark's
-    unsigned BinaryType comparison matches the HBase row comparator."""
+    common/util/OrderedBytes.java:297): binary keys built with
+    order-preserving codecs; a key-range scan on the encoded bytes
+    returns exactly the tuple range because Spark's unsigned BinaryType
+    comparison matches the HBase row comparator.
+
+    Two key shapes: (long, long) — the classic compound id key — and
+    (string, float32, numeric) exercising the terminated-string,
+    OrderedFloat32 and OrderedNumeric codecs in one struct."""
     from hbase_spark.functions.codecs import py_struct_key, struct_key
 
     o = load_table(spark, sf, "orders")
+
     keyed = o.select(
         F.col("o_custkey").alias("ck"),
         F.col("o_orderkey").alias("ok"),
@@ -2210,9 +2220,26 @@ def q_ordered_struct_key_scan(spark, sf):
     )
     lo = py_struct_key((500, "long"), (-(2**63), "long"))
     hi = py_struct_key((600, "long"), (-(2**63), "long"))
-    return keyed.filter(
+    part1 = keyed.filter(
         (F.col("row") >= F.lit(lo)) & (F.col("row") < F.lit(hi))
     ).select("ck", "ok")
+
+    keyed2 = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        struct_key(
+            (F.col("o_orderpriority"), "string"),
+            (F.col("o_totalprice"), "float"),
+            (F.col("o_custkey"), "numeric"),
+        ).alias("row"),
+    )
+    lo2 = py_struct_key(("2-HIGH", "string"), (50000.0, "float"))
+    hi2 = py_struct_key(("2-HIGH", "string"), (150000.0, "float"))
+    part2 = keyed2.filter(
+        (F.col("row") >= F.lit(lo2)) & (F.col("row") < F.lit(hi2))
+    ).select("ck", "ok")
+
+    return part1.unionByName(part2)
 
 
 # ------------------------------------------------------ visibility labels
@@ -2284,6 +2311,406 @@ def q_multimodal_decode(spark, sf):
 
 _QUERIES["multimodal_decode"] = q_multimodal_decode
 
+
+# ---------------------------------------------------------------------------
+# consolidation: operator-suite queries + registry window ordering
+#
+# The driver's correctness gate evaluates the first 50 registered
+# queries, so every SURVEY §2 operator family must land inside that
+# window.  Families made of many single-operator queries are folded
+# into tagged-union "suite" queries — column ``arm`` names the operator
+# under test, so each row set remains attributable to one operator.
+# The fine-grained callables above stay (pytest + docs use them); only
+# the suites are registered.  Rows-only queries (no SQL-expressible
+# oracle) are registered after position 50.
+# ---------------------------------------------------------------------------
+
+
+def _suite(arms, cols):
+    """Union the arm queries under an ``arm`` tag column."""
+
+    def run(spark, sf):
+        parts = [
+            fn(spark, sf).select(F.lit(tag).alias("arm"), *cols)
+            for tag, fn in arms
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return run
+
+
+def _suite_sql(arms, cols):
+    sel = ", ".join(cols)
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS arm, {sel} FROM ({sql})" for tag, sql in arms
+    )
+
+
+def _register_suite(name, spark_arms, sql_arms, cols):
+    _QUERIES[name] = _suite(spark_arms, cols)
+    _ORACLES[name] = _suite_sql(sql_arms, cols)
+
+
+_RQV = ["rk", "qualifier", "value"]
+_RTV = ["rk", "qualifier", "ts", "value"]
+
+_register_suite(
+    "scan_suite",
+    [("range", q_scan_range), ("reversed_limit", q_scan_reversed_limit)],
+    [("range", _ORACLES["scan_range"]),
+     ("reversed_limit", _ORACLES["scan_reversed_limit"])],
+    _RQV,
+)
+
+
+def _exists_arm(spark, sf):
+    df = q_get_exists(spark, sf)
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("42".zfill(12)).alias("rk"),
+                    F.lit("exists").alias("qualifier"),
+                    F.col("ex_42").cast("string").alias("value"),
+                ),
+                F.struct(
+                    F.lit("43".zfill(12)).alias("rk"),
+                    F.lit("exists").alias("qualifier"),
+                    F.col("ex_43").cast("string").alias("value"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+_EXISTS_ARM_SQL = f"""
+SELECT lpad('42', 12, '0') AS rk, 'exists' AS qualifier,
+       CAST(ex_42 AS VARCHAR) AS value FROM ({_ORACLES["get_exists"]})
+UNION ALL
+SELECT lpad('43', 12, '0'), 'exists', CAST(ex_43 AS VARCHAR)
+FROM ({_ORACLES["get_exists"]})
+"""
+
+_register_suite(
+    "point_read_suite",
+    [("get", q_get_row), ("multi_get", q_multi_get), ("exists", _exists_arm)],
+    [("get", _ORACLES["get_row"]), ("multi_get", _ORACLES["multi_get"]),
+     ("exists", _EXISTS_ARM_SQL)],
+    _RQV,
+)
+
+_register_suite(
+    "family_scoped_scan",
+    [("family_filter", q_filter_family),
+     ("family_pagination", q_scan_family_pagination)],
+    [("family_filter", _ORACLES["filter_family"]),
+     ("family_pagination", _ORACLES["scan_family_pagination"])],
+    ["rk", "family", "qualifier", "value"],
+)
+
+_register_suite(
+    "resolve_read_points",
+    [("timerange", q_resolve_timerange), ("as_of", q_resolve_as_of),
+     ("keep_deleted", q_resolve_keep_deleted_timerange)],
+    [("timerange", _ORACLES["resolve_timerange"]),
+     ("as_of", _ORACLES["resolve_as_of"]),
+     ("keep_deleted", _ORACLES["resolve_keep_deleted_timerange"])],
+    _RTV,
+)
+
+_register_suite(
+    "resolve_version_policies",
+    [("versions2", q_resolve_versions2),
+     ("min_versions_ttl", q_resolve_min_versions_ttl)],
+    [("versions2", _ORACLES["resolve_versions2"]),
+     ("min_versions_ttl", _ORACLES["resolve_min_versions_ttl"])],
+    _RTV,
+)
+
+_register_suite(
+    "resolve_raw_compact",
+    [("raw", q_resolve_raw), ("compact_keep_deleted", q_compact_keep_deleted)],
+    [("raw", _ORACLES["resolve_raw"]),
+     ("compact_keep_deleted", _ORACLES["compact_keep_deleted"])],
+    ["rk", "qualifier", "ts", "type", "seq"],
+)
+
+
+def _dfv_arm(spark, sf):
+    return q_delete_family_version_roundtrip(spark, sf).select(
+        "rk",
+        F.lit("o").alias("family"),
+        F.lit("o_orderpriority").alias("qualifier"),
+        "value",
+    )
+
+
+_register_suite(
+    "delete_family_kinds",
+    [("delete_family", q_delete_family_roundtrip),
+     ("delete_family_version", _dfv_arm)],
+    [("delete_family", _ORACLES["delete_family_roundtrip"]),
+     ("delete_family_version",
+      "SELECT rk, 'o' AS family, 'o_orderpriority' AS qualifier, value "
+      f"FROM ({_ORACLES['delete_family_version_roundtrip']})")],
+    ["rk", "family", "qualifier", "value"],
+)
+
+_register_suite(
+    "filter_row_stage",
+    [("row_compare", q_filter_row_compare), ("prefix", q_filter_prefix),
+     ("multi_row_range", q_filter_multi_row_range),
+     ("fuzzy_row", q_filter_fuzzy_row),
+     ("inclusive_stop", q_filter_inclusive_stop)],
+    [("row_compare", _ORACLES["filter_row_compare"]),
+     ("prefix", _ORACLES["filter_prefix"]),
+     ("multi_row_range", _ORACLES["filter_multi_row_range"]),
+     ("fuzzy_row", _ORACLES["filter_fuzzy_row"]),
+     ("inclusive_stop", _ORACLES["filter_inclusive_stop"])],
+    _RQV,
+)
+
+_register_suite(
+    "filter_column_stage",
+    [("qualifier", q_filter_qualifier), ("column_range", q_filter_column_range),
+     ("column_pagination", q_filter_column_pagination),
+     ("column_prefix", q_filter_column_prefix),
+     ("multi_column_prefix", q_filter_multi_column_prefix),
+     ("column_count_get", q_filter_column_count_get)],
+    [("qualifier", _ORACLES["filter_qualifier"]),
+     ("column_range", _ORACLES["filter_column_range"]),
+     ("column_pagination", _ORACLES["filter_column_pagination"]),
+     ("column_prefix", _ORACLES["filter_column_prefix"]),
+     ("multi_column_prefix", _ORACLES["filter_multi_column_prefix"]),
+     ("column_count_get", _ORACLES["filter_column_count_get"])],
+    _RQV,
+)
+
+_register_suite(
+    "filter_value_stage",
+    [("value_regex", q_filter_value_regex),
+     ("value_substring", q_filter_value_substring),
+     ("scvf", q_filter_scvf), ("scv_exclude", q_filter_scv_exclude),
+     ("column_value", q_filter_column_value),
+     ("binary_prefix_cmp", q_filter_binary_prefix_cmp)],
+    [("value_regex", _ORACLES["filter_value_regex"]),
+     ("value_substring", _ORACLES["filter_value_substring"]),
+     ("scvf", _ORACLES["filter_single_column_value"]),
+     ("scv_exclude", _ORACLES["filter_scv_exclude"]),
+     ("column_value", _ORACLES["filter_column_value"]),
+     ("binary_prefix_cmp", _ORACLES["filter_binary_prefix_cmp"])],
+    _RQV,
+)
+
+_register_suite(
+    "filter_control_projection",
+    [("key_only", q_filter_key_only),
+     ("first_key_only", q_filter_first_key_only), ("skip", q_filter_skip),
+     ("while_match", q_filter_while_match), ("page", q_filter_page)],
+    [("key_only", _ORACLES["filter_key_only"]),
+     ("first_key_only", _ORACLES["filter_first_key_only"]),
+     ("skip", _ORACLES["filter_skip"]),
+     ("while_match", _ORACLES["filter_while_match"]),
+     ("page", _ORACLES["filter_page"])],
+    _RQV,
+)
+
+
+def _null_cmp_arm(spark, sf):
+    return q_filter_null_cmp(spark, sf).select(
+        "rk", "qualifier", F.lit(None).cast("string").alias("value")
+    )
+
+
+_register_suite(
+    "filter_comparators",
+    [("bit", q_filter_bit_cmp), ("bigdecimal", q_filter_bigdecimal_cmp),
+     ("binary_component", q_filter_binary_component_cmp),
+     ("long_in_list", q_filter_list_long_cmp), ("null", _null_cmp_arm)],
+    [("bit", _ORACLES["filter_bit_cmp"]),
+     ("bigdecimal", _ORACLES["filter_bigdecimal_cmp"]),
+     ("binary_component", _ORACLES["filter_binary_component_cmp"]),
+     ("long_in_list", _ORACLES["filter_list_long_cmp"]),
+     ("null",
+      "SELECT rk, qualifier, CAST(NULL AS VARCHAR) AS value "
+      f"FROM ({_ORACLES['filter_null_cmp']})")],
+    _RQV,
+)
+
+_register_suite(
+    "filter_ts_dependent",
+    [("timestamps", q_filter_timestamps),
+     ("dependent_column", q_filter_dependent_column)],
+    [("timestamps", _ORACLES["filter_timestamps"]),
+     ("dependent_column", _ORACLES["filter_dependent_column"])],
+    _RTV,
+)
+
+
+def _row_counter_arm(spark, sf):
+    return q_row_counter(spark, sf).select(
+        F.lit("").alias("family"), F.lit("").alias("qualifier"),
+        F.col("rows_n").alias("n"),
+    )
+
+
+def _cell_counter_arm(spark, sf):
+    return q_cell_counter(spark, sf).select(
+        "family", "qualifier", F.col("cells_n").alias("n")
+    )
+
+
+_register_suite(
+    "counter_suite",
+    [("row_counter", _row_counter_arm), ("cell_counter", _cell_counter_arm)],
+    [("row_counter",
+      "SELECT '' AS family, '' AS qualifier, rows_n AS n "
+      f"FROM ({_ORACLES['row_counter']})"),
+     ("cell_counter",
+      "SELECT family, qualifier, cells_n AS n "
+      f"FROM ({_ORACLES['cell_counter']})")],
+    ["family", "qualifier", "n"],
+)
+
+_register_suite(
+    "sync_table_suite",
+    [("diff", q_sync_table_diff), ("repair", q_sync_repair_roundtrip)],
+    [("diff", _ORACLES["sync_table_diff"]),
+     ("repair", _ORACLES["sync_repair_roundtrip"])],
+    ["rk", "qualifier", "kind"],
+)
+
+
+def _tsv_arm(spark, sf):
+    return q_import_tsv_roundtrip(spark, sf).select(
+        "rk", F.lit("o").alias("family"), "qualifier", "value"
+    )
+
+
+_register_suite(
+    "file_roundtrip_suite",
+    [("import_tsv", _tsv_arm), ("export_import", q_export_import_rename)],
+    [("import_tsv",
+      "SELECT rk, 'o' AS family, qualifier, value "
+      f"FROM ({_ORACLES['import_tsv_roundtrip']})"),
+     ("export_import", _ORACLES["export_import_rename"])],
+    ["rk", "family", "qualifier", "value"],
+)
+
+
+def _fp_arm(spark, sf):
+    return q_doc_fingerprint(spark, sf).select(
+        "doc_id", F.col("fp").alias("value")
+    )
+
+
+def _tok_arm(spark, sf):
+    return q_doc_token_stats(spark, sf).select(
+        "doc_id", F.concat_ws(":", "n_tokens", "n_chars_actual").alias("value")
+    )
+
+
+def _lang_arm(spark, sf):
+    return q_doc_language_id(spark, sf).select(
+        "doc_id", F.col("lang_pred").alias("value")
+    )
+
+
+_register_suite(
+    "doc_text_suite",
+    [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm)],
+    [("fingerprint",
+      f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
+     ("token_stats",
+      "SELECT doc_id, CAST(n_tokens AS VARCHAR) || ':' || "
+      "CAST(n_chars_actual AS VARCHAR) AS value "
+      f"FROM ({_ORACLES['doc_token_stats']})"),
+     ("lang_id",
+      f"SELECT doc_id, lang_pred AS value FROM ({_ORACLES['doc_language_id']})")],
+    ["doc_id", "value"],
+)
+
+# The driver-checked window: exactly 50 queries, ≥1 per SURVEY §2
+# operator family (comparators, sources/sinks, streaming, backup,
+# visibility and embeddings included).  Order is the registration order
+# the driver sees.
+_WINDOW = [
+    "scan_suite",
+    "point_read_suite",
+    "scan_qualifier_projection",
+    "family_scoped_scan",
+    "resolve_latest",
+    "resolve_read_points",
+    "resolve_version_policies",
+    "resolve_raw_compact",
+    "bulk_delete_scan",
+    "delete_family_kinds",
+    "increment_merge",
+    "append_merge",
+    "check_and_put",
+    "row_mutations_batch",
+    "filter_row_stage",
+    "filter_column_stage",
+    "filter_value_stage",
+    "filter_control_projection",
+    "filter_comparators",
+    "filter_list_or_scvf",
+    "filter_parse_combined",
+    "filter_random_row",
+    "filter_ts_dependent",
+    "agg_endpoint",
+    "agg_endpoint_range",
+    "counter_suite",
+    "sync_table_suite",
+    "verify_replication",
+    "copy_table_rename",
+    "file_roundtrip_suite",
+    "bulk_load_pruned_scan",
+    "wal_replay_window",
+    "admin_shell_roundtrip",
+    "multi_table_union_scan",
+    "stream_replication_merge",
+    "backup_restore_pit",
+    "write_heavy_increment",
+    "ordered_struct_key_scan",
+    "visibility_scan",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_nation_revenue",
+    "top_orders_per_customer",
+    "events_daily_rollup",
+    "doc_exact_dedup",
+    "doc_text_suite",
+    "doc_ngram_jaccard",
+    "embedding_cosine_topk",
+    "embedding_near_dups",
+    "training_corpus_pipeline",
+]
+
+# After the window: extra variants and rows-only queries (no portable
+# oracle — MinHash/SimHash/LSH internals are hash-seeded; multimodal is
+# a plumbing check).
+_TAIL = [
+    "pivot_wide_orders",
+    "embedding_cosine_topk_pandas",
+    "doc_quality",
+    "doc_minhash_dedup",
+    "doc_simhash_near_dups",
+    "embedding_ivf_topk",
+    "embedding_ann_topk",
+    "multimodal_decode",
+]
+
+assert len(_WINDOW) == 50, f"window must be exactly 50, got {len(_WINDOW)}"
+assert not (missing := [n for n in _WINDOW + _TAIL if n not in _QUERIES]), missing
+assert all(n in _ORACLES for n in _WINDOW), [
+    n for n in _WINDOW if n not in _ORACLES
+]
+_QUERIES = {n: _QUERIES[n] for n in _WINDOW + _TAIL}
+_ORACLES = {n: _ORACLES[n] for n in _WINDOW + _TAIL if n in _ORACLES}
 
 # ---------------------------------------------------------------------------
 # driver contract

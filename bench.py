@@ -48,7 +48,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10).count()  # JVM warmup
 
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+    # Fine-grained operators folded into suite queries keep their own
+    # bench entry (same names as the round-1 anchor in BASELINE.md).
+    queries.setdefault("scan_range", entrymod.q_scan_range)
+    queries.setdefault("filter_single_column_value", entrymod.q_filter_scvf)
+    queries.setdefault("multi_get", entrymod.q_multi_get)
+    queries.setdefault("doc_language_id", entrymod.q_doc_language_id)
     # Warmup pass at the smallest SF: Janino codegen + JIT dominate cold
     # runs of these plans (measured: warm resolve_latest is ~4x faster at
     # sf0.1); warming on sf0.001 data makes the timed pass measure data

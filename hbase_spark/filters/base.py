@@ -45,6 +45,13 @@ class Filter:
         untransformed copies of the same cell."""
         return False
 
+    def set_reversed(self, reversed: bool) -> None:
+        """Scan direction hint — ``scan()`` calls this before the row
+        stage so direction-sensitive filters (WhileMatchFilter's
+        take-while boundary) orient correctly on reversed scans.
+        Wrapper filters override to propagate to children."""
+        self._scan_reversed = reversed
+
     # Python operator sugar mirroring FilterList (filter/FilterList.java:46)
     def __and__(self, other: "Filter") -> "Filter":
         from hbase_spark.filters.filters import FilterList

@@ -176,10 +176,12 @@ class DependentColumnFilter(Filter):
         )
         if self.comparator is not None:
             ref = ref.filter(self.comparator.matches(F.col("value"), self.op))
+        # One (row, ts) pair per reference-column cell: grows with the
+        # table, so no broadcast hint — AQE picks broadcast only when the
+        # build side is actually small (a forced broadcast of an
+        # unbounded frame OOMs at scale).
         ts_set = ref.select("row", "ts").distinct()
-        out = df.join(F.broadcast(ts_set), ["row", "ts"], "left_semi").select(
-            *df.columns
-        )
+        out = df.join(ts_set, ["row", "ts"], "left_semi").select(*df.columns)
         if self.drop:
             out = out.filter(
                 ~(
@@ -457,12 +459,21 @@ class WhileMatchFilter(Filter):
         self.inner_pred = pred
 
     def post(self, df: DataFrame) -> DataFrame:
-        first_bad = df.filter(~self.inner_pred).agg(
-            F.min("row").alias("_stop_row")
+        # On a reversed scan the take-while proceeds from the HIGHEST
+        # key downward, so the boundary is max(row) and we keep the
+        # rows above it (WhileMatchFilter wraps the scan direction in
+        # the reference too — the matcher just sees iteration order).
+        rev = getattr(self, "_scan_reversed", False)
+        agg = F.max("row") if rev else F.min("row")
+        first_bad = df.filter(~self.inner_pred).agg(agg.alias("_stop_row"))
+        keep = (
+            (F.col("row") > F.col("_stop_row"))
+            if rev
+            else (F.col("row") < F.col("_stop_row"))
         )
         return (
             df.join(F.broadcast(first_bad))
-            .filter(F.col("_stop_row").isNull() | (F.col("row") < F.col("_stop_row")))
+            .filter(F.col("_stop_row").isNull() | keep)
             .drop("_stop_row")
         )
 
@@ -511,6 +522,11 @@ class FilterList(Filter):
     def has_row_stage(self) -> bool:
         return any(f.has_row_stage() for f in self.filters)
 
+    def set_reversed(self, reversed: bool) -> None:
+        super().set_reversed(reversed)
+        for f in self.filters:
+            f.set_reversed(reversed)
+
     def post(self, df: DataFrame) -> DataFrame:
         if self.op == "AND":
             for f in self.filters:
@@ -522,6 +538,16 @@ class FilterList(Filter):
         # (filter/FilterListWithOR.java:34): a cell is included if ANY
         # branch includes it — union of per-branch include-sets, deduped
         # by cell identity.
+        #
+        # KNOWN ORDERING DIVERGENCE: because cell_pred() returns None in
+        # this mode, scan() runs cap_versions on the UNFILTERED frame and
+        # the branch cell predicates apply here, after version counting.
+        # The reference matcher runs cell filters before version
+        # counting, so with versions=1 an older matching version that
+        # should fill the slot is lost when the newest version fails the
+        # predicate.  Affects only OR-lists that mix row-stage children
+        # with cell predicates AND versions < all-versions; the pure
+        # cell path (no row-stage children) keeps exact matcher order.
         branches = []
         for f in self.filters:
             b = df

@@ -131,18 +131,221 @@ def py_ordered_from_string(s: str) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Raw* fixed-width codecs (common/types/RawByte/RawShort/RawInteger/
+# RawFloat/RawDouble/RawString/RawBytes) — Bytes-layer, byte-compatible,
+# NOT order-preserving for signed numerics.
+# ---------------------------------------------------------------------------
+
+
+def _fixed_be(col: Column, nbytes: int) -> Column:
+    """N-byte big-endian of the low N bytes of a long."""
+    mask = (1 << (8 * nbytes)) - 1
+    return F.unhex(
+        F.lpad(F.hex(col.cast("long").bitwiseAND(F.lit(mask))), 2 * nbytes, "0")
+    )
+
+
+def bytes_from_int(col: Column) -> Column:
+    """Bytes.toBytes(int): 4-byte big-endian two's complement."""
+    return _fixed_be(col, 4)
+
+
+def bytes_from_short(col: Column) -> Column:
+    return _fixed_be(col, 2)
+
+
+def bytes_from_byte(col: Column) -> Column:
+    return _fixed_be(col, 1)
+
+
+def bytes_from_float(col: Column) -> Column:
+    """Bytes.toBytes(float): IEEE-754 single bits, big-endian."""
+    bits = F.reflect(
+        F.lit("java.lang.Float"), F.lit("floatToRawIntBits"), col.cast("float")
+    ).cast("long")
+    return _fixed_be(bits, 4)
+
+
+def bytes_from_double(col: Column) -> Column:
+    """Bytes.toBytes(double): IEEE-754 double bits, big-endian."""
+    bits = F.reflect(
+        F.lit("java.lang.Double"), F.lit("doubleToRawLongBits"), col.cast("double")
+    ).cast("long")
+    return F.unhex(F.lpad(F.hex(bits), 16, "0"))
+
+
+def py_bytes_from_int(v: int) -> bytes:
+    return _struct.pack(">i", v)
+
+
+def py_bytes_from_short(v: int) -> bytes:
+    return _struct.pack(">h", v)
+
+
+def py_bytes_from_byte(v: int) -> bytes:
+    return _struct.pack(">b", v)
+
+
+def py_bytes_from_float(v: float) -> bytes:
+    return _struct.pack(">f", v)
+
+
+def py_bytes_from_double(v: float) -> bytes:
+    return _struct.pack(">d", v)
+
+
+# ---------------------------------------------------------------------------
+# OrderedBytes fixed-width numerics (common/types/OrderedInt8/16/32,
+# OrderedFloat32): sign-bias the top bit of the N-byte big-endian form
+# so unsigned byte order == signed numeric order.
+# ---------------------------------------------------------------------------
+
+
+def _ordered_int(col: Column, nbytes: int) -> Column:
+    bias = 1 << (8 * nbytes - 1)
+    return _fixed_be(col.cast("long") + F.lit(bias), nbytes)
+
+
+def ordered_from_int(col: Column) -> Column:
+    """OrderedInt32 (common/types/OrderedInt32.java)."""
+    return _ordered_int(col, 4)
+
+
+def ordered_from_short(col: Column) -> Column:
+    """OrderedInt16."""
+    return _ordered_int(col, 2)
+
+
+def ordered_from_byte(col: Column) -> Column:
+    """OrderedInt8."""
+    return _ordered_int(col, 1)
+
+
+def ordered_from_float(col: Column) -> Column:
+    """OrderedFloat32 (OrderedBytes.encodeFloat32): single-precision
+    bits with the sign-dependent flip of the float64 variant."""
+    bits = F.reflect(
+        F.lit("java.lang.Float"), F.lit("floatToRawIntBits"), col.cast("float")
+    ).cast("long")
+    flipped = (
+        F.when(bits < 0, bits.bitwiseXOR(F.lit(-1)))
+        .otherwise(bits.bitwiseXOR(F.lit(0x80000000)))
+    )
+    return _fixed_be(flipped, 4)
+
+
+def py_ordered_from_int(v: int, nbytes: int = 4) -> bytes:
+    bias = 1 << (8 * nbytes - 1)
+    return (v + bias).to_bytes(nbytes, "big")
+
+
+def py_ordered_from_short(v: int) -> bytes:
+    return py_ordered_from_int(v, 2)
+
+
+def py_ordered_from_byte(v: int) -> bytes:
+    return py_ordered_from_int(v, 1)
+
+
+def py_ordered_from_float(v: float) -> bytes:
+    bits = _struct.unpack(">i", _struct.pack(">f", v))[0]
+    flipped = (bits ^ -1) if bits < 0 else (bits ^ 0x80000000)
+    return _struct.pack(">I", flipped & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# OrderedNumeric — arbitrary-precision decimal (common/types/
+# OrderedNumeric.java / OrderedBytes.encodeNumeric).  The reference
+# encodes (sign, exponent, base-100 significand) for a fully unbounded
+# range; here we encode a fixed-point bias — lexicographic ASCII digits
+# of (value + 5e19) at scale 18, zero-padded — which is order-preserving
+# over ±5e19 with 18 fractional digits.  The bounded range (vs the
+# reference's unbounded one) is a documented simplification; inputs
+# outside it raise rather than mis-sort.
+# ---------------------------------------------------------------------------
+
+_NUMERIC_BIAS = 5 * 10**19  # center of the representable range
+_NUMERIC_SCALE = 18
+
+
+def ordered_from_numeric(col: Column) -> Column:
+    """Order-preserving decimal encoding (OrderedNumeric analog)."""
+    shifted = col.cast(f"decimal(38,{_NUMERIC_SCALE})") + F.lit(
+        str(_NUMERIC_BIAS)
+    ).cast("decimal(38,0)")
+    digits = F.translate(
+        F.lpad(shifted.cast("decimal(38,18)").cast("string"), 40, "0"), ".", ":"
+    )
+    # '.' -> ':' keeps the separator above '9' consistently on both
+    # twins; width 40 = 21 integer digits + separator + 18 fraction.
+    return F.encode(digits, "UTF-8")
+
+
+def py_ordered_from_numeric(v) -> bytes:
+    from decimal import Context, Decimal
+
+    ctx = Context(prec=60)  # 21 integer + 18 fraction digits need > 28
+    d = ctx.quantize(Decimal(v), Decimal(1).scaleb(-_NUMERIC_SCALE))
+    shifted = ctx.add(d, Decimal(_NUMERIC_BIAS))
+    if shifted < 0 or shifted >= 10**20:
+        raise ValueError("ordered numeric out of supported range")
+    s = f"{shifted:041.18f}".replace(".", ":")[-40:]
+    return s.encode()
+
+
+# ---------------------------------------------------------------------------
+# OrderedBlob / OrderedBlobVar (common/types/OrderedBlob.java,
+# OrderedBlobVar.java).  Blob copies bytes verbatim — legal only as the
+# LAST struct field (same restriction as the reference).  BlobVar must
+# self-terminate mid-struct: the reference 7-bit-expands; we hex-expand
+# (2x instead of 8/7 — simpler, still order-preserving because hex
+# digits are monotonic per byte) and 0x00-terminate.
+# ---------------------------------------------------------------------------
+
+
+def ordered_from_blob(col: Column) -> Column:
+    return col.cast("binary")
+
+
+def ordered_from_blob_var(col: Column) -> Column:
+    return F.concat(F.encode(F.hex(col.cast("binary")), "UTF-8"), F.lit(b"\x00"))
+
+
+def py_ordered_from_blob(b: bytes) -> bytes:
+    return bytes(b)
+
+
+def py_ordered_from_blob_var(b: bytes) -> bytes:
+    return b.hex().upper().encode() + b"\x00"
+
+
+# ---------------------------------------------------------------------------
 # Struct — compound row keys (common/types/Struct.java)
 # ---------------------------------------------------------------------------
 
 _ENCODERS = {
     "long": ordered_from_long,
+    "int": ordered_from_int,
+    "short": ordered_from_short,
+    "byte": ordered_from_byte,
     "double": ordered_from_double,
+    "float": ordered_from_float,
+    "numeric": ordered_from_numeric,
     "string": ordered_from_string,
+    "blob": ordered_from_blob,
+    "blob_var": ordered_from_blob_var,
 }
 _PY_ENCODERS = {
     "long": py_ordered_from_long,
+    "int": py_ordered_from_int,
+    "short": py_ordered_from_short,
+    "byte": py_ordered_from_byte,
     "double": py_ordered_from_double,
+    "float": py_ordered_from_float,
+    "numeric": py_ordered_from_numeric,
     "string": py_ordered_from_string,
+    "blob": py_ordered_from_blob,
+    "blob_var": py_ordered_from_blob_var,
 }
 
 
@@ -150,11 +353,79 @@ def struct_key(*fields: tuple[Column, str]) -> Column:
     """Compound order-preserving row key: concat of ordered encodings,
     sorts as the field tuple (Struct.java / StructBuilder.java).
 
-    fields = (column, kind) pairs, kind in {'long','double','string'}.
+    fields = (column, kind) pairs, kind one of
+    {'long','int','short','byte','double','float','numeric','string',
+    'blob','blob_var'} ('blob' only in last position).
     """
+    kinds = [kind for _, kind in fields]
+    if "blob" in kinds[:-1]:
+        raise ValueError("'blob' (OrderedBlob) is only legal as the last field")
     return F.concat(*[_ENCODERS[kind](col) for col, kind in fields])
 
 
 def py_struct_key(*fields: tuple[object, str]) -> bytes:
     """Driver-side twin of struct_key — for Scan start/stop boundaries."""
+    kinds = [kind for _, kind in fields]
+    if "blob" in kinds[:-1]:
+        raise ValueError("'blob' (OrderedBlob) is only legal as the last field")
     return b"".join(_PY_ENCODERS[kind](v) for v, kind in fields)
+
+
+# ---------------------------------------------------------------------------
+# Union2/3/4 — tagged heterogeneous fields (common/types/Union2.java,
+# Union3.java, Union4.java).  A one-byte member tag prefixes the member
+# encoding, so all values of member k sort before member k+1 and sort
+# natively within a member — the reference's skip()-able layout with
+# the same cross-member ordering guarantee.
+# ---------------------------------------------------------------------------
+
+
+def union_key(member: int, col: Column, kind: str, n_members: int = 2) -> Column:
+    """Encode ``col`` as member ``member`` (0-based) of an N-member
+    union."""
+    if not 0 <= member < n_members <= 4:
+        raise ValueError("union supports up to 4 members")
+    return F.concat(F.lit(bytes([member + 1])), _ENCODERS[kind](col))
+
+
+def py_union_key(member: int, v, kind: str, n_members: int = 2) -> bytes:
+    if not 0 <= member < n_members <= 4:
+        raise ValueError("union supports up to 4 members")
+    return bytes([member + 1]) + _PY_ENCODERS[kind](v)
+
+
+# ---------------------------------------------------------------------------
+# FixedLengthWrapper / TerminatedWrapper (common/types/
+# FixedLengthWrapper.java, TerminatedWrapper.java): adapt a codec for
+# struct middle positions — pad/assert to a fixed width, or append an
+# explicit terminator.
+# ---------------------------------------------------------------------------
+
+
+def fixed_length(col: Column, kind: str, length: int) -> Column:
+    """Right-pad the encoding with 0x00 to ``length`` bytes (values
+    longer than ``length`` are a schema error, like the reference's
+    IllegalArgumentException — they would silently truncate, so keep
+    the padded prefix comparable only for conforming inputs)."""
+    enc = _ENCODERS[kind](col)
+    return F.rpad(enc, length, b"\x00")
+
+
+def py_fixed_length(v, kind: str, length: int) -> bytes:
+    enc = _PY_ENCODERS[kind](v)
+    if len(enc) > length:
+        raise ValueError(f"encoding ({len(enc)}B) exceeds fixed length {length}")
+    return enc.ljust(length, b"\x00")
+
+
+def terminated(col: Column, kind: str, term: bytes) -> Column:
+    """Append an explicit terminator (TerminatedWrapper) — the encoding
+    must not contain ``term`` (reference restriction)."""
+    return F.concat(_ENCODERS[kind](col), F.lit(term))
+
+
+def py_terminated(v, kind: str, term: bytes) -> bytes:
+    enc = _PY_ENCODERS[kind](v)
+    if term in enc:
+        raise ValueError("terminated encoding contains the terminator")
+    return enc + term

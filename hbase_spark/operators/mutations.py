@@ -262,5 +262,7 @@ def apply_check_and_mutate(
                 .select("row")
                 .distinct()
             )
-    passed = mutations.join(F.broadcast(ok_rows), "row", "left_semi")
+    # ok_rows scales with the mutation batch (billions of rows at real
+    # SF) — no broadcast hint; AQE broadcasts small batches on its own.
+    passed = mutations.join(ok_rows, "row", "left_semi")
     return apply_mutations(cells, passed)

@@ -35,19 +35,57 @@ from hbase_spark.model import CellType
 
 _VERSION_ORDER = ["ts", "seq"]  # newest ts first, then latest mutation
 
+# Per-family knob support: `versions` / `min_versions` accept either a
+# scalar (table-wide) or a dict keyed by family — matching the reference
+# where every one of these is a ColumnFamilyDescriptor property, not a
+# table property.  `new_version_behavior` / `keep_deleted_cells`
+# likewise accept a bool or a set of family names.  A family missing
+# from a dict gets the reference default (MAX_VERSIONS=1,
+# MIN_VERSIONS=0, flags off).
+
+
+def _fam_col(by_family: dict, default) -> Column:
+    """family-keyed map -> per-row int column (same shape as the
+    ttl_by_family cutoff: a when-chain, fully codegen'd)."""
+    col = F.lit(default)
+    for fam, v in by_family.items():
+        col = F.when(F.col("family") == fam, F.lit(v)).otherwise(col)
+    return col
+
+
+def _fam_member(fams) -> Column:
+    return F.col("family").isin(list(fams))
+
+
+def _norm_versions(versions) -> int | dict:
+    """Collapse a uniform dict to its scalar so the fast paths apply."""
+    if isinstance(versions, dict):
+        vals = set(versions.values())
+        if len(vals) == 1:
+            return vals.pop()
+    return versions
+
+
+def _norm_flag(flag) -> bool | frozenset:
+    """bool | set-of-families -> False, True, or the nonempty set."""
+    if isinstance(flag, bool):
+        return flag
+    fams = frozenset(flag)
+    return fams if fams else False
+
 
 def resolve(
     cells: DataFrame,
     *,
-    versions: int = 1,
-    min_versions: int = 0,
+    versions: int | dict = 1,
+    min_versions: int | dict = 0,
     as_of: int | None = None,
     time_range: tuple[int | None, int | None] | None = None,
     ttl_by_family: dict[str, int] | None = None,
     now: int | None = None,
     raw: bool = False,
-    new_version_behavior: bool = False,
-    keep_deleted_cells: bool = False,
+    new_version_behavior: bool | set = False,
+    keep_deleted_cells: bool | set = False,
 ) -> DataFrame:
     """Resolve a raw CellFrame into the visible snapshot.
 
@@ -107,6 +145,9 @@ def resolve(
             c = c.filter(_time_range_pred(time_range))
         return c
 
+    min_versions = _norm_versions(min_versions)
+    keep_deleted_cells = _norm_flag(keep_deleted_cells)
+
     cutoff = None
     if ttl_by_family:
         if now is None:
@@ -114,16 +155,33 @@ def resolve(
         cutoff = F.lit(None).cast("long")
         for fam, ttl_ms in ttl_by_family.items():
             cutoff = F.when(F.col("family") == fam, F.lit(now - ttl_ms)).otherwise(cutoff)
-        if min_versions <= 0:
-            # With minVersions == 0 every expired cell (put or marker) is
-            # pre-dropped (ScanQueryMatcher.preCheck via columns.isDone).
-            c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
-            cutoff = None
+        # With minVersions == 0 every expired cell (put or marker) is
+        # pre-dropped (ScanQueryMatcher.preCheck via columns.isDone) —
+        # per family when min_versions is family-keyed.
+        if isinstance(min_versions, int):
+            if min_versions <= 0:
+                c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+                cutoff = None
+        else:
+            pos_fams = [f for f, v in min_versions.items() if v > 0]
+            c = c.filter(
+                F.col("family").isin(pos_fams)
+                | cutoff.isNull()
+                | (F.col("ts") >= cutoff)
+            )
+            if not pos_fams:
+                cutoff = None
 
     puts = c.filter(F.col("type") == CellType.PUT)
     dels = c.filter(F.col("type") != CellType.PUT)
     if keep_deleted_cells and time_range is not None and time_range[1] is not None:
-        dels = dels.filter(F.col("ts") < F.lit(time_range[1]))
+        hi = F.lit(time_range[1])
+        if keep_deleted_cells is True:
+            dels = dels.filter(F.col("ts") < hi)
+        else:
+            # only KDC families see past delete markers; other families
+            # keep the default withinOrAfterTimeRange tracking
+            dels = dels.filter(~_fam_member(keep_deleted_cells) | (F.col("ts") < hi))
     masked = mask_deletes(puts, dels, new_version_behavior=new_version_behavior)
 
     if time_range is not None:
@@ -133,7 +191,7 @@ def resolve(
 
 
 def mask_deletes(
-    puts: DataFrame, dels: DataFrame, *, new_version_behavior: bool = False
+    puts: DataFrame, dels: DataFrame, *, new_version_behavior: bool | set = False
 ) -> DataFrame:
     """Apply the four tombstone scopes of ScanDeleteTracker.isDeleted
     (rs/querymatcher/ScanDeleteTracker.java:102) to a put-only frame.
@@ -163,10 +221,12 @@ def mask_deletes(
             ).alias("_dfv_ts"),
         )
     )
-    if new_version_behavior:
+    nvb = _norm_flag(new_version_behavior)
+    if nvb:
         # NewVersionBehaviorTracker: mvcc (seq) decides ties — a put
         # written after the delete marker survives.  Needs (ts, seq)
-        # pairs, so the probe is an exists() over structs.
+        # pairs, so the probe is an exists() over structs.  (Used both
+        # for the all-NVB table and the mixed per-family case.)
         ver_agg = F.collect_list(
             F.when(
                 F.col("type") == CellType.DELETE,
@@ -190,13 +250,25 @@ def mask_deletes(
             ver_agg,
         )
     )
-    if new_version_behavior:
+    if nvb is True:
         ver_hit = F.exists(
             F.col("_dver"),
             lambda d: (d["ts"] == F.col("ts")) & (d["seq"] >= F.col("seq")),
         )
-    else:
+    elif nvb is False:
         ver_hit = F.array_contains("_dver", F.col("ts"))
+    else:
+        # mixed per-family: NVB families honor seq ties, the rest use
+        # the reference default (delete wins at equal ts)
+        ver_hit = F.when(
+            _fam_member(nvb),
+            F.exists(
+                F.col("_dver"),
+                lambda d: (d["ts"] == F.col("ts")) & (d["seq"] >= F.col("seq")),
+            ),
+        ).otherwise(
+            F.exists(F.col("_dver"), lambda d: d["ts"] == F.col("ts"))
+        )
     keep = (
         (F.col("_dfam_ts").isNull() | (F.col("ts") > F.col("_dfam_ts")))
         & (F.col("_dfv_ts").isNull() | ~F.array_contains("_dfv_ts", F.col("ts")))
@@ -215,34 +287,51 @@ def mask_deletes(
 
 def cap_versions(
     masked: DataFrame,
-    versions: int,
+    versions: int | dict,
     *,
-    min_versions: int = 0,
+    min_versions: int | dict = 0,
     ttl_cutoff: Column | None = None,
 ) -> DataFrame:
     """Keep the newest ``versions`` cells per (row, family, qualifier).
 
     versions=1 uses max_by (hash agg with map-side combine — one
     shuffle of pre-aggregated partials); versions>1 uses a window.
+    ``versions``/``min_versions`` may be family-keyed dicts (the
+    reference's per-ColumnFamilyDescriptor MAX_VERSIONS/MIN_VERSIONS);
+    a family missing from the dict gets the reference default (1 / 0).
 
     With ``min_versions``/``ttl_cutoff`` set, TTL expiry is applied
     *here* so expired cells still consume version slots but survive
     while their rank is <= min_versions
     (ScanWildcardColumnTracker.checkVersions:143).
     """
-    if versions <= 0:
+    versions = _norm_versions(versions)
+    min_versions = _norm_versions(min_versions)
+    if isinstance(versions, int) and versions <= 0:
         raise ValueError("versions must be >= 1")
     extra = [c for c in masked.columns if c not in ("row", "family", "qualifier")]
-    if min_versions > 0 and ttl_cutoff is not None:
+    vcap = (
+        F.lit(versions) if isinstance(versions, int) else _fam_col(versions, 1)
+    )
+    min_pos = (
+        min_versions > 0
+        if isinstance(min_versions, int)
+        else any(v > 0 for v in min_versions.values())
+    )
+    if min_pos and ttl_cutoff is not None:
         w = Window.partitionBy("row", "family", "qualifier").orderBy(
             *[F.col(c).desc() for c in _VERSION_ORDER]
         )
         unexpired = ttl_cutoff.isNull() | (F.col("ts") >= ttl_cutoff)
+        minv = (
+            F.lit(min_versions)
+            if isinstance(min_versions, int)
+            else _fam_col(min_versions, 0)
+        )
         return (
             masked.withColumn("_rn", F.row_number().over(w))
             .filter(
-                (F.col("_rn") <= versions)
-                & (unexpired | (F.col("_rn") <= F.lit(min_versions)))
+                (F.col("_rn") <= vcap) & (unexpired | (F.col("_rn") <= minv))
             )
             .drop("_rn")
         )
@@ -260,7 +349,7 @@ def cap_versions(
     )
     return (
         masked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= versions)
+        .filter(F.col("_rn") <= vcap)
         .drop("_rn")
     )
 
@@ -281,9 +370,9 @@ def compact(
     *,
     ttl_by_family=None,
     now=None,
-    versions: int = 1,
-    min_versions: int = 0,
-    keep_deleted_cells: bool = False,
+    versions: int | dict = 1,
+    min_versions: int | dict = 0,
+    keep_deleted_cells: bool | set = False,
 ) -> DataFrame:
     """Major compaction ≡ materialized snapshot resolution
     (rs/querymatcher/MajorCompactionScanQueryMatcher.java): rewrite the
@@ -295,6 +384,19 @@ def compact(
     only removes cells by TTL and version count, so back-in-time reads
     keep working after the rewrite.
     """
+    keep_deleted_cells = _norm_flag(keep_deleted_cells)
+    if isinstance(keep_deleted_cells, frozenset):
+        # per-family KDC: compact each regime on its family subset and
+        # union — same one-pass-per-store shape as the reference's
+        # per-CF compaction.
+        member = _fam_member(keep_deleted_cells)
+        kw = dict(ttl_by_family=ttl_by_family, now=now, versions=versions,
+                  min_versions=min_versions)
+        return compact(
+            cells.filter(member), keep_deleted_cells=True, **kw
+        ).unionByName(
+            compact(cells.filter(~member), keep_deleted_cells=False, **kw)
+        )
     if keep_deleted_cells:
         c = cells
         if ttl_by_family:

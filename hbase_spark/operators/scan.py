@@ -40,7 +40,8 @@ class Scan:
     stop_inclusive: bool = False             # Scan.java:410
     families: list[str] | None = None        # addFamily,    Scan.java:269
     qualifiers: list | None = None           # addColumn,    Scan.java:282
-    versions: int = 1                        # readVersions, Scan.java:487
+    versions: int | dict = 1                 # readVersions, Scan.java:487
+    #   (dict = per-family effective cap, see operators.resolve)
     time_range: tuple | None = None          # setTimeRange, Scan.java:304
     raw: bool = False                        # setRaw,       Scan.java:848
     reversed: bool = False                   # setReversed,  Scan.java:692
@@ -70,9 +71,9 @@ def scan(
     *,
     ttl_by_family: dict[str, int] | None = None,
     now: int | None = None,
-    new_version_behavior: bool = False,
-    min_versions: int = 0,
-    keep_deleted_cells: bool = False,
+    new_version_behavior: bool | set = False,
+    min_versions: int | dict = 0,
+    keep_deleted_cells: bool | set = False,
     **kwargs,
 ) -> DataFrame:
     """Execute a Scan over a raw CellFrame, returning visible cells."""
@@ -84,6 +85,8 @@ def scan(
         from hbase_spark.filters.parse import parse_filter
 
         spec = _replace(spec, filter=parse_filter(spec.filter))
+    if isinstance(spec.filter, Filter):
+        spec.filter.set_reversed(spec.reversed)
 
     c = cells.filter(row_range_pred(spec))
     if spec.families:
@@ -106,6 +109,10 @@ def scan(
         if spec.time_range is not None:
             out = out.filter(_time_range_pred(spec.time_range))
     else:
+        from hbase_spark.operators.resolve import _fam_member, _norm_flag, _norm_versions
+
+        min_versions = _norm_versions(min_versions)
+        keep_deleted_cells = _norm_flag(keep_deleted_cells)
         cutoff = None
         if ttl_by_family:
             if now is None:
@@ -115,9 +122,22 @@ def scan(
                 cutoff = F.when(F.col("family") == fam, F.lit(now - ttl_ms)).otherwise(
                     cutoff
                 )
-            if min_versions <= 0:
-                c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
-                cutoff = None
+            # pre-drop expired cells only where minVersions<=0 (per
+            # family when min_versions is family-keyed) — mirrors
+            # resolve()
+            if isinstance(min_versions, int):
+                if min_versions <= 0:
+                    c = c.filter(cutoff.isNull() | (F.col("ts") >= cutoff))
+                    cutoff = None
+            else:
+                pos_fams = [f for f, v in min_versions.items() if v > 0]
+                c = c.filter(
+                    F.col("family").isin(pos_fams)
+                    | cutoff.isNull()
+                    | (F.col("ts") >= cutoff)
+                )
+                if not pos_fams:
+                    cutoff = None
         puts = c.filter(F.col("type") == CellType.PUT)
         dels = c.filter(F.col("type") != CellType.PUT)
         if (
@@ -126,8 +146,15 @@ def scan(
             and spec.time_range[1] is not None
         ):
             # KEEP_DELETED_CELLS: markers after the scan's time range
-            # don't mask (NormalUserScanQueryMatcher.java:95).
-            dels = dels.filter(F.col("ts") < F.lit(spec.time_range[1]))
+            # don't mask (NormalUserScanQueryMatcher.java:95) — KDC
+            # families only, when family-keyed.
+            hi = F.lit(spec.time_range[1])
+            if keep_deleted_cells is True:
+                dels = dels.filter(F.col("ts") < hi)
+            else:
+                dels = dels.filter(
+                    ~_fam_member(keep_deleted_cells) | (F.col("ts") < hi)
+                )
         out = mask_deletes(puts, dels, new_version_behavior=new_version_behavior)
         if spec.time_range is not None:
             out = out.filter(_time_range_pred(spec.time_range))

@@ -46,25 +46,35 @@ class Table:
         ttl = {f: d.ttl_ms for f, d in self.families.items() if d.ttl_ms}
         return ttl or None
 
-    def _nvb(self) -> bool:
-        return any(d.new_version_behavior for d in self.families.values())
+    def _nvb(self) -> set[str] | bool:
+        """Families with NEW_VERSION_BEHAVIOR — strictly per-CF in the
+        reference (ColumnFamilyDescriptor), so a set, not an any()."""
+        return {f for f, d in self.families.items() if d.new_version_behavior}
 
-    def _min_versions(self) -> int:
-        return max([d.min_versions for d in self.families.values()] or [0])
+    def _min_versions(self) -> dict[str, int] | int:
+        return {f: d.min_versions for f, d in self.families.items()} or 0
 
-    def _kdc(self) -> bool:
-        return any(d.keep_deleted_cells for d in self.families.values())
+    def _kdc(self) -> set[str] | bool:
+        return {f for f, d in self.families.items() if d.keep_deleted_cells}
+
+    def _versions_map(self, requested: int | None = None) -> dict[str, int] | int:
+        """Effective per-family version cap: min(schema MAX_VERSIONS,
+        Scan.readVersions) — client/Scan.java:487.  Families without a
+        descriptor keep the reference default MAX_VERSIONS=1."""
+        if not self.families:
+            return requested or 1
+        return {
+            f: min(requested, d.max_versions) if requested else d.max_versions
+            for f, d in self.families.items()
+        }
 
     def snapshot(self, versions: int | None = None, **kw) -> DataFrame:
         """The resolved visible table (default: schema MAX_VERSIONS)."""
-        v = versions or max(
-            [d.max_versions for d in self.families.values()] or [1]
-        )
         kw.setdefault("min_versions", self._min_versions())
         kw.setdefault("keep_deleted_cells", self._kdc())
         return resolve(
             self.cells,
-            versions=v,
+            versions=self._versions_map(versions),
             ttl_by_family=self._ttl_map(),
             now=self.now,
             new_version_behavior=self._nvb(),
@@ -72,6 +82,15 @@ class Table:
         )
 
     def scan(self, spec: Scan | None = None, **kwargs) -> DataFrame:
+        spec = spec or Scan(**kwargs)
+        if self.families and isinstance(spec.versions, int):
+            # clamp the requested read versions at each family's schema
+            # max before execution (the reference applies the min at the
+            # region scanner; a bare Table with no descriptors stays
+            # permissive).
+            from dataclasses import replace
+
+            spec = replace(spec, versions=self._versions_map(spec.versions))
         return scan_op(
             self.cells,
             spec,
@@ -80,7 +99,6 @@ class Table:
             new_version_behavior=self._nvb(),
             min_versions=self._min_versions(),
             keep_deleted_cells=self._kdc(),
-            **kwargs,
         )
 
     def get(self, row_key, **kw) -> DataFrame:
@@ -221,10 +239,9 @@ class Table:
         survive the rewrite."""
         from hbase_spark.operators.resolve import compact as compact_op
 
-        v = max([d.max_versions for d in self.families.values()] or [1])
         rewritten = compact_op(
             self.cells,
-            versions=v,
+            versions=self._versions_map(),
             min_versions=self._min_versions(),
             ttl_by_family=self._ttl_map(),
             now=self.now,

@@ -147,3 +147,134 @@ def test_spark_struct_key_range_scan(spark):
         ).collect()
     )
     assert got == [("b", 1), ("b", 2), ("b", 3)]
+
+
+# -- widened DataType family (common/types/: OrderedInt8/16/32,
+# OrderedFloat32, OrderedNumeric, Blob/BlobVar, Union2-4, wrappers) ----
+
+from decimal import Decimal
+
+from hbase_spark.functions.codecs import (  # noqa: E402
+    ordered_from_float,
+    ordered_from_int,
+    ordered_from_numeric,
+    py_fixed_length,
+    py_ordered_from_blob,
+    py_ordered_from_blob_var,
+    py_ordered_from_byte,
+    py_ordered_from_float,
+    py_ordered_from_int,
+    py_ordered_from_numeric,
+    py_ordered_from_short,
+    py_terminated,
+    py_union_key,
+)
+
+
+def _order_preserved(vals, enc):
+    assert sorted(range(len(vals)), key=lambda i: vals[i]) == sorted(
+        range(len(vals)), key=lambda i: enc[i]
+    )
+
+
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=2, max_size=50,
+                unique=True))
+@settings(max_examples=50, deadline=None)
+def test_py_ordered_int32_preserves_order(vals):
+    _order_preserved(vals, [py_ordered_from_int(v) for v in vals])
+
+
+@given(st.lists(st.integers(-(2**15), 2**15 - 1), min_size=2, max_size=50,
+                unique=True))
+@settings(max_examples=50, deadline=None)
+def test_py_ordered_int16_preserves_order(vals):
+    _order_preserved(vals, [py_ordered_from_short(v) for v in vals])
+
+
+@given(st.lists(st.integers(-128, 127), min_size=2, max_size=50, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_py_ordered_int8_preserves_order(vals):
+    _order_preserved(vals, [py_ordered_from_byte(v) for v in vals])
+
+
+@given(st.lists(st.floats(allow_nan=False, width=32), min_size=2, max_size=50,
+                unique=True))
+@settings(max_examples=50, deadline=None)
+def test_py_ordered_float32_preserves_order(vals):
+    vals = [v for v in vals if not (v == 0 and math.copysign(1, v) < 0)]
+    _order_preserved(vals, [py_ordered_from_float(v) for v in vals])
+
+
+@given(st.lists(
+    st.decimals(min_value=Decimal("-1e18"), max_value=Decimal("1e18"),
+                allow_nan=False, allow_infinity=False, places=6),
+    min_size=2, max_size=50, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_py_ordered_numeric_preserves_order(vals):
+    _order_preserved(vals, [py_ordered_from_numeric(v) for v in vals])
+
+
+@given(st.lists(st.binary(min_size=0, max_size=24), min_size=2, max_size=30,
+                unique=True))
+@settings(max_examples=50, deadline=None)
+def test_py_blob_var_preserves_order_and_terminates(vals):
+    enc = [py_ordered_from_blob_var(v) for v in vals]
+    _order_preserved(vals, enc)
+    assert all(e.endswith(b"\x00") for e in enc)
+    assert py_ordered_from_blob(b"\x01\x02") == b"\x01\x02"
+
+
+def test_py_union_orders_across_members():
+    a = py_union_key(0, 500, "long", n_members=2)
+    b = py_union_key(1, "aaa", "string", n_members=2)
+    assert a < b  # member 0 sorts before member 1 regardless of payload
+    assert py_union_key(0, 1, "long") < py_union_key(0, 2, "long")
+
+
+def test_py_wrappers():
+    fl = py_fixed_length("ab", "string", 8)
+    assert len(fl) == 8 and fl.startswith(b"ab\x00")
+    t = py_terminated(7, "long", b"\xff\xff")
+    assert t.endswith(b"\xff\xff")
+    try:
+        py_fixed_length("abcdefghij", "string", 4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_spark_twins_match_python(spark):
+    """Column codecs must produce byte-identical output to the Python
+    twins (Scan boundaries are built driver-side against plan-side
+    encoded keys)."""
+    rows = [(-(2**31), -5, 123456, 2**31 - 1)]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+    got = df.select(
+        ordered_from_int(F.col("a")).alias("a"),
+        ordered_from_int(F.col("b")).alias("b"),
+        ordered_from_int(F.col("c")).alias("c"),
+        ordered_from_int(F.col("d")).alias("d"),
+    ).first()
+    for col, v in zip("abcd", rows[0]):
+        assert bytes(got[col]) == py_ordered_from_int(v), (col, v)
+
+    fdf = spark.createDataFrame([(-1.5, 0.0, 3.25e7)], "x float, y float, z float")
+    fgot = fdf.select(
+        ordered_from_float(F.col("x")).alias("x"),
+        ordered_from_float(F.col("y")).alias("y"),
+        ordered_from_float(F.col("z")).alias("z"),
+    ).first()
+    for col, v in zip("xyz", (-1.5, 0.0, 3.25e7)):
+        assert bytes(fgot[col]) == py_ordered_from_float(v), (col, v)
+
+    ndf = spark.createDataFrame(
+        [(Decimal("-123.456"), Decimal("0"), Decimal("98765.000001"))],
+        "p decimal(20,6), q decimal(20,6), r decimal(20,6)",
+    )
+    ngot = ndf.select(
+        ordered_from_numeric(F.col("p")).alias("p"),
+        ordered_from_numeric(F.col("q")).alias("q"),
+        ordered_from_numeric(F.col("r")).alias("r"),
+    ).first()
+    for col, v in zip("pqr", ("-123.456", "0", "98765.000001")):
+        assert bytes(ngot[col]) == py_ordered_from_numeric(Decimal(v)), (col, v)

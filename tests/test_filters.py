@@ -587,3 +587,22 @@ def test_while_match_with_list(region):
     )
     out = scan_with(region, f)
     assert rows_of(out) == set(ROWS_ONE)
+
+
+def test_while_match_reversed_scan(spark):
+    """Reversed scan + WHILE: take-while proceeds from the highest key
+    downward and stops at the first rejected row from that side."""
+    from hbase_spark.filters import BinaryComparator, ValueFilter, WhileMatchFilter
+    from hbase_spark.model import CellType, cell_schema
+    from hbase_spark.operators.scan import Scan, scan
+
+    rows = [
+        (f"r{i}", "f", "q", 1, CellType.PUT, "bad" if i == 3 else "ok", i)
+        for i in range(6)
+    ]
+    cells = spark.createDataFrame(rows, schema=cell_schema())
+    flt = WhileMatchFilter(ValueFilter("=", BinaryComparator("ok")))
+    fwd = {r.row for r in scan(cells, Scan(filter=flt)).collect()}
+    assert fwd == {"r0", "r1", "r2"}
+    rev = {r.row for r in scan(cells, Scan(filter=flt, reversed=True)).collect()}
+    assert rev == {"r4", "r5"}

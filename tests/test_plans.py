@@ -80,6 +80,38 @@ def test_multi_get_is_broadcast_semi_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def _logical_plan_of(df) -> str:
+    # the optimized logical plan keeps user-supplied hints as
+    # ResolvedHint / the physical plan would show BroadcastExchange even
+    # under AQE; a FORCED hint also appears pre-execution.
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dependent_column_filter_has_no_forced_broadcast(spark):
+    # the (row, ts) reference set grows with the table: a forced
+    # broadcast OOMs at scale (reference filter/DependentColumnFilter
+    # .java:46 streams it region-local). AQE must stay free to choose.
+    from hbase_spark.filters import DependentColumnFilter
+
+    flt = DependentColumnFilter("f", "a")
+    assert "ResolvedHint" not in _logical_plan_of(flt.post(cells(spark)))
+
+
+def test_check_and_mutate_has_no_forced_broadcast(spark):
+    # ok_rows scales with the mutation batch (rs/HRegion.java:5140
+    # checks row-local) — same rule.
+    from hbase_spark.operators.mutations import apply_check_and_mutate, make_cells
+
+    base = cells(spark)
+    muts = make_cells(
+        spark, [(str(i).zfill(6), "f", "c", 2, 4, "new", 100) for i in range(8)]
+    )
+    out = apply_check_and_mutate(
+        base, muts, guard_family="f", guard_qualifier="a", op="=", value="v3"
+    )
+    assert "ResolvedHint" not in _logical_plan_of(out)
+
+
 @pytest.mark.parametrize("versions", [1, 3])
 def test_whole_stage_codegen_present(spark, versions):
     # AQE's final-plan text marks codegen'd operators with a "*(n)" prefix

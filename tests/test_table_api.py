@@ -155,3 +155,109 @@ def test_increment_reads_under_ttl(spark):
     t2 = t.increment([("r1", "f", "cnt", 7)], ts=9_000, seq=2)
     got = {r.value for r in t2.get("r1").collect()}
     assert got == {"7"}  # not "107": the expired base was invisible
+
+
+# -- per-family descriptor knobs (strictly per-CF in the reference:
+# client/ColumnFamilyDescriptor.java) ---------------------------------
+
+
+def _two_family_cells(spark):
+    rows = []
+    for fam in ("cf1", "cf2"):
+        for ts in (10, 20, 30):
+            rows.append(("r1", fam, "q", ts, CellType.PUT, f"{fam}-v{ts}", ts))
+    return spark.createDataFrame(rows, schema=cell_schema())
+
+
+def test_heterogeneous_max_versions(spark):
+    """cf1 MAX_VERSIONS=3, cf2 MAX_VERSIONS=1: each family returns its
+    own version count, not a table-wide max."""
+    t = Table(
+        _two_family_cells(spark),
+        families={
+            "cf1": FamilyDescriptor(max_versions=3),
+            "cf2": FamilyDescriptor(max_versions=1),
+        },
+    )
+    got = t.snapshot().groupBy("family").count().collect()
+    counts = {r.family: r["count"] for r in got}
+    assert counts == {"cf1": 3, "cf2": 1}
+
+
+def test_scan_versions_clamped_at_family_max(spark):
+    """Scan(versions=5) on a max_versions=1 family returns 1 version
+    (min(schema MAX_VERSIONS, readVersions) — client/Scan.java:487)."""
+    from hbase_spark.operators.scan import Scan
+
+    t = Table(
+        _two_family_cells(spark),
+        families={
+            "cf1": FamilyDescriptor(max_versions=2),
+            "cf2": FamilyDescriptor(max_versions=1),
+        },
+    )
+    got = t.scan(Scan(versions=5)).groupBy("family").count().collect()
+    counts = {r.family: r["count"] for r in got}
+    assert counts == {"cf1": 2, "cf2": 1}
+
+
+def test_per_family_nvb(spark):
+    """NVB on cf1 only: same-ts delete-then-put survives in cf1 but is
+    masked in cf2 (NewVersionBehaviorTracker semantics per family)."""
+    rows = []
+    for fam in ("cf1", "cf2"):
+        rows += [
+            ("r1", fam, "q", 10, CellType.DELETE, None, 1),
+            ("r1", fam, "q", 10, CellType.PUT, "late-put", 2),
+        ]
+    cells = spark.createDataFrame(rows, schema=cell_schema())
+    t = Table(
+        cells,
+        families={
+            "cf1": FamilyDescriptor(new_version_behavior=True),
+            "cf2": FamilyDescriptor(),
+        },
+    )
+    got = {r.family for r in t.snapshot().collect()}
+    assert got == {"cf1"}
+
+
+def test_per_family_kdc_back_in_time(spark):
+    """KEEP_DELETED_CELLS on cf1 only: a back-in-time read sees cf1's
+    pre-delete state but not cf2's."""
+    rows = []
+    for fam in ("cf1", "cf2"):
+        rows += [
+            ("r1", fam, "q", 10, CellType.PUT, "old", 1),
+            ("r1", fam, "q", 50, CellType.DELETE_COLUMN, None, 2),
+        ]
+    cells = spark.createDataFrame(rows, schema=cell_schema())
+    t = Table(
+        cells,
+        families={
+            "cf1": FamilyDescriptor(keep_deleted_cells=True),
+            "cf2": FamilyDescriptor(),
+        },
+    )
+    got = {r.family for r in t.snapshot(time_range=(None, 20)).collect()}
+    assert got == {"cf1"}
+
+
+def test_per_family_min_versions_ttl(spark):
+    """MIN_VERSIONS=1 on cf1 keeps its newest expired cell; cf2 with
+    MIN_VERSIONS=0 drops everything expired."""
+    rows = [
+        ("r1", "cf1", "q", 10, CellType.PUT, "old1", 1),
+        ("r1", "cf2", "q", 10, CellType.PUT, "old2", 2),
+    ]
+    cells = spark.createDataFrame(rows, schema=cell_schema())
+    t = Table(
+        cells,
+        families={
+            "cf1": FamilyDescriptor(ttl_ms=100, min_versions=1),
+            "cf2": FamilyDescriptor(ttl_ms=100),
+        },
+        now=10_000,
+    )
+    got = {r.family for r in t.snapshot().collect()}
+    assert got == {"cf1"}
