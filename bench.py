@@ -47,6 +47,9 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10).count()  # JVM warmup
+    # materialize persisted layouts (the point-read/RMW queries scan
+    # them; a real deployment's tables are on disk before any query)
+    entrymod.prepare(spark, sf_dir)
 
     queries = dict(entrymod.queries())
     # Fine-grained operators folded into suite queries keep their own

@@ -227,27 +227,65 @@ def minhash_candidates(
     return _bucket_pairs(banded, "_bucket")
 
 
-def _bucket_pairs(banded: DataFrame, bucket_col: str) -> DataFrame:
+_BUCKET_CAP = 1024
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_col: str,
+    *,
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
+) -> DataFrame:
     """(id_a, id_b) pairs of ids sharing an LSH bucket.
 
     groupBy-then-explode instead of a bucket self-join: the signature
     subtree is computed ONCE (a self-join would evaluate it per side —
     Spark's exchange reuse does not dedupe across the join inputs), and
     the pair blow-up happens on the tiny collision groups only.  Bucket
-    membership is capped at 1024 ids (sorted, deterministic) as a skew
-    guard: a hotter bucket means the banding threshold is mistuned, and
-    capping bounds the quadratic expansion at scale.
+    membership is capped at ``cap`` ids (sorted, deterministic) as a
+    skew guard: a hotter bucket means the banding threshold is
+    mistuned, and capping bounds the quadratic expansion at scale.
+
+    The truncation is never silent: ``on_overflow='error'`` fails the
+    job naming the hot bucket; the default 'truncate' keeps the capped
+    prefix, and ``bucket_overflow()`` reports affected buckets.
     """
-    groups = (
-        banded.groupBy(bucket_col)
-        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, 1024).alias("_ids"))
-        .filter(F.size("_ids") > 1)
+    if on_overflow not in ("truncate", "error"):
+        raise ValueError(f"bad on_overflow {on_overflow!r}")
+    agg = banded.groupBy(bucket_col).agg(
+        F.sort_array(F.collect_set("_id")).alias("_all")
     )
+    ids = F.slice("_all", 1, cap)
+    if on_overflow == "error":
+        ids = F.when(
+            F.size("_all") > cap,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"LSH bucket over skew cap {cap}: "),
+                    F.col(bucket_col).cast("string"),
+                )
+            ),
+        ).otherwise(ids)
+    groups = agg.select(ids.alias("_ids")).filter(F.size("_ids") > 1)
     return (
         groups.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
         .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
+    )
+
+
+def bucket_overflow(
+    banded: DataFrame, bucket_col: str, *, cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """Audit frame: buckets whose membership exceeds the skew cap,
+    with their sizes — run alongside a dedup job to quantify what
+    'truncate' dropped."""
+    return (
+        banded.groupBy(bucket_col)
+        .agg(F.countDistinct("_id").alias("n_ids"))
+        .filter(F.col("n_ids") > cap)
     )
 
 
@@ -482,19 +520,30 @@ def embedding_near_dups(
     threshold: float = 0.95,
     planes: int = 16,
     seed: int = 42,
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
 ) -> DataFrame:
-    """Embedding near-dup pairs: random-hyperplane LSH bucket join,
-    then exact cosine within buckets.  See similarity.hyperplane_sig."""
+    """Embedding near-dup pairs: random-hyperplane LSH bucketing, then
+    exact cosine verify on candidate pairs.
+
+    Candidates come from the capped ``_bucket_pairs`` path (NOT an
+    uncapped bucket self-join): one hot signature — e.g. a pile of
+    zero vectors — would otherwise go quadratic.  The verify join then
+    fetches each side's vector by id, keyed shuffles over candidate
+    pairs only.  See similarity.hyperplane_sig."""
     from hbase_spark.functions.similarity import cosine, hyperplane_sig
 
     dim = len(vecs.select(vec_col).first()[0])
     sig = hyperplane_sig(F.col(vec_col), dim=dim, planes=planes, seed=seed)
-    s = vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
-    a = s.select(F.col("_sig").alias("sig"), F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = s.select(F.col("_sig").alias("sig"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    s = vecs.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
+    )
+    pairs = _bucket_pairs(s, "_sig", cap=cap, on_overflow=on_overflow)
+    va = s.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = s.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
-        a.join(b, "sig")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -96,17 +96,27 @@ def visible(
 ) -> DataFrame:
     """Filter a CellFrame to the cells the auth set may see.
 
-    Collects DISTINCT label expressions (policy-cardinality, small),
-    evaluates them driver-side, and filters with isin — the scan-time
-    check is a broadcast hash probe, never per-cell Python.
-    """
-    exprs = [
-        r[0]
-        for r in cells.select(label_col).distinct().collect()
-        if r[0] is not None
-    ]
-    admitted = [e for e in exprs if evaluate(e, auths)]
-    pred = F.col(label_col).isNull() | (F.col(label_col) == "")
-    if admitted:
-        pred = pred | F.col(label_col).isin(admitted)
-    return cells.filter(pred)
+    The DISTINCT label expressions are evaluated on the EXECUTORS (one
+    Python call per distinct expression — policy cardinality, never per
+    cell) and the cell stream joins against the admitted set.  Nothing
+    is collected to the driver, so even a pathological data-derived
+    label column cannot OOM it: the distinct set stays distributed and
+    AQE picks broadcast vs shuffle for the probe."""
+    auth_set = frozenset(auths)
+    ev = F.udf(lambda e: evaluate(e, auth_set), "boolean")
+    admitted = (
+        cells.select(F.col(label_col).alias("_lbl"))
+        .filter(F.col("_lbl").isNotNull() & (F.col("_lbl") != ""))
+        .distinct()
+        .filter(ev("_lbl"))
+        .withColumn("_vis_ok", F.lit(True))
+    )
+    is_public = F.col(label_col).isNull() | (F.col(label_col) == "")
+    marked = cells.join(
+        admitted, cells[label_col] == admitted["_lbl"], "left"
+    )
+    return (
+        marked.filter(is_public | F.col("_vis_ok"))
+        .drop("_lbl", "_vis_ok")
+        .select(*cells.columns)
+    )

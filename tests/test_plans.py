@@ -73,10 +73,27 @@ def test_resolve_versions1_uses_hash_agg_not_window(spark):
     assert "Window" not in plan  # max_by hash agg with map-side combine
 
 
-def test_multi_get_is_broadcast_semi_join(spark):
+def test_multi_get_small_batch_pushes_in_filter(spark):
+    # small key batches must reach the parquet scan as In(row, ...) so
+    # row-group stats + the row bloom filter prune before any data moves
     from hbase_spark.operators.get import multi_get
 
-    plan = plan_of(multi_get(cells(spark), ["000001", "000002"]))
+    d = tempfile.mkdtemp(prefix="hb_mget_")
+    try:
+        write_table(cells(spark), d, num_regions=4, by_family=False)
+        back = spark.read.parquet(d)
+        plan = plan_of(multi_get(back, ["000001", "000002"]))
+        assert "In(row, [000001,000002])" in plan  # inside PushedFilters
+        assert "LeftSemi" not in plan  # key set is a predicate, not a join
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multi_get_large_batch_is_broadcast_semi_join(spark):
+    from hbase_spark.operators.get import multi_get
+
+    keys = [str(i).zfill(6) for i in range(1001)]
+    plan = plan_of(multi_get(cells(spark), keys))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
