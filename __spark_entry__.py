@@ -757,7 +757,12 @@ def q_increment_merge(spark, sf):
         )
     )
     merged = apply_increments(cells, deltas, ts=2, seq=10_000_000)
-    out = resolve(merged, versions=1).filter(F.col("qualifier") == "o_custkey")
+    # qualifier projection through scan(): the column restriction runs
+    # BEFORE snapshot resolution (family-scope tombstones are kept for
+    # masking), so the final resolve shuffles one column, not the whole
+    # table — the same projection-before-version-count order the
+    # reference's ExplicitColumnTracker gives an addColumn() scan.
+    out = scan(merged, Scan(qualifiers=["o_custkey"]))
     return _rk(out, "value")
 
 

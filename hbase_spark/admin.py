@@ -81,6 +81,13 @@ class Admin:
             f: FamilyDescriptor(**knobs) for f, knobs in desc["families"].items()
         }
         cells = read_table(self.spark, f"{self.catalog_dir}/{name}/cells")
+        if fams:
+            # only declared families are readable — a family dropped via
+            # alter(method='delete') disappears immediately (its data is
+            # physically removed on the next flush)
+            from pyspark.sql import functions as F
+
+            cells = cells.filter(F.col("family").isin(list(fams)))
         return Table(cells, fams, now)
 
     def flush(self, name: str, table: Table, *, num_regions: int = 32) -> None:
@@ -111,6 +118,51 @@ class Admin:
         # overwrite the descriptor with a tombstone marker; data dirs are
         # left for storage-level GC (no filesystem API dependency here)
         self._write_desc(name, {"enabled": False, "deleted": True, "families": {}})
+
+    def alter(
+        self,
+        name: str,
+        family: str,
+        descriptor: FamilyDescriptor | None = None,
+        *,
+        method: str = "modify",
+    ) -> None:
+        """Admin.modifyTable / shell `alter` (shell/commands/alter.rb):
+        add or modify a column family's schema knobs, or drop a family
+        (method='delete').  Dropping a family drops its data on the
+        next flush (here: immediately filtered from reads via the
+        descriptor, physically on the next flush — the reference's
+        store-directory removal timing)."""
+        desc = self._read_desc(name)
+        if method == "delete":
+            if family not in desc["families"]:
+                raise ValueError(f"family {family!r} not in table {name!r}")
+            del desc["families"][family]
+        else:
+            d = descriptor or FamilyDescriptor()
+            desc["families"][family] = {
+                "max_versions": d.max_versions,
+                "min_versions": d.min_versions,
+                "ttl_ms": d.ttl_ms,
+                "new_version_behavior": d.new_version_behavior,
+                "keep_deleted_cells": d.keep_deleted_cells,
+            }
+        self._write_desc(name, desc)
+
+    def truncate_table(self, name: str) -> None:
+        """shell `truncate` (shell/commands/truncate.rb): drop all data,
+        keep the schema."""
+        desc = self._read_desc(name)
+        empty = self.spark.createDataFrame([], schema=cell_schema())
+        empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{name}/cells")
+        self._write_desc(name, desc)
+
+    def table_exists(self, name: str) -> bool:
+        """Admin.tableExists / shell `exists`."""
+        try:
+            return not self._read_desc(name).get("deleted", False)
+        except ValueError:
+            return False
 
     def list_tables(self) -> list[str]:
         try:

@@ -39,17 +39,23 @@ def agg_table(
     *,
     interpreter: str = "long",
     group_by: list[str] | None = None,
+    exact_median: bool = True,
 ) -> DataFrame:
     """All endpoint aggregates in one pass over a resolved CellFrame.
 
     max/min/sum/count/avg/std: AggregateImplementation.java:84,143,201,
     260,325,401.  median (:483 — the reference needs a two-phase
-    weighted-median scan) is exact here via percentile().
+    weighted-median scan) is exact via percentile() by default; pass
+    ``exact_median=False`` for percentile_approx — at 100 TB the exact
+    percentile buffers every value per group, while the approx sketch
+    is fixed-size and map-side combinable, so approx is the scale
+    default and exact the verification path.
     """
     v = _typed("value", interpreter)
     cells = visible.filter(
         (F.col("family") == family) & (F.col("qualifier") == qualifier)
     )
+    pct = "percentile" if exact_median else "percentile_approx"
     aggs = [
         F.max(v).alias("max"),
         F.min(v).alias("min"),
@@ -57,7 +63,7 @@ def agg_table(
         F.count(v).alias("count"),
         F.avg(v).alias("avg"),
         F.stddev_pop(v).alias("std"),
-        F.expr(f"percentile(cast(value as {_INTERPRETERS[interpreter]}), 0.5)").alias(
+        F.expr(f"{pct}(cast(value as {_INTERPRETERS[interpreter]}), 0.5)").alias(
             "median"
         ),
     ]

@@ -126,16 +126,37 @@ def apply_increments(
     summed = deltas.groupBy("row", "family", "qualifier").agg(
         F.sum("delta").alias("_delta")
     )
-    # Slice the table to touched (row, family) groups BEFORE resolving:
-    # masking is scoped per (row, family) so the slice resolves
-    # identically, and the snapshot shuffle runs over the touched rows
-    # only — the delta set is small, so this semi-join broadcasts.
-    touched = summed.select("row", "family").distinct()
-    sliced = cells.join(touched, ["row", "family"], "left_semi")
-    current = (
-        resolve(sliced, versions=1, **(resolve_kw or {}))
-        .join(summed.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
-        .select("row", "family", "qualifier", F.col("value").cast("long").alias("_old"))
+    # The aggregated delta set feeds three plan branches (two slice
+    # builds + the merge probe); localCheckpoint materializes it once
+    # on executors instead of re-running the upstream aggregation per
+    # branch.  It is the small side by construction (one row per
+    # touched column), so executor MEMORY_AND_DISK holds at any scale
+    # where the merge itself is feasible.
+    summed = summed.localCheckpoint(eager=False)
+    # Slice the table BEFORE resolving: puts narrow to the touched
+    # (row, family, qualifier) columns, tombstones to the touched
+    # (row, family) groups (family-scope markers mask across
+    # qualifiers, so they must survive the narrowing).  The slice
+    # resolves identically to resolving everything and then projecting,
+    # but the snapshot shuffle runs over the touched columns only — on
+    # a wide table this is a many-fold smaller resolve input.
+    # summed is unique per (row, family, qualifier) by construction, so
+    # its key projection IS the touched-column set (no distinct), and
+    # the resolved slice contains touched columns only (no post-resolve
+    # re-filter needed).
+    touched_cols = summed.select("row", "family", "qualifier")
+    touched_fams = summed.select("row", "family").distinct()
+    sliced = (
+        cells.filter(F.col("type") == CellType.PUT)
+        .join(touched_cols, ["row", "family", "qualifier"], "left_semi")
+        .unionByName(
+            cells.filter(F.col("type") != CellType.PUT).join(
+                touched_fams, ["row", "family"], "left_semi"
+            )
+        )
+    )
+    current = resolve(sliced, versions=1, **(resolve_kw or {})).select(
+        "row", "family", "qualifier", F.col("value").cast("long").alias("_old")
     )
     new_cells = (
         summed.join(current, ["row", "family", "qualifier"], "left")
@@ -177,12 +198,21 @@ def apply_appends(
             ),
         ).alias("_suffix")
     )
-    touched = batch.select("row", "family").distinct()
-    sliced = cells.join(touched, ["row", "family"], "left_semi")
-    current = (
-        resolve(sliced, versions=1, **(resolve_kw or {}))
-        .join(batch.select("row", "family", "qualifier"), ["row", "family", "qualifier"], "left_semi")
-        .select("row", "family", "qualifier", F.col("value").alias("_old"))
+    # same slice narrowing as apply_increments: puts to the touched
+    # columns (batch is key-unique), tombstones to the touched families
+    touched_cols = batch.select("row", "family", "qualifier")
+    touched_fams = batch.select("row", "family").distinct()
+    sliced = (
+        cells.filter(F.col("type") == CellType.PUT)
+        .join(touched_cols, ["row", "family", "qualifier"], "left_semi")
+        .unionByName(
+            cells.filter(F.col("type") != CellType.PUT).join(
+                touched_fams, ["row", "family"], "left_semi"
+            )
+        )
+    )
+    current = resolve(sliced, versions=1, **(resolve_kw or {})).select(
+        "row", "family", "qualifier", F.col("value").alias("_old")
     )
     new_cells = batch.join(current, ["row", "family", "qualifier"], "left").select(
         "row",

@@ -38,11 +38,24 @@ from hbase_spark.table import Table
 @dataclass
 class Observer:
     """Hook bundle; any subset may be provided (RegionObserver's hooks
-    default to pass-through the same way)."""
+    default to pass-through the same way).  Hook-to-reference mapping:
+
+    - pre_scan / post_scan    — preScannerOpen / postScannerNext
+    - pre_get / post_get      — preGetOp / postGetOp
+    - pre_mutate / post_mutate — prePut+preDelete / postPut+postDelete
+      (pre_mutate sees the mutation CellFrame and may rewrite or drop
+      cells — the reference's most common interception point)
+    - pre_compact             — preCompact (wrap the compaction
+      scanner: rewrite/drop cells as they are rewritten)
+    """
 
     pre_scan: Callable[[Scan], Scan] | None = None          # preScannerOpen
     post_scan: Callable[[DataFrame], DataFrame] | None = None  # postScannerNext
+    pre_get: Callable[[object], object] | None = None       # preGetOp (key rewrite)
+    post_get: Callable[[DataFrame], DataFrame] | None = None  # postGetOp
     pre_mutate: Callable[[DataFrame], DataFrame] | None = None  # prePut/preDelete
+    post_mutate: Callable[["Table"], "Table"] | None = None  # postPut/postDelete
+    pre_compact: Callable[[DataFrame], DataFrame] | None = None  # preCompact
 
 
 @dataclass
@@ -63,11 +76,33 @@ class ObservedTable:
                 out = ob.post_scan(out)
         return out
 
+    def get(self, row_key, **kw) -> DataFrame:
+        for ob in self.observers:
+            if ob.pre_get:
+                row_key = ob.pre_get(row_key)
+        out = self.table.get(row_key, **kw)
+        for ob in self.observers:
+            if ob.post_get:
+                out = ob.post_get(out)
+        return out
+
     def with_cells(self, more: DataFrame) -> "ObservedTable":
         for ob in self.observers:
             if ob.pre_mutate:
                 more = ob.pre_mutate(more)
-        return ObservedTable(self.table.with_cells(more), self.observers)
+        t = self.table.with_cells(more)
+        for ob in self.observers:
+            if ob.post_mutate:
+                t = ob.post_mutate(t)
+        return ObservedTable(t, self.observers)
+
+    def compact(self) -> "ObservedTable":
+        cells = self.table.cells
+        for ob in self.observers:
+            if ob.pre_compact:
+                cells = ob.pre_compact(cells)
+        t = Table(cells, self.table.families, self.table.now).compact()
+        return ObservedTable(t, self.observers)
 
 
 def scan_modifying_observer(families: list[str] | None = None,

@@ -86,3 +86,65 @@ def shell_count(table: Table) -> int:
     """shell `count` (hbase-shell table.rb:321 uses FirstKeyOnly+KeyOnly;
     here: distinct visible row keys)."""
     return table.count()
+
+
+# -- admin-backed shell commands (shell/commands/{alter,describe,list,
+# truncate,exists}.rb) -------------------------------------------------
+
+
+def shell_alter(admin, name: str, spec: dict) -> None:
+    """shell `alter 't', NAME => 'f', VERSIONS => 3, TTL => ...` —
+    spec keys: NAME (family, required), VERSIONS, MIN_VERSIONS, TTL
+    (seconds, like the shell), NEW_VERSION_BEHAVIOR, KEEP_DELETED_CELLS,
+    METHOD ('delete' to drop the family)."""
+    from hbase_spark.table import FamilyDescriptor
+
+    fam = spec["NAME"]
+    if spec.get("METHOD") == "delete":
+        admin.alter(name, fam, method="delete")
+        return
+    ttl_s = spec.get("TTL")
+    admin.alter(
+        name,
+        fam,
+        FamilyDescriptor(
+            max_versions=spec.get("VERSIONS", 1),
+            min_versions=spec.get("MIN_VERSIONS", 0),
+            ttl_ms=ttl_s * 1000 if ttl_s is not None else None,
+            new_version_behavior=spec.get("NEW_VERSION_BEHAVIOR", False),
+            keep_deleted_cells=spec.get("KEEP_DELETED_CELLS", False),
+        ),
+    )
+
+
+def shell_describe(admin, name: str) -> dict:
+    """shell `describe` — family schema in shell keyword form."""
+    desc = admin.describe(name)
+    return {
+        "ENABLED": desc["enabled"],
+        "FAMILIES": {
+            f: {
+                "VERSIONS": k["max_versions"],
+                "MIN_VERSIONS": k["min_versions"],
+                "TTL": (k["ttl_ms"] // 1000) if k["ttl_ms"] else None,
+                "NEW_VERSION_BEHAVIOR": k["new_version_behavior"],
+                "KEEP_DELETED_CELLS": k["keep_deleted_cells"],
+            }
+            for f, k in desc["families"].items()
+        },
+    }
+
+
+def shell_list(admin) -> list[str]:
+    """shell `list`."""
+    return admin.list_tables()
+
+
+def shell_truncate(admin, name: str) -> None:
+    """shell `truncate`."""
+    admin.truncate_table(name)
+
+
+def shell_exists(admin, name: str) -> bool:
+    """shell `exists`."""
+    return admin.table_exists(name)

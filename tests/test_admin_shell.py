@@ -91,3 +91,45 @@ def test_shell_scan_raw_and_timerange(catalog):
     assert shell_scan(t, TIMERANGE=(0, 25)).count() == 0
     # VERSIONS over raw-visible history
     assert shell_scan(t, RAW=True, VERSIONS=2).count() == 3
+
+
+def test_alter_modify_and_describe(catalog):
+    from hbase_spark.shell import shell_alter, shell_describe, shell_exists
+
+    catalog.create_table("t7", ["f"])
+    shell_alter(catalog, "t7", {"NAME": "f", "VERSIONS": 3, "TTL": 60})
+    d = shell_describe(catalog, "t7")
+    assert d["FAMILIES"]["f"]["VERSIONS"] == 3
+    assert d["FAMILIES"]["f"]["TTL"] == 60
+    # the opened Table picks up the altered knobs
+    t = catalog.table("t7", now=0)
+    assert t.families["f"].max_versions == 3
+    assert t.families["f"].ttl_ms == 60_000
+    assert shell_exists(catalog, "t7") and not shell_exists(catalog, "nope")
+
+
+def test_alter_add_and_delete_family(catalog):
+    from hbase_spark.shell import shell_alter, shell_describe, shell_put
+
+    catalog.create_table("t8", ["f"])
+    shell_alter(catalog, "t8", {"NAME": "g", "VERSIONS": 1})
+    assert set(shell_describe(catalog, "t8")["FAMILIES"]) == {"f", "g"}
+    t = catalog.table("t8")
+    t = shell_put(t, "r", "f:q", "keep", ts=1, seq=1)
+    t = shell_put(t, "r", "g:q", "drop", ts=1, seq=2)
+    catalog.flush("t8", t, num_regions=2)
+    shell_alter(catalog, "t8", {"NAME": "g", "METHOD": "delete"})
+    got = {r.family for r in catalog.table("t8").scan().collect()}
+    assert got == {"f"}  # dropped family invisible immediately
+
+
+def test_truncate_keeps_schema(catalog):
+    from hbase_spark.shell import shell_put, shell_truncate
+
+    catalog.create_table("t9", ["f"])
+    t = shell_put(catalog.table("t9"), "r", "f:q", "v", ts=1, seq=1)
+    catalog.flush("t9", t, num_regions=2)
+    assert catalog.table("t9").count() == 1
+    shell_truncate(catalog, "t9")
+    assert catalog.table("t9").count() == 0
+    assert "f" in catalog.describe("t9")["families"]

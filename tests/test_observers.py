@@ -77,3 +77,35 @@ def test_pre_mutate_hook(spark):
     ot2 = ot.with_cells(put_cells(spark, [("r3", "f", "a", "low")], ts=20, seq=5))
     got = {r.value for r in ot2.table.scan().filter("row='r3'").collect()}
     assert got == {"LOW"}
+
+
+def test_pre_get_and_post_get_hooks(spark):
+    from hbase_spark.plans.observers import Observer
+
+    redirect = Observer(pre_get=lambda k: "r1", post_get=lambda df: df.filter(
+        F.col("qualifier") == "a"
+    ))
+    ot = ObservedTable(base(spark), [redirect])
+    got = ot.get("whatever").collect()
+    assert {(r.row, r.qualifier) for r in got} == {("r1", "a")}
+
+
+def test_post_mutate_hook_sees_new_table(spark):
+    from hbase_spark.plans.observers import Observer
+
+    seen = []
+    ob = Observer(post_mutate=lambda t: (seen.append(t.count()), t)[1])
+    ot = ObservedTable(base(spark), [ob])
+    ot.with_cells(put_cells(spark, [("r9", "f", "a", "v")], ts=20, seq=9))
+    assert seen and seen[0] >= 3
+
+
+def test_pre_compact_hook_rewrites_stream(spark):
+    from hbase_spark.plans.observers import Observer
+
+    # ZooKeeperScanPolicyObserver-style: drop cells older than a cutoff
+    # during compaction only
+    ob = Observer(pre_compact=lambda cells: cells.filter(F.col("ts") >= 10))
+    ot = ObservedTable(base(spark), [ob])
+    compacted = ot.compact()
+    assert all(r.ts >= 10 for r in compacted.table.cells.collect())
