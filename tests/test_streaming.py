@@ -191,3 +191,84 @@ def test_serial_apply_orders_and_dedups(spark, dirs):
         [(1, "s1"), (3, "s3"), (4, "s4")],   # batch1 first
         [(1, "s1"), (3, "s3"), (4, "s4")],
     )
+
+
+# -- event-time windowed rollups + watermark (streaming/windows.py) ----
+
+HOUR = 3_600_000
+
+
+def _timed_log(spark, dirs):
+    """Two log files: file 1 = hours 0-2; file 2 = hour 3 plus one
+    VERY late cell back in hour 0 (beyond the 1h watermark once the
+    stream has seen hour 3)."""
+    def cells(rows):
+        return spark.createDataFrame(rows, schema=cell_schema())
+
+    f1 = [
+        ("r1", "m", "q", 0 * HOUR + 60_000, CellType.PUT, "1.5", 1),
+        ("r2", "m", "q", 0 * HOUR + 120_000, CellType.PUT, "2.5", 2),
+        ("r3", "m", "q", 1 * HOUR + 60_000, CellType.PUT, "3.0", 3),
+        ("r4", "m", "q", 2 * HOUR + 60_000, CellType.PUT, "4.0", 4),
+    ]
+    f2 = [
+        ("r5", "m", "q", 3 * HOUR + 60_000, CellType.PUT, "5.0", 5),
+        # late by ~3h: its hour-0 window closed when the watermark
+        # (max_ts - 1h) passed hour 1
+        ("r6", "m", "q", 0 * HOUR + 90_000, CellType.PUT, "100.0", 6),
+    ]
+    path = f"{dirs['log']}/b1"
+    cells(f1).coalesce(1).write.mode("overwrite").parquet(path)
+    return path, cells(f2)
+
+
+def test_windowed_rollup_stream_drops_late_data(spark, dirs):
+    from hbase_spark.streaming.windows import run_windowed_rollup
+
+    path, segment2 = _timed_log(spark, dirs)
+    stream = spark.readStream.schema(cell_schema()).parquet(path)
+    q = run_windowed_rollup(
+        stream,
+        "rollup_sink",
+        checkpoint=dirs["ckpt"],
+        window="1 hour",
+        watermark="1 hour",
+        group_cols=("qualifier",),
+    )
+    # batch 1: segment 1 only (advances the watermark to 1h01)
+    q.processAllAvailable()
+    # batch 2: the late-arrival segment lands after the watermark moved
+    segment2.coalesce(1).write.mode("append").parquet(path)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.win_start // HOUR, float(r.total))
+        for r in spark.sql("SELECT * FROM rollup_sink").collect()
+    }
+    # hour-0 window finalized WITHOUT the late 100.0 cell (it arrived
+    # after the watermark passed the window end)
+    assert (0, 4.0) in got
+    # hour-1 emitted once the watermark (3h01 - 1h = 2h01) passed 2h00
+    assert (1, 3.0) in got
+    # hour-2 (ends 3h00) and hour-3 are still open -> not emitted yet
+    assert all(h in (0, 1) for h, _ in got)
+
+
+def test_windowed_rollup_batch_equals_stream_definition(spark, dirs):
+    """The same windowed_rollup definition over a batch frame matches a
+    hand-rolled batch rollup (watermark is a no-op in batch)."""
+    from hbase_spark.streaming.windows import windowed_rollup
+
+    rows = [
+        ("r1", "m", "q", 10 * HOUR + 1, CellType.PUT, "1.0", 1),
+        ("r2", "m", "q", 10 * HOUR + 2, CellType.PUT, "2.0", 2),
+        ("r3", "m", "x", 11 * HOUR + 1, CellType.PUT, "4.0", 3),
+    ]
+    cells = spark.createDataFrame(rows, schema=cell_schema())
+    got = {
+        (r.win_start // HOUR, r.qualifier, float(r.total), r.n)
+        for r in windowed_rollup(
+            cells, window="1 hour", group_cols=("qualifier",)
+        ).collect()
+    }
+    assert got == {(10, "q", 3.0, 2), (11, "x", 4.0, 1)}
