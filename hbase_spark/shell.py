@@ -11,6 +11,7 @@ COLUMNS use the shell's 'family:qualifier' form.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from hbase_spark.operators.scan import Scan
 from hbase_spark.table import Table
@@ -86,6 +87,52 @@ def shell_count(table: Table) -> int:
     """shell `count` (hbase-shell table.rb:321 uses FirstKeyOnly+KeyOnly;
     here: distinct visible row keys)."""
     return table.count()
+
+
+def shell_incr(table: Table, row, column: str, value: int = 1, *, ts: int, seq: int) -> Table:
+    """shell `incr` (shell/commands/incr.rb)."""
+    fam, qual = column.split(":", 1)
+    return table.increment([(row, fam, qual, value)], ts=ts, seq=seq)
+
+
+def shell_get_counter(table: Table, row, column: str) -> int | None:
+    """shell `get_counter` (shell/commands/get_counter.rb) — the
+    current value of an increment-maintained column."""
+    fam, qual = column.split(":", 1)
+    hit = (
+        table.get(row)
+        .filter((F.col("family") == fam) & (F.col("qualifier") == qual))
+        .select("value")
+        .collect()
+    )
+    return int(hit[0].value) if hit else None
+
+
+def shell_append(table: Table, row, column: str, value: str, *, ts: int, seq: int) -> Table:
+    """shell `append` (shell/commands/append.rb)."""
+    fam, qual = column.split(":", 1)
+    return table.append([(row, fam, qual, value)], ts=ts, seq=seq)
+
+
+def shell_deleteall(table: Table, row, *, ts: int, seq: int) -> Table:
+    """shell `deleteall` (shell/commands/deleteall.rb): the whole row —
+    one DELETE_FAMILY marker per family the row has (or per declared
+    family when the table has descriptors)."""
+    from hbase_spark.model import CellType
+
+    if table.families:
+        fams = sorted(table.families)
+    else:
+        fams = [
+            r.family
+            for r in table.cells.filter(F.col("row") == row)
+            .select("family")
+            .distinct()
+            .collect()
+        ]
+    return table.delete(
+        [(row, f, None) for f in fams], ts=ts, seq=seq, kind=CellType.DELETE_FAMILY
+    )
 
 
 # -- admin-backed shell commands (shell/commands/{alter,describe,list,

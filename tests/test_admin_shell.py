@@ -133,3 +133,36 @@ def test_truncate_keeps_schema(catalog):
     shell_truncate(catalog, "t9")
     assert catalog.table("t9").count() == 0
     assert "f" in catalog.describe("t9")["families"]
+
+
+def test_shell_incr_append_counter(catalog):
+    from hbase_spark.shell import (
+        shell_append,
+        shell_get_counter,
+        shell_incr,
+        shell_put,
+    )
+
+    catalog.create_table("t10", ["f"])
+    t = catalog.table("t10")
+    t = shell_incr(t, "r", "f:hits", 5, ts=1, seq=1)
+    t = shell_incr(t, "r", "f:hits", 3, ts=2, seq=2)
+    assert shell_get_counter(t, "r", "f:hits") == 8
+    assert shell_get_counter(t, "r", "f:miss") is None
+    t = shell_put(t, "r", "f:tag", "a", ts=3, seq=3)
+    t = shell_append(t, "r", "f:tag", "b", ts=4, seq=4)
+    got = {r.value for r in t.get("r").filter("qualifier='tag'").collect()}
+    assert got == {"ab"}
+
+
+def test_shell_deleteall_masks_whole_row(catalog):
+    from hbase_spark.shell import shell_deleteall, shell_put
+
+    catalog.create_table("t11", ["f", "g"])
+    t = catalog.table("t11")
+    t = shell_put(t, "r1", "f:a", "1", ts=1, seq=1)
+    t = shell_put(t, "r1", "g:b", "2", ts=1, seq=2)
+    t = shell_put(t, "r2", "f:a", "3", ts=1, seq=3)
+    t = shell_deleteall(t, "r1", ts=5, seq=9)
+    rows = {r.row for r in t.scan().collect()}
+    assert rows == {"r2"}
