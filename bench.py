@@ -41,6 +41,18 @@ HEADLINE = [
 ]
 
 
+def headline_queries() -> dict:
+    """The registry plus fine-grained operators folded into suite
+    queries, which keep their own bench entry (same names as the
+    round-1 anchor in BASELINE.md)."""
+    queries = dict(entrymod.queries())
+    queries.setdefault("scan_range", entrymod.q_scan_range)
+    queries.setdefault("filter_single_column_value", entrymod.q_filter_scvf)
+    queries.setdefault("multi_get", entrymod.q_multi_get)
+    queries.setdefault("doc_language_id", entrymod.q_doc_language_id)
+    return queries
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -51,13 +63,7 @@ def main() -> None:
     # them; a real deployment's tables are on disk before any query)
     entrymod.prepare(spark, sf_dir)
 
-    queries = dict(entrymod.queries())
-    # Fine-grained operators folded into suite queries keep their own
-    # bench entry (same names as the round-1 anchor in BASELINE.md).
-    queries.setdefault("scan_range", entrymod.q_scan_range)
-    queries.setdefault("filter_single_column_value", entrymod.q_filter_scvf)
-    queries.setdefault("multi_get", entrymod.q_multi_get)
-    queries.setdefault("doc_language_id", entrymod.q_doc_language_id)
+    queries = headline_queries()
     # Warmup pass at the smallest SF: Janino codegen + JIT dominate cold
     # runs of these plans (measured: warm resolve_latest is ~4x faster at
     # sf0.1); warming on sf0.001 data makes the timed pass measure data

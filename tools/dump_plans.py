@@ -10,7 +10,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, headline_queries  # noqa: E402
 from hbase_spark.sources.tables import get_spark  # noqa: E402
 
 
@@ -18,7 +18,8 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plans", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entrymod.queries()
+    entrymod.prepare(spark, sf_dir)
+    queries = headline_queries()
     out = ["# PLANS — executed physical plans of the headline queries\n"]
     out.append(f"Scale: `{sf_dir}`; final AQE plans (post-materialization).\n")
     for name in HEADLINE:
