@@ -13,18 +13,32 @@ from hbase_spark.model import CellType
 # cell = dict(row, family, qualifier, ts, type, value, seq)
 
 
+def _knob(value, family, default):
+    """Per-family knob access: dict → family's value (reference default
+    when absent), scalar → itself."""
+    if isinstance(value, dict):
+        return value.get(family, default)
+    return value
+
+
+def _flag(value, family):
+    if isinstance(value, (set, frozenset)):
+        return family in value
+    return value
+
+
 def resolve_spec(
     cells: list[dict],
     *,
-    versions: int = 1,
-    min_versions: int = 0,
+    versions: int | dict = 1,
+    min_versions: int | dict = 0,
     as_of: int | None = None,
     time_range: tuple[int | None, int | None] | None = None,
     ttl_by_family: dict[str, int] | None = None,
     now: int | None = None,
     raw: bool = False,
-    new_version_behavior: bool = False,
-    keep_deleted_cells: bool = False,
+    new_version_behavior: bool | set = False,
+    keep_deleted_cells: bool | set = False,
 ) -> list[dict]:
     cs = [c for c in cells if as_of is None or c["ts"] <= as_of]
 
@@ -44,17 +58,22 @@ def resolve_spec(
             and c["ts"] < now - ttl_by_family[c["family"]]
         )
 
-    if ttl_by_family and min_versions <= 0:
-        cs = [c for c in cs if not expired(c)]
+    if ttl_by_family:
+        cs = [
+            c
+            for c in cs
+            if _knob(min_versions, c["family"], 0) > 0 or not expired(c)
+        ]
 
     puts = [c for c in cs if c["type"] == CellType.PUT]
     dels = [c for c in cs if c["type"] != CellType.PUT]
-    if (
-        keep_deleted_cells
-        and time_range is not None
-        and time_range[1] is not None
-    ):
-        dels = [d for d in dels if d["ts"] < time_range[1]]
+    if time_range is not None and time_range[1] is not None:
+        dels = [
+            d
+            for d in dels
+            if not _flag(keep_deleted_cells, d["family"])
+            or d["ts"] < time_range[1]
+        ]
 
     def deleted(p):
         for d in dels:
@@ -70,7 +89,7 @@ def resolve_spec(
             if t == CellType.DELETE_COLUMN and p["ts"] <= d["ts"]:
                 return True
             if t == CellType.DELETE and p["ts"] == d["ts"]:
-                if not new_version_behavior or d["seq"] >= p["seq"]:
+                if not _flag(new_version_behavior, p["family"]) or d["seq"] >= p["seq"]:
                     return True
         return False
 
@@ -80,12 +99,14 @@ def resolve_spec(
     for p in live:
         by_col.setdefault((p["row"], p["family"], p["qualifier"]), []).append(p)
     out = []
-    for _, group in by_col.items():
+    for (row, family, qual), group in by_col.items():
         group.sort(key=lambda c: (-c["ts"], -c["seq"]))
-        for rank, c in enumerate(group[:versions], start=1):
+        vcap = _knob(versions, family, 1)
+        minv = _knob(min_versions, family, 0)
+        for rank, c in enumerate(group[:vcap], start=1):
             # expired cells consume the slot but only survive while
             # rank <= min_versions (ScanWildcardColumnTracker:143)
-            if not expired(c) or rank <= min_versions:
+            if not expired(c) or rank <= minv:
                 out.append(c)
     return out
 

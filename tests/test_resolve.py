@@ -309,12 +309,15 @@ cell_strategy = st.fixed_dictionaries(
 
 @given(
     cells=st.lists(cell_strategy, min_size=1, max_size=40),
-    versions=st.sampled_from([1, 2, 3]),
-    nvb=st.booleans(),
+    # scalars AND family-keyed forms: every knob is strictly per column
+    # family in the reference (ColumnFamilyDescriptor), so the law must
+    # hold for heterogeneous families too
+    versions=st.sampled_from([1, 2, 3, {"f1": 1, "f2": 3}, {"f1": 2}]),
+    nvb=st.sampled_from([False, True, frozenset({"f1"}), frozenset({"f2"})]),
     time_range=st.sampled_from([None, (2, 6), (None, 5), (4, None)]),
     ttl=st.sampled_from([None, {"f1": 4}, {"f1": 2, "f2": 5}]),
-    min_versions=st.sampled_from([0, 1, 2]),
-    kdc=st.booleans(),
+    min_versions=st.sampled_from([0, 1, 2, {"f1": 1, "f2": 0}, {"f2": 2}]),
+    kdc=st.sampled_from([False, True, frozenset({"f1"})]),
 )
 @settings(
     max_examples=25,
