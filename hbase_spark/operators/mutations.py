@@ -172,7 +172,14 @@ def apply_increments(
             F.lit(seq).cast("long").alias("seq"),
         )
     )
-    return apply_mutations(cells, new_cells)
+    # new_cells is re-read by every branch of a downstream snapshot
+    # resolve (the union itself, the tombstone-mask builds, version
+    # capping); without materialization each reference recomputes the
+    # whole slice+resolve subtree.  Like ``summed`` it is bounded by
+    # the mutation batch (one row per touched column) and distributed
+    # across executors, so MEMORY_AND_DISK holds wherever the merge
+    # itself is feasible.
+    return apply_mutations(cells, new_cells.localCheckpoint(eager=False))
 
 
 def apply_appends(
@@ -223,7 +230,8 @@ def apply_appends(
         F.concat(F.coalesce(F.col("_old"), F.lit("")), F.col("_suffix")).alias("value"),
         F.lit(seq).cast("long").alias("seq"),
     )
-    return apply_mutations(cells, new_cells)
+    # batch-bounded, multiply-referenced downstream — see apply_increments
+    return apply_mutations(cells, new_cells.localCheckpoint(eager=False))
 
 
 def apply_check_and_mutate(
