@@ -134,3 +134,32 @@ def test_whole_stage_codegen_present(spark, versions):
     # AQE's final-plan text marks codegen'd operators with a "*(n)" prefix
     plan = plan_of(resolve(cells(spark), versions=versions))
     assert "*(" in plan
+
+
+def test_increment_then_resolve_materializes_result_cells_once(spark):
+    # the RMW result frame feeds every branch of a downstream resolve
+    # (union, tombstone masks, version cap); without the checkpoint in
+    # apply_increments each branch recomputes the slice+resolve subtree
+    # and the executed plan balloons (36 exchanges at sf0.1).  The
+    # checkpointed result frame shows as ONE extra "Scan ExistingRDD"
+    # beside the base frame's own (2 total); without it the recomputed
+    # subtrees re-scan the base per branch (4+ in this fixture, 36
+    # exchanges at sf0.1).
+    from hbase_spark.operators.mutations import apply_increments
+    from hbase_spark.operators.resolve import resolve as _resolve
+
+    base = make_cells(
+        spark,
+        [
+            (str(i).zfill(6), "f", q, 1, 4, str(i * 10), i)
+            for i in range(64)
+            for q in ("a", "b")
+        ],
+    )
+    deltas = spark.createDataFrame(
+        [(str(i).zfill(6), "f", "a", 1) for i in range(16)],
+        "row string, family string, qualifier string, delta long",
+    )
+    merged = apply_increments(base, deltas, ts=9, seq=10_000)
+    plan = plan_of(_resolve(merged, versions=1))
+    assert plan.count("Scan ExistingRDD") <= 2
