@@ -1,11 +1,26 @@
 """Admin — table lifecycle over a directory catalog
 (client/Admin.java surface: createTable/disableTable/deleteTable/
-listTableNames/getDescriptor, re-expressed for a storage-backed engine).
+listTableNames/getDescriptor/snapshot/cloneSnapshot/restoreSnapshot/
+createNamespace, re-expressed for a storage-backed engine).
 
 A "table" is a bulk layout directory plus a descriptor JSON recording
 the per-family schema knobs (the ColumnFamilyDescriptor analog).
 Enable/disable is a descriptor flag — reads of a disabled table raise,
 like the reference's TableNotEnabledException.
+
+Data directories are immutable versions (``cells-v{n}``): a flush
+writes a NEW version dir and repoints the descriptor, never rewriting
+in place.  That gives snapshots the reference's zero-copy semantics
+(snapshot/SnapshotManifest.java — a manifest of store-file references,
+no data copied): ``snapshot()`` records the current version dir,
+``clone_snapshot()``/``restore_snapshot()`` repoint descriptors at it,
+and superseded dirs await storage-level GC exactly like the
+reference's archive directory.  At 100 TB this is the only viable
+design — snapshot cost is O(1) metadata, not O(data).
+
+Namespaces (NamespaceDescriptor.java) are first-level catalog
+directories; ``ns:table`` names resolve to ``{catalog}/{ns}/{table}``
+and the default namespace stays flat for back-compat.
 """
 
 from __future__ import annotations
@@ -19,10 +34,19 @@ from hbase_spark.sources.layout import read_table, write_table
 from hbase_spark.table import FamilyDescriptor, Table
 
 _DESCRIPTOR = "table-descriptor.json"
+_NAMESPACE_DESC = "namespace-descriptor.json"
 
 
 class TableNotEnabledError(RuntimeError):
     pass
+
+
+def _table_path(name: str) -> str:
+    """``ns:table`` -> ``ns/table`` (default namespace stays flat)."""
+    if ":" in name:
+        ns, tbl = name.split(":", 1)
+        return tbl if ns == "default" else f"{ns}/{tbl}"
+    return name
 
 
 class Admin:
@@ -33,7 +57,7 @@ class Admin:
     # -- descriptor IO ------------------------------------------------------
 
     def _desc_path(self, name: str) -> str:
-        return f"{self.catalog_dir}/{name}/{_DESCRIPTOR}"
+        return f"{self.catalog_dir}/{_table_path(name)}/{_DESCRIPTOR}"
 
     def _write_desc(self, name: str, desc: dict) -> None:
         self.spark.createDataFrame([(json.dumps(desc),)], "v string").coalesce(
@@ -53,10 +77,15 @@ class Admin:
         self, name: str, families: dict[str, FamilyDescriptor] | list[str]
     ) -> None:
         """Admin.createTable — registers the descriptor and an empty layout."""
+        if name == "snapshots":
+            raise ValueError("'snapshots' is reserved for snapshot manifests")
         if isinstance(families, list):
             families = {f: FamilyDescriptor() for f in families}
+        data_dir = f"{_table_path(name)}/cells-v0"
         desc = {
             "enabled": True,
+            "version": 0,
+            "data_dir": data_dir,
             "families": {
                 f: {
                     "max_versions": d.max_versions,
@@ -69,7 +98,7 @@ class Admin:
             },
         }
         empty = self.spark.createDataFrame([], schema=cell_schema())
-        empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{name}/cells")
+        empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{data_dir}")
         self._write_desc(name, desc)
 
     def table(self, name: str, *, now: int | None = None) -> Table:
@@ -80,7 +109,8 @@ class Admin:
         fams = {
             f: FamilyDescriptor(**knobs) for f, knobs in desc["families"].items()
         }
-        cells = read_table(self.spark, f"{self.catalog_dir}/{name}/cells")
+        data_dir = desc.get("data_dir", f"{_table_path(name)}/cells")
+        cells = read_table(self.spark, f"{self.catalog_dir}/{data_dir}")
         if fams:
             # only declared families are readable — a family dropped via
             # alter(method='delete') disappears immediately (its data is
@@ -92,13 +122,18 @@ class Admin:
 
     def flush(self, name: str, table: Table, *, num_regions: int = 32) -> None:
         """Persist a mutated Table back to the layout (memstore flush /
-        major-compaction write analog)."""
-        write_table(table.cells, f"{self.catalog_dir}/{name}/cells2",
+        major-compaction write analog).  Writes a NEW immutable version
+        dir and repoints the descriptor — a single write, no
+        read-back-and-overwrite, and every snapshot referencing the old
+        dir stays valid (the reference's archive-dir discipline)."""
+        desc = self._read_desc(name)
+        v = desc.get("version", 0) + 1
+        data_dir = f"{_table_path(name)}/cells-v{v}"
+        write_table(table.cells, f"{self.catalog_dir}/{data_dir}",
                     num_regions=num_regions)
-        # swap via rewrite: read back the new layout and overwrite the
-        # canonical path (two-step because Spark can't overwrite its input)
-        fresh = read_table(self.spark, f"{self.catalog_dir}/{name}/cells2")
-        fresh.write.mode("overwrite").parquet(f"{self.catalog_dir}/{name}/cells")
+        desc["version"] = v
+        desc["data_dir"] = data_dir
+        self._write_desc(name, desc)
 
     def disable_table(self, name: str) -> None:
         desc = self._read_desc(name)
@@ -151,10 +186,15 @@ class Admin:
 
     def truncate_table(self, name: str) -> None:
         """shell `truncate` (shell/commands/truncate.rb): drop all data,
-        keep the schema."""
+        keep the schema.  A new empty version dir, so snapshots taken
+        before the truncate still restore."""
         desc = self._read_desc(name)
+        v = desc.get("version", 0) + 1
+        data_dir = f"{_table_path(name)}/cells-v{v}"
         empty = self.spark.createDataFrame([], schema=cell_schema())
-        empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{name}/cells")
+        empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{data_dir}")
+        desc["version"] = v
+        desc["data_dir"] = data_dir
         self._write_desc(name, desc)
 
     def table_exists(self, name: str) -> bool:
@@ -165,20 +205,161 @@ class Admin:
             return False
 
     def list_tables(self) -> list[str]:
+        import re
+
+        names = set()
+        for pattern, rx in (
+            (f"{self.catalog_dir}/*/{_DESCRIPTOR}", r"/([^/]+)/" + _DESCRIPTOR),
+            (
+                f"{self.catalog_dir}/*/*/{_DESCRIPTOR}",
+                r"/([^/]+)/([^/]+)/" + _DESCRIPTOR,
+            ),
+        ):
+            try:
+                df = self.spark.read.text(pattern)
+            except Exception:  # noqa: BLE001 — nothing at this depth
+                continue
+            for f in df.inputFiles():
+                m = re.search(rx, f)
+                if not m:
+                    continue
+                name = (
+                    m.group(1)
+                    if m.lastindex == 1
+                    else f"{m.group(1)}:{m.group(2)}"
+                )
+                if not self._read_desc(name).get("deleted"):
+                    names.add(name)
+        return sorted(names)
+
+    def describe(self, name: str) -> dict:
+        return self._read_desc(name)
+
+    # -- snapshots (zero-copy manifests) ------------------------------------
+
+    def _snap_path(self, snapshot: str) -> str:
+        return f"{self.catalog_dir}/snapshots/{snapshot}.json"
+
+    def _write_json(self, path: str, obj: dict) -> None:
+        self.spark.createDataFrame([(json.dumps(obj),)], "v string").coalesce(
+            1
+        ).write.mode("overwrite").text(path)
+
+    def _read_json(self, path: str, what: str) -> dict:
         try:
-            df = self.spark.read.text(f"{self.catalog_dir}/*/{_DESCRIPTOR}")
-        except Exception:  # noqa: BLE001 — empty catalog
+            rows = self.spark.read.text(path).collect()
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"{what} does not exist") from e
+        return json.loads("\n".join(r.value for r in rows))
+
+    def snapshot(self, snapshot: str, name: str) -> None:
+        """Admin.snapshot (snapshot/SnapshotManifest.java): record a
+        manifest referencing the table's current immutable version dir.
+        O(1) metadata — no data is read or copied."""
+        desc = self._read_desc(name)
+        self._write_json(
+            self._snap_path(snapshot),
+            {
+                "table": name,
+                "data_dir": desc.get("data_dir", f"{_table_path(name)}/cells"),
+                "families": desc["families"],
+            },
+        )
+
+    def clone_snapshot(self, snapshot: str, name: str) -> None:
+        """Admin.cloneSnapshot: a new table whose descriptor points at
+        the snapshot's version dir.  Copy-on-write: the clone's first
+        flush writes its OWN new version dir, leaving the shared one
+        untouched (the reference's HFile-link mechanism)."""
+        man = self._read_json(self._snap_path(snapshot), f"snapshot {snapshot!r}")
+        if self.table_exists(name):
+            raise ValueError(f"table {name!r} already exists")
+        self._write_desc(
+            name,
+            {
+                "enabled": True,
+                "version": 0,
+                "data_dir": man["data_dir"],
+                "families": man["families"],
+            },
+        )
+
+    def restore_snapshot(self, snapshot: str) -> None:
+        """Admin.restoreSnapshot: repoint the (disabled) source table at
+        the snapshot's version dir and schema."""
+        man = self._read_json(self._snap_path(snapshot), f"snapshot {snapshot!r}")
+        desc = self._read_desc(man["table"])
+        if desc["enabled"]:
+            raise RuntimeError(
+                f"table {man['table']!r} must be disabled before restore"
+            )
+        desc["data_dir"] = man["data_dir"]
+        desc["families"] = man["families"]
+        self._write_desc(man["table"], desc)
+
+    def delete_snapshot(self, snapshot: str) -> None:
+        self._read_json(self._snap_path(snapshot), f"snapshot {snapshot!r}")
+        self._write_json(self._snap_path(snapshot), {"deleted": True})
+
+    def list_snapshots(self) -> list[str]:
+        try:
+            df = self.spark.read.text(f"{self.catalog_dir}/snapshots/*.json")
+        except Exception:  # noqa: BLE001 — no snapshots yet
             return []
         import re
 
         names = set()
         for f in df.inputFiles():
-            m = re.search(r"/([^/]+)/" + _DESCRIPTOR, f)
+            m = re.search(r"/snapshots/([^/]+)\.json/", f + "/")
             if m:
-                desc = self._read_desc(m.group(1))
-                if not desc.get("deleted"):
+                name = m.group(1)
+                if not self._read_json(
+                    self._snap_path(name), "snapshot"
+                ).get("deleted"):
+                    names.add(name)
+        return sorted(names)
+
+    # -- namespaces ---------------------------------------------------------
+
+    def create_namespace(self, ns: str) -> None:
+        """Admin.createNamespace (NamespaceDescriptor.java)."""
+        if ns in ("default", "snapshots") or "/" in ns or ":" in ns:
+            raise ValueError(f"invalid namespace name {ns!r}")
+        self._write_json(
+            f"{self.catalog_dir}/{ns}/{_NAMESPACE_DESC}", {"name": ns}
+        )
+
+    def list_namespaces(self) -> list[str]:
+        try:
+            df = self.spark.read.text(f"{self.catalog_dir}/*/{_NAMESPACE_DESC}")
+        except Exception:  # noqa: BLE001
+            return ["default"]
+        import re
+
+        names = {"default"}
+        for f in df.inputFiles():
+            m = re.search(r"/([^/]+)/" + _NAMESPACE_DESC, f)
+            if m:
+                d = self._read_json(
+                    f"{self.catalog_dir}/{m.group(1)}/{_NAMESPACE_DESC}", "ns"
+                )
+                if not d.get("deleted"):
                     names.add(m.group(1))
         return sorted(names)
 
-    def describe(self, name: str) -> dict:
-        return self._read_desc(name)
+    def describe_namespace(self, ns: str) -> dict:
+        if ns == "default":
+            return {"name": "default"}
+        return self._read_json(
+            f"{self.catalog_dir}/{ns}/{_NAMESPACE_DESC}", f"namespace {ns!r}"
+        )
+
+    def drop_namespace(self, ns: str) -> None:
+        """Admin.deleteNamespace — refuses while tables remain, like the
+        reference's ConstraintException."""
+        desc = self.describe_namespace(ns)
+        remaining = [t for t in self.list_tables() if t.startswith(f"{ns}:")]
+        if remaining:
+            raise RuntimeError(f"namespace {ns!r} still has tables: {remaining}")
+        desc["deleted"] = True
+        self._write_json(f"{self.catalog_dir}/{ns}/{_NAMESPACE_DESC}", desc)

@@ -195,3 +195,54 @@ def shell_truncate(admin, name: str) -> None:
 def shell_exists(admin, name: str) -> bool:
     """shell `exists`."""
     return admin.table_exists(name)
+
+
+# -- snapshot + namespace shell commands (shell/commands/{snapshot,
+# clone_snapshot,restore_snapshot,delete_snapshot,list_snapshots,
+# create_namespace,describe_namespace,list_namespace,
+# drop_namespace}.rb) --------------------------------------------------
+
+
+def shell_snapshot(admin, table_name: str, snapshot_name: str) -> None:
+    """shell `snapshot 't', 'snap'`."""
+    admin.snapshot(snapshot_name, table_name)
+
+
+def shell_clone_snapshot(admin, snapshot_name: str, table_name: str) -> None:
+    """shell `clone_snapshot 'snap', 't2'`."""
+    admin.clone_snapshot(snapshot_name, table_name)
+
+
+def shell_restore_snapshot(admin, snapshot_name: str) -> None:
+    """shell `restore_snapshot 'snap'` (table must be disabled)."""
+    admin.restore_snapshot(snapshot_name)
+
+
+def shell_delete_snapshot(admin, snapshot_name: str) -> None:
+    """shell `delete_snapshot 'snap'`."""
+    admin.delete_snapshot(snapshot_name)
+
+
+def shell_list_snapshots(admin) -> list[str]:
+    """shell `list_snapshots`."""
+    return admin.list_snapshots()
+
+
+def shell_create_namespace(admin, ns: str) -> None:
+    """shell `create_namespace 'ns'`."""
+    admin.create_namespace(ns)
+
+
+def shell_describe_namespace(admin, ns: str) -> dict:
+    """shell `describe_namespace 'ns'`."""
+    return admin.describe_namespace(ns)
+
+
+def shell_list_namespace(admin) -> list[str]:
+    """shell `list_namespace`."""
+    return admin.list_namespaces()
+
+
+def shell_drop_namespace(admin, ns: str) -> None:
+    """shell `drop_namespace 'ns'` (must be empty)."""
+    admin.drop_namespace(ns)

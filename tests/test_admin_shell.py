@@ -166,3 +166,119 @@ def test_shell_deleteall_masks_whole_row(catalog):
     t = shell_deleteall(t, "r1", ts=5, seq=9)
     rows = {r.row for r in t.scan().collect()}
     assert rows == {"r2"}
+
+
+def test_snapshot_restore_point_in_time(catalog):
+    from hbase_spark.shell import (
+        shell_list_snapshots,
+        shell_restore_snapshot,
+        shell_snapshot,
+    )
+
+    catalog.create_table("s1", ["f"])
+    t = catalog.table("s1")
+    t = shell_put(t, "r1", "f:a", "old", ts=10, seq=1)
+    catalog.flush("s1", t, num_regions=2)
+    shell_snapshot(catalog, "s1", "snap-before")
+    # mutate past the snapshot point
+    t = catalog.table("s1")
+    t = shell_put(t, "r1", "f:a", "new", ts=20, seq=2)
+    t = shell_put(t, "r2", "f:a", "x", ts=20, seq=3)
+    catalog.flush("s1", t, num_regions=2)
+    assert shell_count(catalog.table("s1")) == 2
+    assert shell_list_snapshots(catalog) == ["snap-before"]
+    # restore requires disable, like the reference
+    with pytest.raises(RuntimeError):
+        shell_restore_snapshot(catalog, "snap-before")
+    catalog.disable_table("s1")
+    shell_restore_snapshot(catalog, "snap-before")
+    catalog.enable_table("s1")
+    back = catalog.table("s1")
+    assert shell_count(back) == 1
+    assert [r.value for r in shell_get(back, "r1", COLUMNS=["f:a"]).collect()] == [
+        "old"
+    ]
+
+
+def test_clone_snapshot_is_zero_copy_and_cow(catalog):
+    from hbase_spark.shell import shell_clone_snapshot, shell_snapshot
+
+    catalog.create_table("src", ["f"])
+    t = catalog.table("src")
+    for i in range(4):
+        t = shell_put(t, f"r{i}", "f:a", str(i), ts=10, seq=i)
+    catalog.flush("src", t, num_regions=2)
+    shell_snapshot(catalog, "src", "snap1")
+    shell_clone_snapshot(catalog, "snap1", "dst")
+    # zero-copy: the clone reads the SAME parquet files as the source
+    src_files = set(catalog.table("src").cells.inputFiles())
+    dst_files = set(catalog.table("dst").cells.inputFiles())
+    assert src_files == dst_files and src_files
+    # copy-on-write: flushing the clone must not disturb src or the snapshot
+    d = catalog.table("dst")
+    d = shell_put(d, "r9", "f:a", "clone-only", ts=20, seq=9)
+    catalog.flush("dst", d, num_regions=2)
+    assert shell_count(catalog.table("dst")) == 5
+    assert shell_count(catalog.table("src")) == 4
+    assert set(catalog.table("src").cells.inputFiles()) == src_files
+
+
+def test_flush_preserves_snapshot_data(catalog):
+    # versioned dirs: a flush AFTER the snapshot must not invalidate it
+    from hbase_spark.shell import shell_clone_snapshot, shell_snapshot
+
+    catalog.create_table("v1", ["f"])
+    t = catalog.table("v1")
+    t = shell_put(t, "r", "f:a", "kept", ts=10, seq=1)
+    catalog.flush("v1", t, num_regions=1)
+    shell_snapshot(catalog, "v1", "pinned")
+    for gen in range(2):  # two more flush generations
+        t = catalog.table("v1")
+        t = shell_put(t, f"g{gen}", "f:a", "later", ts=20 + gen, seq=10 + gen)
+        catalog.flush("v1", t, num_regions=1)
+    shell_clone_snapshot(catalog, "pinned", "v1-at-snap")
+    assert shell_count(catalog.table("v1-at-snap")) == 1
+    assert shell_count(catalog.table("v1")) == 3
+
+
+def test_delete_snapshot(catalog):
+    from hbase_spark.shell import (
+        shell_delete_snapshot,
+        shell_list_snapshots,
+        shell_snapshot,
+    )
+
+    catalog.create_table("ds", ["f"])
+    shell_snapshot(catalog, "ds", "gone")
+    shell_delete_snapshot(catalog, "gone")
+    assert shell_list_snapshots(catalog) == []
+    with pytest.raises(ValueError):
+        catalog.clone_snapshot("never-existed", "x")
+
+
+def test_namespace_lifecycle(catalog):
+    from hbase_spark.shell import (
+        shell_create_namespace,
+        shell_describe_namespace,
+        shell_drop_namespace,
+        shell_list_namespace,
+    )
+
+    shell_create_namespace(catalog, "prod")
+    assert shell_list_namespace(catalog) == ["default", "prod"]
+    assert shell_describe_namespace(catalog, "prod")["name"] == "prod"
+    catalog.create_table("prod:users", ["f"])
+    t = catalog.table("prod:users")
+    t = shell_put(t, "u1", "f:a", "1", ts=10, seq=1)
+    catalog.flush("prod:users", t, num_regions=1)
+    assert shell_count(catalog.table("prod:users")) == 1
+    assert "prod:users" in catalog.list_tables()
+    # drop refuses while tables remain
+    with pytest.raises(RuntimeError):
+        shell_drop_namespace(catalog, "prod")
+    catalog.disable_table("prod:users")
+    catalog.delete_table("prod:users")
+    shell_drop_namespace(catalog, "prod")
+    assert shell_list_namespace(catalog) == ["default"]
+    with pytest.raises(ValueError):
+        catalog.create_namespace("bad/name")
