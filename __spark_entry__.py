@@ -2047,9 +2047,13 @@ def q_filter_list_or_scvf(spark, sf):
       AND qualifier IN ('o_orderstatus')""",
 )
 def q_admin_shell_roundtrip(spark, sf):
-    """Admin catalog + shell DSL (client/Admin.java createTable /
-    hbase-shell scan.rb): create a table, bulk-flush the orders melt
-    into its layout, reopen, and scan with shell keyword arguments."""
+    """Admin catalog + shell DSL (client/Admin.java createTable/
+    snapshot/restoreSnapshot/cloneSnapshot, hbase-shell scan.rb):
+    create a table, bulk-flush the orders melt into its layout,
+    snapshot it, truncate (destroying the live data), restore from the
+    snapshot, clone the snapshot to a second table, and scan the CLONE
+    with shell keyword arguments — the oracle proves the zero-copy
+    manifest round-trip loses nothing."""
     import shutil
 
     from hbase_spark.admin import Admin
@@ -2061,7 +2065,13 @@ def q_admin_shell_roundtrip(spark, sf):
     adm = Admin(spark, path)
     adm.create_table("orders_cells", ["o"])
     adm.flush("orders_cells", Table(_orders_cells(spark, sf)), num_regions=4)
-    t = adm.table("orders_cells")
+    adm.snapshot("pit", "orders_cells")
+    adm.truncate_table("orders_cells")  # live data gone, snapshot pinned
+    adm.disable_table("orders_cells")
+    adm.restore_snapshot("pit")
+    adm.enable_table("orders_cells")
+    adm.clone_snapshot("pit", "orders_clone")
+    t = adm.table("orders_clone")
     out = shell_scan(
         t,
         STARTROW="3000".zfill(12),
