@@ -57,12 +57,14 @@ def _fam_member(fams) -> Column:
     return F.col("family").isin(list(fams))
 
 
-def _norm_versions(versions) -> int | dict:
-    """Collapse a uniform dict to its scalar so the fast paths apply."""
+def _norm_versions(versions, default: int = 1) -> int | dict:
+    """Collapse a family-keyed dict to a scalar ONLY when every entry
+    equals the missing-family default — any other uniform dict (e.g.
+    ``{'f1': 2}``) must stay family-keyed, because families absent from
+    the dict get the reference default, not the dict's value."""
     if isinstance(versions, dict):
-        vals = set(versions.values())
-        if len(vals) == 1:
-            return vals.pop()
+        if not versions or set(versions.values()) == {default}:
+            return default
     return versions
 
 
@@ -145,7 +147,7 @@ def resolve(
             c = c.filter(_time_range_pred(time_range))
         return c
 
-    min_versions = _norm_versions(min_versions)
+    min_versions = _norm_versions(min_versions, default=0)
     keep_deleted_cells = _norm_flag(keep_deleted_cells)
 
     cutoff = None
@@ -306,7 +308,7 @@ def cap_versions(
     (ScanWildcardColumnTracker.checkVersions:143).
     """
     versions = _norm_versions(versions)
-    min_versions = _norm_versions(min_versions)
+    min_versions = _norm_versions(min_versions, default=0)
     if isinstance(versions, int) and versions <= 0:
         raise ValueError("versions must be >= 1")
     extra = [c for c in masked.columns if c not in ("row", "family", "qualifier")]

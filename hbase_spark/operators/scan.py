@@ -111,7 +111,7 @@ def scan(
     else:
         from hbase_spark.operators.resolve import _fam_member, _norm_flag, _norm_versions
 
-        min_versions = _norm_versions(min_versions)
+        min_versions = _norm_versions(min_versions, default=0)
         keep_deleted_cells = _norm_flag(keep_deleted_cells)
         cutoff = None
         if ttl_by_family:

@@ -53,11 +53,16 @@ def melt_table(
     event timestamp, giving multi-versioned cells per FIXTURES.md §B).
     """
     columns = columns or [c for c in df.columns if c != row_key]
-    ts_col = (
-        F.lit(int(ts)).cast("long")
-        if isinstance(ts, int)
-        else F.unix_millis(F.col(ts))
-    )
+    if isinstance(ts, int):
+        ts_col = F.lit(int(ts)).cast("long")
+    else:
+        dt = df.schema[ts].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ → TZ cast is value-preserving under the UTC session tz.
+            ts_col = F.unix_millis(F.col(ts).cast("timestamp"))
+        else:
+            ts_col = F.col(ts).cast("long")
+
     if seq is None:
         seq_col = ts_col
     elif isinstance(seq, int):

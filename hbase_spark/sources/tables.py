@@ -52,9 +52,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing nano-timestamp columns."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) surfaced as long nanos; convert to micros.
-        # Integer division — float division loses precision above 2^53
-        # and drifts the value by ±1 microsecond.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) surfaced as long nanos; convert to micros.
+            # Integer division — float division loses precision above 2^53
+            # and drifts the value by ±1 microsecond.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # Newer parquet readers surface TIMESTAMP(NANOS) as NTZ;
+            # session tz is pinned to UTC so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -294,6 +294,22 @@ def test_cap_versions_window_path_matches_agg_path(spark):
     assert one_agg == one_win
 
 
+def test_partial_family_versions_dict_defaults_to_one(spark):
+    """A family ABSENT from a versions dict gets the reference default
+    MAX_VERSIONS=1 — a uniform dict like {'f1': 2} must NOT collapse to
+    a table-wide 2 (round-2 hypothesis falsifying example)."""
+    cells = [
+        cell("r1", "f1", "a", 1, seq=0),
+        cell("r1", "f2", "a", 1, value="v1", seq=1),
+        cell("r1", "f2", "a", 2, value="v2", seq=2),
+    ]
+    got = run(spark, cells, versions={"f1": 2})
+    assert got == {
+        ("r1", "f1", "a", 1, "r1/a@1"),
+        ("r1", "f2", "a", 2, "v2"),  # f2 defaults to MAX_VERSIONS=1
+    }
+
+
 # ---- property test vs the executable spec ----------------------------------
 
 cell_strategy = st.fixed_dictionaries(
