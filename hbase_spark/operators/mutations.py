@@ -129,9 +129,11 @@ def apply_increments(
     # The aggregated delta set feeds three plan branches (two slice
     # builds + the merge probe); localCheckpoint materializes it once
     # on executors instead of re-running the upstream aggregation per
-    # branch.  It is the small side by construction (one row per
-    # touched column), so executor MEMORY_AND_DISK holds at any scale
-    # where the merge itself is feasible.
+    # branch (measured 2x end-to-end at sf0.1 — AQE does NOT reuse the
+    # exchange across the broadcast-converted semi-join builds).  It is
+    # the small side by construction (one row per touched column), so
+    # executor MEMORY_AND_DISK holds at any scale where the merge
+    # itself is feasible.
     summed = summed.localCheckpoint(eager=False)
     # Slice the table BEFORE resolving: puts narrow to the touched
     # (row, family, qualifier) columns, tombstones to the touched
