@@ -1242,20 +1242,89 @@ def q_doc_language_id(spark, sf):
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
+@_q(
+    "doc_quality",
+    r"""WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+            len(toks) AS n_tokens,
+            coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+                / greatest(len(toks), 1) AS mean_word_len,
+            len(list_filter(toks, x -> list_contains(
+                ['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
+                / greatest(len(toks), 1) AS stopword_ratio,
+            length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))::DOUBLE
+                / greatest(length(text), 1) AS punct_ratio,
+            len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+                AS unique_token_ratio
+        FROM t)
+    SELECT doc_id,
+        round((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                    THEN 1.0::DOUBLE ELSE 0.2::DOUBLE END) * 0.25::DOUBLE
+            + least(stopword_ratio * 4::DOUBLE, 1.0::DOUBLE) * 0.2::DOUBLE
+            + unique_token_ratio * 0.2::DOUBLE
+            + greatest(0.0::DOUBLE, 1::DOUBLE - punct_ratio * 5::DOUBLE) * 0.15::DOUBLE
+            + (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12
+                    THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END) * 0.2::DOUBLE, 4)
+            AS quality
+    FROM f""",
+)
 def q_doc_quality(spark, sf):
-    """Composite quality score (rows-only: the formula's float path is
-    engine-internal)."""
+    """Composite quality score — deterministic column expressions
+    (length / stopword / punctuation / diversity / word-length bands),
+    mirrored term-by-term in the DuckDB oracle so the double arithmetic
+    agrees bit-for-bit before the 4-decimal round."""
     from hbase_spark.functions.text import quality_score
 
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
 
 
-_QUERIES["doc_quality"] = q_doc_quality
-
-
+@_q(
+    "doc_minhash_dedup",
+    """WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0),
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM corpus),
+    sh AS (
+        SELECT doc_id, CASE
+            WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            WHEN len(t) > 0 THEN [list_aggregate(t, 'string_agg', ' ')]
+            ELSE [''] END AS s
+        FROM toks),
+    drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         AND least(len(a.s), len(b.s))::DOUBLE
+             >= 0.99 * greatest(len(a.s), len(b.s))
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.99)
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
+)
 def q_doc_minhash_dedup(spark, sf):
-    """MinHash+LSH near-dedup (seeded xxhash64 internals — rows-only)."""
+    """MinHash+LSH near-dedup over the corpus plus exact clones of
+    every 10th doc.  The LSH internals are hash-seeded, but the
+    OPERATOR's contract — drop the larger id of every pair with exact
+    shingle-Jaccard >= 0.99 — is portable, so the oracle recomputes the
+    same answer with an all-pairs exact Jaccard in SQL (size-ratio
+    prefilter, then list_intersect/list_distinct).  At threshold 0.99
+    with 16x4 banding the LSH recall gap is ~1e-23, far below the
+    corpus sizes here, so candidate-generation misses cannot make the
+    engines disagree in practice."""
     from hbase_spark.functions.dedup import minhash_dedup
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -1266,9 +1335,6 @@ def q_doc_minhash_dedup(spark, sf):
         docs.unionByName(clones), threshold=0.99, num_hashes=64, bands=16
     )
     return out.select("doc_id")
-
-
-_QUERIES["doc_minhash_dedup"] = q_doc_minhash_dedup
 
 
 def q_doc_simhash_near_dups(spark, sf):
