@@ -197,6 +197,152 @@ class Admin:
         desc["data_dir"] = data_dir
         self._write_desc(name, desc)
 
+    def is_table_enabled(self, name: str) -> bool:
+        """Admin.isTableEnabled / shell `is_enabled`."""
+        return bool(self._read_desc(name)["enabled"])
+
+    def is_table_disabled(self, name: str) -> bool:
+        """Admin.isTableDisabled / shell `is_disabled`."""
+        return not self.is_table_enabled(name)
+
+    def list_enabled_tables(self) -> list[str]:
+        """shell `list_enabled_tables`."""
+        return [t for t in self.list_tables() if self.is_table_enabled(t)]
+
+    def list_disabled_tables(self) -> list[str]:
+        """shell `list_disabled_tables`."""
+        return [t for t in self.list_tables() if self.is_table_disabled(t)]
+
+    def clone_table_schema(self, src: str, dst: str) -> None:
+        """Admin.cloneTableSchema / shell `clone_table_schema` — a new
+        EMPTY table with the source's family descriptors (no data)."""
+        if self.table_exists(dst):
+            raise ValueError(f"table {dst!r} already exists")
+        desc = self._read_desc(src)
+        fams = {
+            f: FamilyDescriptor(**knobs) for f, knobs in desc["families"].items()
+        }
+        self.create_table(dst, fams)
+
+    def major_compact(self, name: str, *, now: int | None = None,
+                      num_regions: int = 32) -> None:
+        """Admin.majorCompact / shell `major_compact`: rewrite the
+        table's layout with tombstones applied and versions pruned
+        under the family schema knobs, as a NEW immutable version dir
+        (snapshots referencing the old dir stay valid)."""
+        from hbase_spark.operators.resolve import compact
+
+        t = self.table(name, now=now)
+        rewritten = compact(
+            t.cells,
+            versions=t._versions_map(),
+            min_versions=t._min_versions(),
+            ttl_by_family=t._ttl_map(),
+            now=now,
+            keep_deleted_cells=t._kdc(),
+        )
+        self.flush(name, Table(rewritten, t.families, now),
+                   num_regions=num_regions)
+
+    # -- region introspection (shell list_regions / get_splits /
+    # locate_region; HRegionInfo over the layout's range files) ------------
+
+    def list_regions(self, name: str):
+        """shell `list_regions`: one row per layout file (the region
+        analog) with its key range and cell count.  Aggregation only —
+        the per-file min/max comes from a column scan, not a collect."""
+        from pyspark.sql import functions as F
+
+        t = self.table(name)
+        return (
+            t.cells.groupBy(F.input_file_name().alias("region_file"))
+            .agg(
+                F.min("row").alias("start_key"),
+                F.max("row").alias("end_key"),
+                F.count("*").alias("cell_count"),
+            )
+            .orderBy("start_key")
+        )
+
+    def get_splits(self, name: str) -> list[str]:
+        """shell `get_splits`: the region start keys after the first."""
+        return [
+            r.start_key for r in self.list_regions(name).collect()
+        ][1:]
+
+    def locate_region(self, name: str, row) -> dict:
+        """shell `locate_region 't', 'row'`: the region whose range
+        holds ``row`` (regions are sorted; the owner is the last region
+        whose start_key <= row, mirroring MetaTableAccessor's
+        floor-entry lookup)."""
+        regions = self.list_regions(name).collect()
+        if not regions:
+            raise ValueError(f"table {name!r} has no regions")
+        owner = regions[0]
+        for r in regions:
+            if r.start_key is not None and row >= r.start_key:
+                owner = r
+        return {
+            "region_file": owner.region_file,
+            "start_key": owner.start_key,
+            "end_key": owner.end_key,
+        }
+
+    # -- visibility label registry (VisibilityController's labels table:
+    # server/security/visibility/VisibilityController.java — add_labels /
+    # set_auths / get_auths / clear_auths / list_labels shell commands) ----
+
+    def _labels_path(self) -> str:
+        return f"{self.catalog_dir}/visibility-labels.json"
+
+    def _read_labels(self) -> dict:
+        try:
+            return self._read_json(self._labels_path(), "labels")
+        except ValueError:
+            return {"labels": [], "auths": {}}
+
+    def add_labels(self, labels: list[str]) -> None:
+        """shell `add_labels` — register visibility labels (idents only,
+        matching the expression grammar)."""
+        import re as _re
+
+        reg = self._read_labels()
+        for lab in labels:
+            if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", lab):
+                raise ValueError(f"invalid label {lab!r}")
+            if lab not in reg["labels"]:
+                reg["labels"].append(lab)
+        self._write_json(self._labels_path(), reg)
+
+    def list_labels(self) -> list[str]:
+        """shell `list_labels`."""
+        return sorted(self._read_labels()["labels"])
+
+    def set_auths(self, user: str, labels: list[str]) -> None:
+        """shell `set_auths 'user', ['A', 'B']` — labels must exist."""
+        reg = self._read_labels()
+        unknown = [l for l in labels if l not in reg["labels"]]
+        if unknown:
+            raise ValueError(f"labels not registered: {unknown}")
+        have = set(reg["auths"].get(user, []))
+        reg["auths"][user] = sorted(have | set(labels))
+        self._write_json(self._labels_path(), reg)
+
+    def get_auths(self, user: str) -> list[str]:
+        """shell `get_auths 'user'`."""
+        return list(self._read_labels()["auths"].get(user, []))
+
+    def clear_auths(self, user: str, labels: list[str] | None = None) -> None:
+        """shell `clear_auths` — remove some (or all) of a user's auths."""
+        reg = self._read_labels()
+        if labels is None:
+            reg["auths"].pop(user, None)
+        else:
+            reg["auths"][user] = sorted(
+                set(reg["auths"].get(user, [])) - set(labels)
+            )
+        self._write_json(self._labels_path(), reg)
+
     def table_exists(self, name: str) -> bool:
         """Admin.tableExists / shell `exists`."""
         try:

@@ -246,3 +246,93 @@ def shell_list_namespace(admin) -> list[str]:
 def shell_drop_namespace(admin, ns: str) -> None:
     """shell `drop_namespace 'ns'` (must be empty)."""
     admin.drop_namespace(ns)
+
+
+# -- table state / schema / region commands (shell/commands/{enable,
+# disable,is_enabled,is_disabled,list_enabled_tables,list_disabled_tables,
+# clone_table_schema,major_compact,list_regions,get_splits,
+# locate_region}.rb) ----------------------------------------------------
+
+
+def shell_enable(admin, name: str) -> None:
+    """shell `enable 't'`."""
+    admin.enable_table(name)
+
+
+def shell_disable(admin, name: str) -> None:
+    """shell `disable 't'`."""
+    admin.disable_table(name)
+
+
+def shell_is_enabled(admin, name: str) -> bool:
+    """shell `is_enabled 't'`."""
+    return admin.is_table_enabled(name)
+
+
+def shell_is_disabled(admin, name: str) -> bool:
+    """shell `is_disabled 't'`."""
+    return admin.is_table_disabled(name)
+
+
+def shell_list_enabled_tables(admin) -> list[str]:
+    """shell `list_enabled_tables`."""
+    return admin.list_enabled_tables()
+
+
+def shell_list_disabled_tables(admin) -> list[str]:
+    """shell `list_disabled_tables`."""
+    return admin.list_disabled_tables()
+
+
+def shell_clone_table_schema(admin, src: str, dst: str) -> None:
+    """shell `clone_table_schema 'src', 'dst'` (schema only, no data)."""
+    admin.clone_table_schema(src, dst)
+
+
+def shell_major_compact(admin, name: str, *, now: int | None = None) -> None:
+    """shell `major_compact 't'`."""
+    admin.major_compact(name, now=now)
+
+
+def shell_list_regions(admin, name: str) -> DataFrame:
+    """shell `list_regions 't'`."""
+    return admin.list_regions(name)
+
+
+def shell_get_splits(admin, name: str) -> list[str]:
+    """shell `get_splits 't'`."""
+    return admin.get_splits(name)
+
+
+def shell_locate_region(admin, name: str, row) -> dict:
+    """shell `locate_region 't', 'row'`."""
+    return admin.locate_region(name, row)
+
+
+# -- visibility label commands (shell/commands/{add_labels,list_labels,
+# set_auths,get_auths,clear_auths}.rb) ----------------------------------
+
+
+def shell_add_labels(admin, labels: list[str]) -> None:
+    """shell `add_labels ['A', 'B']`."""
+    admin.add_labels(labels)
+
+
+def shell_list_labels(admin) -> list[str]:
+    """shell `list_labels`."""
+    return admin.list_labels()
+
+
+def shell_set_auths(admin, user: str, labels: list[str]) -> None:
+    """shell `set_auths 'user', ['A']`."""
+    admin.set_auths(user, labels)
+
+
+def shell_get_auths(admin, user: str) -> list[str]:
+    """shell `get_auths 'user'`."""
+    return admin.get_auths(user)
+
+
+def shell_clear_auths(admin, user: str, labels: list[str] | None = None) -> None:
+    """shell `clear_auths 'user'`."""
+    admin.clear_auths(user, labels)

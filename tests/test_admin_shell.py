@@ -282,3 +282,129 @@ def test_namespace_lifecycle(catalog):
     assert shell_list_namespace(catalog) == ["default"]
     with pytest.raises(ValueError):
         catalog.create_namespace("bad/name")
+
+
+# -- round-2 tranche: table state, schema clone, regions, major compact,
+# visibility label registry ---------------------------------------------
+
+
+def test_table_state_commands(catalog):
+    from hbase_spark.shell import (
+        shell_disable,
+        shell_enable,
+        shell_is_disabled,
+        shell_is_enabled,
+        shell_list_disabled_tables,
+        shell_list_enabled_tables,
+    )
+
+    catalog.create_table("st1", ["f"])
+    catalog.create_table("st2", ["f"])
+    shell_disable(catalog, "st2")
+    assert shell_is_enabled(catalog, "st1")
+    assert shell_is_disabled(catalog, "st2")
+    assert shell_list_enabled_tables(catalog) == ["st1"]
+    assert shell_list_disabled_tables(catalog) == ["st2"]
+    shell_enable(catalog, "st2")
+    assert shell_is_enabled(catalog, "st2")
+
+
+def test_clone_table_schema_copies_knobs_not_data(catalog):
+    from hbase_spark.shell import shell_clone_table_schema, shell_describe
+
+    catalog.create_table(
+        "src", {"f": FamilyDescriptor(max_versions=3, ttl_ms=5000)}
+    )
+    t = catalog.table("src")
+    t = shell_put(t, "r", "f:q", "x", ts=10, seq=1)
+    catalog.flush("src", t, num_regions=1)
+    shell_clone_table_schema(catalog, "src", "dst")
+    assert shell_describe(catalog, "dst")["FAMILIES"]["f"]["VERSIONS"] == 3
+    # TTL family -> reads need an explicit clock, like the source table
+    assert shell_count(catalog.table("dst", now=100)) == 0
+    assert shell_count(catalog.table("src", now=100)) == 1
+    with pytest.raises(ValueError):
+        shell_clone_table_schema(catalog, "src", "dst")
+
+
+def test_list_regions_get_splits_locate_region(catalog):
+    from hbase_spark.shell import (
+        shell_get_splits,
+        shell_list_regions,
+        shell_locate_region,
+    )
+
+    catalog.create_table("rg", ["f"])
+    t = catalog.table("rg")
+    for i in range(40):
+        t = shell_put(t, f"{i:04d}", "f:q", str(i), ts=10, seq=i)
+    catalog.flush("rg", t, num_regions=4)
+    regions = shell_list_regions(catalog, "rg").collect()
+    assert 1 < len(regions) <= 4
+    # ranges are disjoint and ordered
+    for a, b in zip(regions, regions[1:]):
+        assert a.end_key < b.start_key
+    assert sum(r.cell_count for r in regions) == 40
+    splits = shell_get_splits(catalog, "rg")
+    assert splits == [r.start_key for r in regions][1:]
+    loc = shell_locate_region(catalog, "rg", "0000")
+    assert loc["start_key"] == regions[0].start_key
+    loc = shell_locate_region(catalog, "rg", "0039")
+    assert loc["end_key"] == regions[-1].end_key
+
+
+def test_major_compact_prunes_versions_and_tombstones(catalog):
+    from hbase_spark.shell import shell_major_compact
+
+    catalog.create_table("mc", {"f": FamilyDescriptor(max_versions=1)})
+    t = catalog.table("mc")
+    t = shell_put(t, "r1", "f:q", "old", ts=10, seq=1)
+    t = shell_put(t, "r1", "f:q", "new", ts=20, seq=2)
+    t = shell_put(t, "r2", "f:q", "x", ts=10, seq=3)
+    t = shell_delete(t, "r2", "f:q", ts=30, seq=4)
+    catalog.flush("mc", t, num_regions=1)
+    assert catalog.table("mc").cells.count() == 4  # raw: all cells + marker
+    shell_major_compact(catalog, "mc")
+    after = catalog.table("mc")
+    raw = after.cells.collect()
+    # rewritten layout holds ONLY the visible snapshot: one cell
+    assert [(r.row, r.value) for r in raw] == [("r1", "new")]
+    assert shell_count(after) == 1
+
+
+def test_visibility_label_registry_and_scan(catalog):
+    from hbase_spark.functions.visibility import visible
+    from hbase_spark.shell import (
+        shell_add_labels,
+        shell_clear_auths,
+        shell_get_auths,
+        shell_list_labels,
+        shell_set_auths,
+    )
+    from pyspark.sql import functions as F
+
+    shell_add_labels(catalog, ["secret", "pii", "public"])
+    assert shell_list_labels(catalog) == ["pii", "public", "secret"]
+    with pytest.raises(ValueError):
+        shell_add_labels(catalog, ["bad label!"])
+    shell_set_auths(catalog, "alice", ["secret", "public"])
+    with pytest.raises(ValueError):
+        shell_set_auths(catalog, "bob", ["unregistered"])
+    assert shell_get_auths(catalog, "alice") == ["public", "secret"]
+    # auths drive the distributed visibility filter end to end
+    catalog.create_table("vt", ["f"])
+    t = catalog.table("vt")
+    t = shell_put(t, "r1", "f:q", "open", ts=10, seq=1)
+    t = shell_put(t, "r2", "f:q", "hush", ts=10, seq=2)
+    cells = t.cells.withColumn(
+        "vis",
+        F.when(F.col("row") == "r2", F.lit("secret & pii")).otherwise(
+            F.lit("public")
+        ),
+    )
+    seen = visible(cells, shell_get_auths(catalog, "alice"), label_col="vis")
+    assert [r.row for r in seen.select("row").collect()] == ["r1"]
+    shell_clear_auths(catalog, "alice", ["secret"])
+    assert shell_get_auths(catalog, "alice") == ["public"]
+    shell_clear_auths(catalog, "alice")
+    assert shell_get_auths(catalog, "alice") == []
