@@ -56,6 +56,16 @@ class Observer:
     pre_mutate: Callable[[DataFrame], DataFrame] | None = None  # prePut/preDelete
     post_mutate: Callable[["Table"], "Table"] | None = None  # postPut/postDelete
     pre_compact: Callable[[DataFrame], DataFrame] | None = None  # preCompact
+    # RMW + guard + lifecycle interception (RegionObserver.java:
+    # preIncrement :520, postIncrement :552, preAppend :475,
+    # postAppend :507, preCheckAndPut :330 / preCheckAndDelete :395,
+    # preFlush :180)
+    pre_increment: Callable[[list], list] | None = None      # preIncrement
+    post_increment: Callable[["Table"], "Table"] | None = None  # postIncrement
+    pre_append: Callable[[list], list] | None = None         # preAppend
+    post_append: Callable[["Table"], "Table"] | None = None  # postAppend
+    pre_check_and_mutate: Callable[[DataFrame], DataFrame] | None = None
+    pre_flush: Callable[[DataFrame], DataFrame] | None = None  # preFlush
 
 
 @dataclass
@@ -96,6 +106,43 @@ class ObservedTable:
                 t = ob.post_mutate(t)
         return ObservedTable(t, self.observers)
 
+    def increment(self, deltas, *, ts: int, seq: int) -> "ObservedTable":
+        for ob in self.observers:
+            if ob.pre_increment:
+                deltas = ob.pre_increment(deltas)
+        t = self.table.increment(deltas, ts=ts, seq=seq)
+        for ob in self.observers:
+            if ob.post_increment:
+                t = ob.post_increment(t)
+        return ObservedTable(t, self.observers)
+
+    def append(self, appends, *, ts: int, seq: int) -> "ObservedTable":
+        for ob in self.observers:
+            if ob.pre_append:
+                appends = ob.pre_append(appends)
+        t = self.table.append(appends, ts=ts, seq=seq)
+        for ob in self.observers:
+            if ob.post_append:
+                t = ob.post_append(t)
+        return ObservedTable(t, self.observers)
+
+    def check_and_mutate(self, mutations: DataFrame, **guard) -> "ObservedTable":
+        for ob in self.observers:
+            if ob.pre_check_and_mutate:
+                mutations = ob.pre_check_and_mutate(mutations)
+        t = self.table.check_and_mutate(mutations, **guard)
+        return ObservedTable(t, self.observers)
+
+    def flush_cells(self) -> DataFrame:
+        """The frame a flush would persist, after preFlush interception
+        (Admin.flush(name, Table(observed.flush_cells(), ...)) is the
+        full write path)."""
+        cells = self.table.cells
+        for ob in self.observers:
+            if ob.pre_flush:
+                cells = ob.pre_flush(cells)
+        return cells
+
     def compact(self) -> "ObservedTable":
         cells = self.table.cells
         for ob in self.observers:
@@ -128,6 +175,31 @@ def value_rewriting_observer(match: Column, replacement: Column) -> Observer:
         )
 
     return Observer(post_scan=post)
+
+
+def scan_policy_observer(ttl_ms: int, now: int) -> Observer:
+    """ZooKeeperScanPolicyObserver (hbase-examples) — a TTL policy
+    sourced OUTSIDE the schema, enforced at flush and compaction time:
+    cells older than ``now - ttl_ms`` are dropped as the store files
+    are rewritten (the reference builds a custom ScanInfo for
+    preFlushScannerOpen / preCompactScannerOpen)."""
+    cutoff = now - ttl_ms
+
+    def drop_expired(cells: DataFrame) -> DataFrame:
+        return cells.filter(F.col("ts") >= F.lit(cutoff))
+
+    return Observer(pre_flush=drop_expired, pre_compact=drop_expired)
+
+
+def audit_guard_observer(forbidden: Column) -> Observer:
+    """preCheckAndPut-style guard interception: silently drop mutation
+    cells matching ``forbidden`` before the guard evaluates (the
+    coprocessor veto pattern — AccessController.preCheckAndPut)."""
+
+    def pre(mutations: DataFrame) -> DataFrame:
+        return mutations.filter(~forbidden)
+
+    return Observer(pre_check_and_mutate=pre, pre_mutate=pre)
 
 
 def write_heavy_increment_observer(value_type: str = "long") -> Observer:

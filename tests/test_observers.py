@@ -109,3 +109,71 @@ def test_pre_compact_hook_rewrites_stream(spark):
     ot = ObservedTable(base(spark), [ob])
     compacted = ot.compact()
     assert all(r.ts >= 10 for r in compacted.table.cells.collect())
+
+
+# -- round-2 tranche: RMW / guard / lifecycle hooks ----------------------
+
+
+def test_increment_and_append_hooks(spark):
+    from hbase_spark.plans.observers import Observer
+
+    seen = {}
+
+    def double_deltas(deltas):
+        seen["incr"] = True
+        return [(r, f, q, v * 2) for (r, f, q, v) in deltas]
+
+    def tag_append(appends):
+        seen["app"] = True
+        return [(r, f, q, v + "!") for (r, f, q, v) in appends]
+
+    ot = ObservedTable(
+        base(spark), [Observer(pre_increment=double_deltas, pre_append=tag_append)]
+    )
+    ot = ot.increment([("r1", "f", "cnt", 5)], ts=20, seq=2)
+    got = {r.qualifier: r.value for r in ot.table.get("r1").collect()}
+    assert got["cnt"] == "10"  # pre_increment doubled the delta
+    ot = ot.append([("r1", "f", "a", "x")], ts=30, seq=3)
+    got = {r.qualifier: r.value for r in ot.table.get("r1").collect()}
+    assert got["a"] == "1x!"  # pre_append rewrote the payload
+    assert seen == {"incr": True, "app": True}
+
+
+def test_check_and_mutate_guard_hook(spark):
+    from hbase_spark.model import CellType
+    from hbase_spark.plans.observers import audit_guard_observer
+
+    muts = make_cells(
+        spark,
+        [
+            ("r1", "f", "a", 20, CellType.PUT, "ok", 2),
+            ("r2", "f", "a", 20, CellType.PUT, "blocked", 3),
+        ],
+    )
+    ot = ObservedTable(
+        base(spark), [audit_guard_observer(F.col("value") == "blocked")]
+    )
+    ot = ot.check_and_mutate(
+        muts, guard_family="f", guard_qualifier="a", op="=", value="1"
+    )
+    got = {r.row: r.value for r in ot.table.scan().filter("qualifier='a'").collect()}
+    # r1 guard passed and mutation applied; r2's cell was vetoed by the
+    # observer before the guard ever ran
+    assert got == {"r1": "ok", "r2": "3"}
+
+
+def test_scan_policy_observer_drops_expired_at_flush_and_compact(spark):
+    from hbase_spark.plans.observers import scan_policy_observer
+
+    cells = make_cells(
+        spark,
+        [
+            ("r1", "f", "a", 100, 4, "fresh", 1),
+            ("r1", "f", "b", 10, 4, "stale", 2),
+        ],
+    )
+    ot = ObservedTable(Table(cells), [scan_policy_observer(ttl_ms=50, now=120)])
+    flushed = {r.qualifier for r in ot.flush_cells().collect()}
+    assert flushed == {"a"}  # preFlush dropped the expired cell
+    compacted = {r.qualifier for r in ot.compact().table.cells.collect()}
+    assert compacted == {"a"}  # preCompact applies the same policy
