@@ -2824,20 +2824,22 @@ _WINDOW = [
     "events_daily_rollup",
     "doc_exact_dedup",
     "doc_text_suite",
-    "doc_ngram_jaccard",
+    "doc_minhash_dedup",
     "embedding_cosine_topk",
     "embedding_near_dups",
     "training_corpus_pipeline",
 ]
 
-# After the window: extra variants and rows-only queries (no portable
-# oracle — MinHash/SimHash/LSH internals are hash-seeded; multimodal is
-# a plumbing check).
+# After the window: extra variants (all still hash-checked by
+# tools/check_parity.py when they carry an oracle — doc_ngram_jaccard,
+# doc_quality, the pandas cosine twin) and the four genuinely
+# rows-only queries (SimHash/LSH/IVF internals are hash-seeded or
+# iterative; multimodal is a plumbing check).
 _TAIL = [
+    "doc_ngram_jaccard",
     "pivot_wide_orders",
     "embedding_cosine_topk_pandas",
     "doc_quality",
-    "doc_minhash_dedup",
     "doc_simhash_near_dups",
     "embedding_ivf_topk",
     "embedding_ann_topk",
