@@ -272,3 +272,67 @@ def test_windowed_rollup_batch_equals_stream_definition(spark, dirs):
         ).collect()
     }
     assert got == {(10, "q", 3.0, 2), (11, "x", 4.0, 1)}
+
+
+def test_stream_dedup_drops_redelivered_docs(spark, dirs):
+    """Streaming exact-dedup: re-delivered documents (same normalized
+    text, later event time, within the watermark) are dropped; distinct
+    documents all pass."""
+    import time as _time
+
+    from hbase_spark.streaming.dedup import stream_dedup
+
+    schema = "doc_id long, text string, ts long"
+    src = dirs["log"]
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox", 1_000),
+            (2, "jumps over the dog", 2_000),
+            (3, "The  quick brown FOX!", 3_000),  # near-identical -> same fp
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    deduped = stream_dedup(
+        spark.readStream.schema(schema).parquet(src), watermark="10 seconds"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second delivery: one true duplicate of doc 2, one new doc
+        spark.createDataFrame(
+            [
+                (4, "jumps over the dog", 4_000),
+                (5, "completely new text", 5_000),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        _time.sleep(0.5)
+        q.processAllAvailable()
+        got = {
+            r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1, 2, 5}  # 3 deduped against 1, 4 against 2
+
+
+def test_stream_dedup_agrees_with_batch_twin(spark, dirs):
+    from hbase_spark.streaming.dedup import batch_dedup_twin
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", 1_000),
+            (2, "alpha  BETA", 2_000),
+            (3, "gamma", 3_000),
+        ],
+        "doc_id long, text string, ts long",
+    )
+    got = {r.doc_id for r in batch_dedup_twin(df.orderBy("ts")).collect()}
+    assert got == {1, 3}
