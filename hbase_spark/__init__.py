@@ -19,10 +19,11 @@ from hbase_spark.admin import Admin
 from hbase_spark.model import CELL_COLUMNS, CellType, cell_schema
 from hbase_spark.operators.resolve import compact, resolve
 from hbase_spark.operators.scan import Scan
-from hbase_spark.table import FamilyDescriptor, Table
+from hbase_spark.table import FamilyDescriptor, NoSuchColumnFamilyError, Table
 
 __all__ = [
     "Admin",
+    "NoSuchColumnFamilyError",
     "CELL_COLUMNS",
     "CellType",
     "FamilyDescriptor",

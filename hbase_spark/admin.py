@@ -493,6 +493,36 @@ class Admin:
                     names.add(m.group(1))
         return sorted(names)
 
+    def list_namespace_tables(self, ns: str) -> list[str]:
+        """shell `list_namespace_tables 'ns'`."""
+        self.describe_namespace(ns)  # raises if the namespace is unknown
+        if ns == "default":
+            return [t for t in self.list_tables() if ":" not in t]
+        return [t for t in self.list_tables() if t.startswith(f"{ns}:")]
+
+    def delete_table_snapshots(self, table: str) -> list[str]:
+        """shell `delete_table_snapshots 't'` — drop every snapshot of
+        one table; returns the deleted snapshot names."""
+        gone = []
+        for snap in self.list_snapshots():
+            man = self._read_json(self._snap_path(snap), f"snapshot {snap!r}")
+            if man.get("table") == table:
+                self.delete_snapshot(snap)
+                gone.append(snap)
+        return gone
+
+    def delete_all_snapshot(self, regex: str) -> list[str]:
+        """shell `delete_all_snapshot 'regex'`."""
+        import re as _re
+
+        rx = _re.compile(regex)
+        gone = []
+        for snap in self.list_snapshots():
+            if rx.fullmatch(snap):
+                self.delete_snapshot(snap)
+                gone.append(snap)
+        return gone
+
     def describe_namespace(self, ns: str) -> dict:
         if ns == "default":
             return {"name": "default"}

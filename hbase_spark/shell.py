@@ -63,8 +63,21 @@ def shell_scan(
     )
 
 
-def shell_get(table: Table, row, *, COLUMNS: list[str] | None = None) -> DataFrame:
-    out = table.get(row)
+def shell_get(
+    table: Table,
+    row,
+    *,
+    COLUMNS: list[str] | None = None,
+    VERSIONS: int = 1,
+    TIMERANGE: tuple | None = None,
+    FILTER: str | None = None,
+) -> DataFrame:
+    """hbase-shell `get` (shell/commands/get.rb): COLUMN/VERSIONS/
+    TIMERANGE/FILTER keyword surface — a Get IS a one-row Scan, so the
+    options pass straight through."""
+    out = table.get(
+        row, versions=VERSIONS, time_range=TIMERANGE, filter=FILTER
+    )
     families, qualifiers = _columns(COLUMNS)
     if families:
         out = out.filter(out.family.isin(families))
@@ -83,10 +96,15 @@ def shell_delete(table: Table, row, column: str, *, ts: int, seq: int) -> Table:
     return table.delete([(row, fam, qual)], ts=ts, seq=seq)
 
 
-def shell_count(table: Table) -> int:
+def shell_count(table: Table, *, FILTER: str | None = None) -> int:
     """shell `count` (hbase-shell table.rb:321 uses FirstKeyOnly+KeyOnly;
-    here: distinct visible row keys)."""
-    return table.count()
+    here: distinct visible row keys, optionally under a ParseFilter
+    string — `count 't', FILTER => "..."`)."""
+    if FILTER is None:
+        return table.count()
+    return (
+        table.scan(Scan(filter=FILTER)).select("row").distinct().count()
+    )
 
 
 def shell_incr(table: Table, row, column: str, value: int = 1, *, ts: int, seq: int) -> Table:
@@ -336,3 +354,18 @@ def shell_get_auths(admin, user: str) -> list[str]:
 def shell_clear_auths(admin, user: str, labels: list[str] | None = None) -> None:
     """shell `clear_auths 'user'`."""
     admin.clear_auths(user, labels)
+
+
+def shell_list_namespace_tables(admin, ns: str) -> list[str]:
+    """shell `list_namespace_tables 'ns'`."""
+    return admin.list_namespace_tables(ns)
+
+
+def shell_delete_table_snapshots(admin, table: str) -> list[str]:
+    """shell `delete_table_snapshots 't'`."""
+    return admin.delete_table_snapshots(table)
+
+
+def shell_delete_all_snapshot(admin, regex: str) -> list[str]:
+    """shell `delete_all_snapshot 'regex'`."""
+    return admin.delete_all_snapshot(regex)

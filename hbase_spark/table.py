@@ -34,11 +34,29 @@ class FamilyDescriptor:
     keep_deleted_cells: bool = False    # :158 — back-in-time reads see deletes
 
 
+class NoSuchColumnFamilyError(ValueError):
+    """Mutation addressed a family the table does not declare
+    (rs/HRegion.java checkFamily -> NoSuchColumnFamilyException)."""
+
+
 @dataclass
 class Table:
     cells: DataFrame
     families: dict[str, FamilyDescriptor] = field(default_factory=dict)
     now: int | None = None  # TTL clock, explicit for determinism
+
+    def _check_families(self, items: list[tuple]) -> None:
+        """Reject mutations to undeclared families, like the reference's
+        region-side checkFamily.  A bare Table (no descriptors) stays
+        permissive — it models a schemaless CellFrame."""
+        if not self.families:
+            return
+        bad = sorted({t[1] for t in items} - set(self.families))
+        if bad:
+            raise NoSuchColumnFamilyError(
+                f"column families {bad} not declared (have "
+                f"{sorted(self.families)})"
+            )
 
     # -- reads ---------------------------------------------------------------
 
@@ -136,6 +154,7 @@ class Table:
         """client/Table.java:221 — puts = [(row, family, qualifier, value)]."""
         from hbase_spark.operators.mutations import put_cells
 
+        self._check_families(puts)
         return self.with_cells(
             put_cells(self.cells.sparkSession, puts, ts=ts, seq=seq)
         )
@@ -146,6 +165,7 @@ class Table:
         from hbase_spark.model import CellType
         from hbase_spark.operators.mutations import delete_cells
 
+        self._check_families(deletes)
         return self.with_cells(
             delete_cells(
                 self.cells.sparkSession,
@@ -172,6 +192,8 @@ class Table:
         qualifier, delta) or [(row, family, qualifier, delta)]."""
         from hbase_spark.operators.mutations import apply_increments
 
+        if isinstance(deltas, list):
+            self._check_families(deltas)
         deltas = self._mutation_frame(deltas, "delta", "long")
         return Table(
             apply_increments(
@@ -186,6 +208,8 @@ class Table:
         qualifier, delta[, seq]) or [(row, family, qualifier, delta)]."""
         from hbase_spark.operators.mutations import apply_appends
 
+        if isinstance(appends, list):
+            self._check_families(appends)
         appends = self._mutation_frame(appends, "delta", "string", with_seq=True)
         return Table(
             apply_appends(

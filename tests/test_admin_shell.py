@@ -408,3 +408,57 @@ def test_visibility_label_registry_and_scan(catalog):
     assert shell_get_auths(catalog, "alice") == ["public"]
     shell_clear_auths(catalog, "alice")
     assert shell_get_auths(catalog, "alice") == []
+
+
+def test_get_options_count_filter_and_family_check(catalog):
+    from hbase_spark.shell import shell_count, shell_get
+    from hbase_spark.table import NoSuchColumnFamilyError
+
+    catalog.create_table("opt", {"f": FamilyDescriptor(max_versions=3)})
+    t = catalog.table("opt")
+    t = shell_put(t, "r", "f:q", "v1", ts=10, seq=1)
+    t = shell_put(t, "r", "f:q", "v2", ts=20, seq=2)
+    t = shell_put(t, "r2", "f:q", "other", ts=10, seq=3)
+    # get VERSIONS
+    assert shell_get(t, "r", VERSIONS=2).count() == 2
+    assert shell_get(t, "r", VERSIONS=1).count() == 1
+    # get TIMERANGE (half-open, like the reference)
+    got = shell_get(t, "r", VERSIONS=3, TIMERANGE=(0, 20))
+    assert [r.value for r in got.collect()] == ["v1"]
+    # get FILTER (ParseFilter string)
+    assert shell_get(t, "r", FILTER="ValueFilter(=, 'binary:v2')").count() == 1
+    # count FILTER counts matching ROWS
+    assert shell_count(t, FILTER="ValueFilter(=, 'binary:other')") == 1
+    assert shell_count(t) == 2
+    # mutations to undeclared families raise, like checkFamily
+    with pytest.raises(NoSuchColumnFamilyError):
+        shell_put(t, "r", "nope:q", "x", ts=30, seq=9)
+    with pytest.raises(NoSuchColumnFamilyError):
+        t.delete([("r", "nope", "q")], ts=30, seq=9)
+    with pytest.raises(NoSuchColumnFamilyError):
+        t.increment([("r", "nope", "q", 1)], ts=30, seq=9)
+
+
+def test_namespace_tables_and_snapshot_batch_deletes(catalog):
+    from hbase_spark.shell import (
+        shell_delete_all_snapshot,
+        shell_delete_table_snapshots,
+        shell_list_namespace_tables,
+        shell_list_snapshots,
+        shell_snapshot,
+    )
+
+    catalog.create_namespace("prod")
+    catalog.create_table("prod:a", ["f"])
+    catalog.create_table("plain", ["f"])
+    assert shell_list_namespace_tables(catalog, "prod") == ["prod:a"]
+    assert shell_list_namespace_tables(catalog, "default") == ["plain"]
+    with pytest.raises(ValueError):
+        shell_list_namespace_tables(catalog, "ghost")
+    for snap in ("keep-1", "tmp-1", "tmp-2"):
+        shell_snapshot(catalog, "plain", snap)
+    shell_snapshot(catalog, "prod:a", "tmp-3")
+    assert shell_delete_all_snapshot(catalog, "tmp-[12]") == ["tmp-1", "tmp-2"]
+    assert shell_list_snapshots(catalog) == ["keep-1", "tmp-3"]
+    assert shell_delete_table_snapshots(catalog, "prod:a") == ["tmp-3"]
+    assert shell_list_snapshots(catalog) == ["keep-1"]
