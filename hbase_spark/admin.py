@@ -443,6 +443,23 @@ class Admin:
         desc["families"] = man["families"]
         self._write_desc(man["table"], desc)
 
+    def export_snapshot(self, snapshot: str, dest: "Admin") -> None:
+        """ExportSnapshot (snapshot/ExportSnapshot.java): materialize a
+        snapshot into ANOTHER catalog — manifest plus data files — so
+        the destination can clone/restore it with no reference back to
+        this catalog.  The reference streams HFiles between clusters;
+        here the copy is a distributed parquet read+write (the one
+        snapshot tool that moves data — in-catalog snapshot ops stay
+        zero-copy)."""
+        man = self._read_json(self._snap_path(snapshot), f"snapshot {snapshot!r}")
+        dest_dir = f"exported/{snapshot}/cells"
+        self.spark.read.parquet(
+            f"{self.catalog_dir}/{man['data_dir']}"
+        ).write.mode("errorifexists").parquet(f"{dest.catalog_dir}/{dest_dir}")
+        dest._write_json(
+            dest._snap_path(snapshot), {**man, "data_dir": dest_dir}
+        )
+
     def delete_snapshot(self, snapshot: str) -> None:
         self._read_json(self._snap_path(snapshot), f"snapshot {snapshot!r}")
         self._write_json(self._snap_path(snapshot), {"deleted": True})

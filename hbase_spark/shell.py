@@ -369,3 +369,8 @@ def shell_delete_table_snapshots(admin, table: str) -> list[str]:
 def shell_delete_all_snapshot(admin, regex: str) -> list[str]:
     """shell `delete_all_snapshot 'regex'`."""
     return admin.delete_all_snapshot(regex)
+
+
+def shell_export_snapshot(admin, snapshot_name: str, dest_admin) -> None:
+    """shell/tool `ExportSnapshot 'snap', <dest catalog>`."""
+    admin.export_snapshot(snapshot_name, dest_admin)

@@ -462,3 +462,35 @@ def test_namespace_tables_and_snapshot_batch_deletes(catalog):
     assert shell_list_snapshots(catalog) == ["keep-1", "tmp-3"]
     assert shell_delete_table_snapshots(catalog, "prod:a") == ["tmp-3"]
     assert shell_list_snapshots(catalog) == ["keep-1"]
+
+
+def test_export_snapshot_to_another_catalog(catalog, spark):
+    from hbase_spark.shell import (
+        shell_clone_snapshot,
+        shell_export_snapshot,
+        shell_snapshot,
+    )
+
+    catalog.create_table("exp", {"f": FamilyDescriptor(max_versions=2)})
+    t = catalog.table("exp")
+    t = shell_put(t, "r1", "f:q", "v", ts=10, seq=1)
+    catalog.flush("exp", t, num_regions=1)
+    shell_snapshot(catalog, "exp", "snap-x")
+
+    d2 = tempfile.mkdtemp(prefix="hb_admin_dest_")
+    try:
+        dest = Admin(spark, d2)
+        shell_export_snapshot(catalog, "snap-x", dest)
+        assert dest.list_snapshots() == ["snap-x"]
+        # destination can clone with no reference back to the source:
+        # drop the source table and data path entirely
+        shell_clone_snapshot(dest, "snap-x", "restored")
+        rt = dest.table("restored")
+        assert {(r.row, r.value) for r in rt.snapshot().collect()} == {("r1", "v")}
+        # clone keeps the exported family schema
+        assert rt.families["f"].max_versions == 2
+        # re-export refuses to overwrite existing data files
+        with pytest.raises(Exception):
+            shell_export_snapshot(catalog, "snap-x", dest)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)

@@ -262,3 +262,33 @@ def test_ivf_recall_at_10_vs_brute_force(vecs):
     got = {r.vec_id for r in ivf_topk(assigned, cents, q, k=10, nprobe=4).collect()}
     recall = len(truth & got) / 10
     assert recall >= 0.6, f"IVF recall@10 too low: {recall}"
+
+
+def test_shingle_arrays_equal_shingle_frame_gram_sets(spark):
+    """The zero-shuffle array gram path and the explode+window frame
+    path must produce identical per-doc gram SETS for every edge class:
+    normal docs, shorter-than-n docs, token-less docs, empty strings,
+    repeated grams."""
+    from hbase_spark.functions.dedup import shingle_arrays, shingle_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "one two"),              # shorter than n -> whole-doc gram
+            (3, "single"),               # one token
+            (4, "!!! ???"),              # token-less -> empty gram
+            (5, ""),                     # empty string
+            (6, "a b c a b c a b c"),    # repeated grams
+        ],
+        "doc_id long, text string",
+    )
+    via_frame = {
+        (r._id, r._s)
+        for r in shingle_frame(docs).collect()
+    }
+    via_array = {
+        (r._id, s)
+        for r in shingle_arrays(docs).collect()
+        for s in r._g
+    }
+    assert via_array == via_frame
