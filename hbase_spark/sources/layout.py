@@ -126,3 +126,37 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     analog — mr/TableSnapshotInputFormat.java:84: scan the files
     directly, no servers)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    cells: DataFrame,
+    table_name: str,
+    *,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-registered BUCKETED layout: ``bucketBy(row)`` +
+    ``sortBy`` into a managed table, so Spark *knows* the partitioning.
+
+    This is the co-located-join story at 100 TB: every row-keyed
+    operation on a bucketed CellFrame — snapshot resolution's version
+    cap, SyncTable's diff join between two bucketed tables, multi-get
+    semi-joins — reuses the bucket partitioning instead of shuffling
+    the table (the plan shows NO Exchange under the aggregation; guard
+    in tests/test_plans.py).  The range layout (`write_table`) remains
+    the scan-pruning store; bucketed tables are the join-heavy
+    deployment's variant, exactly like keeping HBase regions aligned
+    across tables for coprocessor-local joins."""
+    (
+        cells.write.mode(mode)
+        .bucketBy(num_buckets, "row")
+        .sortBy("row", "family", "qualifier")
+        .option("parquet.bloom.filter.enabled#row", "true")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed CellFrame with its bucket spec attached."""
+    return spark.table(table_name)

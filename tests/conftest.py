@@ -1,4 +1,5 @@
 import os
+import tempfile
 
 import pytest
 from pyspark.sql import SparkSession
@@ -18,6 +19,10 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="hbase_spark_wh_"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

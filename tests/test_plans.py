@@ -163,3 +163,42 @@ def test_increment_then_resolve_materializes_result_cells_once(spark):
     merged = apply_increments(base, deltas, ts=9, seq=10_000)
     plan = plan_of(_resolve(merged, versions=1))
     assert plan.count("Scan ExistingRDD") <= 2
+
+
+def test_bucketed_layout_resolves_and_joins_without_exchange(spark, tmp_path):
+    """write_bucketed registers the bucket spec with the catalog, so
+    the version-cap aggregation (grouping keys prefixed by `row`) and
+    row-keyed self-joins reuse the bucket partitioning — ZERO Exchange
+    in either plan.  This is the co-located-join deployment variant of
+    the layout (SCALE.md)."""
+    import re
+
+    from hbase_spark.operators.mutations import put_cells
+    from hbase_spark.operators.resolve import resolve
+    from hbase_spark.sources.layout import read_bucketed, write_bucketed
+
+    cells = put_cells(
+        spark,
+        [(f"r{i:03d}", "f", f"q{j}", f"v{i}{j}") for i in range(50) for j in range(2)],
+        ts=10,
+        seq=1,
+    )
+    write_bucketed(cells, "plan_bucketed_t", num_buckets=4)
+    try:
+        b = read_bucketed(spark, "plan_bucketed_t")
+        out = resolve(b, versions=1)
+        out.collect()
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0]
+        )
+        assert not re.search(r"Exchange (hash|range)partitioning", plan)
+        j = b.alias("a").join(b.alias("b"), "row").select("row")
+        j.collect()
+        plan2 = (
+            j._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0]
+        )
+        assert not re.search(r"Exchange (hash|range)partitioning", plan2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plan_bucketed_t")
