@@ -824,8 +824,6 @@ def q_append_merge(spark, sf):
 )
 def q_check_and_put(spark, sf):
     """CheckAndMutate guard merge (rs/HRegion.java:5140)."""
-    from hbase_spark.operators.mutations import put_cells
-
     cells = _orders_cells(spark, sf)
     keys = load_table(spark, sf, "orders").select(
         F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("row")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hbase_spark.model import CELL_COLUMNS, CellType, cell_schema
+from hbase_spark.model import CellType, cell_schema
 from hbase_spark.operators.resolve import resolve
 
 
