@@ -147,7 +147,10 @@ def apply_increments(
     # the resolved slice contains touched columns only (no post-resolve
     # re-filter needed).
     touched_cols = summed.select("row", "family", "qualifier")
-    touched_fams = summed.select("row", "family").distinct()
+    # no distinct: a semi-join build side tolerates duplicate keys (the
+    # hash relation dedups), so the projection joins directly — one
+    # fewer exchange+job than deduping first
+    touched_fams = summed.select("row", "family")
     sliced = (
         cells.filter(F.col("type") == CellType.PUT)
         .join(touched_cols, ["row", "family", "qualifier"], "left_semi")
@@ -210,7 +213,8 @@ def apply_appends(
     # same slice narrowing as apply_increments: puts to the touched
     # columns (batch is key-unique), tombstones to the touched families
     touched_cols = batch.select("row", "family", "qualifier")
-    touched_fams = batch.select("row", "family").distinct()
+    # build side of a semi-join needs no pre-dedup (see apply_increments)
+    touched_fams = batch.select("row", "family")
     sliced = (
         cells.filter(F.col("type") == CellType.PUT)
         .join(touched_cols, ["row", "family", "qualifier"], "left_semi")
@@ -268,7 +272,7 @@ def apply_check_and_mutate(
     # Guards only inspect rows that carry mutations — slice before
     # resolving so the snapshot read is scoped to those rows
     # (HRegion.checkAndMutateInternal likewise scans just the guarded row).
-    mut_rows = mutations.select("row").distinct()
+    mut_rows = mutations.select("row")  # semi-join build: no pre-dedup
     snap = resolve(
         cells.join(mut_rows, "row", "left_semi"),
         versions=1,
@@ -289,19 +293,15 @@ def apply_check_and_mutate(
         )
         if value is None and comparator is None:
             # checkAndPut(..., null): passes when the column is ABSENT
-            present = col_cells.select("row").distinct()
-            ok_rows = (
-                mutations.select("row")
-                .distinct()
-                .join(present, "row", "left_anti")
-            )
+            # anti/semi-join build sides need no pre-dedup
+            present = col_cells.select("row")
+            ok_rows = mutations.select("row").join(present, "row", "left_anti")
         else:
             cmpr = comparator or BinaryComparator(value)
-            ok_rows = (
-                col_cells.filter(cmpr.matches(F.col("value"), op))
-                .select("row")
-                .distinct()
-            )
+            # col_cells is resolved to versions=1 on one qualifier, so
+            # rows are already unique; and a semi-join build needs no
+            # dedup regardless
+            ok_rows = col_cells.filter(cmpr.matches(F.col("value"), op)).select("row")
     # ok_rows scales with the mutation batch (billions of rows at real
     # SF) — no broadcast hint; AQE broadcasts small batches on its own.
     passed = mutations.join(ok_rows, "row", "left_semi")
