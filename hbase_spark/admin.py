@@ -443,6 +443,23 @@ class Admin:
         desc["families"] = man["families"]
         self._write_desc(man["table"], desc)
 
+    def table_from_snapshot(self, snapshot: str, *, now: int | None = None) -> Table:
+        """TableSnapshotInputFormat (mr/TableSnapshotInputFormat.java:84):
+        open a snapshot directly for reading — scan its immutable
+        version dir with the snapshotted family schema, no clone, no
+        catalog entry, no servers.  The standard way to run a heavy
+        analytical scan without touching the live table."""
+        man = self._read_json(self._snap_path(snapshot), f"snapshot {snapshot!r}")
+        fams = {
+            f: FamilyDescriptor(**knobs) for f, knobs in man["families"].items()
+        }
+        cells = read_table(self.spark, f"{self.catalog_dir}/{man['data_dir']}")
+        if fams:
+            from pyspark.sql import functions as F
+
+            cells = cells.filter(F.col("family").isin(list(fams)))
+        return Table(cells, fams, now)
+
     def export_snapshot(self, snapshot: str, dest: "Admin") -> None:
         """ExportSnapshot (snapshot/ExportSnapshot.java): materialize a
         snapshot into ANOTHER catalog — manifest plus data files — so

@@ -494,3 +494,20 @@ def test_export_snapshot_to_another_catalog(catalog, spark):
             shell_export_snapshot(catalog, "snap-x", dest)
     finally:
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_table_from_snapshot_reads_without_clone(catalog):
+    catalog.create_table("sn", {"f": FamilyDescriptor(max_versions=1)})
+    t = catalog.table("sn")
+    t = shell_put(t, "r1", "f:q", "at-snap", ts=10, seq=1)
+    catalog.flush("sn", t, num_regions=1)
+    catalog.snapshot("s1", "sn")
+    # mutate past the snapshot
+    t2 = shell_put(catalog.table("sn"), "r1", "f:q", "after", ts=20, seq=2)
+    catalog.flush("sn", t2, num_regions=1)
+    # snapshot read sees the point-in-time state; live table the new one
+    st = catalog.table_from_snapshot("s1")
+    assert [r.value for r in st.snapshot().collect()] == ["at-snap"]
+    assert [r.value for r in catalog.table("sn").snapshot().collect()] == ["after"]
+    # no new table appeared in the catalog
+    assert catalog.list_tables() == ["sn"]
