@@ -42,6 +42,11 @@ def get_spark(app: str = "hbase_spark", cpus: int | None = None) -> SparkSession
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-by-row tables co-partition joins whose keys CONTAIN
+        # row (e.g. SyncTable's (row, family, qualifier) diff) instead
+        # of requiring an exact key match — zero-exchange diffs between
+        # co-bucketed tables (guarded in tests/test_plans.py)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.warehouse.dir", "/tmp/hbase_spark_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -202,3 +202,46 @@ def test_bucketed_layout_resolves_and_joins_without_exchange(spark, tmp_path):
         assert not re.search(r"Exchange (hash|range)partitioning", plan2)
     finally:
         spark.sql("DROP TABLE IF EXISTS plan_bucketed_t")
+
+
+def test_cobucketed_sync_diff_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by `row` diff with ZERO exchange: the
+    (row, family, qualifier) full-outer join co-partitions on the
+    bucket key subset (requireAllClusterKeysForCoPartition=false, set
+    by get_spark; asserted here with broadcast disabled so bucketing —
+    not broadcast — is what removes the shuffle)."""
+    import re
+
+    from hbase_spark.operators.mutations import put_cells
+    from hbase_spark.operators.sync import sync_diff
+    from hbase_spark.sources.layout import read_bucketed, write_bucketed
+
+    a = put_cells(spark, [(f"r{i:03d}", "f", "q", f"v{i}") for i in range(80)], ts=10, seq=1)
+    b = put_cells(
+        spark,
+        [(f"r{i:03d}", "f", "q", f"v{i if i % 7 else 0}") for i in range(80)],
+        ts=10,
+        seq=1,
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_co = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        write_bucketed(a, "plan_sync_a", num_buckets=4)
+        write_bucketed(b, "plan_sync_b", num_buckets=4)
+        d = sync_diff(
+            read_bucketed(spark, "plan_sync_a"),
+            read_bucketed(spark, "plan_sync_b"),
+        )
+        assert d.count() == 11  # 80/7 rounded: rows where i%7==0 mismatch
+        plan = (
+            d._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0]
+        )
+        assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prev_co)
+        spark.sql("DROP TABLE IF EXISTS plan_sync_a")
+        spark.sql("DROP TABLE IF EXISTS plan_sync_b")
