@@ -106,6 +106,95 @@ def decode_images(media: DataFrame, *, fake: bool = False, batch_dim: int = 8) -
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, *, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads (the thumbnail/normalize step of a vision
+    training pipeline) via mapInPandas.
+
+    Real resizer (PIL) plugs in at the seam; the fake path emits a
+    deterministic payload derived from the source bytes + target dims
+    so downstream stages (re-encode, dedup on resized bytes) are
+    exercised end to end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires an image library not present in this "
+            "container; pass fake=True for the deterministic test resizer "
+            "or plug a real one into _resize_batch"
+        )
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = [
+                bytes([b % 256 for b in (len(p or b""), width, height)]) + (p or b"")[:16]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payloads,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_resize_batch, RESIZED_SCHEMA)
+    )
+
+
+def extract_features(
+    media: DataFrame, *, dim: int = 8, fake: bool = False
+) -> DataFrame:
+    """Embedding extraction over any media kind -> (media_id, kind,
+    embedding array<float>) — the bridge from multimodal payloads into
+    the similarity/ANN operators (functions/similarity.py).  Fake path
+    derives a deterministic vector from the payload hash; a real model
+    (CLIP et al.) plugs into the same Arrow-batched seam."""
+    if not fake:
+        raise NotImplementedError(
+            "feature extraction requires a model runtime not present in "
+            "this container; pass fake=True for the deterministic stub "
+            "or plug a real encoder into _feat_batch"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def _feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = [
+                _fake_decode(p, m, dim)["feature"]
+                for p, m in zip(pdf["payload"], pdf["media_id"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "embedding": embs,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(_feat_batch, schema)
+
+
 def sample_frames(media: DataFrame, *, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
 

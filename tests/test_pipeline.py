@@ -292,3 +292,34 @@ def test_shingle_arrays_equal_shingle_frame_gram_sets(spark):
         for s in r._g
     }
     assert via_array == via_frame
+
+
+def test_resize_and_feature_extract_plumbing(spark):
+    from hbase_spark.functions.multimodal import (
+        extract_features,
+        make_fake_media,
+        resize_images,
+    )
+    from hbase_spark.functions.similarity import cosine_topk
+
+    media = make_fake_media(spark, 30)
+    resized = resize_images(media, width=32, height=32, fake=True)
+    rows = resized.collect()
+    assert len(rows) == 10  # images only (every 3rd)
+    assert all(r.width == 32 and r.height == 32 for r in rows)
+    # deterministic: same input -> same resized payload
+    again = {r.media_id: r.payload for r in resize_images(
+        media, width=32, height=32, fake=True).collect()}
+    assert all(again[r.media_id] == r.payload for r in rows)
+    # real path is an explicit seam, not a silent fake
+    with pytest.raises(NotImplementedError):
+        resize_images(media, width=32, height=32)
+    # features bridge into the ANN operators
+    feats = extract_features(media, dim=8, fake=True)
+    assert feats.schema["embedding"].dataType.simpleString() == "array<float>"
+    q = feats.filter("media_id = 0").first()["embedding"]
+    vecs = feats.withColumnRenamed("media_id", "vec_id")
+    top = cosine_topk(vecs, [float(x) for x in q], k=3)
+    assert top.first()["vec_id"] == 0  # self is most similar
+    with pytest.raises(NotImplementedError):
+        extract_features(media)
