@@ -41,6 +41,10 @@ class TableNotEnabledError(RuntimeError):
     pass
 
 
+class AccessDeniedError(PermissionError):
+    """security/AccessDeniedException analog."""
+
+
 def _table_path(name: str) -> str:
     """``ns:table`` -> ``ns/table`` (default namespace stays flat)."""
     if ":" in name:
@@ -287,6 +291,63 @@ class Admin:
             "start_key": owner.start_key,
             "end_key": owner.end_key,
         }
+
+    # -- ACLs (AccessController's acl table: server/security/access/
+    # AccessController.java; shell grant/revoke/user_permission.
+    # Permission letters as in the shell: R read, W write, X execute,
+    # C create, A admin) --------------------------------------------------
+
+    def _acl_path(self) -> str:
+        return f"{self.catalog_dir}/acl.json"
+
+    def _read_acl(self) -> dict:
+        try:
+            return self._read_json(self._acl_path(), "acl")
+        except ValueError:
+            return {"global": {}, "tables": {}}
+
+    def grant(self, user: str, perms: str, table: str | None = None) -> None:
+        """shell `grant 'user', 'RW'[, 't']` — global or per-table."""
+        bad = set(perms.upper()) - set("RWXCA")
+        if bad:
+            raise ValueError(f"unknown permission letters {sorted(bad)}")
+        acl = self._read_acl()
+        scope = acl["global"] if table is None else acl["tables"].setdefault(table, {})
+        scope[user] = "".join(
+            sorted(set(scope.get(user, "")) | set(perms.upper()))
+        )
+        self._write_json(self._acl_path(), acl)
+
+    def revoke(self, user: str, table: str | None = None) -> None:
+        """shell `revoke 'user'[, 't']`."""
+        acl = self._read_acl()
+        scope = acl["global"] if table is None else acl["tables"].get(table, {})
+        scope.pop(user, None)
+        self._write_json(self._acl_path(), acl)
+
+    def user_permission(self, table: str | None = None) -> dict[str, str]:
+        """shell `user_permission` — effective grants (global merged
+        with per-table, like the reference's union of scopes)."""
+        acl = self._read_acl()
+        if table is None:
+            return dict(acl["global"])
+        merged = dict(acl["global"])
+        for user, perms in acl["tables"].get(table, {}).items():
+            merged[user] = "".join(sorted(set(merged.get(user, "")) | set(perms)))
+        return merged
+
+    def check_permission(self, user: str, table: str, action: str) -> bool:
+        """AccessController.permissionGranted — does ``user`` hold
+        ``action`` (one of RWXCA) on ``table``, globally or per-table?"""
+        return action.upper() in self.user_permission(table).get(user, "")
+
+    def table_as(self, user: str, name: str, *, now: int | None = None) -> Table:
+        """Open a table AS a user: requires the R permission
+        (AccessController.preScannerOpen); raises AccessDeniedError
+        otherwise, like the reference's coprocessor veto."""
+        if not self.check_permission(user, name, "R"):
+            raise AccessDeniedError(f"user {user!r} lacks R on {name!r}")
+        return self.table(name, now=now)
 
     # -- visibility label registry (VisibilityController's labels table:
     # server/security/visibility/VisibilityController.java — add_labels /

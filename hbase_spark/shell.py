@@ -374,3 +374,18 @@ def shell_delete_all_snapshot(admin, regex: str) -> list[str]:
 def shell_export_snapshot(admin, snapshot_name: str, dest_admin) -> None:
     """shell/tool `ExportSnapshot 'snap', <dest catalog>`."""
     admin.export_snapshot(snapshot_name, dest_admin)
+
+
+def shell_grant(admin, user: str, perms: str, table: str | None = None) -> None:
+    """shell `grant 'user', 'RW'[, 't']`."""
+    admin.grant(user, perms, table)
+
+
+def shell_revoke(admin, user: str, table: str | None = None) -> None:
+    """shell `revoke 'user'[, 't']`."""
+    admin.revoke(user, table)
+
+
+def shell_user_permission(admin, table: str | None = None) -> dict:
+    """shell `user_permission ['t']`."""
+    return admin.user_permission(table)

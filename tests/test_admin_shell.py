@@ -511,3 +511,31 @@ def test_table_from_snapshot_reads_without_clone(catalog):
     assert [r.value for r in catalog.table("sn").snapshot().collect()] == ["after"]
     # no new table appeared in the catalog
     assert catalog.list_tables() == ["sn"]
+
+
+def test_acl_grant_revoke_and_read_enforcement(catalog):
+    from hbase_spark.admin import AccessDeniedError
+    from hbase_spark.shell import (
+        shell_grant,
+        shell_revoke,
+        shell_user_permission,
+    )
+
+    catalog.create_table("sec", ["f"])
+    t = shell_put(catalog.table("sec"), "r", "f:q", "v", ts=1, seq=1)
+    catalog.flush("sec", t, num_regions=1)
+    with pytest.raises(AccessDeniedError):
+        catalog.table_as("alice", "sec")
+    shell_grant(catalog, "alice", "rw", "sec")  # letters normalize upper
+    assert shell_user_permission(catalog, "sec") == {"alice": "RW"}
+    assert catalog.table_as("alice", "sec").count() == 1
+    # global grant covers every table; per-table merges on top
+    shell_grant(catalog, "admin", "RWCA")
+    assert catalog.check_permission("admin", "sec", "A")
+    assert catalog.table_as("admin", "sec").count() == 1
+    # revoke per-table removes only that scope
+    shell_revoke(catalog, "alice", "sec")
+    with pytest.raises(AccessDeniedError):
+        catalog.table_as("alice", "sec")
+    with pytest.raises(ValueError):
+        shell_grant(catalog, "bob", "RQ")
