@@ -272,3 +272,60 @@ class Table:
             keep_deleted_cells=self._kdc(),
         )
         return Table(rewritten, self.families, self.now)
+
+
+class BufferedMutator:
+    """client/BufferedMutator.java:60 — client-side write buffering.
+
+    Mutations accumulate driver-side and apply as ONE batch merge on
+    ``flush()`` (the reference coalesces RPCs; here we coalesce Spark
+    plan nodes: one union + one set of mutation frames instead of one
+    per put).  ``mutate`` accepts the same tuples as Table.put/delete;
+    the buffer flushes automatically when ``buffer_size`` mutations
+    accumulate (the writeBufferSize analog, counted in mutations, not
+    bytes — byte sizing is meaningless for plan building).
+    """
+
+    def __init__(self, table: Table, *, buffer_size: int = 10_000):
+        self.table = table
+        self.buffer_size = buffer_size
+        self._puts: list[tuple] = []
+        self._dels: list[tuple] = []
+
+    def mutate_put(self, row, family, qualifier, value, *, ts: int, seq: int) -> None:
+        self.table._check_families([(row, family)])
+        self._puts.append((row, family, qualifier, ts, seq, value))
+        self._maybe_flush()
+
+    def mutate_delete(self, row, family, qualifier, *, ts: int, seq: int, kind=None) -> None:
+        self.table._check_families([(row, family)])
+        from hbase_spark.model import CellType
+
+        self._dels.append(
+            (row, family, qualifier, ts, seq, kind or CellType.DELETE_COLUMN)
+        )
+        self._maybe_flush()
+
+    def _maybe_flush(self) -> None:
+        if len(self._puts) + len(self._dels) >= self.buffer_size:
+            self.flush()
+
+    def flush(self) -> Table:
+        """Apply everything buffered as one merge; returns (and
+        rebinds) the updated Table."""
+        from hbase_spark.model import CellType, cell_schema
+        from hbase_spark.operators.mutations import make_cells
+
+        if self._puts or self._dels:
+            rows = [
+                (r, f, q, ts, CellType.PUT, v, seq)
+                for (r, f, q, ts, seq, v) in self._puts
+            ] + [
+                (r, f, q, ts, kind, None, seq)
+                for (r, f, q, ts, seq, kind) in self._dels
+            ]
+            self.table = self.table.with_cells(
+                make_cells(self.table.cells.sparkSession, rows)
+            )
+            self._puts, self._dels = [], []
+        return self.table

@@ -261,3 +261,27 @@ def test_per_family_min_versions_ttl(spark):
     )
     got = {r.family for r in t.snapshot().collect()}
     assert got == {"cf1"}
+
+
+def test_buffered_mutator_coalesces_and_autoflushes(spark):
+    from hbase_spark.operators.mutations import put_cells
+    from hbase_spark.table import BufferedMutator, Table
+
+    t = Table(put_cells(spark, [("r0", "f", "q", "base")], ts=1, seq=0))
+    bm = BufferedMutator(t, buffer_size=4)
+    for i in range(3):
+        bm.mutate_put(f"r{i+1}", "f", "q", f"v{i}", ts=10, seq=i + 1)
+    # below buffer_size: nothing applied yet
+    assert bm.table.cells.count() == 1
+    bm.mutate_delete("r0", "f", "q", ts=20, seq=9)  # 4th mutation -> autoflush
+    assert bm.table.cells.count() == 5
+    got = {r.row: r.value for r in bm.table.snapshot().collect()}
+    assert got == {"r1": "v0", "r2": "v1", "r3": "v2"}  # r0 deleted
+    # the whole batch is ONE union over the base plan, not one per put
+    assert "Union" in bm.table.cells._jdf.queryExecution().logical().toString()
+    # family check still applies through the buffer
+    from hbase_spark.table import FamilyDescriptor, NoSuchColumnFamilyError
+
+    bm2 = BufferedMutator(Table(bm.table.cells, {"f": FamilyDescriptor()}))
+    with pytest.raises(NoSuchColumnFamilyError):
+        bm2.mutate_put("r", "nope", "q", "x", ts=1, seq=1)
