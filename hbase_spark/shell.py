@@ -44,8 +44,22 @@ def shell_scan(
     VERSIONS: int = 1,
     TIMERANGE: tuple | None = None,
     RAW: bool = False,
+    ROWPREFIXFILTER: str | None = None,
 ) -> DataFrame:
-    """hbase-shell `scan` (shell/commands/scan.rb argument surface)."""
+    """hbase-shell `scan` (shell/commands/scan.rb argument surface).
+    ROWPREFIXFILTER is the shell's prefix shorthand — mutually
+    exclusive with STARTROW/STOPROW, exactly like the shell enforces
+    (table.rb _hash_to_scan)."""
+    if ROWPREFIXFILTER is not None:
+        if STARTROW is not None or STOPROW is not None:
+            raise ValueError(
+                "ROWPREFIXFILTER cannot be combined with STARTROW/STOPROW"
+            )
+        FILTER = (
+            f"PrefixFilter('{ROWPREFIXFILTER}')"
+            if FILTER is None
+            else f"(PrefixFilter('{ROWPREFIXFILTER}')) AND ({FILTER})"
+        )
     families, qualifiers = _columns(COLUMNS)
     return table.scan(
         Scan(

@@ -539,3 +539,22 @@ def test_acl_grant_revoke_and_read_enforcement(catalog):
         catalog.table_as("alice", "sec")
     with pytest.raises(ValueError):
         shell_grant(catalog, "bob", "RQ")
+
+
+def test_shell_scan_rowprefixfilter(catalog):
+    catalog.create_table("pf", ["f"])
+    t = catalog.table("pf")
+    for r in ("aa1", "aa2", "ab1", "bb1"):
+        t = shell_put(t, r, "f:q", r, ts=1, seq=1)
+    got = {r.row for r in shell_scan(t, ROWPREFIXFILTER="aa").collect()}
+    assert got == {"aa1", "aa2"}
+    # composes with an explicit FILTER (AND), like the shell
+    got = {
+        r.row
+        for r in shell_scan(
+            t, ROWPREFIXFILTER="a", FILTER="ValueFilter(=, 'binary:ab1')"
+        ).collect()
+    }
+    assert got == {"ab1"}
+    with pytest.raises(ValueError):
+        shell_scan(t, ROWPREFIXFILTER="a", STARTROW="a")
