@@ -21,18 +21,55 @@ from hbase_spark.sources.layout import write_table
 
 
 def export_table(
-    cells: DataFrame, path: str, spec: Scan | None = None, *, raw: bool = True, **kw
+    cells: DataFrame,
+    path: str,
+    spec: Scan | None = None,
+    *,
+    raw: bool = True,
+    format: str = "parquet",
+    **kw,
 ) -> None:
     """Export cells (raw=True keeps tombstones+versions, like Export's
-    raw mode) to a bulk layout."""
+    raw mode) to a bulk layout.
+
+    ``format``: 'parquet' (default — the pruned range layout) or an
+    interchange format for foreign consumers, 'json' / 'csv' — the
+    analog of Export's pluggable serialization (the reference writes
+    SequenceFiles of Results).  Canonical cells carry string values, so
+    interchange formats need no binary encoding; they skip the range
+    layout (plain write)."""
     spec = spec or Scan(raw=raw)
-    write_table(scan(cells, spec), path, **kw)
+    out = scan(cells, spec)
+    if format == "parquet":
+        write_table(out, path, **kw)
+    elif format == "json":
+        out.write.mode(kw.get("mode", "overwrite")).json(path)
+    elif format == "csv":
+        out.write.mode(kw.get("mode", "overwrite")).option("header", True).csv(path)
+    else:
+        raise ValueError(f"unknown export format {format!r}")
 
 
 def import_table(
-    spark: SparkSession, path: str, *, rename_families: dict[str, str] | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    rename_families: dict[str, str] | None = None,
+    format: str = "parquet",
 ) -> DataFrame:
-    df = spark.read.parquet(path)
+    """mr/Import.java:88 — read an export back as a CellFrame, with
+    optional family rename.  json/csv imports re-apply the cell schema
+    (interchange formats erase types)."""
+    from hbase_spark.model import cell_schema
+
+    if format == "parquet":
+        df = spark.read.parquet(path)
+    elif format == "json":
+        df = spark.read.schema(cell_schema()).json(path)
+    elif format == "csv":
+        df = spark.read.schema(cell_schema()).option("header", True).csv(path)
+    else:
+        raise ValueError(f"unknown import format {format!r}")
     if rename_families:
         mapping = F.col("family")
         for old, new in rename_families.items():

@@ -323,3 +323,30 @@ def test_resize_and_feature_extract_plumbing(spark):
     assert top.first()["vec_id"] == 0  # self is most similar
     with pytest.raises(NotImplementedError):
         extract_features(media)
+
+
+def test_export_import_interchange_formats(spark, tmp_path):
+    from hbase_spark.operators.mutations import make_cells, put_cells
+    from hbase_spark.model import CellType
+    from hbase_spark.sources.copy import export_table, import_table
+
+    cells = put_cells(
+        spark, [(f"r{i}", "f", "q", f"v{i}") for i in range(20)], ts=10, seq=1
+    ).unionByName(
+        make_cells(spark, [("r0", "f", "q", 20, CellType.DELETE_COLUMN, None, 2)])
+    )
+    want = {
+        (r.row, r.qualifier, r.ts, r.type, r.value) for r in cells.collect()
+    }
+    for fmt in ("json", "csv"):
+        path = str(tmp_path / f"exp_{fmt}")
+        export_table(cells, path, format=fmt)  # raw: tombstones survive
+        back = import_table(spark, path, format=fmt)
+        # interchange re-applies types (nullability is reader-relaxed)
+        assert [(f.name, f.dataType) for f in back.schema] == [
+            (f.name, f.dataType) for f in cells.schema
+        ]
+        got = {(r.row, r.qualifier, r.ts, r.type, r.value) for r in back.collect()}
+        assert got == want
+    with pytest.raises(ValueError):
+        export_table(cells, str(tmp_path / "x"), format="avro")
