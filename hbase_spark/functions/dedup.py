@@ -371,30 +371,25 @@ def minhash_dedup(
     min-id; one connected-component hop, sufficient for near-dup
     clusters where every member pairs with the representative).
 
-    Fused single-chain plan: each doc's shingle-HASH set rides along
-    with its banded signature into the bucket groupBy, so the Jaccard
-    verify runs inside each collision group with no join back to the
-    corpus.  Signatures and hash sets are pure array map work over
-    ``shingle_arrays`` — the FIRST exchange in the whole plan is the
-    band-bucket groupBy, whose rows are (id, hash-set) pairs, so
-    neither tokens nor text ever shuffle.  (Jaccard over 64-bit shingle
-    hashes instead of shingle strings — collision probability is
-    negligible.)  A same pair colliding in several bands is verified
-    once per band — cheap columnar ops on small arrays — and collapsed
-    by the final distinct over drop ids.
+    Plan shape (round-2.5, measured 35% over the fused hash-set-through-
+    the-buckets form at sf0.1): ONE codegen hash aggregation over the
+    exploded gram stream computes the k minima AND the doc's hash set
+    (every gram hashed exactly once, map-side partial aggregation);
+    the per-doc frame is locally checkpointed — it is O(corpus hash
+    sets) on executor storage, replacing ``bands`` copies of the same
+    sets flowing through the bucket exchange.  Banding then shuffles
+    only (id, bucket) pairs; the few surviving candidate pairs join the
+    hash sets back (broadcast-size under AQE) for the exact Jaccard
+    verify.  (Jaccard over 64-bit shingle hashes instead of shingle
+    strings — collision probability is negligible.)  Earlier A/B also
+    showed: computing sig and set as two array expressions doubles the
+    gram work (CollapseProject inlines the gram subtree into both
+    consumers), and exploding an array-built gram column loses
+    whole-stage codegen around the aggregation.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # Signature + hash-set in ONE codegen hash aggregation over the
-    # exploded gram stream (every gram hashed exactly once, map-side
-    # partial aggregation).  Round-2 measured the tempting
-    # alternatives SLOWER end-to-end at sf0.1: computing sig and set as
-    # two array expressions doubles the gram work (CollapseProject
-    # inlines the gram subtree into both consumers, 5.1s), and
-    # exploding an array-built gram column instead of the window form
-    # loses whole-stage codegen around the aggregation (7.5s vs 3.2s
-    # here).
     hx = (
         shingle_frame(docs, id_col=id_col, text_col=text_col, n=shingle_n)
         .select("_id", F.xxhash64("_s").alias("_h64"))
@@ -404,9 +399,11 @@ def minhash_dedup(
         F.min((F.lit(a) * F.col("_h") + F.lit(b)) % _MERSENNE).alias(f"_m{i}")
         for i, (a, b) in enumerate(_uh_consts(num_hashes))
     ]
-    per_doc = hx.groupBy("_id").agg(*mins, F.collect_set("_h64").alias("_hs"))
+    per_doc = hx.groupBy("_id").agg(
+        *mins, F.collect_set("_h64").alias("_hs")
+    ).localCheckpoint(eager=False)
     banded = per_doc.select(
-        F.struct(F.col("_id").alias("i"), F.col("_hs").alias("hs")).alias("_id"),
+        "_id",
         F.explode(
             F.array(
                 *[
@@ -420,20 +417,24 @@ def minhash_dedup(
     )
     groups = (
         banded.groupBy("_bucket")
-        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, 1024).alias("_ids"))
+        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, _BUCKET_CAP).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
     pairs = (
         groups.select(F.explode("_ids").alias("a"), F.col("_ids"))
         .select("a", F.explode("_ids").alias("b"))
-        .filter(F.col("a.i") < F.col("b.i"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
     )
-    jac = F.size(F.array_intersect("a.hs", "b.hs")) / F.greatest(
-        F.size(F.array_union("a.hs", "b.hs")), F.lit(1)
+    ha = per_doc.select(F.col("_id").alias("a"), F.col("_hs").alias("_hs_a"))
+    hb = per_doc.select(F.col("_id").alias("b"), F.col("_hs").alias("_hs_b"))
+    verified = pairs.join(ha, "a").join(hb, "b")
+    jac = F.size(F.array_intersect("_hs_a", "_hs_b")) / F.greatest(
+        F.size(F.array_union("_hs_a", "_hs_b")), F.lit(1)
     )
     drop = (
-        pairs.filter(jac >= threshold)
-        .select(F.col("b.i").alias(id_col))
+        verified.filter(jac >= threshold)
+        .select(F.col("b").alias(id_col))
         .distinct()
     )
     return docs.join(drop, id_col, "left_anti")
