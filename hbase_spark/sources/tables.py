@@ -55,7 +55,13 @@ def get_spark(app: str = "hbase_spark", cpus: int | None = None) -> SparkSession
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing nano-timestamp columns."""
+    """Read one testdata table, normalizing nano-timestamp columns.
+
+    Pins the session timezone to UTC (runtime-settable) so the
+    NTZ→timestamp cast and date rendering are stable even when the
+    caller's session was built without get_spark — e.g. the driver's
+    own session — matching the DuckDB oracles' naive-as-UTC reading."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
