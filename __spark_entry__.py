@@ -32,7 +32,7 @@ from hbase_spark.model import CellType
 from hbase_spark.operators.mutations import (
     apply_appends,
     apply_check_and_mutate,
-    apply_increments,
+    increment_view,
 )
 from hbase_spark.operators.resolve import resolve
 from hbase_spark.operators.scan import Scan, scan
@@ -761,11 +761,12 @@ def q_filter_random_row(spark, sf):
 def q_increment_merge(spark, sf):
     """Increment = delta-join merge (rs/HRegion.java:4207 reckonDeltas).
 
-    Reads the persisted layout, not the on-the-fly melt: the operator's
-    touched-slice read and the final resolve each rescan the base, and
-    against parquet those rescans are pruned columnar reads instead of
-    two full re-melts (the round-1 bench's 5.5s was mostly the double
-    melt)."""
+    Uses ``increment_view``: the reference reads only the touched row
+    and leaves the rest of the table's visible state untouched, so the
+    query resolves the base ONCE and full-outer-merges the summed
+    deltas into that snapshot — instead of appending cells and
+    re-resolving the whole table (the shape that kept this query at
+    ~5.5s through rounds 1-2; the double resolve was the cost)."""
     cells = _orders_layout(spark, sf)
     li = load_table(spark, sf, "lineitem")
     # Aggregate on the native long key and render the padded row key
@@ -782,14 +783,17 @@ def q_increment_merge(spark, sf):
             "delta",
         )
     )
-    merged = apply_increments(cells, deltas, ts=2, seq=10_000_000)
-    # qualifier projection through scan(): the column restriction runs
-    # BEFORE snapshot resolution (family-scope tombstones are kept for
-    # masking), so the final resolve shuffles one column, not the whole
-    # table — the same projection-before-version-count order the
-    # reference's ExplicitColumnTracker gives an addColumn() scan.
-    out = scan(merged, Scan(qualifiers=["o_custkey"]))
-    return _rk(out, "value")
+    # qualifier projection BEFORE the single resolve (addColumn /
+    # ExplicitColumnTracker order): keep the touched qualifier's cells
+    # plus family-scope tombstones, whose masking must still apply.
+    proj = cells.filter(
+        (F.col("qualifier") == "o_custkey")
+        | F.col("type").isin(
+            [CellType.DELETE_FAMILY, CellType.DELETE_FAMILY_VERSION]
+        )
+    )
+    view = increment_view(proj, deltas, ts=2, seq=10_000_000)
+    return _rk(view, "value")
 
 
 @_q(

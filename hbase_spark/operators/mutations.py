@@ -187,6 +187,65 @@ def apply_increments(
     return apply_mutations(cells, new_cells.localCheckpoint(eager=False))
 
 
+def increment_view(
+    cells: DataFrame,
+    deltas: DataFrame,
+    *,
+    ts: int,
+    seq: int,
+    resolve_kw: dict | None = None,
+    snapshot: DataFrame | None = None,
+) -> DataFrame:
+    """Post-increment *resolved* snapshot (versions=1 view).
+
+    ``apply_increments`` appends new cells and leaves resolution to the
+    reader — which re-resolves the whole table even though the batch
+    touched a sliver of it.  The reference never does that: reckonDeltas
+    (rs/HRegion.java:4207) reads only the touched row, and every other
+    row's visible state is untouched.  This operator mirrors that: ONE
+    resolve of the base, then a single full-outer merge with the summed
+    deltas — touched columns get ``coalesce(old, 0) + delta`` at the new
+    (ts, seq), untouched columns pass through already resolved.
+
+    Plan shape: resolve's versions=1 hash-agg partitions the snapshot by
+    (row, family, qualifier), and ``summed`` is grouped on the same key,
+    so the full-outer join reuses both exchanges — zero additional
+    shuffles beyond the resolve itself.
+
+    Pass ``snapshot=`` to reuse an already-resolved versions=1 view
+    (skips the resolve entirely).  Output column order/types match the
+    CellFrame contract.
+    """
+    summed = deltas.groupBy("row", "family", "qualifier").agg(
+        F.sum("delta").alias("_delta")
+    )
+    snap = (
+        snapshot
+        if snapshot is not None
+        else resolve(cells, versions=1, **(resolve_kw or {}))
+    )
+    dtypes = dict(snap.dtypes)
+    hit = F.col("_delta").isNotNull()
+    return (
+        snap.join(summed, ["row", "family", "qualifier"], "full_outer")
+        .select(
+            "row",
+            "family",
+            "qualifier",
+            F.when(hit, F.lit(ts)).otherwise(F.col("ts")).cast("long").alias("ts"),
+            F.lit(CellType.PUT).cast("int").alias("type"),
+            F.when(
+                hit,
+                (F.coalesce(F.col("value").cast("long"), F.lit(0)) + F.col("_delta"))
+                .cast(dtypes["value"]),
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.when(hit, F.lit(seq)).otherwise(F.col("seq")).cast("long").alias("seq"),
+        )
+    )
+
+
 def apply_appends(
     cells: DataFrame,
     appends: DataFrame,

@@ -68,6 +68,48 @@ def test_increment_batch_sums(spark):
     assert snap_map(out)[("r1", "f", "cnt")] == "11"
 
 
+def test_increment_view_matches_apply_then_resolve(spark):
+    """increment_view must equal resolve(apply_increments(...), versions=1)
+    — same law the reference's reckonDeltas obeys (the post-increment
+    visible state), including delta-created columns, tombstone masking,
+    and the untouched passthrough."""
+    from hbase_spark.operators.mutations import increment_view
+
+    cells = apply_mutations(
+        base(spark),
+        delete_cells(spark, [("r2", "f", None)], ts=15, seq=2,
+                     kind=CellType.DELETE_FAMILY),
+    )
+    deltas = spark.createDataFrame(
+        [("r1", "f", "cnt", 7), ("r2", "f", "cnt", 3), ("r9", "f", "cnt", 1)],
+        ["row", "family", "qualifier", "delta"],
+    )
+    via_apply = resolve(
+        apply_increments(cells, deltas, ts=20, seq=3), versions=1
+    )
+    via_view = increment_view(cells, deltas, ts=20, seq=3)
+    key = lambda r: (r.row, r.family, r.qualifier)  # noqa: E731
+    a = {key(r): (r.ts, r.type, r.value, r.seq) for r in via_apply.collect()}
+    v = {key(r): (r.ts, r.type, r.value, r.seq) for r in via_view.collect()}
+    assert a == v
+    # the family tombstone masked r2's old cnt: increment starts from 0
+    assert v[("r2", "f", "cnt")][2] == "3"
+
+
+def test_increment_view_snapshot_reuse(spark):
+    """snapshot= skips the internal resolve and must give the same view."""
+    from hbase_spark.operators.mutations import increment_view
+
+    cells = base(spark)
+    deltas = spark.createDataFrame(
+        [("r1", "f", "cnt", 2)], ["row", "family", "qualifier", "delta"]
+    )
+    snap = resolve(cells, versions=1)
+    direct = increment_view(cells, deltas, ts=20, seq=2).collect()
+    reused = increment_view(cells, deltas, ts=20, seq=2, snapshot=snap).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, reused))
+
+
 def test_append_concat_in_seq_order(spark):
     cells = base(spark)
     appends = spark.createDataFrame(

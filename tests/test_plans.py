@@ -165,6 +165,40 @@ def test_increment_then_resolve_materializes_result_cells_once(spark):
     assert plan.count("Scan ExistingRDD") <= 2
 
 
+def test_increment_view_resolves_base_once(spark):
+    """increment_view is the single-resolve RMW shape (reckonDeltas reads
+    only the touched slice; the untouched snapshot is never re-resolved):
+    the base CellFrame is scanned ONCE, the merge is one full-outer join
+    on the resolve's own (row, family, ...) partitioning, and the whole
+    plan carries at most 3 hash exchanges (mask, delta agg, co-partition
+    of the small delta side) — versus the append-then-re-resolve path
+    whose second resolve rescans and reshuffles everything."""
+    import re
+
+    from hbase_spark.operators.mutations import increment_view
+
+    base = make_cells(
+        spark,
+        [
+            (str(i).zfill(6), "f", q, 1, 4, str(i * 10), i)
+            for i in range(64)
+            for q in ("a", "b")
+        ],
+    )
+    deltas = spark.createDataFrame(
+        [(str(i).zfill(6), "f", "a", 1) for i in range(16)],
+        "row string, family string, qualifier string, delta long",
+    )
+    v = increment_view(base, deltas, ts=9, seq=10_000)
+    v.collect()
+    plan = (
+        v._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    )
+    assert plan.count("Scan ExistingRDD") == 2  # base once + deltas once
+    assert "FullOuter" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
 def test_bucketed_layout_resolves_and_joins_without_exchange(spark, tmp_path):
     """write_bucketed registers the bucket spec with the catalog, so
     the version-cap aggregation (grouping keys prefixed by `row`) and
