@@ -1334,7 +1334,13 @@ def q_doc_minhash_dedup(spark, sf):
         "doc_id", F.col("doc_id") + 1_000_000
     )
     out = minhash_dedup(
-        docs.unionByName(clones), threshold=0.99, num_hashes=64, bands=16
+        docs.unionByName(clones),
+        threshold=0.99,
+        num_hashes=64,
+        bands=16,
+        # test scale: any bucket over the cap is a correctness hazard
+        # (truncated candidates), so fail loudly instead of truncating
+        on_overflow="error",
     )
     return out.select("doc_id")
 

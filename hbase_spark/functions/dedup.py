@@ -139,9 +139,18 @@ def shingle_frame(
         F.concat_ws(" ", *leads),
     )
     out = tok.select("_id", gram.alias("_s")).filter(F.col("_s").isNotNull())
+    # Empty-doc membership must use the SAME ascii tokenizer as the main
+    # path: a doc with unicode tokens but no [a-z0-9] runs produces no
+    # gram rows above, so it must get the '' gram here (matching
+    # shingle_arrays and the exact-Jaccard SQL oracle, which both
+    # tokenize on [^a-z0-9]+ — the unicode tokens() splitter would
+    # silently drop such docs from the dedup candidate space).
+    ascii_toks = F.filter(
+        F.split(F.lower(F.col("_txt")), "[^a-z0-9]+"), lambda x: x != ""
+    )
     empty = (
         docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-        .filter(F.size(tokens("_txt")) == 0)
+        .filter(F.size(ascii_toks) == 0)
         .select("_id", F.lit("").alias("_s"))
     )
     return out.unionByName(empty)
@@ -279,6 +288,25 @@ def _bucket_pairs(
     job naming the hot bucket; the default 'truncate' keeps the capped
     prefix, and ``bucket_overflow()`` reports affected buckets.
     """
+    groups = _capped_groups(banded, bucket_col, cap=cap, on_overflow=on_overflow)
+    return (
+        groups.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def _capped_groups(
+    banded: DataFrame, bucket_col: str, *, cap: int, on_overflow: str
+) -> DataFrame:
+    """Shared cap+audit contract for every LSH group build: collision
+    groups of ``_id``s per bucket, membership capped at ``cap`` (sorted,
+    deterministic).  ``on_overflow='error'`` fails the job naming the
+    hot bucket; 'truncate' keeps the capped prefix (quantify the loss
+    with ``bucket_overflow()``).  Both the pairing helper and the fused
+    ``minhash_dedup`` path route through here — no caller gets a bare
+    uncapped / silently-capped slice."""
     if on_overflow not in ("truncate", "error"):
         raise ValueError(f"bad on_overflow {on_overflow!r}")
     agg = banded.groupBy(bucket_col).agg(
@@ -295,13 +323,7 @@ def _bucket_pairs(
                 )
             ),
         ).otherwise(ids)
-    groups = agg.select(ids.alias("_ids")).filter(F.size("_ids") > 1)
-    return (
-        groups.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    return agg.select(ids.alias("_ids")).filter(F.size("_ids") > 1)
 
 
 def bucket_overflow(
@@ -365,11 +387,19 @@ def minhash_dedup(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
 ) -> DataFrame:
     """End-to-end near-dedup: LSH candidates -> exact Jaccard >= t ->
     drop the larger id of each dup pair (greedy representative-keeps-
     min-id; one connected-component hop, sufficient for near-dup
     clusters where every member pairs with the representative).
+
+    Skew contract: bucket groups are built through the same
+    ``_capped_groups`` cap+audit path as ``_bucket_pairs`` — a bucket
+    over ``cap`` ids either truncates deterministically (default; audit
+    with ``bucket_overflow()`` over the banded frame) or fails the job
+    with ``on_overflow='error'``.  Never a silent bare slice.
 
     Plan shape (round-2.5, measured 35% over the fused hash-set-through-
     the-buckets form at sf0.1): ONE codegen hash aggregation over the
@@ -415,11 +445,7 @@ def minhash_dedup(
             )
         ).alias("_bucket"),
     )
-    groups = (
-        banded.groupBy("_bucket")
-        .agg(F.slice(F.sort_array(F.collect_set("_id")), 1, _BUCKET_CAP).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
+    groups = _capped_groups(banded, "_bucket", cap=cap, on_overflow=on_overflow)
     pairs = (
         groups.select(F.explode("_ids").alias("a"), F.col("_ids"))
         .select("a", F.explode("_ids").alias("b"))

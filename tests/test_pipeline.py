@@ -108,6 +108,55 @@ def test_minhash_near_dedup(spark, docs):
     assert deduped.count() == base.count()
 
 
+def test_minhash_dedup_hot_bucket_raises(spark, docs):
+    """The fused minhash_dedup path must honor the cap+audit contract:
+    a bucket over the skew cap with on_overflow='error' fails the job
+    naming the bucket (no silent truncation — round-2 verdict item)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    # 6 exact clones of one doc -> every band bucket holds 6 ids > cap 4
+    one = docs.orderBy("doc_id").limit(1)
+    clones = one
+    for i in range(1, 6):
+        clones = clones.unionByName(
+            one.withColumn("doc_id", F.col("doc_id") + 400_000 + i)
+        )
+    with pytest.raises(Py4JJavaError, match="LSH bucket over skew cap"):
+        minhash_dedup(
+            clones, threshold=0.8, num_hashes=64, bands=16,
+            cap=4, on_overflow="error",
+        ).collect()
+    # truncate mode completes and still dedups within the capped prefix
+    out = minhash_dedup(
+        clones, threshold=0.8, num_hashes=64, bands=16,
+        cap=4, on_overflow="truncate",
+    )
+    assert out.count() < 6
+
+
+def test_shingle_frame_non_ascii_doc_gets_empty_gram(spark):
+    """A doc with unicode tokens but no ascii-alnum runs must yield the
+    '' gram (same ascii tokenizer as the main path / shingle_arrays /
+    the SQL oracle) — advisor round-2 item: with the unicode splitter
+    it produced NO row and could never be a dedup candidate."""
+    from hbase_spark.functions.dedup import shingle_arrays, shingle_frame
+
+    d = spark.createDataFrame(
+        [(1, "日本語のテキスト"), (2, "日本語のテキスト"), (3, "plain words here")],
+        ["doc_id", "text"],
+    )
+    frame = {
+        (r._id, r._s) for r in shingle_frame(d).collect()
+    }
+    assert (1, "") in frame and (2, "") in frame
+    arrays = {r._id: r._g for r in shingle_arrays(d).collect()}
+    assert arrays[1] == [""] and arrays[2] == [""]
+    # and exact clones of such docs now dedup
+    out = minhash_dedup(d, threshold=0.99, num_hashes=64, bands=16)
+    assert out.count() == 2
+
+
 def test_simhash_candidates(spark, docs):
     # identical texts -> hamming 0 -> must always be candidates
     near = docs.orderBy("doc_id").limit(5).withColumn(
