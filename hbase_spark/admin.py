@@ -278,11 +278,21 @@ class Admin:
         """shell `locate_region 't', 'row'`: the region whose range
         holds ``row`` (regions are sorted; the owner is the last region
         whose start_key <= row, mirroring MetaTableAccessor's
-        floor-entry lookup)."""
+        floor-entry lookup).
+
+        Unlike the reference — where the first region's start key is
+        the empty byte string and genuinely owns every preceding row —
+        ``start_key`` here is the *observed minimum* of the region's
+        data, so a row sorting before it still floors to the first
+        region by convention; such lookups carry ``out_of_range=True``
+        so callers can distinguish ownership from the floor fallback."""
         regions = self.list_regions(name).collect()
         if not regions:
             raise ValueError(f"table {name!r} has no regions")
         owner = regions[0]
+        out_of_range = not (
+            owner.start_key is None or row >= owner.start_key
+        )
         for r in regions:
             if r.start_key is not None and row >= r.start_key:
                 owner = r
@@ -290,6 +300,7 @@ class Admin:
             "region_file": owner.region_file,
             "start_key": owner.start_key,
             "end_key": owner.end_key,
+            "out_of_range": out_of_range,
         }
 
     # -- ACLs (AccessController's acl table: server/security/access/

@@ -32,6 +32,27 @@ def _columns(cols: list[str] | None):
     return sorted(fams) or None, (sorted(quals) or None)
 
 
+def _prefix_stop_row(prefix):
+    """Smallest key sorting after every key with ``prefix`` — the
+    reference's ClientUtil.calculateTheClosestNextRowKeyForPrefix:
+    increment the rightmost non-max unit, truncate the rest; all-max
+    prefixes scan to the end of the table (None)."""
+    if isinstance(prefix, (bytes, bytearray)):
+        b = bytearray(prefix)
+        while b and b[-1] == 0xFF:
+            b.pop()
+        if not b:
+            return None
+        b[-1] += 1
+        return bytes(b)
+    s = str(prefix)
+    while s and ord(s[-1]) >= 0x10FFFF:
+        s = s[:-1]
+    if not s:
+        return None
+    return s[:-1] + chr(ord(s[-1]) + 1)
+
+
 def shell_scan(
     table: Table,
     *,
@@ -49,17 +70,18 @@ def shell_scan(
     """hbase-shell `scan` (shell/commands/scan.rb argument surface).
     ROWPREFIXFILTER is the shell's prefix shorthand — mutually
     exclusive with STARTROW/STOPROW, exactly like the shell enforces
-    (table.rb _hash_to_scan)."""
+    (table.rb _hash_to_scan).  Translated to computed start/stop rows
+    (ClientUtil.calculateTheClosestNextRowKeyForPrefix), matching the
+    reference shell — NOT spliced into the filter string, so prefixes
+    containing quotes or parser metacharacters are safe, and the range
+    prunes at the source instead of filtering post-scan."""
     if ROWPREFIXFILTER is not None:
         if STARTROW is not None or STOPROW is not None:
             raise ValueError(
                 "ROWPREFIXFILTER cannot be combined with STARTROW/STOPROW"
             )
-        FILTER = (
-            f"PrefixFilter('{ROWPREFIXFILTER}')"
-            if FILTER is None
-            else f"(PrefixFilter('{ROWPREFIXFILTER}')) AND ({FILTER})"
-        )
+        STARTROW = ROWPREFIXFILTER
+        STOPROW = _prefix_stop_row(ROWPREFIXFILTER)
     families, qualifiers = _columns(COLUMNS)
     return table.scan(
         Scan(

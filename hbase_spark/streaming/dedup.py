@@ -51,12 +51,25 @@ def stream_dedup(
     return (
         with_ts.withWatermark("_event_time", watermark)
         .dropDuplicatesWithinWatermark(["_fp"])
-        .drop("_event_time")
+        # output schema == input schema: both internals are dropped
+        .drop("_event_time", "_fp")
     )
 
 
-def batch_dedup_twin(stream_frame: DataFrame, *, text_col: str = "text") -> DataFrame:
+def batch_dedup_twin(
+    stream_frame: DataFrame, *, text_col: str = "text", ts_col: str = "ts"
+) -> DataFrame:
     """The batch definition the streaming operator must agree with on
-    any finite prefix: first row (min ts, then min natural order) per
-    fingerprint.  Used by the stream==batch property test."""
-    return fingerprinted(stream_frame, text_col=text_col).dropDuplicates(["_fp"])
+    any finite prefix: the first-SEEN row per fingerprint — min ts,
+    ties broken by the full row's natural order (min_by over a struct,
+    deterministic; a bare dropDuplicates would keep an arbitrary row).
+    Output schema == input schema, like ``stream_dedup``."""
+    cols = stream_frame.columns
+    payload = F.struct(*[F.col(c) for c in cols])
+    ordering = F.struct(F.col(ts_col), *[F.col(c) for c in cols])
+    return (
+        fingerprinted(stream_frame, text_col=text_col)
+        .groupBy("_fp")
+        .agg(F.min_by(payload, ordering).alias("_row"))
+        .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+    )

@@ -280,10 +280,11 @@ class BufferedMutator:
     Mutations accumulate driver-side and apply as ONE batch merge on
     ``flush()`` (the reference coalesces RPCs; here we coalesce Spark
     plan nodes: one union + one set of mutation frames instead of one
-    per put).  ``mutate`` accepts the same tuples as Table.put/delete;
-    the buffer flushes automatically when ``buffer_size`` mutations
-    accumulate (the writeBufferSize analog, counted in mutations, not
-    bytes — byte sizing is meaningless for plan building).
+    per put).  ``mutate_put`` / ``mutate_delete`` accept the same
+    tuples as Table.put/delete; the buffer flushes automatically when
+    ``buffer_size`` mutations accumulate (the writeBufferSize analog,
+    counted in mutations, not bytes — byte sizing is meaningless for
+    plan building).
     """
 
     def __init__(self, table: Table, *, buffer_size: int = 10_000):
@@ -313,7 +314,7 @@ class BufferedMutator:
     def flush(self) -> Table:
         """Apply everything buffered as one merge; returns (and
         rebinds) the updated Table."""
-        from hbase_spark.model import CellType, cell_schema
+        from hbase_spark.model import CellType
         from hbase_spark.operators.mutations import make_cells
 
         if self._puts or self._dels:
