@@ -157,6 +157,28 @@ def test_shingle_frame_non_ascii_doc_gets_empty_gram(spark):
     assert out.count() == 2
 
 
+def test_ann_recall_gate_raises_on_low_recall(spark):
+    """The in-window ANN recall contract must actually fail the job
+    when the approximate result misses the exact top-k (not silently
+    emit the baseline rows)."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    bad = lambda spark, sf: e.q_embedding_cosine_topk(spark, sf).select(  # noqa: E731
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "score"
+    )
+    gated = e._recall_gated(e.q_embedding_cosine_topk, bad, 0.8, "test")
+    # pyspark may surface raise_error as SparkRuntimeException or a raw
+    # Py4J error depending on where it fires — match the message
+    with pytest.raises(Exception, match="recall@10 below"):
+        gated(spark, sf).collect()
+
+
 def test_simhash_candidates(spark, docs):
     # identical texts -> hamming 0 -> must always be candidates
     near = docs.orderBy("doc_id").limit(5).withColumn(
