@@ -2769,9 +2769,44 @@ def _lang_arm(spark, sf):
     )
 
 
+def _stream_dedup_twin_arm(spark, sf):
+    """Batch twin of the streaming dedup operator (streaming/dedup.py):
+    first-seen row per content fingerprint — the definition
+    ``stream_dedup`` must agree with on any finite prefix (its
+    stream==batch law is pytest-pinned; this arm gives the operator a
+    driver-hash oracle row).  Corpus = documents plus re-delivered
+    clones of every 10th doc at a later event time; the twin must keep
+    each original and drop every re-delivery."""
+    from hbase_spark.streaming.dedup import batch_dedup_twin
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(clones).withColumn(
+        "ts", F.col("doc_id").cast("long")
+    )
+    out = batch_dedup_twin(corpus)
+    return out.select("doc_id", F.col("ts").cast("string").alias("value"))
+
+
+_STREAM_DEDUP_TWIN_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text, doc_id AS ts FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, doc_id + 1000000 FROM documents
+    WHERE doc_id % 10 = 0),
+ranked AS (
+    SELECT doc_id, ts, row_number() OVER (
+        PARTITION BY {_NORM_SQL} ORDER BY ts, doc_id) AS rn
+    FROM corpus)
+SELECT doc_id, CAST(ts AS VARCHAR) AS value FROM ranked WHERE rn = 1
+"""
+
 _register_suite(
     "doc_text_suite",
-    [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm)],
+    [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
+     ("stream_dedup_twin", _stream_dedup_twin_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -2779,7 +2814,8 @@ _register_suite(
       "CAST(n_chars_actual AS VARCHAR) AS value "
       f"FROM ({_ORACLES['doc_token_stats']})"),
      ("lang_id",
-      f"SELECT doc_id, lang_pred AS value FROM ({_ORACLES['doc_language_id']})")],
+      f"SELECT doc_id, lang_pred AS value FROM ({_ORACLES['doc_language_id']})"),
+     ("stream_dedup_twin", _STREAM_DEDUP_TWIN_SQL)],
     ["doc_id", "value"],
 )
 
