@@ -2335,15 +2335,23 @@ def q_write_heavy_increment(spark, sf):
     return _rk(out, "qualifier", "value")
 
 
+_WIDE_SCALE_SQL = "CASE o_custkey % 13 " + " ".join(
+    f"WHEN {k + 6} THEN 1e{k}" for k in range(-6, 7)
+) + " END"
+
 @_q(
     "ordered_struct_key_scan",
-    """SELECT o_custkey AS ck, o_orderkey AS ok FROM orders
+    f"""SELECT o_custkey AS ck, o_orderkey AS ok FROM orders
     WHERE o_custkey >= 500 AND o_custkey < 600
     UNION ALL
     SELECT o_custkey, o_orderkey FROM orders
     WHERE o_orderpriority = '2-HIGH'
       AND CAST(o_totalprice AS REAL) >= CAST(50000 AS REAL)
-      AND CAST(o_totalprice AS REAL) < CAST(150000 AS REAL)""",
+      AND CAST(o_totalprice AS REAL) < CAST(150000 AS REAL)
+    UNION ALL
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) * ({_WIDE_SCALE_SQL}) >= 0.001
+      AND CAST(o_totalprice AS DOUBLE) * ({_WIDE_SCALE_SQL}) < 100000.0""",
 )
 def q_ordered_struct_key_scan(spark, sf):
     """OrderedBytes/Struct compound row keys (common/types/Struct.java,
@@ -2352,9 +2360,13 @@ def q_ordered_struct_key_scan(spark, sf):
     returns exactly the tuple range because Spark's unsigned BinaryType
     comparison matches the HBase row comparator.
 
-    Two key shapes: (long, long) — the classic compound id key — and
+    Three key shapes: (long, long) — the classic compound id key;
     (string, float32, numeric) exercising the terminated-string,
-    OrderedFloat32 and OrderedNumeric codecs in one struct."""
+    OrderedFloat32 and bounded OrderedNumeric codecs in one struct; and
+    a wide-magnitude single-field key through the UNBOUNDED
+    sign/exponent/significand OrderedNumeric (encodeNumeric parity):
+    values spread across 13 decades (1e-6x..1e6x price) range-scan
+    correctly on the encoded bytes."""
     from hbase_spark.functions.codecs import py_struct_key, struct_key
 
     o = load_table(spark, sf, "orders")
@@ -2387,7 +2399,26 @@ def q_ordered_struct_key_scan(spark, sf):
         (F.col("row") >= F.lit(lo2)) & (F.col("row") < F.lit(hi2))
     ).select("ck", "ok")
 
-    return part1.unionByName(part2)
+    from decimal import Decimal
+
+    scale = F.element_at(
+        F.array(*[F.lit(float(f"1e{k}")) for k in range(-6, 7)]),
+        (F.col("o_custkey") % 13 + 1).cast("int"),
+    )
+    keyed3 = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        struct_key(
+            (F.col("o_totalprice").cast("double") * scale, "numeric_unbounded"),
+        ).alias("row"),
+    )
+    lo3 = py_struct_key((Decimal("0.001"), "numeric_unbounded"))
+    hi3 = py_struct_key((Decimal("100000"), "numeric_unbounded"))
+    part3 = keyed3.filter(
+        (F.col("row") >= F.lit(lo3)) & (F.col("row") < F.lit(hi3))
+    ).select("ck", "ok")
+
+    return part1.unionByName(part2).unionByName(part3)
 
 
 # ------------------------------------------------------ visibility labels

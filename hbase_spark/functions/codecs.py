@@ -255,21 +255,38 @@ def py_ordered_from_float(v: float) -> bytes:
 
 # ---------------------------------------------------------------------------
 # OrderedNumeric — arbitrary-precision decimal (common/types/
-# OrderedNumeric.java / OrderedBytes.encodeNumeric).  The reference
-# encodes (sign, exponent, base-100 significand) for a fully unbounded
-# range; here we encode a fixed-point bias — lexicographic ASCII digits
-# of (value + 5e19) at scale 18, zero-padded — which is order-preserving
-# over ±5e19 with 18 fractional digits.  The bounded range (vs the
-# reference's unbounded one) is a documented simplification; inputs
-# outside it raise rather than mis-sort.
+# OrderedNumeric.java / OrderedBytes.encodeNumeric :297).  Two paths:
+#
+# - bounded fast path (default): fixed-point bias — lexicographic ASCII
+#   digits of (value + 5e19) at scale 18, zero-padded — order-preserving
+#   over ±5e19 with 18 fractional digits, constant-width, cheapest to
+#   encode and range-scan.  Inputs outside the range raise rather than
+#   mis-sort.
+# - unbounded path (``unbounded=True``): the reference's decomposition —
+#   sign class, biased decimal exponent, significand digits — so ANY
+#   magnitude 10^-2^31..10^2^31 sorts correctly.  Layout (all
+#   byte-lexicographic, mirroring encodeNumeric's header ordering):
+#     -Inf  0x07
+#     neg   0x08 | ~be4(E+2^31) | digits mapped 0<->9 | 0x5A
+#     zero  0x15
+#     pos   0x22 | be4(E+2^31)  | ascii digits        | 0x00
+#     +Inf  0x23
+#     NaN   0x25  (sorts last, like the reference)
+#   where v = ±0.d1d2... × 10^E with no leading/trailing zero digits.
+#   Self-terminating (terminator sits outside the digit alphabet on the
+#   correct side per sign), so it is legal mid-struct.  The two paths
+#   order differently from each other — pick ONE per field.
 # ---------------------------------------------------------------------------
 
-_NUMERIC_BIAS = 5 * 10**19  # center of the representable range
+_NUMERIC_BIAS = 5 * 10**19  # center of the bounded representable range
 _NUMERIC_SCALE = 18
+_E_BIAS = 1 << 31
 
 
-def ordered_from_numeric(col: Column) -> Column:
+def ordered_from_numeric(col: Column, *, unbounded: bool = False) -> Column:
     """Order-preserving decimal encoding (OrderedNumeric analog)."""
+    if unbounded:
+        return _numeric_unbounded(col)
     shifted = col.cast(f"decimal(38,{_NUMERIC_SCALE})") + F.lit(
         str(_NUMERIC_BIAS)
     ).cast("decimal(38,0)")
@@ -281,9 +298,50 @@ def ordered_from_numeric(col: Column) -> Column:
     return F.encode(digits, "UTF-8")
 
 
-def py_ordered_from_numeric(v) -> bytes:
+def _numeric_unbounded(col: Column) -> Column:
+    """Sign/exponent/significand encoding over the STRING rendering of
+    the value (handles both plain and scientific forms, so double,
+    decimal and numeric-string inputs all take this path; string ops
+    are whole-stage-codegen'd)."""
+    s = F.upper(col.cast("string"))
+    neg = s.startswith("-")
+    body = F.when(neg, F.substring(s, 2, 2_000_000_000)).otherwise(s)
+    base = F.regexp_extract(body, r"^([0-9]*\.?[0-9]*)", 1)
+    exp_s = F.regexp_extract(body, r"E([+-]?[0-9]+)$", 1)
+    exp10 = F.when(exp_s == "", F.lit(0)).otherwise(exp_s.cast("int"))
+    intpart = F.regexp_extract(base, r"^([0-9]*)", 1)
+    fracpart = F.regexp_extract(base, r"\.([0-9]*)$", 1)
+    digits = F.concat(intpart, fracpart)
+    no_lead = F.regexp_replace(digits, "^0+", "")
+    lead = F.length(digits) - F.length(no_lead)
+    mant = F.regexp_replace(no_lead, "0+$", "")
+    e_val = (F.length(intpart) + exp10 - lead).cast("long")
+    e_pos = e_val + F.lit(_E_BIAS).cast("long")
+    e_neg = F.lit((1 << 32) - 1).cast("long") - e_pos
+    pos_enc = F.concat(
+        F.lit(b"\x22"), _fixed_be(e_pos, 4), F.encode(mant, "UTF-8"),
+        F.lit(b"\x00"),
+    )
+    neg_enc = F.concat(
+        F.lit(b"\x08"), _fixed_be(e_neg, 4),
+        F.encode(F.translate(mant, "0123456789", "9876543210"), "UTF-8"),
+        F.lit(b"\x5a"),
+    )
+    return (
+        F.when(s == "NAN", F.lit(b"\x25"))
+        .when(s == "INFINITY", F.lit(b"\x23"))
+        .when(s == "-INFINITY", F.lit(b"\x07"))
+        .when(mant == "", F.lit(b"\x15"))
+        .when(neg, neg_enc)
+        .otherwise(pos_enc)
+    )
+
+
+def py_ordered_from_numeric(v, *, unbounded: bool = False) -> bytes:
     from decimal import Context, Decimal
 
+    if unbounded:
+        return _py_numeric_unbounded(v)
     ctx = Context(prec=60)  # 21 integer + 18 fraction digits need > 28
     d = ctx.quantize(Decimal(v), Decimal(1).scaleb(-_NUMERIC_SCALE))
     shifted = ctx.add(d, Decimal(_NUMERIC_BIAS))
@@ -291,6 +349,32 @@ def py_ordered_from_numeric(v) -> bytes:
         raise ValueError("ordered numeric out of supported range")
     s = f"{shifted:041.18f}".replace(".", ":")[-40:]
     return s.encode()
+
+
+def _py_numeric_unbounded(v) -> bytes:
+    from decimal import Decimal
+
+    d = Decimal(str(v)) if not isinstance(v, Decimal) else v
+    if d.is_nan():
+        return b"\x25"
+    if d.is_infinite():
+        return b"\x07" if d < 0 else b"\x23"
+    if d == 0:
+        return b"\x15"
+    sign, digit_tuple, exp = d.normalize().as_tuple()
+    mant = "".join(map(str, digit_tuple)).rstrip("0") or "0"
+    # v = 0.mant * 10^E; Decimal normalize keeps digits without leading
+    # zeros, exponent counts from the last digit
+    e_val = len(digit_tuple) + exp
+    if not (-_E_BIAS <= e_val < _E_BIAS):
+        raise ValueError("ordered numeric exponent out of range")
+    if sign:
+        e_bytes = _struct.pack(">I", (1 << 32) - 1 - (e_val + _E_BIAS))
+        mapped = mant.translate(str.maketrans("0123456789", "9876543210"))
+        return b"\x08" + e_bytes + mapped.encode() + b"\x5a"
+    return (
+        b"\x22" + _struct.pack(">I", e_val + _E_BIAS) + mant.encode() + b"\x00"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +415,7 @@ _ENCODERS = {
     "double": ordered_from_double,
     "float": ordered_from_float,
     "numeric": ordered_from_numeric,
+    "numeric_unbounded": _numeric_unbounded,
     "string": ordered_from_string,
     "blob": ordered_from_blob,
     "blob_var": ordered_from_blob_var,
@@ -343,6 +428,7 @@ _PY_ENCODERS = {
     "double": py_ordered_from_double,
     "float": py_ordered_from_float,
     "numeric": py_ordered_from_numeric,
+    "numeric_unbounded": _py_numeric_unbounded,
     "string": py_ordered_from_string,
     "blob": py_ordered_from_blob,
     "blob_var": py_ordered_from_blob_var,
@@ -354,8 +440,9 @@ def struct_key(*fields: tuple[Column, str]) -> Column:
     sorts as the field tuple (Struct.java / StructBuilder.java).
 
     fields = (column, kind) pairs, kind one of
-    {'long','int','short','byte','double','float','numeric','string',
-    'blob','blob_var'} ('blob' only in last position).
+    {'long','int','short','byte','double','float','numeric',
+    'numeric_unbounded','string','blob','blob_var'} ('blob' only in
+    last position).
     """
     kinds = [kind for _, kind in fields]
     if "blob" in kinds[:-1]:

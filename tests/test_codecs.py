@@ -214,6 +214,64 @@ def test_py_ordered_numeric_preserves_order(vals):
     _order_preserved(vals, [py_ordered_from_numeric(v) for v in vals])
 
 
+# wide-magnitude unbounded numeric: mantissa x 10^e across 1e-35..1e35
+_WIDE_DEC = st.builds(
+    lambda sign, m, e: Decimal(sign * m).scaleb(e),
+    st.sampled_from([-1, 1]),
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=-35, max_value=35),
+)
+
+
+@given(st.lists(_WIDE_DEC, min_size=2, max_size=50, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_py_ordered_numeric_unbounded_preserves_order(vals):
+    """The reference's sign/exponent/significand decomposition
+    (OrderedBytes.java:297 encodeNumeric) must order across ~70 decades
+    of magnitude — far beyond the bounded fast path's ±5e19 window."""
+    from hbase_spark.functions.codecs import _py_numeric_unbounded
+
+    _order_preserved(vals, [_py_numeric_unbounded(v) for v in vals])
+
+
+def test_py_ordered_numeric_unbounded_specials():
+    from hbase_spark.functions.codecs import _py_numeric_unbounded as enc
+
+    ordered = [
+        float("-inf"), Decimal("-1e30"), Decimal("-1"), Decimal("-1e-30"),
+        Decimal("0"), Decimal("1e-30"), Decimal("1"), Decimal("1e30"),
+        float("inf"), float("nan"),  # NaN sorts last, like the reference
+    ]
+    encs = [enc(v) for v in ordered]
+    assert encs == sorted(encs)
+
+
+def test_spark_numeric_unbounded_matches_python(spark):
+    """Column twin must agree byte-for-byte with the Python twin on
+    decimal inputs (Scan boundaries are built driver-side) and must
+    order doubles across the full magnitude sweep."""
+    vals = ["-1.5e20", "-123.456", "-1e-25", "0", "4.2e-30", "1", "98765.000001",
+            "7e33"]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v string"
+    ).select(ordered_from_numeric(F.col("v"), unbounded=True).alias("e"), "v")
+    from hbase_spark.functions.codecs import _py_numeric_unbounded
+
+    for r in df.collect():
+        assert bytes(r.e) == _py_numeric_unbounded(Decimal(r.v)), r.v
+
+    dbl = [(-1e30, -1.0, -1e-30, 0.0, 1e-30, 0.5, 1.0, 3.14, 1e30)]
+    ddf = spark.createDataFrame([(list(dbl[0]),)], "xs array<double>").select(
+        F.explode("xs").alias("x")
+    )
+    enc = ddf.select(
+        "x", ordered_from_numeric(F.col("x"), unbounded=True).alias("e")
+    ).collect()
+    by_val = [r.x for r in sorted(enc, key=lambda r: r.x)]
+    by_enc = [r.x for r in sorted(enc, key=lambda r: bytes(r.e))]
+    assert by_val == by_enc
+
+
 @given(st.lists(st.binary(min_size=0, max_size=24), min_size=2, max_size=30,
                 unique=True))
 @settings(max_examples=50, deadline=None)
