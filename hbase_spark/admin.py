@@ -645,3 +645,160 @@ class Admin:
             raise RuntimeError(f"namespace {ns!r} still has tables: {remaining}")
         desc["deleted"] = True
         self._write_json(f"{self.catalog_dir}/{ns}/{_NAMESPACE_DESC}", desc)
+
+    # -- replication peers (client/Admin.java addReplicationPeer /
+    # removeReplicationPeer / listReplicationPeers / enable-/
+    # disableReplicationPeer / enableTableReplication;
+    # hbase-replication/.../ReplicationPeerConfig.java).
+    #
+    # A peer is a destination root directory (the clusterKey analog)
+    # plus an optional table->families map (setTableCFsMap).  Shipping
+    # is the streaming merge of merge.py run once per peer with a
+    # PER-PEER checkpoint directory on the SOURCE side — the
+    # ReplicationQueueStorage analog: each peer tracks its own offsets,
+    # so a disabled peer simply stops advancing and catches up from its
+    # checkpoint when re-enabled.  Family filtering = the per-family
+    # REPLICATION_SCOPE flag intersected with the peer's table_cfs.
+    # ----------------------------------------------------------------------
+
+    def _peers_path(self) -> str:
+        return f"{self.catalog_dir}/replication-peers.json"
+
+    def _read_peers(self) -> dict:
+        try:
+            return self._read_json(self._peers_path(), "peers")
+        except ValueError:
+            return {}
+
+    def add_peer(
+        self,
+        peer_id: str,
+        cluster_key: str,
+        *,
+        table_cfs: dict[str, list[str] | None] | None = None,
+        enabled: bool = True,
+    ) -> None:
+        """Admin.addReplicationPeer — register a destination.
+
+        ``cluster_key``: destination root directory.  ``table_cfs``:
+        {table: [families] | None} — None family list means all scoped
+        families; a None map means every replicated table (the
+        ReplicationPeerConfig.replicateAllUserTables default)."""
+        peers = self._read_peers()
+        if peer_id in peers:
+            raise ValueError(f"peer {peer_id!r} already exists")
+        peers[peer_id] = {
+            "cluster_key": cluster_key,
+            "table_cfs": table_cfs,
+            "enabled": enabled,
+        }
+        self._write_json(self._peers_path(), peers)
+
+    def remove_peer(self, peer_id: str) -> None:
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        del peers[peer_id]
+        self._write_json(self._peers_path(), peers)
+
+    def list_peers(self) -> dict:
+        return self._read_peers()
+
+    def get_peer_config(self, peer_id: str) -> dict:
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        return peers[peer_id]
+
+    def _set_peer_enabled(self, peer_id: str, enabled: bool) -> None:
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        peers[peer_id]["enabled"] = enabled
+        self._write_json(self._peers_path(), peers)
+
+    def enable_peer(self, peer_id: str) -> None:
+        self._set_peer_enabled(peer_id, True)
+
+    def disable_peer(self, peer_id: str) -> None:
+        """Admin.disableReplicationPeer — shipping pauses; the peer's
+        checkpoint stays, so re-enabling resumes from where it left."""
+        self._set_peer_enabled(peer_id, False)
+
+    def set_peer_table_cfs(
+        self, peer_id: str, table_cfs: dict[str, list[str] | None] | None
+    ) -> None:
+        """Admin.updateReplicationPeerConfig (table-CFs part)."""
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        peers[peer_id]["table_cfs"] = table_cfs
+        self._write_json(self._peers_path(), peers)
+
+    def enable_table_replication(self, name: str) -> None:
+        """Admin.enableTableReplication: set REPLICATION_SCOPE=1 on
+        every family (ColumnFamilyDescriptor.setScope analog)."""
+        desc = self._read_desc(name)
+        desc["replication_scope"] = {f: 1 for f in desc["families"]}
+        self._write_desc(name, desc)
+
+    def disable_table_replication(self, name: str) -> None:
+        desc = self._read_desc(name)
+        desc["replication_scope"] = {f: 0 for f in desc["families"]}
+        self._write_desc(name, desc)
+
+    def _scoped_families(self, name: str) -> list[str]:
+        desc = self._read_desc(name)
+        scope = desc.get("replication_scope") or {}
+        return [f for f, s in scope.items() if s]
+
+    def _peer_table_dir(self, peer: dict, name: str) -> str:
+        return f"{peer['cluster_key']}/{_table_path(name)}/cells"
+
+    def replicate_log(self, name: str, log_dir: str) -> dict[str, int]:
+        """Ship a table's mutation log to every enabled peer — one
+        checkpointed availableNow stream per peer (the
+        ReplicationSource/ReplicationEndpoint pair of merge.py).
+        Idempotent per peer: offsets live in the per-peer checkpoint,
+        so re-running ships only new log files.  Returns
+        {peer_id: 1 if shipped, 0 if skipped}."""
+        from hbase_spark.streaming.merge import mutation_stream, stream_merge
+
+        scoped = self._scoped_families(name)
+        shipped: dict[str, int] = {}
+        for peer_id, peer in sorted(self._read_peers().items()):
+            if not peer["enabled"] or not scoped:
+                shipped[peer_id] = 0
+                continue
+            cfs_map = peer.get("table_cfs")
+            if cfs_map is not None and name not in cfs_map:
+                shipped[peer_id] = 0
+                continue
+            fams = scoped
+            if cfs_map is not None and cfs_map[name] is not None:
+                fams = [f for f in scoped if f in cfs_map[name]]
+                if not fams:
+                    shipped[peer_id] = 0
+                    continue
+            stream = mutation_stream(self.spark, log_dir)
+            from pyspark.sql import functions as F
+
+            stream = stream.filter(F.col("family").isin(fams))
+            ckpt = (
+                f"{self.catalog_dir}/{_table_path(name)}/"
+                f"replication/{peer_id}/ckpt"
+            )
+            q = stream_merge(
+                stream, self._peer_table_dir(peer, name), ckpt,
+                trigger_once=True,
+            )
+            q.awaitTermination()
+            shipped[peer_id] = 1
+        return shipped
+
+    def peer_table_cells(self, peer_id: str, name: str):
+        """Read a peer's replicated CellFrame (for VerifyReplication)."""
+        peer = self.get_peer_config(peer_id)
+        return self.spark.read.schema(cell_schema()).parquet(
+            self._peer_table_dir(peer, name)
+        )

@@ -558,3 +558,94 @@ def test_shell_scan_rowprefixfilter(catalog):
     assert got == {"ab1"}
     with pytest.raises(ValueError):
         shell_scan(t, ROWPREFIXFILTER="a", STARTROW="a")
+
+
+# -- replication peer lifecycle (Admin.addReplicationPeer family,
+# ReplicationPeerConfig.java; shipping = per-peer checkpointed
+# stream_merge) ---------------------------------------------------------
+
+
+def _write_log(spark, log_dir, rows, mode="overwrite"):
+    from hbase_spark.model import cell_schema
+
+    spark.createDataFrame(rows, cell_schema()).coalesce(1).write.mode(
+        mode
+    ).parquet(log_dir)
+
+
+def test_replication_peer_lifecycle_and_divergence(catalog, spark):
+    """Two peers, one disabled mid-stream: the enabled peer converges
+    (VerifyReplication shows no diff), the disabled one diverges, and
+    re-enabling it catches up from its own checkpoint."""
+    import tempfile
+
+    from hbase_spark.operators.sync import verify_replication
+
+    catalog.create_table("rt", ["f"])
+    catalog.enable_table_replication("rt")
+    dest_a = tempfile.mkdtemp(prefix="hb_peer_a_")
+    dest_b = tempfile.mkdtemp(prefix="hb_peer_b_")
+    catalog.add_peer("a", dest_a)
+    catalog.add_peer("b", dest_b)
+    assert set(catalog.list_peers()) == {"a", "b"}
+
+    log = tempfile.mkdtemp(prefix="hb_log_") + "/wal"
+    _write_log(
+        spark, log, [(f"r{i}", "f", "q", 10, 4, str(i), i) for i in range(8)]
+    )
+    assert catalog.replicate_log("rt", log) == {"a": 1, "b": 1}
+
+    # peer b pauses; more edits land
+    catalog.disable_peer("b")
+    _write_log(
+        spark, log,
+        [(f"r{i}", "f", "q", 20, 4, f"v{i}", 100 + i) for i in range(4)],
+        mode="append",
+    )
+    assert catalog.replicate_log("rt", log) == {"a": 1, "b": 0}
+
+    source = spark.createDataFrame(
+        [(f"r{i}", "f", "q", 10, 4, str(i), i) for i in range(8)]
+        + [(f"r{i}", "f", "q", 20, 4, f"v{i}", 100 + i) for i in range(4)],
+        "row string, family string, qualifier string, ts long, type int, "
+        "value string, seq long",
+    )
+    ok = verify_replication(source, catalog.peer_table_cells("a", "rt"))
+    assert ok.count() == 0  # peer a fully converged
+    bad = verify_replication(source, catalog.peer_table_cells("b", "rt"))
+    kinds = {r.kind: r.cells for r in bad.collect()}
+    assert kinds.get("only_in_source") == 4  # b missed the second batch
+
+    # catch-up: re-enable b and ship — its checkpoint resumes at batch 2
+    catalog.enable_peer("b")
+    assert catalog.replicate_log("rt", log)["b"] == 1
+    assert verify_replication(
+        source, catalog.peer_table_cells("b", "rt")
+    ).count() == 0
+
+
+def test_replication_scope_and_table_cfs_filtering(catalog, spark):
+    """Only REPLICATION_SCOPE=1 families ship, intersected with the
+    peer's table_cfs map — and tables absent from the map don't ship."""
+    import tempfile
+
+    catalog.create_table("rs", ["f", "g"])
+    dest = tempfile.mkdtemp(prefix="hb_peer_c_")
+    catalog.add_peer("c", dest, table_cfs={"rs": ["f"]})
+    log = tempfile.mkdtemp(prefix="hb_log2_") + "/wal"
+    _write_log(
+        spark, log,
+        [("r1", "f", "q", 10, 4, "x", 1), ("r1", "g", "q", 10, 4, "y", 2)],
+    )
+    # scope not enabled yet -> nothing ships
+    assert catalog.replicate_log("rs", log) == {"c": 0}
+    catalog.enable_table_replication("rs")
+    assert catalog.replicate_log("rs", log) == {"c": 1}
+    got = {(r.row, r.family) for r in catalog.peer_table_cells("c", "rs").collect()}
+    assert got == {("r1", "f")}  # family g excluded by table_cfs
+    # a table not in the peer's map never ships
+    catalog.create_table("other", ["f"])
+    catalog.enable_table_replication("other")
+    assert catalog.replicate_log("other", log) == {"c": 0}
+    catalog.remove_peer("c")
+    assert catalog.list_peers() == {}
