@@ -2463,12 +2463,17 @@ def q_visibility_scan(spark, sf):
 
 
 def q_multimodal_decode(spark, sf):
-    """Multimodal plumbing (rows-only): deterministic fake media ->
+    """Multimodal decode (rows-only): deterministic fake media ->
     mapInPandas Arrow-batched decode -> features + JVM-side frame
-    sampling counts.  The real codec plugs in at functions/multimodal's
-    marked seam."""
+    sampling counts, PLUS a real-codec arm — hand-built uncompressed
+    BMP payloads decoded by the pure-numpy in-container decoder
+    (functions/multimodal.decode_bmp), so the decode seam is proven on
+    actual pixels, not just plumbing.  JPEG/PNG still plug in at the
+    same seam."""
     from hbase_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
         decode_images,
+        encode_bmp,
         make_fake_media,
         sample_frames,
     )
@@ -2485,7 +2490,31 @@ def q_multimodal_decode(spark, sf):
                 F.col("n_frames").alias("height"),
                 F.lit(None).cast("double").alias("mean_luma"))
     )
-    return feats.unionByName(frames)
+    bmp_media = spark.createDataFrame(
+        [
+            (
+                10_000 + i,
+                "image",
+                encode_bmp(
+                    [
+                        [
+                            ((i * 37 + x * 11) % 256, (i * 53 + y * 7) % 256,
+                             (x * 29 + y * 13) % 256)
+                            for x in range(6)
+                        ]
+                        for y in range(4)
+                    ]
+                ),
+                None,
+            )
+            for i in range(20)
+        ],
+        MEDIA_SCHEMA,
+    )
+    real = decode_images(bmp_media).select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
+    return feats.unionByName(frames).unionByName(real)
 
 
 _QUERIES["multimodal_decode"] = q_multimodal_decode

@@ -71,24 +71,117 @@ def _fake_decode(payload: bytes, media_id: int, dim: int = 8):
     }
 
 
+def decode_bmp(data: bytes):
+    """Pure-numpy decode of an uncompressed 24-bpp BMP (BITMAPINFOHEADER)
+    -> HxWx3 uint8 RGB array.  No image library needed — this proves
+    the decode seam end-to-end in-container; compressed formats
+    (JPEG/PNG) still require a real codec at the same seam."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bpp BMP is supported")
+    top_down, h = h < 0, abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = (
+        np.frombuffer(data, np.uint8, count=row_size * h, offset=off)
+        .reshape(h, row_size)[:, : w * 3]
+        .reshape(h, w, 3)[..., ::-1]  # stored BGR -> RGB
+    )
+    return arr if top_down else arr[::-1]
+
+
+def decode_ppm(data: bytes):
+    """Pure-numpy decode of a binary PPM (P6, maxval 255) -> HxWx3
+    uint8 RGB array."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <width> <height> <maxval> then a single whitespace
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval-255 PPM is supported")
+    return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def _pixel_features(arr) -> dict:
+    """Features from a decoded HxWx3 RGB array: per-channel means,
+    2x2 quadrant luma means, and luma std — a deterministic 8-dim
+    vector (a real CLIP-style encoder plugs into the same slot)."""
+    import numpy as np
+
+    a = arr.astype("float64") / 255.0
+    luma = a @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    mh, mw = (h + 1) // 2, (w + 1) // 2
+    quads = [
+        float(luma[rs, cs].mean())
+        for rs in (slice(0, mh), slice(mh, h) if mh < h else slice(0, h))
+        for cs in (slice(0, mw), slice(mw, w) if mw < w else slice(0, w))
+    ]
+    feature = [float(a[..., c].mean()) for c in range(3)] + quads + [
+        float(luma.std())
+    ]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_luma": float(luma.mean()),
+        "feature": [float(v) for v in feature],
+    }
+
+
+def _decode_payload(payload: bytes, media_id: int, *, fake: bool, dim: int):
+    if fake:
+        return _fake_decode(payload, media_id, dim)
+    head = (payload or b"")[:2]
+    if head == b"BM":
+        return _pixel_features(decode_bmp(payload))
+    if head == b"P6":
+        return _pixel_features(decode_ppm(payload))
+    raise NotImplementedError(
+        "only uncompressed BMP/PPM decode ships in-container; JPEG/PNG "
+        "need an image library plugged into this seam (or pass fake=True "
+        "for the deterministic test decoder)"
+    )
+
+
 def decode_images(media: DataFrame, *, fake: bool = False, batch_dim: int = 8) -> DataFrame:
     """Decode image payloads into features via mapInPandas.
 
-    Real decoders (PIL/libjpeg) plug in at the marked seam; the Spark
-    plumbing — Arrow batching, schema, column pruning of untouched
-    metadata — is identical either way.
+    Uncompressed BMP (24-bpp) and binary PPM (P6) decode natively —
+    pure numpy over Arrow batches, no image library — proving the seam
+    end-to-end.  Compressed formats (JPEG/PNG) raise at the marked
+    seam unless ``fake=True``; the Spark plumbing — Arrow batching,
+    schema, column pruning of untouched metadata — is identical for
+    every decoder.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "container; pass fake=True for the deterministic test decoder "
-            "or plug a real decoder into _decode_batch"
-        )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p, m, batch_dim)
+                _decode_payload(p, m, fake=fake, dim=batch_dim)
                 for p, m in zip(pdf["payload"], pdf["media_id"])
             ]
             yield pd.DataFrame(
@@ -104,6 +197,35 @@ def decode_images(media: DataFrame, *, fake: bool = False, batch_dim: int = 8) -
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
         _decode_batch, IMAGE_FEATURES_SCHEMA
     )
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal uncompressed 24-bpp BMP encoder (fixture builder for the
+    decode path; also usable as a real re-encode sink after resize).
+    ``pixels``: row-major list of rows of (r, g, b) tuples, top-down."""
+    h, w = len(pixels), len(pixels[0])
+    row_size = (w * 3 + 3) & ~3
+    img = bytearray()
+    for row in reversed(pixels):  # BMP stores bottom-up
+        for r, g, b in row:
+            img += bytes((b, g, r))
+        img += b"\x00" * (row_size - w * 3)
+    off, size = 54, 54 + len(img)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little")
+    )
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(img).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(hdr + info + img)
 
 
 RESIZED_SCHEMA = T.StructType(

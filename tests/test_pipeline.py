@@ -278,11 +278,69 @@ def test_multimodal_plumbing(spark):
     # determinism
     again = {r.media_id: r.mean_luma for r in decode_images(media, fake=True).collect()}
     assert {r.media_id: r.mean_luma for r in rows} == again
-    with pytest.raises(NotImplementedError):
-        decode_images(media)
+    # compressed formats still need a real codec: the seam raises
+    # inside the decode job (fake payloads are neither BMP nor PPM)
+    with pytest.raises(Exception, match="BMP/PPM"):
+        decode_images(media).collect()
     frames = sample_frames(media, every_ms=1000)
     per_video = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 6 for r in per_video)  # 0..5000 step 1000
+
+
+def test_multimodal_real_bmp_decode(spark):
+    """End-to-end REAL pixel decode through the mapInPandas seam: a
+    hand-built uncompressed BMP round-trips with exact pixel stats (no
+    image library involved)."""
+    from hbase_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # 2x3 image: top row red, middle green, bottom blue+white mix
+    pixels = [
+        [(255, 0, 0), (255, 0, 0)],
+        [(0, 255, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    payload = encode_bmp(pixels)
+    # decoder inverts the encoder exactly
+    assert decode_bmp(payload).tolist() == [
+        [list(p) for p in row] for row in pixels
+    ]
+    media = spark.createDataFrame(
+        [(1, "image", payload, None), (2, "image", encode_bmp(pixels), None)],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in decode_images(media).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height) == (2, 3)
+    # exact mean luma: mean of per-pixel 0.299r+0.587g+0.114b over 6 px
+    lumas = [
+        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        for row in pixels
+        for (r, g, b) in row
+    ]
+    assert abs(r1.mean_luma - sum(lumas) / 6) < 1e-12
+    assert len(r1.feature) == 8
+    # channel means: 2 red px, 2 green px, 1 blue, 1 white
+    assert abs(r1.feature[0] - (2 * 255 + 255) / (6 * 255)) < 1e-12  # R
+    assert got[2].mean_luma == r1.mean_luma  # deterministic
+
+
+def test_multimodal_real_ppm_decode(spark):
+    from hbase_spark.functions.multimodal import MEDIA_SCHEMA, decode_ppm
+
+    # P6 with a comment line; 2x2: black, white, mid-gray, mid-gray
+    body = bytes([0, 0, 0, 255, 255, 255, 128, 128, 128, 128, 128, 128])
+    payload = b"P6\n# test\n2 2\n255\n" + body
+    arr = decode_ppm(payload)
+    assert arr.shape == (2, 2, 3) and arr[0, 1].tolist() == [255, 255, 255]
+    media = spark.createDataFrame([(7, "image", payload, None)], MEDIA_SCHEMA)
+    r = decode_images(media).collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    expected = (0.0 + 1.0 + 128 / 255 + 128 / 255) / 4
+    assert abs(r.mean_luma - expected) < 1e-12
 
 
 def test_assemble_rows_nested_map(spark):
