@@ -66,6 +66,13 @@ class Observer:
     post_append: Callable[["Table"], "Table"] | None = None  # postAppend
     pre_check_and_mutate: Callable[[DataFrame], DataFrame] | None = None
     pre_flush: Callable[[DataFrame], DataFrame] | None = None  # preFlush
+    # lifecycle notifications + bulk-load interception
+    # (RegionObserver.java: postFlush :163, postCompact :312,
+    # preBulkLoadHFile :1438, postBulkLoadHFile :1472)
+    post_flush: Callable[[DataFrame], None] | None = None    # postFlush
+    post_compact: Callable[[DataFrame], None] | None = None  # postCompact
+    pre_bulk_load: Callable[[DataFrame], DataFrame] | None = None
+    post_bulk_load: Callable[[DataFrame], None] | None = None
 
 
 @dataclass
@@ -136,11 +143,16 @@ class ObservedTable:
     def flush_cells(self) -> DataFrame:
         """The frame a flush would persist, after preFlush interception
         (Admin.flush(name, Table(observed.flush_cells(), ...)) is the
-        full write path)."""
+        full write path); postFlush observers are then notified with
+        that frame (RegionObserver.java:163 — a notification, it cannot
+        change what was written)."""
         cells = self.table.cells
         for ob in self.observers:
             if ob.pre_flush:
                 cells = ob.pre_flush(cells)
+        for ob in self.observers:
+            if ob.post_flush:
+                ob.post_flush(cells)
         return cells
 
     def compact(self) -> "ObservedTable":
@@ -149,6 +161,12 @@ class ObservedTable:
             if ob.pre_compact:
                 cells = ob.pre_compact(cells)
         t = Table(cells, self.table.families, self.table.now).compact()
+        for ob in self.observers:
+            if ob.post_compact:
+                # postCompact (RegionObserver.java:312): notified with
+                # the compaction RESULT, like the reference's resulting
+                # store file
+                ob.post_compact(t.cells)
         return ObservedTable(t, self.observers)
 
 
@@ -200,6 +218,56 @@ def audit_guard_observer(forbidden: Column) -> Observer:
         return mutations.filter(~forbidden)
 
     return Observer(pre_check_and_mutate=pre, pre_mutate=pre)
+
+
+def observed_bulk_load(
+    cells: DataFrame, path: str, observers: list[Observer], **layout_kw
+) -> None:
+    """Bulk load (sources/layout.write_table — the HFileOutputFormat2
+    job) with observer interception: preBulkLoadHFile observers may
+    rewrite or drop cells before the layout is written
+    (RegionObserver.java:1438 — the SecureBulkLoadEndpoint pattern);
+    postBulkLoadHFile observers are notified with the loaded frame
+    (:1472)."""
+    from hbase_spark.sources.layout import write_table
+
+    for ob in observers:
+        if ob.pre_bulk_load:
+            cells = ob.pre_bulk_load(cells)
+    write_table(cells, path, **layout_kw)
+    for ob in observers:
+        if ob.post_bulk_load:
+            ob.post_bulk_load(cells)
+
+
+def region_metrics_observer(stats: dict) -> Observer:
+    """Lifecycle-notification example: record flushed / compacted /
+    bulk-loaded cell counts into ``stats`` — the metrics-coprocessor
+    pattern (the reference example coprocessors export the same
+    counters via its MetricRegistry)."""
+
+    def _record(key):
+        def note(cells: DataFrame) -> None:
+            stats[key] = cells.count()
+
+        return note
+
+    return Observer(
+        post_flush=_record("flushed_cells"),
+        post_compact=_record("compacted_cells"),
+        post_bulk_load=_record("bulk_loaded_cells"),
+    )
+
+
+def secure_bulk_load_observer(allowed_families: list[str]) -> Observer:
+    """preBulkLoadHFile guard: only cells of sanctioned families load
+    (the AccessController/SecureBulkLoad veto shape — unsanctioned
+    input is dropped before the layout write)."""
+
+    def pre(cells: DataFrame) -> DataFrame:
+        return cells.filter(F.col("family").isin(allowed_families))
+
+    return Observer(pre_bulk_load=pre)
 
 
 def write_heavy_increment_observer(value_type: str = "long") -> Observer:

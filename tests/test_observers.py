@@ -177,3 +177,63 @@ def test_scan_policy_observer_drops_expired_at_flush_and_compact(spark):
     assert flushed == {"a"}  # preFlush dropped the expired cell
     compacted = {r.qualifier for r in ot.compact().table.cells.collect()}
     assert compacted == {"a"}  # preCompact applies the same policy
+
+
+def test_post_flush_and_post_compact_notifications(spark):
+    """postFlush/postCompact (RegionObserver.java:163,:312) observe the
+    written / compacted frame; combined with a preFlush policy the
+    notification must see the POST-interception state."""
+    from hbase_spark.plans.observers import (
+        region_metrics_observer,
+        scan_policy_observer,
+    )
+
+    cells = make_cells(
+        spark,
+        [
+            ("r1", "f", "a", 100, 4, "fresh", 1),
+            ("r1", "f", "b", 10, 4, "stale", 2),
+            ("r1", "f", "a", 90, 4, "old-version", 3),
+        ],
+    )
+    stats: dict = {}
+    ot = ObservedTable(
+        Table(cells),
+        [scan_policy_observer(ttl_ms=50, now=120), region_metrics_observer(stats)],
+    )
+    ot.flush_cells()
+    assert stats["flushed_cells"] == 2  # stale cell dropped pre-flush
+    ot.compact()
+    # compaction resolves to 1 visible cell (versions=1 on family f)
+    assert stats["compacted_cells"] == 1
+
+
+def test_bulk_load_observers(spark, tmp_path):
+    """preBulkLoadHFile rewrites/drops before the layout write;
+    postBulkLoadHFile observes what loaded — and the written layout
+    contains only sanctioned families."""
+    from hbase_spark.plans.observers import (
+        observed_bulk_load,
+        region_metrics_observer,
+        secure_bulk_load_observer,
+    )
+    from hbase_spark.sources.layout import read_table
+
+    cells = make_cells(
+        spark,
+        [
+            ("r1", "f", "a", 10, 4, "keep", 1),
+            ("r2", "g", "a", 10, 4, "drop-me", 2),
+            ("r3", "f", "b", 10, 4, "keep2", 3),
+        ],
+    )
+    stats: dict = {}
+    path = str(tmp_path / "layout")
+    observed_bulk_load(
+        cells, path,
+        [secure_bulk_load_observer(["f"]), region_metrics_observer(stats)],
+        num_regions=2,
+    )
+    assert stats["bulk_loaded_cells"] == 2
+    loaded = read_table(spark, path)
+    assert {r.family for r in loaded.collect()} == {"f"}
