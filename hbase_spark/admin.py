@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from hbase_spark.model import cell_schema
 from hbase_spark.sources.layout import read_table, write_table
@@ -273,6 +274,129 @@ class Admin:
         return [
             r.start_key for r in self.list_regions(name).collect()
         ][1:]
+
+    # -- region geometry (shell `split` / `merge_region`;
+    # Admin.split/mergeRegionsAsync, server/util/RegionSplitter.java).
+    # Region = layout file.  Both operations rewrite ONLY the affected
+    # file(s) into a new immutable version dir — every other region
+    # file is copied through untouched — so the cost is O(one region),
+    # not O(table): the same daughter-region rewrite discipline the
+    # reference applies (split writes two daughters referencing half
+    # the parent each; merge writes one merged region).  Parquet
+    # min/max row stats on the new files keep range pruning exact.
+    # ----------------------------------------------------------------------
+
+    def _abs_data_dir(self, desc: dict, name: str) -> str:
+        return (
+            f"{self.catalog_dir}/"
+            f"{desc.get('data_dir', f'{_table_path(name)}/cells')}"
+        )
+
+    @staticmethod
+    def _local_path(region_file: str) -> str:
+        for pre in ("file://", "file:"):
+            if region_file.startswith(pre):
+                return "/" + region_file[len(pre):].lstrip("/")
+        return region_file
+
+    def _rewrite_regions(self, name: str, drop_files: list[str], write_parts):
+        """Shared split/merge machinery: new version dir = all current
+        region files except ``drop_files`` (copied through), plus the
+        files produced by ``write_parts(new_root, family_subdir)``."""
+        import glob
+        import os
+        import shutil
+
+        desc = self._read_desc(name)
+        src_root = os.path.abspath(self._abs_data_dir(desc, name))
+        v = desc.get("version", 0) + 1
+        new_rel = f"{_table_path(name)}/cells-v{v}"
+        new_root = f"{self.catalog_dir}/{new_rel}"
+        dropped = {os.path.abspath(self._local_path(f)) for f in drop_files}
+        fam_dirs = set()
+        for f in glob.glob(f"{src_root}/**/*.parquet", recursive=True):
+            if os.path.abspath(f) in dropped:
+                fam_dirs.add(os.path.dirname(os.path.relpath(f, src_root)))
+                continue
+            dst = f"{new_root}/{os.path.relpath(f, src_root)}"
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(f, dst)
+        if len(fam_dirs) != 1:
+            raise ValueError(
+                f"regions to rewrite must sit in one family dir, got {fam_dirs}"
+            )
+        write_parts(new_root, fam_dirs.pop(), v)
+        desc["version"] = v
+        desc["data_dir"] = new_rel
+        self._write_desc(name, desc)
+
+    def _write_region_file(self, df, new_root: str, fam_dir: str, fname: str):
+        import glob
+        import os
+        import shutil
+
+        sort_cols = [c for c in ("row", "family", "qualifier") if c in df.columns]
+        tmp = f"{new_root}__tmp_{fname}"
+        (
+            df.coalesce(1)
+            .sortWithinPartitions(
+                *sort_cols, F.col("ts").desc(), F.col("seq").desc()
+            )
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#row", "true")
+            .parquet(tmp)
+        )
+        parts = glob.glob(f"{tmp}/*.parquet")
+        dst_dir = os.path.join(new_root, fam_dir)
+        os.makedirs(dst_dir, exist_ok=True)
+        if parts:
+            shutil.move(parts[0], os.path.join(dst_dir, fname))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def split_region(self, name: str, split_point) -> None:
+        """shell `split 't', 'splitkey'`: split the region containing
+        ``split_point`` into two daughters at that key."""
+        regions = self.list_regions(name).collect()
+        target = next(
+            (
+                r
+                for r in regions
+                if r.start_key <= split_point <= r.end_key
+            ),
+            None,
+        )
+        if target is None:
+            raise ValueError(
+                f"no region of {name!r} contains split point {split_point!r}"
+            )
+        part = self.spark.read.parquet(self._local_path(target.region_file))
+
+        def write_parts(new_root, fam_dir, v):
+            lo = part.filter(F.col("row") < F.lit(split_point))
+            hi = part.filter(F.col("row") >= F.lit(split_point))
+            self._write_region_file(lo, new_root, fam_dir, f"split-v{v}-a.parquet")
+            self._write_region_file(hi, new_root, fam_dir, f"split-v{v}-b.parquet")
+
+        self._rewrite_regions(name, [target.region_file], write_parts)
+
+    def merge_region(self, name: str, row_a, row_b) -> None:
+        """shell `merge_region`: merge the (distinct) regions containing
+        ``row_a`` and ``row_b`` into one.  Like the reference's
+        non-adjacent merge warning, adjacency is not required — the
+        merged file simply covers the union of both ranges."""
+        ra = self.locate_region(name, row_a)
+        rb = self.locate_region(name, row_b)
+        if ra["region_file"] == rb["region_file"]:
+            raise ValueError("rows resolve to the same region")
+        files = [ra["region_file"], rb["region_file"]]
+        merged = self.spark.read.parquet(*[self._local_path(f) for f in files])
+
+        def write_parts(new_root, fam_dir, v):
+            self._write_region_file(
+                merged, new_root, fam_dir, f"merge-v{v}.parquet"
+            )
+
+        self._rewrite_regions(name, files, write_parts)
 
     def locate_region(self, name: str, row) -> dict:
         """shell `locate_region 't', 'row'`: the region whose range

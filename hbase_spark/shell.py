@@ -363,6 +363,17 @@ def shell_locate_region(admin, name: str, row) -> dict:
     return admin.locate_region(name, row)
 
 
+def shell_split(admin, name: str, split_point) -> None:
+    """shell `split 't', 'splitkey'` (shell/commands/split.rb)."""
+    admin.split_region(name, split_point)
+
+
+def shell_merge_region(admin, name: str, row_a, row_b) -> None:
+    """shell `merge_region` — regions addressed by a row they contain
+    (the encoded-region-name analog)."""
+    admin.merge_region(name, row_a, row_b)
+
+
 # -- visibility label commands (shell/commands/{add_labels,list_labels,
 # set_auths,get_auths,clear_auths}.rb) ----------------------------------
 

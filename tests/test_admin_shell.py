@@ -649,3 +649,64 @@ def test_replication_scope_and_table_cfs_filtering(catalog, spark):
     assert catalog.replicate_log("other", log) == {"c": 0}
     catalog.remove_peer("c")
     assert catalog.list_peers() == {}
+
+
+# -- region geometry: split / merge_region (Admin.split /
+# mergeRegionsAsync; server/util/RegionSplitter.java) -------------------
+
+
+def test_split_and_merge_region_preserve_data_and_pruning(catalog, spark):
+    """Split rewrites one region into two daughters at the split key;
+    merge rewrites two regions into one.  Data survives byte-for-byte,
+    region ranges stay disjoint around the split point, and a range
+    scan's rows come only from the files whose range overlaps — the
+    min/max pruning contract the layout is built on."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.shell import shell_merge_region, shell_split
+
+    catalog.create_table("geo", ["f"])
+    t = catalog.table("geo")
+    for i in range(40):
+        t = shell_put(t, f"r{i:03d}", "f:q", str(i), ts=1, seq=i)
+    catalog.flush("geo", t, num_regions=4)
+    before = {r.row: r.value for r in catalog.table("geo").snapshot().collect()}
+    n0 = catalog.list_regions("geo").count()
+
+    shell_split(catalog, "geo", "r015")
+    regions = catalog.list_regions("geo").collect()
+    assert len(regions) == n0 + 1
+    # daughters are disjoint around the split key
+    assert any(r.end_key < "r015" for r in regions)
+    assert any(r.start_key == "r015" for r in regions)
+    ranges = sorted((r.start_key, r.end_key) for r in regions)
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))
+    after = {r.row: r.value for r in catalog.table("geo").snapshot().collect()}
+    assert after == before
+
+    # range-scan pruning: rows >= r030 come only from files whose
+    # range reaches r030 — the pre-split file must contribute nothing
+    touched = {
+        r.f
+        for r in catalog.table("geo")
+        .cells.filter(F.col("row") >= "r030")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    overlapping = {
+        r.region_file for r in regions if r.end_key >= "r030"
+    }
+    assert touched <= overlapping and touched
+
+    # merge the two daughters back into one region
+    shell_merge_region(catalog, "geo", "r010", "r015")
+    merged = catalog.list_regions("geo").collect()
+    assert len(merged) == n0
+    assert {r.row: r.value
+            for r in catalog.table("geo").snapshot().collect()} == before
+    mr = sorted((r.start_key, r.end_key) for r in merged)
+    assert all(a[1] < b[0] for a, b in zip(mr, mr[1:]))
+    # snapshots referencing the pre-split version dir stay valid
+    with pytest.raises(ValueError):
+        catalog.merge_region("geo", "r000", "r001")  # same region
