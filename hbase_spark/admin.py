@@ -125,12 +125,19 @@ class Admin:
             cells = cells.filter(F.col("family").isin(list(fams)))
         return Table(cells, fams, now)
 
-    def flush(self, name: str, table: Table, *, num_regions: int = 32) -> None:
+    def flush(self, name: str, table: Table, *, num_regions: int = 32,
+              action: str = "write") -> None:
         """Persist a mutated Table back to the layout (memstore flush /
         major-compaction write analog).  Writes a NEW immutable version
         dir and repoints the descriptor — a single write, no
         read-back-and-overwrite, and every snapshot referencing the old
-        dir stays valid (the reference's archive-dir discipline)."""
+        dir stays valid (the reference's archive-dir discipline).
+
+        ``action`` feeds space-quota enforcement
+        (quotas/SpaceViolationPolicy.java): "write" (default),
+        "compact" (major_compact's rewrite — allowed under NO_WRITES),
+        or "delete" (a deletes-only batch — allowed under NO_INSERTS)."""
+        self.check_space_quota(name, action=action)
         desc = self._read_desc(name)
         v = desc.get("version", 0) + 1
         data_dir = f"{_table_path(name)}/cells-v{v}"
@@ -247,7 +254,7 @@ class Admin:
             keep_deleted_cells=t._kdc(),
         )
         self.flush(name, Table(rewritten, t.families, now),
-                   num_regions=num_regions)
+                   num_regions=num_regions, action="compact")
 
     # -- region introspection (shell list_regions / get_splits /
     # locate_region; HRegionInfo over the layout's range files) ------------
@@ -769,6 +776,178 @@ class Admin:
             raise RuntimeError(f"namespace {ns!r} still has tables: {remaining}")
         desc["deleted"] = True
         self._write_json(f"{self.catalog_dir}/{ns}/{_NAMESPACE_DESC}", desc)
+
+    # -- quotas (client/Admin.java setQuota/getQuotaSettings;
+    # quotas/SpaceViolationPolicy.java, quotas/ThrottleType.java;
+    # enforcement analog of RegionServerSpaceQuotaManager.java and
+    # the QuotaObserverChore).  Space usage is the layout dir's
+    # ContentSummary — exactly what FileSystemUtilizationChore
+    # measures — read through the Hadoop FileSystem API so the same
+    # code works on local paths, HDFS and object stores.
+    # ----------------------------------------------------------------------
+
+    def _quotas_path(self) -> str:
+        return f"{self.catalog_dir}/quotas.json"
+
+    def _read_quotas(self) -> dict:
+        try:
+            return self._read_json(self._quotas_path(), "quotas")
+        except ValueError:
+            return {"space": {}, "throttle": {}}
+
+    def _dir_bytes(self, path: str) -> int:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return 0
+        return int(fs.getContentSummary(p).getLength())
+
+    def set_space_quota(
+        self, *, table: str | None = None, namespace: str | None = None,
+        limit: int | None = None, policy: str = "NO_WRITES",
+        remove: bool = False,
+    ) -> None:
+        """shell `set_quota TYPE => SPACE, LIMIT => ..., POLICY => ...`.
+
+        Exactly one of ``table``/``namespace``; ``remove=True`` (the
+        shell's `LIMIT => NONE`) drops the quota."""
+        from hbase_spark.quotas import SPACE_POLICIES
+
+        if (table is None) == (namespace is None):
+            raise ValueError("exactly one of table/namespace required")
+        key = table if table is not None else f"ns::{namespace}"
+        q = self._read_quotas()
+        if remove:
+            q["space"].pop(key, None)
+        else:
+            if policy not in SPACE_POLICIES:
+                raise ValueError(f"unknown space policy {policy!r}")
+            if limit is None or limit < 0:
+                raise ValueError("space quota needs a byte limit >= 0")
+            q["space"][key] = {"limit": int(limit), "policy": policy}
+        self._write_json(self._quotas_path(), q)
+
+    def set_throttle_quota(
+        self, *, user: str | None = None, table: str | None = None,
+        throttle_type: str = "REQUEST_NUMBER", limit: int | None = None,
+        interval_ms: int = 1000, refill: str = "fixed",
+        remove: bool = False,
+    ) -> None:
+        """shell `set_quota TYPE => THROTTLE, ...` — user and/or table
+        scoped; the most specific setting wins at lookup."""
+        from hbase_spark.quotas import THROTTLE_TYPES
+
+        if user is None and table is None:
+            raise ValueError("at least one of user/table required")
+        key = ",".join(
+            p for p in (
+                f"u={user}" if user else "", f"t={table}" if table else ""
+            ) if p
+        )
+        q = self._read_quotas()
+        if remove:
+            q["throttle"].pop(key, None)
+        else:
+            if throttle_type not in THROTTLE_TYPES:
+                raise ValueError(f"unknown throttle type {throttle_type!r}")
+            if limit is None or limit <= 0:
+                raise ValueError("throttle quota needs a positive limit")
+            q["throttle"][key] = {
+                "type": throttle_type, "limit": int(limit),
+                "interval_ms": int(interval_ms), "refill": refill,
+            }
+        self._write_json(self._quotas_path(), q)
+
+    def list_quotas(self) -> dict:
+        """shell `list_quotas`."""
+        return self._read_quotas()
+
+    def throttle_limiter(self, *, user: str | None = None,
+                         table: str | None = None):
+        """Most-specific throttle setting -> RateLimiter, or None.
+
+        Precedence mirrors QuotaCache: (user, table) > user > table."""
+        from hbase_spark.quotas import limiter_from_setting
+
+        th = self._read_quotas()["throttle"]
+        for key in (
+            f"u={user},t={table}" if user and table else None,
+            f"u={user}" if user else None,
+            f"t={table}" if table else None,
+        ):
+            if key is not None and key in th:
+                return limiter_from_setting(th[key])
+        return None
+
+    def _space_quota_for(self, name: str) -> dict | None:
+        q = self._read_quotas()["space"]
+        if name in q:
+            return q[name]
+        ns = name.split(":", 1)[0] if ":" in name else "default"
+        return q.get(f"ns::{ns}")
+
+    def space_usage(self, name: str) -> int:
+        """On-disk bytes of the table's CURRENT layout version
+        (FileSystemUtilizationChore analog)."""
+        desc = self._read_desc(name)
+        return self._dir_bytes(self._abs_data_dir(desc, name))
+
+    def get_space_quota_snapshot(self, name: str) -> dict:
+        """Admin.getCurrentSpaceQuotaSnapshot analog."""
+        quota = self._space_quota_for(name)
+        usage = self.space_usage(name)
+        if quota is None:
+            return {"usage": usage, "limit": None, "in_violation": False,
+                    "policy": None}
+        return {
+            "usage": usage, "limit": quota["limit"],
+            "in_violation": usage > quota["limit"],
+            "policy": quota["policy"],
+        }
+
+    def check_space_quota(self, name: str, *, action: str = "write") -> None:
+        """Write-path enforcement (RegionServerSpaceQuotaManager).
+
+        Policy semantics follow SpaceViolationPolicy.java: DISABLE and
+        NO_WRITES_COMPACTIONS reject every materializing write;
+        NO_WRITES still allows compactions; NO_INSERTS additionally
+        allows deletes-only batches."""
+        from hbase_spark.quotas import SpaceLimitingException
+
+        quota = self._space_quota_for(name)
+        if quota is None:
+            return
+        usage = self.space_usage(name)
+        if usage <= quota["limit"]:
+            return
+        policy = quota["policy"]
+        allowed = {
+            "DISABLE": (),
+            "NO_WRITES_COMPACTIONS": (),
+            "NO_WRITES": ("compact",),
+            "NO_INSERTS": ("compact", "delete"),
+        }[policy]
+        if action in allowed:
+            return
+        if policy == "DISABLE" and self.is_table_enabled(name):
+            self.disable_table(name)
+        raise SpaceLimitingException(name, policy, usage, quota["limit"])
+
+    def enforce_quotas(self) -> dict[str, dict]:
+        """QuotaObserverChore analog: snapshot every quota'd table and
+        apply the DISABLE policy; returns {table: snapshot}."""
+        report: dict[str, dict] = {}
+        for name in self.list_tables():
+            if self._space_quota_for(name) is None:
+                continue
+            snap = self.get_space_quota_snapshot(name)
+            if (snap["in_violation"] and snap["policy"] == "DISABLE"
+                    and self.is_table_enabled(name)):
+                self.disable_table(name)
+                snap["disabled"] = True
+            report[name] = snap
+        return report
 
     # -- replication peers (client/Admin.java addReplicationPeer /
     # removeReplicationPeer / listReplicationPeers / enable-/

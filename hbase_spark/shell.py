@@ -436,3 +436,116 @@ def shell_revoke(admin, user: str, table: str | None = None) -> None:
 def shell_user_permission(admin, table: str | None = None) -> dict:
     """shell `user_permission ['t']`."""
     return admin.user_permission(table)
+
+
+def shell_set_quota(admin, **kw) -> None:
+    """shell `set_quota` (shell/commands/set_quota.rb; quota args in
+    hbase-shell/src/main/ruby/hbase/quotas.rb).
+
+    ``TYPE='SPACE'``: TABLE=/NAMESPACE=, LIMIT= (bytes, or the string
+    'NONE' to remove), POLICY= one of SpaceViolationPolicy.
+    ``TYPE='THROTTLE'``: USER=/TABLE=, THROTTLE_TYPE=, LIMIT= (per
+    INTERVAL_MS, default 1000), or LIMIT='NONE' to remove."""
+    qtype = kw.pop("TYPE", "THROTTLE")
+    limit = kw.pop("LIMIT", None)
+    remove = limit == "NONE"
+    if qtype == "SPACE":
+        admin.set_space_quota(
+            table=kw.pop("TABLE", None),
+            namespace=kw.pop("NAMESPACE", None),
+            limit=None if remove else limit,
+            policy=kw.pop("POLICY", "NO_WRITES"),
+            remove=remove,
+        )
+    elif qtype == "THROTTLE":
+        admin.set_throttle_quota(
+            user=kw.pop("USER", None),
+            table=kw.pop("TABLE", None),
+            throttle_type=kw.pop("THROTTLE_TYPE", "REQUEST_NUMBER"),
+            limit=None if remove else limit,
+            interval_ms=kw.pop("INTERVAL_MS", 1000),
+            refill=kw.pop("REFILL", "fixed"),
+            remove=remove,
+        )
+    else:
+        raise ValueError(f"unknown quota TYPE {qtype!r}")
+    if kw:
+        raise ValueError(f"unknown set_quota args {sorted(kw)}")
+
+
+def shell_list_quotas(admin) -> dict:
+    """shell `list_quotas`."""
+    return admin.list_quotas()
+
+
+def shell_list_quota_snapshots(admin) -> dict:
+    """shell `list_quota_snapshots` — per-table usage/limit/violation
+    (QuotaObserverChore view)."""
+    return {
+        name: admin.get_space_quota_snapshot(name)
+        for name in admin.list_tables()
+        if admin._space_quota_for(name) is not None
+    }
+
+
+def shell_status(admin, fmt: str = "summary") -> dict:
+    """shell `status` (shell/commands/status.rb).
+
+    There is one "server" — the Spark application.  'summary' gives
+    the rolled-up counts; 'detailed' adds the per-table region list;
+    'replication' reports the peer map."""
+    tables = admin.list_tables()
+    regions = 0
+    per_table: dict[str, int] = {}
+    for t in tables:
+        try:
+            n = admin.list_regions(t).count()
+        except Exception:  # noqa: BLE001 — table with no layout yet
+            n = 0
+        per_table[t] = n
+        regions += n
+    out = {
+        "servers": 1,
+        "dead_servers": 0,
+        "tables": len(tables),
+        "regions": regions,
+        "snapshots": len(admin.list_snapshots()),
+    }
+    if fmt == "detailed":
+        out["per_table_regions"] = per_table
+    elif fmt == "replication":
+        out["peers"] = admin.list_peers()
+    return out
+
+
+def shell_processlist(admin) -> list[dict]:
+    """shell `processlist` — active work in the engine: running Spark
+    job groups (statusTracker) plus active streaming queries."""
+    sc = admin.spark.sparkContext
+    tracker = sc.statusTracker()
+    procs = [
+        {"kind": "job", "id": jid,
+         "status": (info.status if (info := tracker.getJobInfo(jid)) else
+                    "UNKNOWN")}
+        for jid in tracker.getActiveJobsIds()
+    ]
+    procs += [
+        {"kind": "stream", "id": q.id, "status": "ACTIVE",
+         "name": q.name}
+        for q in admin.spark.streams.active
+    ]
+    return procs
+
+
+def shell_version(admin) -> str:
+    """shell `version` — engine + Spark version string."""
+    return f"hbase_spark on Spark {admin.spark.version}"
+
+
+def shell_whoami(admin, user: str = "default") -> dict:
+    """shell `whoami` — the acting user with its auths and grants."""
+    return {
+        "user": user,
+        "auths": admin.get_auths(user),
+        "permissions": admin.user_permission().get(user, ""),
+    }

@@ -479,3 +479,54 @@ def test_export_import_interchange_formats(spark, tmp_path):
         assert got == want
     with pytest.raises(ValueError):
         export_table(cells, str(tmp_path / "x"), format="avro")
+
+
+def test_multimodal_real_wav_decode(spark):
+    """End-to-end REAL audio decode through the mapInPandas seam: a
+    hand-built 16-bit PCM WAV yields exact sample stats (no audio
+    library involved)."""
+    import math
+
+    import numpy as np
+
+    from hbase_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        decode_wav,
+        encode_wav,
+    )
+
+    # 1 second of a 440 Hz sine at 8 kHz, mono
+    sr, n = 8000, 8000
+    sine = [0.5 * math.sin(2 * math.pi * 440 * i / sr) for i in range(n)]
+    payload = encode_wav(sine, sample_rate=sr)
+    samples, got_sr = decode_wav(payload)
+    assert got_sr == sr and samples.shape == (n, 1)
+    assert abs(float(samples[:, 0].max()) - 0.5) < 1e-3
+    media = spark.createDataFrame(
+        [(1, "audio", payload, None),
+         (2, "audio", encode_wav([0.0] * 4000, sample_rate=8000), None)],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in decode_audio(media, windows=4).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.channels, r1.duration_ms) == (sr, 1, 1000)
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(r1.rms - 0.5 / math.sqrt(2)) < 1e-3
+    # 440 crossings/sec * 2 zero-crossings per cycle over 8000 samples
+    assert abs(r1.zero_crossing_rate - 880 / (n - 1)) < 0.01
+    assert len(r1.energy) == 4 and all(
+        abs(e - r1.rms) < 1e-3 for e in r1.energy
+    )
+    silent = got[2]
+    assert silent.rms == 0.0 and silent.duration_ms == 500
+    # 8-bit and float32 variants decode through the same parser
+    pcm8 = b"RIFF" + (36 + 4).to_bytes(4, "little") + b"WAVE" + (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"data" + (4).to_bytes(4, "little") + bytes([128, 255, 0, 128])
+    )
+    s8, _ = decode_wav(pcm8)
+    assert np.allclose(s8[:, 0], [0.0, 127 / 128, -1.0, 0.0])
