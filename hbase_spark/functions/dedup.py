@@ -584,6 +584,7 @@ def embedding_near_dups(
     seed: int = 42,
     cap: int = _BUCKET_CAP,
     on_overflow: str = "truncate",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH bucketing, then
     exact cosine verify on candidate pairs.
@@ -592,10 +593,15 @@ def embedding_near_dups(
     uncapped bucket self-join): one hot signature — e.g. a pile of
     zero vectors — would otherwise go quadratic.  The verify join then
     fetches each side's vector by id, keyed shuffles over candidate
-    pairs only.  See similarity.hyperplane_sig."""
+    pairs only.  See similarity.hyperplane_sig.
+
+    Pass ``dim=`` (the embedding dimensionality) to keep the plan
+    fully lazy; when omitted, a single-row ``first()`` discovers it,
+    which costs one extra driver job before the plan launches."""
     from hbase_spark.functions.similarity import cosine, hyperplane_sig
 
-    dim = len(vecs.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(vecs.select(vec_col).first()[0])
     sig = hyperplane_sig(F.col(vec_col), dim=dim, planes=planes, seed=seed)
     s = vecs.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")

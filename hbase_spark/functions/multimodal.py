@@ -126,6 +126,119 @@ def decode_ppm(data: bytes):
     )
 
 
+def decode_png(data: bytes):
+    """Pure-Python PNG decode (stdlib zlib + numpy unfilter) ->
+    HxWx3 uint8 RGB array.
+
+    Supports non-interlaced 8-bit images in every PNG color type:
+    grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6) —
+    alpha is composited over white, palette resolves through PLTE.
+    Interlaced (Adam7) and 16-bit images raise at the seam."""
+    import zlib
+
+    import numpy as np
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if data[:8] != SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, bytearray(), None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if cid == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG is supported at this seam"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, scan = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):  # filters are defined row-recursively (spec §9)
+        line = scan[y].copy()
+        f = filters[y]
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif f == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                b, c = int(prev[x]), int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = line.astype(np.uint8)
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[..., 0]]
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return px
+    # alpha types: composite over white (training pipelines want RGB)
+    rgb = px[..., :1] if ctype == 4 else px[..., :3]
+    if ctype == 4:
+        rgb = np.repeat(rgb, 3, axis=2)
+    alpha = px[..., -1:].astype(np.float64) / 255.0
+    return (rgb * alpha + 255.0 * (1 - alpha)).round().astype(np.uint8)
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal RGB PNG encoder (filter 0 rows, one IDAT) — fixture
+    builder for the decode path.  ``pixels``: rows of (r, g, b)."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    raw = b"".join(
+        b"\x00" + bytes(v for p in row for v in p) for row in pixels
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(data: bytes):
     """Pure-numpy decode of a PCM WAV (RIFF) payload ->
     (samples float64 array shaped [n, channels] scaled to [-1, 1],
@@ -299,15 +412,17 @@ def _pixel_features(arr) -> dict:
 def _decode_payload(payload: bytes, media_id: int, *, fake: bool, dim: int):
     if fake:
         return _fake_decode(payload, media_id, dim)
-    head = (payload or b"")[:2]
-    if head == b"BM":
+    head = (payload or b"")[:8]
+    if head[:2] == b"BM":
         return _pixel_features(decode_bmp(payload))
-    if head == b"P6":
+    if head[:2] == b"P6":
         return _pixel_features(decode_ppm(payload))
+    if head == b"\x89PNG\r\n\x1a\n":
+        return _pixel_features(decode_png(payload))
     raise NotImplementedError(
-        "only uncompressed BMP/PPM decode ships in-container; JPEG/PNG "
-        "need an image library plugged into this seam (or pass fake=True "
-        "for the deterministic test decoder)"
+        "BMP/PPM/PNG decode ships in-container; JPEG needs an image "
+        "library plugged into this seam (or pass fake=True for the "
+        "deterministic test decoder)"
     )
 
 

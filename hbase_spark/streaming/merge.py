@@ -50,12 +50,25 @@ def mutation_stream(
     return reader.parquet(log_dir)
 
 
+class WALObserver:
+    """server/coprocessor/WALObserver.java — intercept the edit stream
+    at the log boundary.  ``pre_wal_write(batch) -> batch`` may rewrite
+    or filter the micro-batch's cells before they are appended
+    (preWALWrite:59); ``post_wal_write(batch, epoch_id)`` is a
+    notification after the append commits (postWALWrite:77)."""
+
+    def __init__(self, pre_wal_write=None, post_wal_write=None):
+        self.pre_wal_write = pre_wal_write
+        self.post_wal_write = post_wal_write
+
+
 def stream_merge(
     stream: DataFrame,
     table_dir: str,
     checkpoint_dir: str,
     *,
     trigger_once: bool = True,
+    observers: list[WALObserver] | None = None,
 ):
     """Merge the mutation stream into a CellFrame table directory.
 
@@ -64,10 +77,17 @@ def stream_merge(
     analog), giving at-least-once delivery with idempotent effect
     (cells are content-addressed by (row,family,qualifier,ts,type,seq),
     and resolution is insensitive to duplicate appends).
+    ``observers``: WALObserver chain applied per micro-batch.
     """
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
+        for ob in observers or []:
+            if ob.pre_wal_write is not None:
+                batch = ob.pre_wal_write(batch)
         batch.write.mode("append").parquet(table_dir)
+        for ob in observers or []:
+            if ob.post_wal_write is not None:
+                ob.post_wal_write(batch, epoch_id)
 
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

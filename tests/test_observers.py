@@ -237,3 +237,53 @@ def test_bulk_load_observers(spark, tmp_path):
     assert stats["bulk_loaded_cells"] == 2
     loaded = read_table(spark, path)
     assert {r.family for r in loaded.collect()} == {"f"}
+
+
+# ----------------------------------------------------- master observers
+
+
+def test_master_observer_veto_rewrite_audit(spark):
+    """MasterObserver hooks around Admin DDL: veto (AccessController
+    pattern), argument rewrite, and post-op audit notifications."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from hbase_spark.admin import Admin
+    from hbase_spark.plans.master_observers import (
+        MasterObserver,
+        ObservedAdmin,
+        ddl_audit_observer,
+        table_name_guard,
+    )
+
+    d = tempfile.mkdtemp(prefix="hb_mobs_")
+    try:
+        log = []
+        admin = ObservedAdmin(
+            Admin(spark, d), [table_name_guard("sys_"), ddl_audit_observer(log)]
+        )
+        admin.create_table("t1", ["f"])
+        with pytest.raises(PermissionError):
+            admin.create_table("sys_meta", ["f"])
+        admin.snapshot("s1", "t1")
+        admin.disable_table("t1")
+        admin.delete_table("t1")
+        assert log == [
+            ("create_table", "t1"), ("snapshot", "s1"),
+            ("disable_table", "t1"), ("delete_table", "t1"),
+        ]
+        # pre-hook rewrite: force every namespace lowercase
+        rewriter = MasterObserver(
+            pre_create_namespace=lambda a, k: ((a[0].lower(),) + a[1:], k)
+        )
+        admin2 = ObservedAdmin(Admin(spark, d), [rewriter])
+        admin2.create_namespace("LOUD")
+        assert "loud" in admin2.list_namespaces()
+        # pass-through of non-DDL methods
+        assert admin2.list_tables() == []
+        with pytest.raises(ValueError):
+            MasterObserver(pre_bogus_op=lambda a, k: None)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -336,3 +336,32 @@ def test_stream_dedup_agrees_with_batch_twin(spark, dirs):
     )
     got = {r.doc_id for r in batch_dedup_twin(df.orderBy("ts")).collect()}
     assert got == {1, 3}
+
+
+def test_wal_observer_rewrites_and_notifies(spark, dirs):
+    """WALObserver chain on stream_merge: pre_wal_write filters a
+    family out of every micro-batch, post_wal_write counts batches."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.streaming.merge import WALObserver
+
+    batches = _mutation_log(spark)
+    extra = [("kX", "skip", "c01", 1000, CellType.PUT, "drop-me", 999)]
+    for b in batches:
+        spark.createDataFrame(b + extra, schema=cell_schema()).coalesce(
+            1
+        ).write.mode("append").parquet(dirs["log"])
+
+    seen = []
+    ob = WALObserver(
+        pre_wal_write=lambda df: df.filter(F.col("family") != "skip"),
+        post_wal_write=lambda df, epoch: seen.append(epoch),
+    )
+    stream = mutation_stream(spark, dirs["log"], max_files_per_trigger=2)
+    q = stream_merge(stream, dirs["table"], dirs["ckpt"], observers=[ob])
+    q.awaitTermination(120)
+
+    merged = spark.read.parquet(dirs["table"])
+    assert merged.filter(F.col("family") == "skip").count() == 0
+    assert merged.filter(F.col("family") == "m").count() > 0
+    assert len(seen) >= 2  # one notification per micro-batch
