@@ -419,10 +419,14 @@ def _decode_payload(payload: bytes, media_id: int, *, fake: bool, dim: int):
         return _pixel_features(decode_ppm(payload))
     if head == b"\x89PNG\r\n\x1a\n":
         return _pixel_features(decode_png(payload))
+    if head[:3] == b"\xff\xd8\xff":
+        from hbase_spark.functions.jpeg import decode_jpeg
+
+        return _pixel_features(decode_jpeg(payload))
     raise NotImplementedError(
-        "BMP/PPM/PNG decode ships in-container; JPEG needs an image "
-        "library plugged into this seam (or pass fake=True for the "
-        "deterministic test decoder)"
+        "BMP/PPM/PNG/baseline-JPEG decode ships in-container; other "
+        "formats need an image library plugged into this seam (or pass "
+        "fake=True for the deterministic test decoder)"
     )
 
 

@@ -285,20 +285,38 @@ class BufferedMutator:
     ``buffer_size`` mutations accumulate (the writeBufferSize analog,
     counted in mutations, not bytes — byte sizing is meaningless for
     plan building).
+
+    ``limiter``: an optional WRITE_NUMBER throttle
+    (quotas.RateLimiter, e.g. from Admin.throttle_limiter) consulted
+    per mutation — the client-side pushback the reference applies when
+    a RegionServer returns RpcThrottlingException.  ``clock`` supplies
+    milliseconds for the limiter (injectable for tests).
     """
 
-    def __init__(self, table: Table, *, buffer_size: int = 10_000):
+    def __init__(self, table: Table, *, buffer_size: int = 10_000,
+                 limiter=None, clock=None):
         self.table = table
         self.buffer_size = buffer_size
+        self.limiter = limiter
+        self._clock = clock
         self._puts: list[tuple] = []
         self._dels: list[tuple] = []
 
+    def _consume_quota(self) -> None:
+        if self.limiter is not None:
+            import time
+
+            now_ms = self._clock() if self._clock else int(time.time() * 1000)
+            self.limiter.consume(1, now_ms=now_ms)
+
     def mutate_put(self, row, family, qualifier, value, *, ts: int, seq: int) -> None:
+        self._consume_quota()
         self.table._check_families([(row, family)])
         self._puts.append((row, family, qualifier, ts, seq, value))
         self._maybe_flush()
 
     def mutate_delete(self, row, family, qualifier, *, ts: int, seq: int, kind=None) -> None:
+        self._consume_quota()
         self.table._check_families([(row, family)])
         from hbase_spark.model import CellType
 

@@ -612,3 +612,51 @@ def test_multimodal_real_png_decode(spark):
     assert (r.width, r.height) == (4, 5)
     luma = (img.astype(np.float64) / 255.0) @ np.array([0.299, 0.587, 0.114])
     assert abs(r.mean_luma - luma.mean()) < 1e-12
+
+
+def test_multimodal_real_jpeg_decode(spark):
+    """Real baseline-JPEG decode (pure numpy: Huffman entropy decode,
+    dequant, IDCT, 4:2:0 upsampling, YCbCr->RGB) through the same
+    mapInPandas seam — no image library in the container."""
+    import numpy as np
+
+    from hbase_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from hbase_spark.functions.multimodal import MEDIA_SCHEMA
+
+    xx, yy = np.meshgrid(np.arange(24), np.arange(17))
+    img = np.stack(
+        [(xx * 5 + yy * 3) % 256, (xx * 2) % 256, (yy * 7) % 256], axis=2
+    ).astype(np.uint8)
+
+    # near-lossless 4:4:4 roundtrip
+    dec = decode_jpeg(encode_jpeg(img, quality_q=1))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    # 4:2:0 exercises the chroma upsampling path; luma stays tight
+    dec420 = decode_jpeg(encode_jpeg(img, quality_q=1, subsample=True))
+    luma = lambda a: a.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(luma(dec420) - luma(img)).max() <= 3.0
+    assert np.abs(dec420.astype(int) - img.astype(int)).mean() <= 3.0
+
+    # grayscale single-component stream
+    gray = np.full((8, 8, 3), 77, np.uint8)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(gray)).astype(int) - 77
+    ).max() <= 1
+
+    # progressive JPEG stays an explicit seam
+    import pytest
+
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+            + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+    # through the Spark decode seam next to the other codecs
+    media = spark.createDataFrame(
+        [(41, "image", encode_jpeg(img, quality_q=1), None)], MEDIA_SCHEMA
+    )
+    r = decode_images(media).collect()[0]
+    assert (r.width, r.height) == (24, 17)
+    assert abs(r.mean_luma - luma(img).mean() / 255.0) < 0.01

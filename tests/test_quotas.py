@@ -182,3 +182,28 @@ def test_shell_status_processlist_version_whoami(catalog):
     catalog.grant("default", "RW")
     who = shell_whoami(catalog, "default")
     assert who["user"] == "default" and who["permissions"] == "RW"
+
+
+def test_buffered_mutator_respects_write_throttle(spark, catalog):
+    """WRITE_NUMBER throttle applied as client-side pushback in
+    BufferedMutator (the RpcThrottlingException retry loop analog)."""
+    from hbase_spark.table import BufferedMutator
+
+    name = _seed(catalog, "tht", rows=2)
+    catalog.set_throttle_quota(
+        user="w", table=name, throttle_type="WRITE_NUMBER", limit=3
+    )
+    clock = {"ms": 0}
+    bm = BufferedMutator(
+        catalog.table(name),
+        limiter=catalog.throttle_limiter(user="w", table=name),
+        clock=lambda: clock["ms"],
+    )
+    for i in range(3):
+        bm.mutate_put(f"n{i}", "f", "a", "v", ts=20, seq=200 + i)
+    with pytest.raises(RpcThrottlingException) as e:
+        bm.mutate_put("n3", "f", "a", "v", ts=20, seq=203)
+    clock["ms"] += e.value.wait_ms  # wait what the exception asked
+    bm.mutate_put("n3", "f", "a", "v", ts=20, seq=203)
+    t = bm.flush()
+    assert t.get("n3").count() == 1
