@@ -46,6 +46,18 @@ class AccessDeniedError(PermissionError):
     """security/AccessDeniedException analog."""
 
 
+def _fam_dict(d: FamilyDescriptor) -> dict:
+    """FamilyDescriptor -> the JSON knob dict stored in descriptors."""
+    return {
+        "max_versions": d.max_versions,
+        "min_versions": d.min_versions,
+        "ttl_ms": d.ttl_ms,
+        "new_version_behavior": d.new_version_behavior,
+        "keep_deleted_cells": d.keep_deleted_cells,
+        "mob_threshold": d.mob_threshold,
+    }
+
+
 def _table_path(name: str) -> str:
     """``ns:table`` -> ``ns/table`` (default namespace stays flat)."""
     if ":" in name:
@@ -91,16 +103,7 @@ class Admin:
             "enabled": True,
             "version": 0,
             "data_dir": data_dir,
-            "families": {
-                f: {
-                    "max_versions": d.max_versions,
-                    "min_versions": d.min_versions,
-                    "ttl_ms": d.ttl_ms,
-                    "new_version_behavior": d.new_version_behavior,
-                    "keep_deleted_cells": d.keep_deleted_cells,
-                }
-                for f, d in families.items()
-            },
+            "families": {f: _fam_dict(d) for f, d in families.items()},
         }
         empty = self.spark.createDataFrame([], schema=cell_schema())
         empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{data_dir}")
@@ -116,6 +119,13 @@ class Admin:
         }
         data_dir = desc.get("data_dir", f"{_table_path(name)}/cells")
         cells = read_table(self.spark, f"{self.catalog_dir}/{data_dir}")
+        if desc.get("mob_dir"):
+            # MOB store files merge into the scan like the reference's
+            # mob store (mob/DefaultMobStoreFlusher.java): same region
+            # range-partitioning, so pruning applies to both unions.
+            cells = cells.unionByName(
+                read_table(self.spark, f"{self.catalog_dir}/{desc['mob_dir']}")
+            )
         if fams:
             # only declared families are readable — a family dropped via
             # alter(method='delete') disappears immediately (its data is
@@ -141,7 +151,32 @@ class Admin:
         desc = self._read_desc(name)
         v = desc.get("version", 0) + 1
         data_dir = f"{_table_path(name)}/cells-v{v}"
-        write_table(table.cells, f"{self.catalog_dir}/{data_dir}",
+        mob_thr = {
+            f: k["mob_threshold"]
+            for f, k in desc.get("families", {}).items()
+            if k.get("mob_threshold") is not None
+        }
+        cells = table.cells
+        if mob_thr:
+            # MOB split (mob/DefaultMobStoreFlusher.java:66): values over
+            # the family threshold flush to a separate mob store dir so
+            # the hot cell files stay small; both stores share the same
+            # range partitioning and merge again at scan time.
+            mob_pred = F.lit(False)
+            for f, thr in mob_thr.items():
+                mob_pred = mob_pred | (
+                    (F.col("family") == f)
+                    & F.col("value").isNotNull()
+                    & (F.length("value") > thr)
+                )
+            cells = cells.localCheckpoint(eager=False)
+            mob_dir = f"{_table_path(name)}/mob-v{v}"
+            write_table(cells.filter(mob_pred),
+                        f"{self.catalog_dir}/{mob_dir}",
+                        num_regions=num_regions)
+            desc["mob_dir"] = mob_dir
+            cells = cells.filter(~mob_pred)
+        write_table(cells, f"{self.catalog_dir}/{data_dir}",
                     num_regions=num_regions)
         desc["version"] = v
         desc["data_dir"] = data_dir
@@ -187,13 +222,7 @@ class Admin:
             del desc["families"][family]
         else:
             d = descriptor or FamilyDescriptor()
-            desc["families"][family] = {
-                "max_versions": d.max_versions,
-                "min_versions": d.min_versions,
-                "ttl_ms": d.ttl_ms,
-                "new_version_behavior": d.new_version_behavior,
-                "keep_deleted_cells": d.keep_deleted_cells,
-            }
+            desc["families"][family] = _fam_dict(d)
         self._write_desc(name, desc)
 
     def truncate_table(self, name: str) -> None:
@@ -611,6 +640,7 @@ class Admin:
             {
                 "table": name,
                 "data_dir": desc.get("data_dir", f"{_table_path(name)}/cells"),
+                "mob_dir": desc.get("mob_dir"),
                 "families": desc["families"],
             },
         )
@@ -629,6 +659,7 @@ class Admin:
                 "enabled": True,
                 "version": 0,
                 "data_dir": man["data_dir"],
+                "mob_dir": man.get("mob_dir"),
                 "families": man["families"],
             },
         )
@@ -643,6 +674,7 @@ class Admin:
                 f"table {man['table']!r} must be disabled before restore"
             )
         desc["data_dir"] = man["data_dir"]
+        desc["mob_dir"] = man.get("mob_dir")
         desc["families"] = man["families"]
         self._write_desc(man["table"], desc)
 
@@ -657,6 +689,10 @@ class Admin:
             f: FamilyDescriptor(**knobs) for f, knobs in man["families"].items()
         }
         cells = read_table(self.spark, f"{self.catalog_dir}/{man['data_dir']}")
+        if man.get("mob_dir"):
+            cells = cells.unionByName(
+                read_table(self.spark, f"{self.catalog_dir}/{man['mob_dir']}")
+            )
         if fams:
             from pyspark.sql import functions as F
 
@@ -888,10 +924,15 @@ class Admin:
         return q.get(f"ns::{ns}")
 
     def space_usage(self, name: str) -> int:
-        """On-disk bytes of the table's CURRENT layout version
-        (FileSystemUtilizationChore analog)."""
+        """On-disk bytes of the table's CURRENT layout version,
+        mob store included (FileSystemUtilizationChore analog)."""
         desc = self._read_desc(name)
-        return self._dir_bytes(self._abs_data_dir(desc, name))
+        total = self._dir_bytes(self._abs_data_dir(desc, name))
+        if desc.get("mob_dir"):
+            total += self._dir_bytes(
+                f"{self.catalog_dir}/{desc['mob_dir']}"
+            )
+        return total
 
     def get_space_quota_snapshot(self, name: str) -> dict:
         """Admin.getCurrentSpaceQuotaSnapshot analog."""

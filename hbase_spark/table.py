@@ -32,6 +32,11 @@ class FamilyDescriptor:
     ttl_ms: int | None = None      # :139 (reference stores seconds; we use ms)
     new_version_behavior: bool = False  # :197
     keep_deleted_cells: bool = False    # :158 — back-in-time reads see deletes
+    # IS_MOB + MOB_THRESHOLD (ColumnFamilyDescriptorBuilder.java
+    # setMobEnabled/setMobThreshold; mob/MobConstants.java default 100KB):
+    # values longer than this flush to a separate mob store so the hot
+    # cell files stay small; None = MOB off.
+    mob_threshold: int | None = None
 
 
 class NoSuchColumnFamilyError(ValueError):

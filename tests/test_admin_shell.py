@@ -710,3 +710,52 @@ def test_split_and_merge_region_preserve_data_and_pruning(catalog, spark):
     # snapshots referencing the pre-split version dir stay valid
     with pytest.raises(ValueError):
         catalog.merge_region("geo", "r000", "r001")  # same region
+
+
+def test_mob_flush_splits_and_scan_merges(catalog, spark):
+    """MOB analog (mob/DefaultMobStoreFlusher.java): values over the
+    family threshold flush to a separate range-partitioned mob store;
+    scans, snapshots and space accounting see both stores."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.table import FamilyDescriptor
+
+    catalog.create_table(
+        "mobt", {"f": FamilyDescriptor(mob_threshold=100)}
+    )
+    t = catalog.table("mobt")
+    big = "B" * 500
+    t = shell_put(t, "r1", "f:doc", big, ts=10, seq=1)
+    t = shell_put(t, "r2", "f:doc", "small", ts=10, seq=2)
+    t = shell_put(t, "r3", "f:doc", "C" * 200, ts=10, seq=3)
+    catalog.flush("mobt", t, num_regions=2)
+
+    desc = catalog._read_desc("mobt")
+    assert desc.get("mob_dir")
+    main = spark.read.parquet(f"{catalog.catalog_dir}/{desc['data_dir']}")
+    mob = spark.read.parquet(f"{catalog.catalog_dir}/{desc['mob_dir']}")
+    assert main.filter(F.length("value") > 100).count() == 0
+    assert mob.count() == 2  # the two oversize values
+
+    # scan transparently merges both stores
+    t2 = catalog.table("mobt")
+    got = {r.row: r.value for r in t2.snapshot().collect()}
+    assert got == {"r1": big, "r2": "small", "r3": "C" * 200}
+
+    # snapshots capture the mob store; usage counts it
+    catalog.snapshot("mobsnap", "mobt")
+    snap_t = catalog.table_from_snapshot("mobsnap")
+    assert snap_t.snapshot().count() == 3
+    assert catalog.space_usage("mobt") > 0
+
+    # a delete masks a mob cell like any other cell
+    t3 = shell_delete(catalog.table("mobt"), "r1", "f:doc", ts=20, seq=9)
+    catalog.flush("mobt", t3, num_regions=2)
+    left = {r.row for r in catalog.table("mobt").snapshot().collect()}
+    assert left == {"r2", "r3"}
+    # raw cells (masked put included) persist until compaction; after
+    # major_compact the mob store holds only the live oversize value
+    catalog.major_compact("mobt", num_regions=2)
+    desc2 = catalog._read_desc("mobt")
+    mob2 = spark.read.parquet(f"{catalog.catalog_dir}/{desc2['mob_dir']}")
+    assert {r.row for r in mob2.collect()} == {"r3"}
