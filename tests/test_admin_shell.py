@@ -759,3 +759,19 @@ def test_mob_flush_splits_and_scan_merges(catalog, spark):
     desc2 = catalog._read_desc("mobt")
     mob2 = spark.read.parquet(f"{catalog.catalog_dir}/{desc2['mob_dir']}")
     assert {r.row for r in mob2.collect()} == {"r3"}
+
+
+def test_canary_reports_health(catalog):
+    from hbase_spark.admin import canary
+
+    catalog.create_table("c1", ["f"])
+    t = shell_put(catalog.table("c1"), "r1", "f:a", "1", ts=10, seq=1)
+    catalog.flush("c1", t, num_regions=2)
+    catalog.create_table("c2", ["f"])
+    catalog.disable_table("c2")
+    rep = canary(catalog)
+    assert rep["healthy"]
+    assert rep["tables"]["c1"]["regions"] >= 1
+    assert rep["tables"]["c1"]["failed"] == 0
+    assert rep["tables"]["c1"]["latency_ms"] is not None
+    assert rep["tables"]["c2"]["skipped"] == "disabled"
