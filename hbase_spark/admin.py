@@ -91,9 +91,14 @@ class Admin:
     # -- Admin surface ------------------------------------------------------
 
     def create_table(
-        self, name: str, families: dict[str, FamilyDescriptor] | list[str]
+        self, name: str, families: dict[str, FamilyDescriptor] | list[str],
+        *, splits: list | None = None,
     ) -> None:
-        """Admin.createTable — registers the descriptor and an empty layout."""
+        """Admin.createTable — registers the descriptor and an empty
+        layout.  ``splits``: explicit region boundaries (the shell's
+        ``SPLITS =>`` form / Admin.createTable(desc, splitKeys)); every
+        flush then writes those stable region ranges instead of
+        sampling boundaries."""
         if name == "snapshots":
             raise ValueError("'snapshots' is reserved for snapshot manifests")
         if isinstance(families, list):
@@ -105,6 +110,8 @@ class Admin:
             "data_dir": data_dir,
             "families": {f: _fam_dict(d) for f, d in families.items()},
         }
+        if splits is not None:
+            desc["split_points"] = sorted(splits)
         empty = self.spark.createDataFrame([], schema=cell_schema())
         empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{data_dir}")
         self._write_desc(name, desc)
@@ -157,6 +164,9 @@ class Admin:
             if k.get("mob_threshold") is not None
         }
         cells = table.cells
+        wkw = {"num_regions": num_regions}
+        if desc.get("split_points"):
+            wkw["split_points"] = desc["split_points"]
         if mob_thr:
             # MOB split (mob/DefaultMobStoreFlusher.java:66): values over
             # the family threshold flush to a separate mob store dir so
@@ -172,12 +182,10 @@ class Admin:
             cells = cells.localCheckpoint(eager=False)
             mob_dir = f"{_table_path(name)}/mob-v{v}"
             write_table(cells.filter(mob_pred),
-                        f"{self.catalog_dir}/{mob_dir}",
-                        num_regions=num_regions)
+                        f"{self.catalog_dir}/{mob_dir}", **wkw)
             desc["mob_dir"] = mob_dir
             cells = cells.filter(~mob_pred)
-        write_table(cells, f"{self.catalog_dir}/{data_dir}",
-                    num_regions=num_regions)
+        write_table(cells, f"{self.catalog_dir}/{data_dir}", **wkw)
         desc["version"] = v
         desc["data_dir"] = data_dir
         self._write_desc(name, desc)

@@ -549,3 +549,34 @@ def shell_whoami(admin, user: str = "default") -> dict:
         "auths": admin.get_auths(user),
         "permissions": admin.user_permission().get(user, ""),
     }
+
+
+def shell_create(admin, name: str, *families, SPLITS=None, **fam_kw) -> None:
+    """shell `create 't', 'f1', {NAME=>'f2', VERSIONS=>3},
+    SPLITS => ['b','m']` (shell/commands/create.rb).
+
+    Positional families are names or {NAME=>..., VERSIONS=>...,
+    TTL=>ms, MIN_VERSIONS=>..., KEEP_DELETED_CELLS=>...,
+    NEW_VERSION_BEHAVIOR=>..., MOB_THRESHOLD=>...} dicts."""
+    from hbase_spark.table import FamilyDescriptor
+
+    fams = {}
+    for f in families:
+        if isinstance(f, str):
+            fams[f] = FamilyDescriptor()
+            continue
+        spec = dict(f)
+        fname = spec.pop("NAME")
+        fams[fname] = FamilyDescriptor(
+            max_versions=spec.pop("VERSIONS", 1),
+            min_versions=spec.pop("MIN_VERSIONS", 0),
+            ttl_ms=spec.pop("TTL", None),
+            new_version_behavior=spec.pop("NEW_VERSION_BEHAVIOR", False),
+            keep_deleted_cells=spec.pop("KEEP_DELETED_CELLS", False),
+            mob_threshold=spec.pop("MOB_THRESHOLD", None),
+        )
+        if spec:
+            raise ValueError(f"unknown family attributes {sorted(spec)}")
+    if fam_kw:
+        raise ValueError(f"unknown create args {sorted(fam_kw)}")
+    admin.create_table(name, fams, splits=SPLITS)

@@ -90,17 +90,52 @@ def write_table(
     mode: str = "overwrite",
     split_algo: str | None = None,
     split_width: int = 8,
+    split_points: list | None = None,
 ) -> None:
     """Bulk-load a CellFrame to a range-partitioned, sorted parquet layout.
 
     Default boundaries come from ``repartitionByRange`` (a sampling
     pass); pass ``split_algo`` for a deterministic pre-split with no
-    sampling scan (see region_id above).  Pre-split files group whole
-    regions (hash placement may co-locate two regions in one file);
-    each file still covers a bounded, sorted key set, so parquet
-    min/max pruning applies — trade a little pruning precision for
-    zero sampling cost and stable boundaries across incremental loads.
+    sampling scan (see region_id above), or ``split_points`` for
+    user-chosen boundaries (the shell's ``SPLITS =>`` /
+    RegionSplitter custom-split analog: N points -> N+1 regions,
+    region i holds rows in [points[i-1], points[i])).  Pre-split
+    files group whole regions (hash placement may co-locate two
+    regions in one file); each file still covers a bounded, sorted
+    key set, so parquet min/max pruning applies — trade a little
+    pruning precision for zero sampling cost and stable boundaries
+    across incremental loads.
     """
+    if split_points is not None:
+        pts = sorted(split_points)
+        # region id = number of split points <= row (a searchsorted
+        # over a literal array — no sampling pass, stable boundaries).
+        # The id becomes a PHYSICAL partition dir, so declared regions
+        # map 1:1 to directories: directory-level partition pruning on
+        # top of per-file min/max, deterministic in one write job.
+        rid = F.size(
+            F.filter(
+                F.array(*[F.lit(p) for p in pts]),
+                lambda p: p <= F.col("row"),
+            )
+        )
+        out = cells.withColumn("_region", rid).repartition(
+            len(pts) + 1, F.col("_region")
+        )
+        out = out.sortWithinPartitions(
+            "row", "family", "qualifier", F.col("ts").desc(),
+            F.col("seq").desc()
+        )
+        writer = (
+            out.write.mode(mode)
+            .option("parquet.bloom.filter.enabled#row", "true")
+            .option("parquet.bloom.filter.expected.ndv#row", "1000000")
+        )
+        writer = writer.partitionBy(
+            *((["family"] if by_family else []) + ["_region"])
+        )
+        writer.parquet(path)
+        return
     if split_algo is not None:
         rid = region_id(
             F.col("row"), num_regions, algo=split_algo, width=split_width
@@ -124,8 +159,12 @@ def write_table(
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a bulk-loaded CellFrame layout (TableSnapshotInputFormat
     analog — mr/TableSnapshotInputFormat.java:84: scan the files
-    directly, no servers)."""
-    return spark.read.parquet(path)
+    directly, no servers).  Layouts written with explicit
+    ``split_points`` carry a ``_region`` partition dir; it is dropped
+    from the schema (its pruning value lives in the directory
+    structure, not the rows)."""
+    df = spark.read.parquet(path)
+    return df.drop("_region") if "_region" in df.columns else df
 
 
 def write_bucketed(

@@ -775,3 +775,31 @@ def test_canary_reports_health(catalog):
     assert rep["tables"]["c1"]["failed"] == 0
     assert rep["tables"]["c1"]["latency_ms"] is not None
     assert rep["tables"]["c2"]["skipped"] == "disabled"
+
+
+def test_create_with_splits_controls_region_boundaries(catalog, spark):
+    """shell `create ... SPLITS =>` / Admin.createTable(splitKeys):
+    flushes land rows in the declared region ranges, pruning holds."""
+    from hbase_spark.shell import shell_create
+
+    shell_create(
+        catalog, "st", "f", {"NAME": "g", "VERSIONS": 2},
+        SPLITS=["h", "p"],
+    )
+    t = catalog.table("st")
+    for i, r in enumerate(["a1", "b2", "h0", "k9", "p1", "z8"]):
+        t = shell_put(t, r, "f:q", f"v{i}", ts=10, seq=i)
+    catalog.flush("st", t)
+    regions = catalog.list_regions("st").collect()
+    # 3 declared ranges: [..h) [h..p) [p..]; each observed file range
+    # must stay inside one declared range
+    bounds = [("", "h"), ("h", "p"), ("p", "\x7f")]
+    for r in regions:
+        assert any(
+            lo <= r.start_key and r.end_key < hi for lo, hi in bounds
+        ), (r.start_key, r.end_key)
+    # splits survive re-flush and get_splits reflects observed ranges
+    catalog.flush("st", catalog.table("st"))
+    assert len(catalog.list_regions("st").collect()) == 3
+    got = {r.row: r.value for r in catalog.table("st").snapshot().collect()}
+    assert len(got) == 6
