@@ -2514,7 +2514,52 @@ def q_multimodal_decode(spark, sf):
     real = decode_images(bmp_media).select(
         "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
     )
-    return feats.unionByName(frames).unionByName(real)
+    # PNG + baseline-JPEG arms: the compressed-image decoders (stdlib
+    # zlib inflate+unfilter; pure-numpy Huffman+IDCT) run on the same
+    # seam; payloads are deterministic functions of the media id.
+    from hbase_spark.functions.jpeg import encode_jpeg
+    from hbase_spark.functions.multimodal import decode_audio, encode_png, encode_wav
+
+    def _px(i):
+        return [
+            [((i * 31 + x * 17) % 256, (i * 41 + y * 5) % 256,
+              (x * 3 + y * 19) % 256) for x in range(8)]
+            for y in range(8)
+        ]
+
+    png_media = spark.createDataFrame(
+        [(20_000 + i, "image", encode_png(_px(i)), None) for i in range(10)],
+        MEDIA_SCHEMA,
+    )
+    jpg_media = spark.createDataFrame(
+        [(30_000 + i, "image", encode_jpeg(_px(i), quality_q=1), None)
+         for i in range(10)],
+        MEDIA_SCHEMA,
+    )
+    compressed = decode_images(png_media.unionByName(jpg_media)).select(
+        "media_id", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+    # PCM WAV audio arm through decode_audio (same Arrow-batch seam):
+    # width=channels, height=duration_ms, mean_luma=RMS.
+    wav_media = spark.createDataFrame(
+        [
+            (40_000 + i, "audio",
+             encode_wav([((j * (i + 3)) % 200 - 100) / 100.0
+                         for j in range(800)], sample_rate=8000), None)
+            for i in range(5)
+        ],
+        MEDIA_SCHEMA,
+    )
+    audio = decode_audio(wav_media).select(
+        "media_id", F.col("channels").alias("width"),
+        F.col("duration_ms").cast("int").alias("height"),
+        F.round("rms", 6).alias("mean_luma"),
+    )
+    return (
+        feats.unionByName(frames).unionByName(real)
+        .unionByName(compressed).unionByName(audio)
+    )
 
 
 _QUERIES["multimodal_decode"] = q_multimodal_decode
