@@ -580,3 +580,28 @@ def shell_create(admin, name: str, *families, SPLITS=None, **fam_kw) -> None:
     if fam_kw:
         raise ValueError(f"unknown create args {sorted(fam_kw)}")
     admin.create_table(name, fams, splits=SPLITS)
+
+
+def shell_truncate_preserve(admin, name: str) -> None:
+    """shell `truncate_preserve` (truncate_preserve.rb): drop all data
+    but keep the region boundaries.  Declared split points live in the
+    descriptor, which truncate keeps — so the next flush re-creates
+    the same region dirs."""
+    if not admin._read_desc(name).get("split_points"):
+        raise ValueError(
+            f"table {name!r} has no declared split points to preserve "
+            "(use truncate)"
+        )
+    admin.truncate_table(name)
+
+
+def shell_flush(admin, name: str, table=None) -> None:
+    """shell `flush 't'` — persist the table's current state (pass the
+    mutated Table; without one this is a no-op rewrite of the current
+    snapshot, the memstore-flush analog)."""
+    admin.flush(name, table if table is not None else admin.table(name))
+
+
+def shell_get_table(admin, name: str):
+    """shell `get_table 't'` (get_table.rb) — the Table facade."""
+    return admin.table(name)

@@ -803,3 +803,34 @@ def test_create_with_splits_controls_region_boundaries(catalog, spark):
     assert len(catalog.list_regions("st").collect()) == 3
     got = {r.row: r.value for r in catalog.table("st").snapshot().collect()}
     assert len(got) == 6
+
+
+def test_truncate_preserve_keeps_declared_splits(catalog, spark):
+    from hbase_spark.shell import (
+        shell_create,
+        shell_flush,
+        shell_get_table,
+        shell_truncate_preserve,
+    )
+
+    shell_create(catalog, "tp", "f", SPLITS=["m"])
+    t = shell_get_table(catalog, "tp")
+    for i, r in enumerate(["a", "z"]):
+        t = shell_put(t, r, "f:q", "v", ts=10, seq=i)
+    shell_flush(catalog, "tp", t)
+    assert len(catalog.list_regions("tp").collect()) == 2
+    shell_truncate_preserve(catalog, "tp")
+    assert shell_count(shell_get_table(catalog, "tp")) == 0
+    # boundaries survive: the next flush writes the same 2 region dirs
+    t2 = shell_put(shell_get_table(catalog, "tp"), "b", "f:q", "v", ts=20, seq=9)
+    t2 = shell_put(t2, "x", "f:q", "v", ts=20, seq=10)
+    shell_flush(catalog, "tp", t2)
+    regions = catalog.list_regions("tp").collect()
+    assert len(regions) == 2
+    assert any(r.end_key < "m" for r in regions)
+    assert any(r.start_key >= "m" for r in regions)
+    import pytest as _pt
+
+    catalog.create_table("nosplits", ["f"])
+    with _pt.raises(ValueError):
+        shell_truncate_preserve(catalog, "nosplits")

@@ -660,3 +660,49 @@ def test_multimodal_real_jpeg_decode(spark):
     r = decode_images(media).collect()[0]
     assert (r.width, r.height) == (24, 17)
     assert abs(r.mean_luma - luma(img).mean() / 255.0) < 0.01
+
+
+def test_jpeg_codec_property_roundtrip():
+    """Property test: encode->decode roundtrip stays within the
+    quantization error bound across shapes, content classes and both
+    sampling modes (no Spark involved — pure codec law)."""
+    import numpy as np
+
+    from hbase_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    shapes = [(1, 1), (3, 5), (8, 8), (9, 7), (16, 24), (13, 30)]
+    for h, w in shapes:
+        for kind in ("random", "gradient", "flat"):
+            if kind == "random":
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            elif kind == "gradient":
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                img = np.stack(
+                    [(xx * 7) % 256, (yy * 5) % 256, (xx + yy) % 256], axis=2
+                ).astype(np.uint8)
+            else:
+                img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, quality_q=1))
+            assert dec.shape == (h, w, 3), (h, w, kind)
+            err = np.abs(dec.astype(int) - img.astype(int)).max()
+            assert err <= 2, (h, w, kind, err)
+            # 4:2:0: luma bound stays tight; chroma averaged over 2x2
+            dec420 = decode_jpeg(
+                encode_jpeg(img, quality_q=1, subsample=True)
+            )
+            assert dec420.shape == (h, w, 3)
+            luma_w = np.array([0.299, 0.587, 0.114])
+            ldiff = np.abs(
+                dec420.astype(np.float64) @ luma_w
+                - img.astype(np.float64) @ luma_w
+            )
+            if kind == "random":
+                # chroma averaging pushes random pixels out of gamut;
+                # clipping breaks exact luma invariance, so bound the
+                # mean, not the max
+                assert ldiff.mean() <= 8.0, (h, w, kind, ldiff.mean())
+            else:
+                # smooth content: luma passes through 4:2:0 unharmed
+                # (the YCbCr matrices cancel chroma error in luma)
+                assert ldiff.max() <= 4.0, (h, w, kind, ldiff.max())
