@@ -605,3 +605,24 @@ def shell_flush(admin, name: str, table=None) -> None:
 def shell_get_table(admin, name: str):
     """shell `get_table 't'` (get_table.rb) — the Table facade."""
     return admin.table(name)
+
+
+def shell_top(admin, n: int = 10) -> list[dict]:
+    """hbtop region-mode analog (hbase-hbtop): the n hottest regions
+    by cell count across all enabled tables, with key ranges — the
+    skew-spotting view (a hot region here is a salting/split
+    candidate)."""
+    rows = []
+    for name in admin.list_tables():
+        try:
+            if not admin.is_table_enabled(name):
+                continue
+            region_rows = admin.list_regions(name).collect()
+        except Exception:  # noqa: BLE001 — empty layout etc.
+            continue
+        for r in region_rows:
+            rows.append(
+                {"table": name, "start_key": r.start_key,
+                 "end_key": r.end_key, "cells": r.cell_count}
+            )
+    return sorted(rows, key=lambda x: -x["cells"])[:n]

@@ -834,3 +834,17 @@ def test_truncate_preserve_keeps_declared_splits(catalog, spark):
     catalog.create_table("nosplits", ["f"])
     with _pt.raises(ValueError):
         shell_truncate_preserve(catalog, "nosplits")
+
+
+def test_shell_top_orders_regions_by_heat(catalog):
+    from hbase_spark.shell import shell_top
+
+    catalog.create_table("hot", ["f"])
+    t = catalog.table("hot")
+    for i in range(30):
+        t = shell_put(t, f"k{i:02d}", "f:q", "v", ts=10, seq=i)
+    catalog.flush("hot", t, num_regions=3)
+    top = shell_top(catalog, n=2)
+    assert len(top) == 2
+    assert top[0]["cells"] >= top[1]["cells"]
+    assert top[0]["table"] == "hot"
