@@ -1287,6 +1287,33 @@ def q_doc_quality(spark, sf):
 
 
 @_q(
+    "doc_chunking",
+    r"""WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             cast(ceil(greatest(len(toks) - 32, 1) / 96.0) AS int) AS nc
+      FROM t
+    )
+    SELECT doc_id, cast(i AS int) AS chunk_id,
+           array_to_string(toks[i*96+1 : i*96+128], ' ') AS chunk,
+           cast(len(toks[i*96+1 : i*96+128]) AS int) AS n_tokens
+    FROM c, unnest(range(nc)) AS u(i)""",
+)
+def q_doc_chunking(spark, sf):
+    """Sliding-window document chunking (128-token windows, 32-token
+    overlap) — the context-window preparation step of a training/RAG
+    pipeline; single narrow map stage, chunk ids from arithmetic."""
+    from hbase_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=128, overlap=32)
+
+
+@_q(
     "doc_minhash_dedup",
     """WITH corpus AS (
         SELECT doc_id, text FROM documents
@@ -3073,6 +3100,7 @@ _WINDOW = [
 # top-k variants are recall-gated + hash-checked in-window via
 # embedding_ann_suite).
 _TAIL = [
+    "doc_chunking",
     "doc_ngram_jaccard",
     "pivot_wide_orders",
     "scan_qualifier_projection",

@@ -143,3 +143,46 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["unique_token_ratio"].alias("unique_token_ratio"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into sliding token windows — the context-window
+    chunking step of a training/RAG pipeline.
+
+    Whitespace tokens; chunks of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap`` so consecutive chunks share ``overlap``
+    tokens.  Every doc yields >= 1 chunk (short/empty docs give one,
+    possibly empty, chunk).  Output: (id, chunk_id, chunk, n_tokens).
+
+    Scale shape: one narrow map stage — split once, explode chunk ids
+    from arithmetic (no per-token rows), slice the token array per
+    chunk.  No shuffle, no UDF; at 100 TB this is a pure
+    embarrassingly-parallel pass whose output partitioning follows the
+    input.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    d = docs.select(F.col(id_col), toks.alias("_toks"))
+    n_chunks = F.ceil(
+        F.greatest(F.size("_toks") - F.lit(overlap), F.lit(1))
+        / F.lit(step)
+    ).cast("int")
+    d = d.withColumn("_i", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    piece = F.slice("_toks", F.col("_i") * step + 1, chunk_tokens)
+    return d.select(
+        F.col(id_col),
+        F.col("_i").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.size(piece).alias("n_tokens"),
+    )

@@ -706,3 +706,27 @@ def test_jpeg_codec_property_roundtrip():
                 # smooth content: luma passes through 4:2:0 unharmed
                 # (the YCbCr matrices cancel chroma error in luma)
                 assert ldiff.max() <= 4.0, (h, w, kind, ldiff.max())
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from hbase_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "only two"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_id): (r.chunk, r.n_tokens) for r in out}
+    # doc 1: step 3 -> chunks at 0,3,6 cover t0..t9 with 1-token overlap
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in got
+    assert got[(2, 0)] == ("only two", 2)
+    assert got[(3, 0)] == ("", 0)  # empty docs still yield one chunk
+    assert got[(4, 0)] == ("", 0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
