@@ -1314,6 +1314,49 @@ def q_doc_chunking(spark, sf):
 
 
 @_q(
+    "doc_packing",
+    r"""WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             cast(ceil(greatest(len(toks) - 32, 1) / 96.0) AS int) AS nc
+      FROM t
+    ), ch AS (
+      SELECT doc_id, cast(i AS int) AS chunk_id,
+             cast(len(toks[i*96+1 : i*96+128]) AS int) AS n_tokens
+      FROM c, unnest(range(nc)) AS u(i)
+    ), p AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             cast(doc_id % 8 AS int) AS shard,
+             sum(n_tokens) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS pre
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, n_tokens, shard,
+           cast(floor(pre / 512.0) AS int) AS pack_id,
+           cast(shard AS varchar) || '-' ||
+             cast(cast(floor(pre / 512.0) AS int) AS varchar) AS pack_key
+    FROM p""",
+)
+def q_doc_packing(spark, sf):
+    """Sequence packing: chunks -> fixed token-budget bins via a
+    sharded cumulative-sum window (deterministic streaming packing;
+    parallel across 8 portable doc_id%8 shards)."""
+    from hbase_spark.functions.text import chunk_documents, pack_chunks
+
+    docs = load_table(spark, sf, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=128, overlap=32)
+    return pack_chunks(
+        chunks, budget=512, shards=8,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    ).select("doc_id", "chunk_id", "n_tokens", "shard", "pack_id", "pack_key")
+
+
+@_q(
     "doc_minhash_dedup",
     """WITH corpus AS (
         SELECT doc_id, text FROM documents
@@ -3101,6 +3144,7 @@ _WINDOW = [
 # embedding_ann_suite).
 _TAIL = [
     "doc_chunking",
+    "doc_packing",
     "doc_ngram_jaccard",
     "pivot_wide_orders",
     "scan_qualifier_projection",

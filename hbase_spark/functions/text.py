@@ -186,3 +186,52 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int = 64,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed token-budget bins (the
+    batch-packing step before training).  Greedy-by-position: within a
+    shard, a running token total assigns ``pack_id = floor(pre_sum /
+    budget)`` — deterministic, one window pass; a bin may overflow by
+    at most one chunk (the standard streaming-packing approximation,
+    which avoids the O(n^2) best-fit search).
+
+    Scale shape: packing is per-shard (hash of the doc id, ``shards``
+    of them), so the cumulative-sum window parallelizes instead of
+    serializing on one global ordering; determinism is preserved
+    because shard assignment and within-shard order are pure functions
+    of the data.  Output adds (shard, pack_id, pack_key).
+    """
+    from pyspark.sql import Window
+
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    ).cast("int")
+    d = chunks.withColumn("_shard", shard)
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col, chunk_id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    d = d.withColumn(
+        "pack_id", F.floor(pre / F.lit(budget)).cast("int")
+    )
+    return d.select(
+        "*",
+        F.concat_ws(
+            "-", F.col("_shard").cast("string"),
+            F.col("pack_id").cast("string")
+        ).alias("pack_key"),
+    ).withColumnRenamed("_shard", "shard")

@@ -730,3 +730,34 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_chunks_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_spark.functions.text import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(d, c, 100) for d in range(4) for c in range(5)],
+        "doc_id long, chunk_id int, n_tokens int",
+    )
+    out = pack_chunks(
+        chunks, budget=300, shards=2,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(2)),
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.pack_key, []).append(r)
+    # greedy rule: pre-sum < budget when a chunk is admitted, so a pack
+    # holds at most budget + one chunk of tokens and >= 1 chunk
+    for key, rs in by_key.items():
+        total = sum(r.n_tokens for r in rs)
+        assert total <= 300 + 100, (key, total)
+        assert len(rs) >= 1
+    # every shard packs independently and all chunks are assigned
+    assert len(out) == 20
+    assert {r.shard for r in out} == {0, 1}
+    # pack ids are dense from 0 within each shard
+    for s in (0, 1):
+        ids = sorted({r.pack_id for r in out if r.shard == s})
+        assert ids == list(range(len(ids)))
