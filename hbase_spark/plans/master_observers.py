@@ -137,3 +137,55 @@ def ddl_audit_observer(log: list) -> MasterObserver:
     return MasterObserver(
         **{f"post_{op}": note(op) for op in MASTER_OPS}
     )
+
+
+# Which permission letter each DDL op requires, following
+# AccessController's MasterObserver checks (security/access/
+# AccessController.java: preCreateTable requires CREATE, the
+# destructive/table-shape ops require ADMIN, snapshot ops ADMIN).
+_OP_PERM = {
+    "create_table": "C",
+    "create_namespace": "C",
+    "clone_snapshot": "C",
+    **{op: "A" for op in MASTER_OPS
+       if op not in ("create_table", "create_namespace", "clone_snapshot")},
+}
+
+
+def access_controller(admin, user: str) -> MasterObserver:
+    """The AccessController-as-MasterObserver pattern
+    (security/access/AccessController.java implements MasterObserver):
+    every DDL call is checked against the Admin's ACL registry for the
+    acting ``user`` — CREATE for table/namespace creation and clones,
+    ADMIN for everything else; table-scoped grants satisfy checks on
+    that table, global grants satisfy all."""
+
+    # where the table name sits in each op's signature: snapshot ops
+    # take (snapshot, table); purely-global ops scope to no table
+    table_arg = {"snapshot": 1, "clone_snapshot": 1}
+    global_ops = {
+        "restore_snapshot", "delete_snapshot", "add_peer", "remove_peer",
+        "set_space_quota", "set_throttle_quota", "create_namespace",
+        "delete_namespace",
+    }
+
+    def make_check(op, perm):
+        def pre(args, kwargs):
+            if op in global_ops:
+                table, name = None, args[0] if args else ""
+            else:
+                i = table_arg.get(op, 0)
+                name = args[i] if len(args) > i else kwargs.get("name", "")
+                table = name if isinstance(name, str) else None
+            granted = admin.user_permission(table).get(user, "")
+            if perm not in granted:
+                raise PermissionError(
+                    f"user {user!r} lacks {perm} for {op} on {name!r}"
+                )
+
+        return pre
+
+    return MasterObserver(
+        **{f"pre_{op}": make_check(op, perm)
+           for op, perm in _OP_PERM.items()}
+    )

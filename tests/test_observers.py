@@ -287,3 +287,38 @@ def test_master_observer_veto_rewrite_audit(spark):
             MasterObserver(pre_bogus_op=lambda a, k: None)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_access_controller_master_observer(spark):
+    """ACL registry drives DDL authorization through the MasterObserver
+    chain (AccessController.java as a master coprocessor)."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from hbase_spark.admin import Admin
+    from hbase_spark.plans.master_observers import (
+        ObservedAdmin,
+        access_controller,
+    )
+
+    d = tempfile.mkdtemp(prefix="hb_acl_mo_")
+    try:
+        root = Admin(spark, d)
+        root.grant("alice", "C")           # global CREATE only
+        root.grant("alice", "A", "t1")     # ADMIN on t1 specifically
+        alice = ObservedAdmin(root, [access_controller(root, "alice")])
+        alice.create_table("t1", ["f"])    # C globally: ok
+        alice.snapshot("s1", "t1")         # A on t1: ok
+        alice.disable_table("t1")
+        alice.create_table("t2", ["f"])
+        with pytest.raises(PermissionError):
+            alice.disable_table("t2")      # no A on t2
+        bob = ObservedAdmin(root, [access_controller(root, "bob")])
+        with pytest.raises(PermissionError):
+            bob.create_table("t3", ["f"])  # bob has nothing
+        # reads are not DDL: pass through untouched
+        assert "t1" in bob.list_tables()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
