@@ -279,3 +279,36 @@ def test_cobucketed_sync_diff_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prev_co)
         spark.sql("DROP TABLE IF EXISTS plan_sync_a")
         spark.sql("DROP TABLE IF EXISTS plan_sync_b")
+
+
+def test_mob_table_point_read_pushes_row_filter_to_both_stores(spark):
+    """A point read on a MOB-enabled table pushes the row predicate
+    into BOTH parquet scans (main + mob union) — the mob store must
+    not degrade pruning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hbase_spark.admin import Admin
+    from hbase_spark.shell import shell_put
+    from hbase_spark.table import FamilyDescriptor
+
+    d = tempfile.mkdtemp(prefix="hb_mobplan_")
+    try:
+        adm = Admin(spark, d)
+        adm.create_table("mp", {"f": FamilyDescriptor(mob_threshold=50)})
+        t = adm.table("mp")
+        for i in range(20):
+            v = "X" * 200 if i % 4 == 0 else f"v{i}"
+            t = shell_put(t, f"r{i:02d}", "f:q", v, ts=10, seq=i)
+        adm.flush("mp", t, num_regions=2)
+        q = adm.table("mp").cells.filter(F.col("row") == "r04")
+        q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+        assert len(scans) == 2, plan  # main + mob store
+        for ln in scans:
+            assert "EqualTo(row,r04)" in ln, ln
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
