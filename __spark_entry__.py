@@ -2877,35 +2877,73 @@ _register_suite(
 
 def _row_counter_arm(spark, sf):
     return q_row_counter(spark, sf).select(
-        F.lit("").alias("family"), F.lit("").alias("qualifier"),
-        F.col("rows_n").alias("n"),
+        F.lit("").alias("rk"), F.lit("").alias("family"),
+        F.lit("").alias("qualifier"), F.col("rows_n").alias("n"),
     )
 
 
 def _cell_counter_arm(spark, sf):
     return q_cell_counter(spark, sf).select(
-        "family", "qualifier", F.col("cells_n").alias("n")
+        F.lit("").alias("rk"), "family", "qualifier",
+        F.col("cells_n").alias("n"),
+    )
+
+
+def _multi_table_arm(spark, sf):
+    return q_multi_table_union_scan(spark, sf).select(
+        "rk", "family", "qualifier", F.col("n_cells").alias("n")
     )
 
 
 _register_suite(
     "counter_suite",
-    [("row_counter", _row_counter_arm), ("cell_counter", _cell_counter_arm)],
+    [("row_counter", _row_counter_arm), ("cell_counter", _cell_counter_arm),
+     ("multi_table_union", _multi_table_arm)],
     [("row_counter",
-      "SELECT '' AS family, '' AS qualifier, rows_n AS n "
+      "SELECT '' AS rk, '' AS family, '' AS qualifier, rows_n AS n "
       f"FROM ({_ORACLES['row_counter']})"),
      ("cell_counter",
-      "SELECT family, qualifier, cells_n AS n "
-      f"FROM ({_ORACLES['cell_counter']})")],
-    ["family", "qualifier", "n"],
+      "SELECT '' AS rk, family, qualifier, cells_n AS n "
+      f"FROM ({_ORACLES['cell_counter']})"),
+     ("multi_table_union",
+      "SELECT rk, family, qualifier, n_cells AS n "
+      f"FROM ({_ORACLES['multi_table_union_scan']})")],
+    ["rk", "family", "qualifier", "n"],
 )
+
+def _sync_cell_arm(fn):
+    def run(spark, sf):
+        return fn(spark, sf).select(
+            "rk", "qualifier", "kind", F.lit(None).cast("long").alias("n")
+        )
+
+    return run
+
+
+def _verify_summary_arm(spark, sf):
+    return q_verify_replication(spark, sf).select(
+        F.lit("").alias("rk"), F.lit("").alias("qualifier"),
+        "kind", F.col("cells").alias("n"),
+    )
+
+
+_SYNC_NULL_N = "CAST(NULL AS BIGINT) AS n"
 
 _register_suite(
     "sync_table_suite",
-    [("diff", q_sync_table_diff), ("repair", q_sync_repair_roundtrip)],
-    [("diff", _ORACLES["sync_table_diff"]),
-     ("repair", _ORACLES["sync_repair_roundtrip"])],
-    ["rk", "qualifier", "kind"],
+    [("diff", _sync_cell_arm(q_sync_table_diff)),
+     ("repair", _sync_cell_arm(q_sync_repair_roundtrip)),
+     ("verify", _verify_summary_arm)],
+    [("diff",
+      f"SELECT rk, qualifier, kind, {_SYNC_NULL_N} "
+      f"FROM ({_ORACLES['sync_table_diff']})"),
+     ("repair",
+      f"SELECT rk, qualifier, kind, {_SYNC_NULL_N} "
+      f"FROM ({_ORACLES['sync_repair_roundtrip']})"),
+     ("verify",
+      "SELECT '' AS rk, '' AS qualifier, kind, cells AS n "
+      f"FROM ({_ORACLES['verify_replication']})")],
+    ["rk", "qualifier", "kind", "n"],
 )
 
 
@@ -2917,11 +2955,13 @@ def _tsv_arm(spark, sf):
 
 _register_suite(
     "file_roundtrip_suite",
-    [("import_tsv", _tsv_arm), ("export_import", q_export_import_rename)],
+    [("import_tsv", _tsv_arm), ("export_import", q_export_import_rename),
+     ("copy_table", q_copy_table_rename)],
     [("import_tsv",
       "SELECT rk, 'o' AS family, qualifier, value "
       f"FROM ({_ORACLES['import_tsv_roundtrip']})"),
-     ("export_import", _ORACLES["export_import_rename"])],
+     ("export_import", _ORACLES["export_import_rename"]),
+     ("copy_table", _ORACLES["copy_table_rename"])],
     ["rk", "family", "qualifier", "value"],
 )
 
@@ -2978,10 +3018,113 @@ ranked AS (
 SELECT doc_id, CAST(ts AS VARCHAR) AS value FROM ranked WHERE rn = 1
 """
 
+def _repetition_arm(spark, sf):
+    """Gopher-style repetition signals (functions/text.py
+    repetition_features): all-integer 2-gram duplication and
+    top-token-frequency counts, rendered as one value string."""
+    from hbase_spark.functions.text import repetition_features
+
+    docs = load_table(spark, sf, "documents")
+    f = repetition_features("text")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            f["n_tokens"].cast("string"),
+            f["n_2grams"].cast("string"),
+            f["n_distinct_2grams"].cast("string"),
+            f["top_token_count"].cast("string"),
+        ).alias("value"),
+    )
+
+
+_TOKS_DUCK = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+g AS (SELECT doc_id, toks, CASE
+        WHEN len(toks) >= 2 THEN list_transform(
+            range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')]
+      END AS g2 FROM t),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+freq AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+top AS (SELECT doc_id, max(c) AS topc FROM freq GROUP BY doc_id)
+SELECT g.doc_id,
+       CAST(len(toks) AS VARCHAR) || ':' || CAST(len(g2) AS VARCHAR)
+       || ':' || CAST(len(list_distinct(g2)) AS VARCHAR)
+       || ':' || CAST(coalesce(topc, 0) AS VARCHAR) AS value
+FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+"""
+
+
+def _decontaminate_arm(spark, sf):
+    """Benchmark decontamination (functions/text.py contamination):
+    eval corpus = every 97th doc; per remaining training doc, the
+    count of distinct word-5-grams shared with any eval doc."""
+    from hbase_spark.functions.text import contamination
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    out = contamination(tr, ev, n=5)
+    return out.select(
+        "doc_id", F.col("n_contaminated").cast("string").alias("value")
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+g AS (SELECT doc_id, CASE
+        WHEN len(toks) >= 5 THEN list_transform(
+            range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 || ' ' || toks[i+3] || ' ' || toks[i+4])
+        ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')]
+      END AS g5 FROM t),
+tg AS (SELECT doc_id, unnest(list_distinct(g5)) AS gr FROM g
+       WHERE doc_id % 97 <> 0),
+ev AS (SELECT DISTINCT gr FROM
+       (SELECT unnest(list_distinct(g5)) AS gr FROM g WHERE doc_id % 97 = 0)),
+cnt AS (SELECT doc_id, count(*) AS c FROM tg JOIN ev USING (gr)
+        GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(c, 0) AS VARCHAR) AS value
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN cnt USING (doc_id)
+"""
+
+
+def _sample_arm(spark, sf):
+    """Deterministic stratified sampling (functions/text.py
+    stratified_sample): portable md5-bucket per doc, per-language
+    rates (downsample en, upsample zh) — the corpus-mixing step."""
+    from hbase_spark.functions.text import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    out = stratified_sample(
+        docs, {"en": 0.3, "zh": 0.8}, group_col="lang", default_rate=0.5
+    )
+    return out.select("doc_id", F.col("lang").alias("value"))
+
+
+_SAMPLE_SQL = """
+SELECT doc_id, lang AS value FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8))
+           AS BIGINT) % 1000000
+      < CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 800000
+                  ELSE 500000 END
+"""
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
-     ("stream_dedup_twin", _stream_dedup_twin_arm)],
+     ("stream_dedup_twin", _stream_dedup_twin_arm),
+     ("repetition", _repetition_arm),
+     ("decontaminate", _decontaminate_arm),
+     ("sample_stratified", _sample_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -2990,7 +3133,10 @@ _register_suite(
       f"FROM ({_ORACLES['doc_token_stats']})"),
      ("lang_id",
       f"SELECT doc_id, lang_pred AS value FROM ({_ORACLES['doc_language_id']})"),
-     ("stream_dedup_twin", _STREAM_DEDUP_TWIN_SQL)],
+     ("stream_dedup_twin", _STREAM_DEDUP_TWIN_SQL),
+     ("repetition", _REPETITION_SQL),
+     ("decontaminate", _DECONTAMINATE_SQL),
+     ("sample_stratified", _SAMPLE_SQL)],
     ["doc_id", "value"],
 )
 
@@ -3110,13 +3256,13 @@ _WINDOW = [
     "agg_endpoint_range",
     "counter_suite",
     "sync_table_suite",
-    "verify_replication",
-    "copy_table_rename",
+    "doc_chunking",
+    "doc_packing",
     "file_roundtrip_suite",
     "bulk_load_pruned_scan",
     "wal_replay_window",
     "admin_shell_roundtrip",
-    "multi_table_union_scan",
+    "doc_quality",
     "stream_replication_merge",
     "backup_restore_pit",
     "write_heavy_increment",
@@ -3137,19 +3283,20 @@ _WINDOW = [
 
 # After the window: extra variants (all still hash-checked by
 # tools/check_parity.py when they carry an oracle — doc_ngram_jaccard,
-# doc_quality, the fine-grained qualifier-projection scan, the pandas
-# cosine twin) and the genuinely rows-only queries (SimHash internals
-# are hash-seeded; multimodal is a plumbing check; the raw ann/ivf
-# top-k variants are recall-gated + hash-checked in-window via
-# embedding_ann_suite).
+# the fine-grained qualifier-projection scan, the pandas cosine twin,
+# and the standalone forms of copy_table / multi-table union / verify
+# whose semantics are also hash-checked in-window as suite arms) and
+# the genuinely rows-only queries (SimHash internals are hash-seeded;
+# multimodal is a plumbing check; the raw ann/ivf top-k variants are
+# recall-gated + hash-checked in-window via embedding_ann_suite).
 _TAIL = [
-    "doc_chunking",
-    "doc_packing",
     "doc_ngram_jaccard",
     "pivot_wide_orders",
     "scan_qualifier_projection",
     "embedding_cosine_topk_pandas",
-    "doc_quality",
+    "copy_table_rename",
+    "multi_table_union_scan",
+    "verify_replication",
     "doc_simhash_near_dups",
     "embedding_ivf_topk",
     "embedding_ann_topk",

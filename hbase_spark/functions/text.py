@@ -188,6 +188,158 @@ def chunk_documents(
     )
 
 
+_ASCII_SPLIT = "[^a-z0-9]+"
+
+
+def _ascii_tokens(col: str | Column) -> Column:
+    """ASCII-alnum tokenization — the portable tokenizer shared with
+    the dedup shingle paths and every SQL oracle (DuckDB mirrors it as
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), _ASCII_SPLIT), lambda t: t != "")
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram array with the shingle short-doc convention: docs
+    shorter than ``n`` tokens yield one whole-doc gram (token-less
+    docs the empty gram)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def repetition_features(col: str | Column = "text") -> dict[str, Column]:
+    """Gopher-style repetition signals, all integers so the SQL oracle
+    can match bit-for-bit: total / distinct word-2-gram counts (their
+    gap is the duplicate-2-gram mass) and the frequency of the single
+    most repeated token.  Everything is a pure array expression over
+    one tokenization — a single map stage, no explode, no shuffle, so
+    at 100 TB the filter costs one pass like the other quality scores.
+
+    The top-token count runs over ``sort_array(tokens)`` with one
+    ``aggregate`` fold (longest equal-run), avoiding the
+    explode + groupBy a naive word count would need per document.
+    """
+    toks = _ascii_tokens(col)
+    g2 = _word_ngrams(toks, 2)
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return {
+        "n_tokens": F.size(toks),
+        "n_2grams": F.size(g2),
+        "n_distinct_2grams": F.size(F.array_distinct(g2)),
+        "top_token_count": F.aggregate(
+            F.sort_array(toks), run0, _step, lambda acc: acc["best"]
+        ),
+    }
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word-``n``-grams appear anywhere in the eval corpus.
+    Output: (id, n_contaminated) for every row of ``docs`` — filter
+    ``n_contaminated == 0`` to keep the clean set, or keep the count
+    as an audit column.
+
+    Scale shape: the eval side reduces to a distinct-gram frame that
+    is tiny relative to the corpus (benchmarks are small by
+    construction), so Spark broadcasts it; the training side is a map
+    stage (tokenize once, distinct grams per doc, explode) feeding a
+    broadcast hash join + partially-aggregated count — the full corpus
+    text is never shuffled.  An eval corpus too large to broadcast
+    degrades gracefully to a shuffle join on the gram string.
+    """
+    ev = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(_word_ngrams(_ascii_tokens(text_col), n))
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    tr = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_word_ngrams(_ascii_tokens(text_col), n))
+        ).alias("_g"),
+    )
+    hits = (
+        tr.join(ev, "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row with its
+    group's rate, decided by a portable md5 bucket of the id (same
+    scheme as RandomRowFilter — first 32 bits of ``md5(id || seed)``
+    mod 1e6), so the sample is reproducible run-to-run, stable under
+    repartitioning, and verifiable against any SQL engine.  This is
+    the corpus-mixing step of a training pipeline (e.g. upsample rare
+    languages, downsample boilerplate sources) as one scan-stage
+    predicate — no shuffle, no RNG state.
+    """
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1_000_000),
+    )
+    rate = F.lit(int(default_rate * 1_000_000))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, int(r * 1_000_000)).otherwise(rate)
+    return docs.filter(bucket < rate)
+
+
 def pack_chunks(
     chunks: DataFrame,
     *,

@@ -761,3 +761,75 @@ def test_pack_chunks_budget_and_determinism(spark):
     for s in (0, 1):
         ids = sorted({r.pack_id for r in out if r.shard == s})
         assert ids == list(range(len(ids)))
+
+
+def test_repetition_features_counts(spark):
+    from hbase_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # tokens [a,b,a,b,a]; 2grams: ab ba ab ba
+            (2, "x x x x"),            # maximal repetition
+            (3, "one two three four"),  # no repetition
+            (4, ""),                   # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    f = repetition_features("text")
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", f["n_tokens"].alias("nt"), f["n_2grams"].alias("n2"),
+            f["n_distinct_2grams"].alias("nd"), f["top_token_count"].alias("tc"),
+        ).collect()
+    }
+    assert (rows[1].nt, rows[1].n2, rows[1].nd, rows[1].tc) == (5, 4, 2, 3)
+    assert (rows[2].nt, rows[2].n2, rows[2].nd, rows[2].tc) == (4, 3, 1, 4)
+    assert (rows[3].nt, rows[3].n2, rows[3].nd, rows[3].tc) == (4, 3, 3, 1)
+    # empty doc: whole-doc '' gram, zero top-token run
+    assert (rows[4].nt, rows[4].n2, rows[4].nd, rows[4].tc) == (0, 1, 1, 0)
+
+
+def test_contamination_counts_shared_ngrams(spark):
+    from hbase_spark.functions.text import contamination
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            # shares the 5-grams starting at alpha and beta
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            # no 5-gram overlap (different tail)
+            (2, "alpha beta gamma delta other words here"),
+            (3, "completely unrelated text goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_contaminated for r in contamination(tr, ev, n=5).collect()}
+    assert got == {1: 2, 2: 0, 3: 0}
+    # every training doc gets a row even with zero hits
+    assert len(got) == 3
+
+
+def test_stratified_sample_deterministic_and_rate_scoped(spark):
+    from hbase_spark.functions.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out1 = stratified_sample(docs, {"en": 0.0, "zh": 1.0})
+    kept1 = {r.doc_id for r in out1.collect()}
+    # rate 0 drops every en doc, rate 1 keeps every zh doc
+    assert kept1 == {i for i in range(400) if i % 2 == 1}
+    # default_rate applies to unknown groups; determinism across runs
+    out2 = stratified_sample(docs, {}, default_rate=0.5)
+    a = {r.doc_id for r in out2.collect()}
+    b = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.5).collect()}
+    assert a == b
+    assert 100 < len(a) < 300  # ~50% of 400, generous band
+    # changing the seed changes the sample
+    c = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.5, seed=7).collect()}
+    assert a != c
