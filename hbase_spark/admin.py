@@ -309,6 +309,11 @@ class Admin:
                 F.min("row").alias("start_key"),
                 F.max("row").alias("end_key"),
                 F.count("*").alias("cell_count"),
+                F.sum(
+                    F.octet_length("row")
+                    + F.octet_length("qualifier")
+                    + F.coalesce(F.octet_length("value"), F.lit(0))
+                ).alias("data_bytes"),
             )
             .orderBy("start_key")
         )
@@ -399,7 +404,9 @@ class Admin:
 
     def split_region(self, name: str, split_point) -> None:
         """shell `split 't', 'splitkey'`: split the region containing
-        ``split_point`` into two daughters at that key."""
+        ``split_point`` into two daughters at that key.  Honors the
+        split master switch (MasterSwitchType.SPLIT)."""
+        self._require_switch("split")
         regions = self.list_regions(name).collect()
         target = next(
             (
@@ -427,7 +434,9 @@ class Admin:
         """shell `merge_region`: merge the (distinct) regions containing
         ``row_a`` and ``row_b`` into one.  Like the reference's
         non-adjacent merge warning, adjacency is not required — the
-        merged file simply covers the union of both ranges."""
+        merged file simply covers the union of both ranges.  Honors the
+        merge master switch (MasterSwitchType.MERGE)."""
+        self._require_switch("merge")
         ra = self.locate_region(name, row_a)
         rb = self.locate_region(name, row_b)
         if ra["region_file"] == rb["region_file"]:
@@ -1154,6 +1163,315 @@ class Admin:
         return self.spark.read.schema(cell_schema()).parquet(
             self._peer_table_dir(peer, name)
         )
+
+    # -- master switches (MasterSwitchType; shell splitormerge_switch /
+    # normalizer_switch / balance_switch) ---------------------------------
+
+    def _switches_path(self) -> str:
+        return f"{self.catalog_dir}/master-switches.json"
+
+    def _read_switches(self) -> dict:
+        try:
+            return self._read_json(self._switches_path(), "switches")
+        except ValueError:
+            return {}
+
+    def set_switch(self, kind: str, enabled: bool) -> bool:
+        """shell `splitormerge_switch` / `normalizer_switch` /
+        `balance_switch`: flip a master switch, returning the PREVIOUS
+        state (the shell prints the old value).  Kinds: split, merge,
+        normalizer, balancer."""
+        if kind not in ("split", "merge", "normalizer", "balancer"):
+            raise ValueError(f"unknown switch {kind!r}")
+        sw = self._read_switches()
+        prev = sw.get(kind, True)
+        sw[kind] = bool(enabled)
+        self._write_json(self._switches_path(), sw)
+        return prev
+
+    def is_switch_enabled(self, kind: str) -> bool:
+        """shell `splitormerge_enabled` / `normalizer_enabled` /
+        `balancer_enabled` — switches default ON like the reference."""
+        return bool(self._read_switches().get(kind, True))
+
+    def _require_switch(self, kind: str) -> None:
+        if not self.is_switch_enabled(kind):
+            raise RuntimeError(f"master switch {kind!r} is disabled")
+
+    # -- region normalizer (master/normalizer/SimpleRegionNormalizer.java:64;
+    # shell `normalize` / `normalizer_switch`).  Region size = logical
+    # cell bytes per region (the reference uses RegionMetrics store-file
+    # MB, SimpleRegionNormalizer.java getRegionSizeMB).  Plans follow the
+    # reference's shape: SPLIT any region larger than 2x the average
+    # (computeSplitNormalizationPlans), MERGE maximal runs of adjacent
+    # regions whose cumulative size stays within the average
+    # (computeMergeNormalizationPlans' region-chain walk), gated on a
+    # minimum region count.  Execution reuses the split/merge region
+    # rewrite discipline, so each plan costs O(affected regions). --------
+
+    def _region_sizes(self, name: str) -> list[dict]:
+        """Region size = logical cell bytes (keys + values) from the
+        layout scan, not file bytes — the parquet bloom-filter bitmap
+        puts a ~1 MB floor under every file, which would mask real
+        skew at small scales; the reference's store-file MB metric has
+        the same intent (data mass per region)."""
+        return [
+            {
+                "region_file": r.region_file,
+                "start_key": r.start_key,
+                "end_key": r.end_key,
+                "bytes": int(r.data_bytes or 0),
+            }
+            for r in self.list_regions(name).collect()
+        ]
+
+    def compute_normalization_plans(
+        self,
+        name: str,
+        *,
+        merge_min_region_count: int = 3,
+        target_region_size_bytes: int | None = None,
+        merge_request_max_regions: int = 50,
+    ) -> list[dict]:
+        """The planning half of ``normalize`` (dry run)."""
+        regions = self._region_sizes(name)
+        if not regions:
+            return []
+        if target_region_size_bytes:
+            avg = float(target_region_size_bytes)
+        else:
+            avg = sum(r["bytes"] for r in regions) / len(regions)
+        plans: list[dict] = []
+        if self.is_switch_enabled("split"):
+            for r in regions:
+                if r["bytes"] > 2 * avg:
+                    plans.append(
+                        {"type": "split", "start_key": r["start_key"],
+                         "bytes": r["bytes"]}
+                    )
+        split_keys = {p["start_key"] for p in plans}
+        if (
+            self.is_switch_enabled("merge")
+            and len(regions) >= merge_min_region_count
+        ):
+            run: list[dict] = []
+            run_bytes = 0
+
+            def _flush_run():
+                if len(run) >= 2:
+                    plans.append(
+                        {
+                            "type": "merge",
+                            "start_keys": [m["start_key"] for m in run],
+                            "bytes": run_bytes,
+                        }
+                    )
+
+            for r in regions:
+                if r["start_key"] in split_keys:
+                    _flush_run()
+                    run, run_bytes = [], 0
+                    continue
+                if (
+                    not run
+                    or (
+                        run_bytes + r["bytes"] <= avg
+                        and len(run) < merge_request_max_regions
+                    )
+                ):
+                    run.append(r)
+                    run_bytes += r["bytes"]
+                else:
+                    _flush_run()
+                    run, run_bytes = [r], r["bytes"]
+            _flush_run()
+        return plans
+
+    def _merge_region_files(self, name: str, files: list[str]) -> None:
+        merged = self.spark.read.parquet(
+            *[self._local_path(f) for f in files]
+        )
+
+        def write_parts(new_root, fam_dir, v):
+            self._write_region_file(
+                merged, new_root, fam_dir, f"merge-v{v}.parquet"
+            )
+
+        self._rewrite_regions(name, files, write_parts)
+
+    def _split_point_of(self, region_file: str):
+        """Median distinct row of a region — the reference splits at the
+        storefile midkey (SplitNormalizationPlan).  Bounded work: one
+        region file, one small job."""
+        rows = (
+            self.spark.read.parquet(self._local_path(region_file))
+            .select("row")
+            .distinct()
+        )
+        n = rows.count()
+        if n < 2:
+            return None
+        return rows.orderBy("row").offset(n // 2).limit(1).first()["row"]
+
+    def normalize(self, name: str, **plan_kw) -> list[dict]:
+        """shell `normalize`: compute and execute normalization plans.
+        Returns the executed plan list.  Merges run before splits (the
+        region chain walked over the pre-plan geometry); every plan
+        re-resolves its member regions by start key, because each
+        rewrite produces a new version dir."""
+        self._require_switch("normalizer")
+        plans = self.compute_normalization_plans(name, **plan_kw)
+        for p in plans:
+            if p["type"] != "merge":
+                continue
+            by_start = {
+                r["start_key"]: r["region_file"]
+                for r in self._region_sizes(name)
+            }
+            self._merge_region_files(
+                name, [by_start[k] for k in p["start_keys"]]
+            )
+        for p in plans:
+            if p["type"] != "split":
+                continue
+            by_start = {
+                r["start_key"]: r["region_file"]
+                for r in self._region_sizes(name)
+            }
+            split_at = self._split_point_of(by_start[p["start_key"]])
+            if split_at is not None:
+                self.split_region(name, split_at)
+                p["split_point"] = split_at
+        return plans
+
+    # -- region server groups (rsgroup/RSGroupAdminClient.java:61,
+    # RSGroupInfoManagerImpl.java; shell add_rsgroup / move_tables_rsgroup
+    # / balance_rsgroup ...).  A group is a named resource pool: a set of
+    # symbolic server names plus the tables pinned to them
+    # (RSGroupBasedLoadBalancer constrains a group's tables to its
+    # servers).  The analytic consequence here: ``balance_rsgroup``
+    # re-buckets each member table's layout to a region count
+    # proportional to the group's capacity, so a table moved to a
+    # bigger/smaller pool physically re-partitions on the next balance.
+
+    _DEFAULT_RSGROUP = "default"
+
+    def _rsgroups_path(self) -> str:
+        return f"{self.catalog_dir}/rsgroups.json"
+
+    def _read_rsgroups(self) -> dict:
+        try:
+            return self._read_json(self._rsgroups_path(), "rsgroups")
+        except ValueError:
+            return {}
+
+    def add_rsgroup(self, group: str) -> None:
+        """RSGroupAdminClient.addRSGroup (:143)."""
+        groups = self._read_rsgroups()
+        if group == self._DEFAULT_RSGROUP or group in groups:
+            raise ValueError(f"rsgroup {group!r} already exists")
+        groups[group] = {"servers": [], "tables": []}
+        self._write_json(self._rsgroups_path(), groups)
+
+    def remove_rsgroup(self, group: str) -> None:
+        """RSGroupAdminClient.removeRSGroup (:155) — must be empty."""
+        groups = self._read_rsgroups()
+        if group == self._DEFAULT_RSGROUP:
+            raise ValueError("cannot remove the default rsgroup")
+        if group not in groups:
+            raise ValueError(f"rsgroup {group!r} does not exist")
+        if groups[group]["servers"] or groups[group]["tables"]:
+            raise ValueError(f"rsgroup {group!r} is not empty")
+        del groups[group]
+        self._write_json(self._rsgroups_path(), groups)
+
+    def list_rsgroups(self) -> dict:
+        """RSGroupAdminClient.listRSGroups (:181), including the
+        implicit default group (unassigned tables live there)."""
+        groups = dict(self._read_rsgroups())
+        assigned = {t for g in groups.values() for t in g["tables"]}
+        groups[self._DEFAULT_RSGROUP] = {
+            "servers": [],
+            "tables": sorted(set(self.list_tables()) - assigned),
+        }
+        return groups
+
+    def get_rsgroup(self, group: str) -> dict:
+        """RSGroupAdminClient.getRSGroupInfo (:73)."""
+        groups = self.list_rsgroups()
+        if group not in groups:
+            raise ValueError(f"rsgroup {group!r} does not exist")
+        return groups[group]
+
+    def get_rsgroup_of_table(self, name: str) -> str:
+        """RSGroupAdminClient.getRSGroupInfoOfTable (:89)."""
+        for g, info in self._read_rsgroups().items():
+            if name in info["tables"]:
+                return g
+        return self._DEFAULT_RSGROUP
+
+    def get_rsgroup_of_server(self, server: str) -> str | None:
+        """RSGroupAdminClient.getRSGroupOfServer (:199)."""
+        for g, info in self._read_rsgroups().items():
+            if server in info["servers"]:
+                return g
+        return None
+
+    def move_servers_rsgroup(self, servers: list[str], target: str) -> None:
+        """RSGroupAdminClient.moveServers (:106): reassign servers from
+        whichever group holds them into ``target``."""
+        groups = self._read_rsgroups()
+        if target not in groups:
+            raise ValueError(f"rsgroup {target!r} does not exist")
+        for info in groups.values():
+            info["servers"] = [s for s in info["servers"] if s not in servers]
+        groups[target]["servers"] = sorted(
+            set(groups[target]["servers"]) | set(servers)
+        )
+        self._write_json(self._rsgroups_path(), groups)
+
+    def remove_servers_rsgroup(self, servers: list[str]) -> None:
+        """RSGroupAdminClient.removeServers (:249) — decommission."""
+        groups = self._read_rsgroups()
+        for info in groups.values():
+            info["servers"] = [s for s in info["servers"] if s not in servers]
+        self._write_json(self._rsgroups_path(), groups)
+
+    def move_tables_rsgroup(self, tables: list[str], target: str) -> None:
+        """RSGroupAdminClient.moveTables (:125).  Moving to 'default'
+        unpins the tables."""
+        groups = self._read_rsgroups()
+        if target != self._DEFAULT_RSGROUP and target not in groups:
+            raise ValueError(f"rsgroup {target!r} does not exist")
+        for name in tables:
+            if not self.table_exists(name):
+                raise ValueError(f"table {name!r} does not exist")
+        for info in groups.values():
+            info["tables"] = [t for t in info["tables"] if t not in tables]
+        if target != self._DEFAULT_RSGROUP:
+            groups[target]["tables"] = sorted(
+                set(groups[target]["tables"]) | set(tables)
+            )
+        self._write_json(self._rsgroups_path(), groups)
+
+    def balance_rsgroup(
+        self, group: str, *, regions_per_server: int = 4
+    ) -> dict[str, int]:
+        """RSGroupAdminClient.balanceRSGroup (:168): re-bucket every
+        enabled member table to ``servers x regions_per_server``
+        regions, so layout parallelism tracks the group's capacity.
+        Returns {table: new_region_count}; honors the balancer switch."""
+        self._require_switch("balancer")
+        info = self.get_rsgroup(group)
+        n_regions = max(1, len(info["servers"]) * regions_per_server)
+        out: dict[str, int] = {}
+        for name in info["tables"]:
+            if not self.is_table_enabled(name):
+                continue
+            self.flush(name, self.table(name), num_regions=n_regions,
+                       action="compact")
+            out[name] = n_regions
+        return out
 
 
 def canary(admin: Admin, tables: list[str] | None = None) -> dict:

@@ -626,3 +626,87 @@ def shell_top(admin, n: int = 10) -> list[dict]:
                  "end_key": r.end_key, "cells": r.cell_count}
             )
     return sorted(rows, key=lambda x: -x["cells"])[:n]
+
+
+# -- normalizer / master switches (shell/commands/normalize.rb,
+# normalizer_switch.rb, normalizer_enabled.rb, splitormerge_switch.rb,
+# splitormerge_enabled.rb, balance_switch.rb, balancer_enabled.rb) ----
+
+
+def shell_normalize(admin, name: str, **plan_kw) -> list[dict]:
+    """shell `normalize` — run the region normalizer on one table."""
+    return admin.normalize(name, **plan_kw)
+
+
+def shell_normalizer_switch(admin, enabled: bool) -> bool:
+    """shell `normalizer_switch true|false` — returns previous state."""
+    return admin.set_switch("normalizer", enabled)
+
+
+def shell_normalizer_enabled(admin) -> bool:
+    return admin.is_switch_enabled("normalizer")
+
+
+def shell_splitormerge_switch(admin, kind: str, enabled: bool) -> bool:
+    """shell `splitormerge_switch 'SPLIT'|'MERGE', true|false`."""
+    return admin.set_switch(kind.lower(), enabled)
+
+
+def shell_splitormerge_enabled(admin, kind: str) -> bool:
+    return admin.is_switch_enabled(kind.lower())
+
+
+def shell_balance_switch(admin, enabled: bool) -> bool:
+    """shell `balance_switch true|false` — returns previous state."""
+    return admin.set_switch("balancer", enabled)
+
+
+def shell_balancer_enabled(admin) -> bool:
+    return admin.is_switch_enabled("balancer")
+
+
+# -- rsgroups (hbase-shell rsgroup commands: add_rsgroup.rb,
+# remove_rsgroup.rb, list_rsgroups.rb, get_rsgroup.rb,
+# move_servers_rsgroup.rb, move_tables_rsgroup.rb,
+# balance_rsgroup.rb, get_table_rsgroup.rb, get_server_rsgroup.rb,
+# remove_servers_rsgroup.rb) ------------------------------------------
+
+
+def shell_add_rsgroup(admin, group: str) -> None:
+    admin.add_rsgroup(group)
+
+
+def shell_remove_rsgroup(admin, group: str) -> None:
+    admin.remove_rsgroup(group)
+
+
+def shell_list_rsgroups(admin) -> dict:
+    return admin.list_rsgroups()
+
+
+def shell_get_rsgroup(admin, group: str) -> dict:
+    return admin.get_rsgroup(group)
+
+
+def shell_get_table_rsgroup(admin, name: str) -> str:
+    return admin.get_rsgroup_of_table(name)
+
+
+def shell_get_server_rsgroup(admin, server: str) -> str | None:
+    return admin.get_rsgroup_of_server(server)
+
+
+def shell_move_servers_rsgroup(admin, servers: list[str], group: str) -> None:
+    admin.move_servers_rsgroup(servers, group)
+
+
+def shell_move_tables_rsgroup(admin, tables: list[str], group: str) -> None:
+    admin.move_tables_rsgroup(tables, group)
+
+
+def shell_remove_servers_rsgroup(admin, servers: list[str]) -> None:
+    admin.remove_servers_rsgroup(servers)
+
+
+def shell_balance_rsgroup(admin, group: str, **kw) -> dict[str, int]:
+    return admin.balance_rsgroup(group, **kw)

@@ -848,3 +848,183 @@ def test_shell_top_orders_regions_by_heat(catalog):
     assert len(top) == 2
     assert top[0]["cells"] >= top[1]["cells"]
     assert top[0]["table"] == "hot"
+
+
+# -- master switches + region normalizer
+# (master/normalizer/SimpleRegionNormalizer.java; shell normalize /
+# normalizer_switch / splitormerge_switch) ------------------------------
+
+
+def test_master_switches_gate_split_and_merge(catalog):
+    from hbase_spark.shell import (
+        shell_balance_switch,
+        shell_balancer_enabled,
+        shell_splitormerge_enabled,
+        shell_splitormerge_switch,
+    )
+
+    catalog.create_table("sw", ["f"])
+    t = catalog.table("sw")
+    for i in range(20):
+        t = shell_put(t, f"r{i:03d}", "f:q", str(i), ts=1, seq=i)
+    catalog.flush("sw", t, num_regions=4)
+
+    assert shell_splitormerge_enabled(catalog, "SPLIT")
+    prev = shell_splitormerge_switch(catalog, "SPLIT", False)
+    assert prev is True
+    with pytest.raises(RuntimeError):
+        catalog.split_region("sw", "r010")
+    shell_splitormerge_switch(catalog, "SPLIT", True)
+
+    shell_splitormerge_switch(catalog, "MERGE", False)
+    with pytest.raises(RuntimeError):
+        catalog.merge_region("sw", "r000", "r015")
+    shell_splitormerge_switch(catalog, "MERGE", True)
+
+    assert shell_balancer_enabled(catalog)
+    assert shell_balance_switch(catalog, False) is True
+    assert not shell_balancer_enabled(catalog)
+    shell_balance_switch(catalog, True)
+
+
+def test_normalizer_merges_small_and_splits_large_regions(catalog):
+    """Seed a deliberately skewed layout (one huge region, many tiny
+    ones), then normalize: tiny adjacent regions merge, the oversized
+    region splits, data survives, and range pruning still holds on the
+    rewritten geometry."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.shell import (
+        shell_normalize,
+        shell_normalizer_enabled,
+        shell_normalizer_switch,
+    )
+
+    catalog.create_table("norm", ["f"])
+    t = catalog.table("norm")
+    seq = 0
+    # rows r000..r399: big payloads -> after a 4-way flush + manual
+    # splits we get small edge regions and one fat middle region
+    for i in range(120):
+        t = shell_put(t, f"r{i:03d}", "f:q", "x" * (400 if i >= 40 else 4), ts=1, seq=seq)
+        seq += 1
+    catalog.flush("norm", t, num_regions=2)
+    # carve the small-prefix half into 4 tiny regions
+    for sp in ("r010", "r020", "r030"):
+        catalog.split_region("norm", sp)
+    n0 = catalog.list_regions("norm").count()
+    assert n0 == 5
+    before = {r.row: r.value for r in catalog.table("norm").snapshot().collect()}
+
+    # switch off -> normalize refuses
+    shell_normalizer_switch(catalog, False)
+    assert not shell_normalizer_enabled(catalog)
+    with pytest.raises(RuntimeError):
+        catalog.normalize("norm")
+    shell_normalizer_switch(catalog, True)
+
+    plans = shell_normalize(catalog, "norm", merge_min_region_count=3)
+    kinds = {p["type"] for p in plans}
+    assert "merge" in kinds and "split" in kinds
+    regions = catalog.list_regions("norm").collect()
+    # tiny regions merged; the fat region split into two daughters
+    ranges = sorted((r.start_key, r.end_key) for r in regions)
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))
+    after = {r.row: r.value for r in catalog.table("norm").snapshot().collect()}
+    assert after == before
+    # pruning contract: a scan above the old split keys touches only
+    # files whose range overlaps
+    touched = {
+        r.f
+        for r in catalog.table("norm")
+        .cells.filter(F.col("row") >= "r100")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    overlapping = {r.region_file for r in regions if r.end_key >= "r100"}
+    assert touched <= overlapping and touched
+    # dry-run planner is idempotent-ish: geometry is now balanced
+    # enough that no further split of that size is demanded
+    plans2 = catalog.compute_normalization_plans("norm", merge_min_region_count=3)
+    assert all(p["type"] != "split" or p["bytes"] < 2 * sum(
+        r["bytes"] for r in catalog._region_sizes("norm")
+    ) for p in plans2)
+
+
+# -- rsgroups (rsgroup/RSGroupAdminClient.java; shell rsgroup cmds) -----
+
+
+def test_rsgroup_lifecycle_and_membership(catalog):
+    from hbase_spark.shell import (
+        shell_add_rsgroup,
+        shell_get_rsgroup,
+        shell_get_server_rsgroup,
+        shell_get_table_rsgroup,
+        shell_list_rsgroups,
+        shell_move_servers_rsgroup,
+        shell_move_tables_rsgroup,
+        shell_remove_rsgroup,
+        shell_remove_servers_rsgroup,
+    )
+
+    catalog.create_table("ga", ["f"])
+    catalog.create_table("gb", ["f"])
+    shell_add_rsgroup(catalog, "analytics")
+    with pytest.raises(ValueError):
+        shell_add_rsgroup(catalog, "analytics")
+    with pytest.raises(ValueError):
+        shell_add_rsgroup(catalog, "default")
+
+    shell_move_servers_rsgroup(catalog, ["s1:16020", "s2:16020"], "analytics")
+    shell_move_tables_rsgroup(catalog, ["ga"], "analytics")
+    assert shell_get_table_rsgroup(catalog, "ga") == "analytics"
+    assert shell_get_table_rsgroup(catalog, "gb") == "default"
+    assert shell_get_server_rsgroup(catalog, "s1:16020") == "analytics"
+    assert shell_get_server_rsgroup(catalog, "nope:1") is None
+    info = shell_get_rsgroup(catalog, "analytics")
+    assert info["servers"] == ["s1:16020", "s2:16020"]
+    assert info["tables"] == ["ga"]
+    # default group lists unassigned tables
+    assert "gb" in shell_list_rsgroups(catalog)["default"]["tables"]
+
+    # non-empty group cannot be removed; moving out empties it
+    with pytest.raises(ValueError):
+        shell_remove_rsgroup(catalog, "analytics")
+    shell_move_tables_rsgroup(catalog, ["ga"], "default")
+    shell_remove_servers_rsgroup(catalog, ["s1:16020", "s2:16020"])
+    shell_remove_rsgroup(catalog, "analytics")
+    assert "analytics" not in shell_list_rsgroups(catalog)
+    with pytest.raises(ValueError):
+        shell_move_tables_rsgroup(catalog, ["ga"], "gone")
+    with pytest.raises(ValueError):
+        shell_move_tables_rsgroup(catalog, ["missing_table"], "default")
+
+
+def test_balance_rsgroup_rebuckets_member_tables(catalog):
+    """balance_rsgroup re-buckets each member table's layout to the
+    group's capacity (servers x regions_per_server) — the
+    RSGroupBasedLoadBalancer consequence with analytic teeth: moving a
+    table to a bigger pool increases its physical parallelism."""
+    from hbase_spark.shell import shell_balance_rsgroup
+
+    catalog.create_table("bt", ["f"])
+    t = catalog.table("bt")
+    for i in range(40):
+        t = shell_put(t, f"r{i:03d}", "f:q", str(i), ts=1, seq=i)
+    catalog.flush("bt", t, num_regions=2)
+    assert catalog.list_regions("bt").count() == 2
+
+    catalog.add_rsgroup("pool")
+    catalog.move_servers_rsgroup(["a:1", "b:1", "c:1"], "pool")
+    catalog.move_tables_rsgroup(["bt"], "pool")
+    before = {r.row: r.value for r in catalog.table("bt").snapshot().collect()}
+    out = shell_balance_rsgroup(catalog, "pool", regions_per_server=2)
+    assert out == {"bt": 6}
+    assert catalog.list_regions("bt").count() == 6
+    assert {r.row: r.value
+            for r in catalog.table("bt").snapshot().collect()} == before
+    # balancer switch gates it
+    catalog.set_switch("balancer", False)
+    with pytest.raises(RuntimeError):
+        shell_balance_rsgroup(catalog, "pool")
