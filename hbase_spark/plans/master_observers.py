@@ -24,6 +24,16 @@ Hook-to-reference mapping (MasterObserver.java):
   pre/post_set_quota      — preSetUserQuota:1066 family / postSet*Quota
   pre/post_add_peer       — preAddReplicationPeer:1494 / postAddReplicationPeer
   pre/post_remove_peer    — preRemoveReplicationPeer / postRemoveReplicationPeer
+  pre/post_split_region   — preSplitRegion:575 / postCompletedSplitRegionAction
+  pre/post_merge_region   — preMergeRegions:1193 / postMergeRegions
+  pre/post_set_switch     — preSetSplitOrMergeEnabled:555
+  pre/post_flush          — preTableFlush:1031 / postTableFlush
+  pre/post_add_rsgroup    — preAddRSGroup:1271 / postAddRSGroup
+  pre/post_remove_rsgroup — preRemoveRSGroup:1289 / postRemoveRSGroup
+  pre/post_move_servers_rsgroup — preMoveServers:1232 / postMoveServers
+  pre/post_move_tables_rsgroup  — preMoveTables:1252 / postMoveTables
+  pre/post_remove_servers_rsgroup — preRemoveServers:1327 / postRemoveServers
+  pre/post_balance_rsgroup — preBalanceRSGroup:1307 / postBalanceRSGroup
 """
 
 from __future__ import annotations
@@ -50,6 +60,16 @@ MASTER_OPS = (
     "set_throttle_quota",
     "add_peer",
     "remove_peer",
+    "split_region",
+    "merge_region",
+    "set_switch",
+    "flush",
+    "add_rsgroup",
+    "remove_rsgroup",
+    "move_servers_rsgroup",
+    "move_tables_rsgroup",
+    "remove_servers_rsgroup",
+    "balance_rsgroup",
 )
 
 
@@ -167,6 +187,11 @@ def access_controller(admin, user: str) -> MasterObserver:
         "restore_snapshot", "delete_snapshot", "add_peer", "remove_peer",
         "set_space_quota", "set_throttle_quota", "create_namespace",
         "delete_namespace",
+        # switches and rsgroups are cluster-wide state, not table-scoped
+        # (AccessController requires global ADMIN for them)
+        "set_switch", "add_rsgroup", "remove_rsgroup",
+        "move_servers_rsgroup", "move_tables_rsgroup",
+        "remove_servers_rsgroup", "balance_rsgroup",
     }
 
     def make_check(op, perm):

@@ -322,3 +322,65 @@ def test_access_controller_master_observer(spark):
         assert "t1" in bob.list_tables()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_master_observer_region_switch_and_rsgroup_hooks(spark):
+    """Round-3 MasterObserver widening: region geometry
+    (preSplitRegion:575 / preMergeRegions:1193), master switches
+    (preSetSplitOrMergeEnabled:555), table flush (preTableFlush:1031)
+    and the rsgroup surface (preAddRSGroup:1271, preMoveTables:1252,
+    preBalanceRSGroup:1307) all run through the observer chain —
+    veto-able and audited like the rest of the DDL surface."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from hbase_spark.admin import Admin
+    from hbase_spark.plans.master_observers import (
+        MasterObserver,
+        ObservedAdmin,
+        ddl_audit_observer,
+    )
+    from hbase_spark.shell import shell_put
+
+    d = tempfile.mkdtemp(prefix="hb_mobs2_")
+    try:
+        log = []
+        root = Admin(spark, d)
+        admin = ObservedAdmin(root, [ddl_audit_observer(log)])
+        admin.create_table("rg", ["f"])
+        t = admin.table("rg")
+        for i in range(20):
+            t = shell_put(t, f"r{i:03d}", "f:q", str(i), ts=1, seq=i)
+        admin.flush("rg", t, num_regions=2)
+        admin.split_region("rg", "r005")
+        admin.set_switch("balancer", False)
+        admin.add_rsgroup("pool")
+        admin.move_servers_rsgroup(["s:1"], "pool")
+        admin.move_tables_rsgroup(["rg"], "pool")
+        with pytest.raises(RuntimeError):  # balancer switch off, post skipped
+            admin.balance_rsgroup("pool")
+        ops = [op for op, _ in log]
+        assert ops == [
+            "create_table", "flush", "split_region", "set_switch",
+            "add_rsgroup", "move_servers_rsgroup", "move_tables_rsgroup",
+        ]
+        # veto: a guard observer can refuse region splits outright
+        guard = MasterObserver(
+            pre_split_region=lambda a, k: (_ for _ in ()).throw(
+                PermissionError("no manual splits")
+            )
+        )
+        guarded = ObservedAdmin(root, [guard])
+        with pytest.raises(PermissionError):
+            guarded.split_region("rg", "r010")
+        # rewrite: force rsgroup names lowercase
+        rewriter = MasterObserver(
+            pre_add_rsgroup=lambda a, k: ((a[0].lower(),) + a[1:], k)
+        )
+        admin3 = ObservedAdmin(root, [rewriter])
+        admin3.add_rsgroup("POOL2")
+        assert "pool2" in root.list_rsgroups()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
