@@ -3118,13 +3118,61 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8))
                   ELSE 500000 END
 """
 
+
+def _simhash_clone_arm(spark, sf):
+    """SimHash recall contract (same pattern as the ANN recall suite):
+    exact clones are at Hamming distance 0, so the pigeonhole banding
+    (functions/dedup.py simhash_candidates) must surface EVERY
+    (original, clone) pair.  The arm gates on that in-plan — a
+    regression in signatures/banding/capping drops a pair and raises —
+    and emits the clone pairs, which the oracle recomputes trivially,
+    turning the previously rows-only SimHash path hash-checkable."""
+    from hbase_spark.functions.dedup import simhash_candidates
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    marked = docs.filter(F.col("doc_id") % 25 == 0)
+    clones = marked.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    cands = simhash_candidates(
+        docs.unionByName(clones), max_hamming=3, bands=4
+    )
+    clone_pairs = cands.filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+    found = clone_pairs.agg(F.count("*").alias("_f"))
+    expected = marked.agg(F.count("*").alias("_e"))
+    return (
+        clone_pairs.crossJoin(found)
+        .crossJoin(expected)
+        .select(
+            F.when(
+                F.col("_f") < F.col("_e"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("SimHash missed clone pairs: found "),
+                        F.col("_f").cast("string"),
+                        F.lit(" of "),
+                        F.col("_e").cast("string"),
+                    )
+                ),
+            )
+            .otherwise(F.col("id_a"))
+            .alias("doc_id"),
+            F.col("id_b").cast("string").alias("value"),
+        )
+    )
+
+
+_SIMHASH_CLONES_SQL = """
+SELECT doc_id, CAST(doc_id + 1000000 AS VARCHAR) AS value
+FROM documents WHERE doc_id % 25 = 0
+"""
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
      ("stream_dedup_twin", _stream_dedup_twin_arm),
      ("repetition", _repetition_arm),
      ("decontaminate", _decontaminate_arm),
-     ("sample_stratified", _sample_arm)],
+     ("sample_stratified", _sample_arm),
+     ("simhash_clones", _simhash_clone_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3136,7 +3184,8 @@ _register_suite(
      ("stream_dedup_twin", _STREAM_DEDUP_TWIN_SQL),
      ("repetition", _REPETITION_SQL),
      ("decontaminate", _DECONTAMINATE_SQL),
-     ("sample_stratified", _SAMPLE_SQL)],
+     ("sample_stratified", _SAMPLE_SQL),
+     ("simhash_clones", _SIMHASH_CLONES_SQL)],
     ["doc_id", "value"],
 )
 
