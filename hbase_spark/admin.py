@@ -1234,58 +1234,14 @@ class Admin:
         merge_request_max_regions: int = 50,
     ) -> list[dict]:
         """The planning half of ``normalize`` (dry run)."""
-        regions = self._region_sizes(name)
-        if not regions:
-            return []
-        if target_region_size_bytes:
-            avg = float(target_region_size_bytes)
-        else:
-            avg = sum(r["bytes"] for r in regions) / len(regions)
-        plans: list[dict] = []
-        if self.is_switch_enabled("split"):
-            for r in regions:
-                if r["bytes"] > 2 * avg:
-                    plans.append(
-                        {"type": "split", "start_key": r["start_key"],
-                         "bytes": r["bytes"]}
-                    )
-        split_keys = {p["start_key"] for p in plans}
-        if (
-            self.is_switch_enabled("merge")
-            and len(regions) >= merge_min_region_count
-        ):
-            run: list[dict] = []
-            run_bytes = 0
-
-            def _flush_run():
-                if len(run) >= 2:
-                    plans.append(
-                        {
-                            "type": "merge",
-                            "start_keys": [m["start_key"] for m in run],
-                            "bytes": run_bytes,
-                        }
-                    )
-
-            for r in regions:
-                if r["start_key"] in split_keys:
-                    _flush_run()
-                    run, run_bytes = [], 0
-                    continue
-                if (
-                    not run
-                    or (
-                        run_bytes + r["bytes"] <= avg
-                        and len(run) < merge_request_max_regions
-                    )
-                ):
-                    run.append(r)
-                    run_bytes += r["bytes"]
-                else:
-                    _flush_run()
-                    run, run_bytes = [r], r["bytes"]
-            _flush_run()
-        return plans
+        return plan_normalization(
+            self._region_sizes(name),
+            split_enabled=self.is_switch_enabled("split"),
+            merge_enabled=self.is_switch_enabled("merge"),
+            merge_min_region_count=merge_min_region_count,
+            target_region_size_bytes=target_region_size_bytes,
+            merge_request_max_regions=merge_request_max_regions,
+        )
 
     def _merge_region_files(self, name: str, files: list[str]) -> None:
         merged = self.spark.read.parquet(
@@ -1472,6 +1428,73 @@ class Admin:
                        action="compact")
             out[name] = n_regions
         return out
+
+
+def plan_normalization(
+    regions: list[dict],
+    *,
+    split_enabled: bool = True,
+    merge_enabled: bool = True,
+    merge_min_region_count: int = 3,
+    target_region_size_bytes: int | None = None,
+    merge_request_max_regions: int = 50,
+) -> list[dict]:
+    """Pure planning function behind Admin.compute_normalization_plans
+    (SimpleRegionNormalizer.java:64 computeSplit/MergeNormalizationPlans)
+    — takes [{start_key, bytes}, ...] in key order so the plan laws can
+    be property-tested without a layout.  Invariants (pinned in
+    tests/test_admin_shell.py): split plans only for regions > 2x the
+    average; merge plans are runs of >= 2 ADJACENT regions, none
+    split-flagged, cumulative size <= the average, at most
+    ``merge_request_max_regions`` members."""
+    if not regions:
+        return []
+    if target_region_size_bytes:
+        avg = float(target_region_size_bytes)
+    else:
+        avg = sum(r["bytes"] for r in regions) / len(regions)
+    plans: list[dict] = []
+    if split_enabled:
+        for r in regions:
+            if r["bytes"] > 2 * avg:
+                plans.append(
+                    {"type": "split", "start_key": r["start_key"],
+                     "bytes": r["bytes"]}
+                )
+    split_keys = {p["start_key"] for p in plans}
+    if merge_enabled and len(regions) >= merge_min_region_count:
+        run: list[dict] = []
+        run_bytes = 0
+
+        def _flush_run():
+            if len(run) >= 2:
+                plans.append(
+                    {
+                        "type": "merge",
+                        "start_keys": [m["start_key"] for m in run],
+                        "bytes": run_bytes,
+                    }
+                )
+
+        for r in regions:
+            if r["start_key"] in split_keys:
+                _flush_run()
+                run, run_bytes = [], 0
+                continue
+            if (
+                not run
+                or (
+                    run_bytes + r["bytes"] <= avg
+                    and len(run) < merge_request_max_regions
+                )
+            ):
+                run.append(r)
+                run_bytes += r["bytes"]
+            else:
+                _flush_run()
+                run, run_bytes = [r], r["bytes"]
+        _flush_run()
+    return plans
 
 
 def canary(admin: Admin, tables: list[str] | None = None) -> dict:

@@ -1028,3 +1028,55 @@ def test_balance_rsgroup_rebuckets_member_tables(catalog):
     catalog.set_switch("balancer", False)
     with pytest.raises(RuntimeError):
         shell_balance_rsgroup(catalog, "pool")
+
+
+def test_plan_normalization_property_laws():
+    """Hypothesis laws for the pure normalizer planner
+    (SimpleRegionNormalizer's plan shape): splits only > 2x avg; merge
+    runs are adjacent, disjoint, never split-flagged, cumulative size
+    within the average, and bounded by merge_request_max_regions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_spark.admin import plan_normalization
+
+    sizes = st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=0, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(sizes, st.integers(min_value=2, max_value=6))
+    def law(byte_list, max_merge):
+        regions = [
+            {"start_key": f"k{i:03d}", "bytes": b}
+            for i, b in enumerate(byte_list)
+        ]
+        plans = plan_normalization(
+            regions, merge_request_max_regions=max_merge
+        )
+        if not regions:
+            assert plans == []
+            return
+        avg = sum(byte_list) / len(byte_list)
+        by_key = {r["start_key"]: r["bytes"] for r in regions}
+        order = [r["start_key"] for r in regions]
+        split_keys = set()
+        for p in plans:
+            if p["type"] == "split":
+                assert by_key[p["start_key"]] > 2 * avg
+                split_keys.add(p["start_key"])
+        seen = set()
+        for p in plans:
+            if p["type"] != "merge":
+                continue
+            ks = p["start_keys"]
+            assert len(ks) >= 2
+            assert len(ks) <= max_merge
+            # adjacency in key order, disjoint from other runs and splits
+            idx = [order.index(k) for k in ks]
+            assert idx == list(range(idx[0], idx[0] + len(ks)))
+            assert not (set(ks) & split_keys)
+            assert not (set(ks) & seen)
+            seen |= set(ks)
+            assert sum(by_key[k] for k in ks) <= avg
+
+    law()
