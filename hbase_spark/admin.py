@@ -273,6 +273,33 @@ class Admin:
         }
         self.create_table(dst, fams)
 
+    def compact(self, name: str, *, num_regions: int = 32) -> None:
+        """Admin.compact / shell `compact` — MINOR compaction: coalesce
+        the layout into ``num_regions`` sorted range files as a new
+        immutable version dir.  No cell is dropped (the reference's
+        minor compaction likewise retains deletes —
+        rs/compactions/RatioBasedCompactionPolicy.java picks files,
+        ScanQueryMatcher keeps tombstones); contrast ``major_compact``
+        which applies the tombstone/TTL/version rewrite."""
+        t = self.table(name)
+        self.flush(name, t, num_regions=num_regions, action="compact")
+
+    def compaction_state(self, name: str) -> dict:
+        """Admin.getCompactionState / shell `compaction_state`.  Our
+        compactions are synchronous Spark jobs, so between calls the
+        state is always NONE; the row reports layout version and
+        region count for observability."""
+        desc = self._read_desc(name)
+        try:
+            n = self.list_regions(name).count()
+        except Exception:  # noqa: BLE001 — empty/disabled layout
+            n = 0
+        return {
+            "state": "NONE",
+            "version": desc.get("version", 0),
+            "regions": n,
+        }
+
     def major_compact(self, name: str, *, now: int | None = None,
                       num_regions: int = 32) -> None:
         """Admin.majorCompact / shell `major_compact`: rewrite the

@@ -710,3 +710,13 @@ def shell_remove_servers_rsgroup(admin, servers: list[str]) -> None:
 
 def shell_balance_rsgroup(admin, group: str, **kw) -> dict[str, int]:
     return admin.balance_rsgroup(group, **kw)
+
+
+def shell_compact(admin, name: str, **kw) -> None:
+    """shell `compact 't'` (compact.rb) — minor compaction."""
+    admin.compact(name, **kw)
+
+
+def shell_compaction_state(admin, name: str) -> dict:
+    """shell `compaction_state 't'` (compaction_state.rb)."""
+    return admin.compaction_state(name)

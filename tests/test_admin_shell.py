@@ -1080,3 +1080,34 @@ def test_plan_normalization_property_laws():
             assert sum(by_key[k] for k in ks) <= avg
 
     law()
+
+
+def test_minor_compact_coalesces_without_dropping_cells(catalog):
+    """Admin.compact (minor): many small region files coalesce into the
+    requested count as a new version dir, with every raw cell —
+    including tombstones — retained (RatioBasedCompactionPolicy picks
+    files; minor keeps deletes)."""
+    from hbase_spark.shell import shell_compact, shell_compaction_state
+
+    catalog.create_table("mc", ["f"])
+    t = catalog.table("mc")
+    for i in range(30):
+        t = shell_put(t, f"r{i:03d}", "f:q", str(i), ts=1, seq=i)
+    t = shell_delete(t, "r005", "f:q", ts=2, seq=100)
+    catalog.flush("mc", t, num_regions=8)
+    raw_before = catalog.table("mc").cells.count()
+    assert catalog.list_regions("mc").count() == 8
+    v_before = catalog.describe("mc")["version"]
+
+    shell_compact(catalog, "mc", num_regions=2)
+    assert catalog.list_regions("mc").count() == 2
+    # no cells dropped — the tombstone survives minor compaction
+    assert catalog.table("mc").cells.count() == raw_before
+    assert catalog.table("mc").cells.filter("type != 4").count() == 1
+    # visible data unchanged (r005 still masked)
+    snap = {r.row for r in catalog.table("mc").snapshot().collect()}
+    assert "r005" not in snap and len(snap) == 29
+    st = shell_compaction_state(catalog, "mc")
+    assert st["state"] == "NONE"
+    assert st["version"] == v_before + 1
+    assert st["regions"] == 2
