@@ -3202,6 +3202,15 @@ _register_suite(
 # sf0.001/sf0.01 — deterministic (seeded hyperplanes/centroids, fixed
 # data), so tau=0.8 has a full recall-step of margin.
 
+_register_suite(
+    "stream_backup_suite",
+    [("replication_merge", q_stream_replication_merge),
+     ("backup_pit", q_backup_restore_pit)],
+    [("replication_merge", _ORACLES["stream_replication_merge"]),
+     ("backup_pit", _ORACLES["backup_restore_pit"])],
+    _RTV,
+)
+
 _ANN_TAU = 0.8
 
 
@@ -3312,8 +3321,8 @@ _WINDOW = [
     "wal_replay_window",
     "admin_shell_roundtrip",
     "doc_quality",
-    "stream_replication_merge",
-    "backup_restore_pit",
+    "stream_backup_suite",
+    "doc_ngram_jaccard",
     "write_heavy_increment",
     "ordered_struct_key_scan",
     "visibility_scan",
@@ -3339,7 +3348,8 @@ _WINDOW = [
 # multimodal is a plumbing check; the raw ann/ivf top-k variants are
 # recall-gated + hash-checked in-window via embedding_ann_suite).
 _TAIL = [
-    "doc_ngram_jaccard",
+    "stream_replication_merge",
+    "backup_restore_pit",
     "pivot_wide_orders",
     "scan_qualifier_projection",
     "embedding_cosine_topk_pandas",
