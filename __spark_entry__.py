@@ -2680,13 +2680,41 @@ def _register_suite(name, spark_arms, sql_arms, cols):
 _RQV = ["rk", "qualifier", "value"]
 _RTV = ["rk", "qualifier", "ts", "value"]
 
+_PIVOT_QUALS = [
+    "o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus",
+    "o_totalprice",
+]
+
+
+def _pivot_roundtrip_arm(spark, sf):
+    """Wide-view contract (sources/melt.py pivot_wide, SURVEY §1.6):
+    pivoting the resolved cells to a typed wide frame and unpivoting
+    back must reproduce the visible (rk, qualifier, value) set — the
+    roundtrip law that makes the pivot machinery hash-checkable."""
+    wide = q_pivot_wide_orders(spark, sf)
+    return wide.unpivot(
+        "rk", _PIVOT_QUALS, "qualifier", "value"
+    ).filter(F.col("value").isNotNull())
+
+
+_PIVOT_ROUNDTRIP_SQL = f"""
+WITH w AS ({_ORACLES["pivot_wide_orders"]})
+SELECT rk, qualifier, value FROM (
+  {" UNION ALL ".join(
+      f"SELECT rk, '{q}' AS qualifier, {q} AS value FROM w"
+      for q in _PIVOT_QUALS)}
+) WHERE value IS NOT NULL
+"""
+
 _register_suite(
     "scan_suite",
     [("range", q_scan_range), ("reversed_limit", q_scan_reversed_limit),
-     ("qualifier_projection", q_scan_qualifier_projection)],
+     ("qualifier_projection", q_scan_qualifier_projection),
+     ("pivot_roundtrip", _pivot_roundtrip_arm)],
     [("range", _ORACLES["scan_range"]),
      ("reversed_limit", _ORACLES["scan_reversed_limit"]),
-     ("qualifier_projection", _ORACLES["scan_qualifier_projection"])],
+     ("qualifier_projection", _ORACLES["scan_qualifier_projection"]),
+     ("pivot_roundtrip", _PIVOT_ROUNDTRIP_SQL)],
     _RQV,
 )
 
