@@ -1437,6 +1437,51 @@ class Admin:
             )
         self._write_json(self._rsgroups_path(), groups)
 
+    def cleaner_chore(self, *, dry_run: bool = False) -> dict:
+        """Archive cleaner (master/cleaner/CleanerChore.java +
+        HFileCleaner.java; SnapshotHFileCleaner keeps files any
+        snapshot still references): every flush / split / merge /
+        compaction writes a NEW immutable version dir and leaves the
+        old one for exactly this chore.  Deletes `cells-v*` / `mob-v*`
+        dirs referenced by NO live table descriptor (clones share dirs
+        copy-on-write, so a clone's descriptor pins its source dir) and
+        NO snapshot manifest.  Metadata-only: one descriptor/manifest
+        read per table/snapshot and a directory walk — no data scan,
+        the same O(files) discipline as the reference's chore."""
+        import os
+        import shutil
+
+        referenced: set[str] = set()
+        for name in self.list_tables():
+            desc = self._read_desc(name)
+            if desc.get("deleted"):
+                continue
+            for key in ("data_dir", "mob_dir"):
+                if desc.get(key):
+                    referenced.add(desc[key])
+        for snap in self.list_snapshots():
+            man = self._read_json(self._snap_path(snap), f"snapshot {snap!r}")
+            for key in ("data_dir", "mob_dir"):
+                if man.get(key):
+                    referenced.add(man[key])
+
+        deleted, kept = [], []
+        for root, dirs, _files in os.walk(self.catalog_dir):
+            for d in list(dirs):
+                base = os.path.basename(d)
+                if not (base.startswith("cells-v") or base.startswith("mob-v")):
+                    continue
+                dirs.remove(d)  # don't descend into version dirs
+                rel = os.path.relpath(os.path.join(root, d), self.catalog_dir)
+                if rel in referenced:
+                    kept.append(rel)
+                    continue
+                deleted.append(rel)
+                if not dry_run:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return {"deleted": sorted(deleted), "kept": sorted(kept),
+                "dry_run": dry_run}
+
     def balance_rsgroup(
         self, group: str, *, regions_per_server: int = 4
     ) -> dict[str, int]:

@@ -720,3 +720,9 @@ def shell_compact(admin, name: str, **kw) -> None:
 def shell_compaction_state(admin, name: str) -> dict:
     """shell `compaction_state 't'` (compaction_state.rb)."""
     return admin.compaction_state(name)
+
+
+def shell_cleaner_chore_run(admin, **kw) -> dict:
+    """shell `cleaner_chore_run` (cleaner_chore_run.rb) — archive
+    cleanup of unreferenced layout version dirs."""
+    return admin.cleaner_chore(**kw)

@@ -1111,3 +1111,37 @@ def test_minor_compact_coalesces_without_dropping_cells(catalog):
     assert st["state"] == "NONE"
     assert st["version"] == v_before + 1
     assert st["regions"] == 2
+
+
+def test_cleaner_chore_reclaims_unreferenced_version_dirs(catalog):
+    """Archive cleaner (CleanerChore + SnapshotHFileCleaner): old
+    version dirs are reclaimed only when neither a live descriptor nor
+    a snapshot manifest references them; pinned dirs survive and the
+    snapshot still restores afterwards."""
+    from hbase_spark.shell import shell_cleaner_chore_run
+
+    catalog.create_table("cc", ["f"])
+    t = catalog.table("cc")
+    for i in range(10):
+        t = shell_put(t, f"r{i:02d}", "f:q", str(i), ts=1, seq=i)
+    catalog.flush("cc", t, num_regions=2)          # cells-v1
+    catalog.snapshot("pin", "cc")                   # pins v1
+    t2 = shell_put(catalog.table("cc"), "r99", "f:q", "x", ts=2, seq=100)
+    catalog.flush("cc", t2, num_regions=2)          # cells-v2
+    t3 = shell_put(catalog.table("cc"), "r98", "f:q", "y", ts=3, seq=101)
+    catalog.flush("cc", t3, num_regions=2)          # cells-v3 (live)
+
+    dry = shell_cleaner_chore_run(catalog, dry_run=True)
+    assert any(d.endswith("cells-v2") for d in dry["deleted"])
+    assert any(k.endswith("cells-v1") for k in dry["kept"])    # snapshot pin
+    assert any(k.endswith("cells-v3") for k in dry["kept"])    # live
+    # dry run deleted nothing
+    assert {r.row for r in catalog.table("cc").snapshot().collect()} >= {"r99"}
+
+    out = shell_cleaner_chore_run(catalog)
+    assert out["deleted"] == dry["deleted"]
+    # live table intact, snapshot still restores to the pinned state
+    assert {r.row for r in catalog.table("cc").snapshot().collect()} >= {"r98", "r99"}
+    assert catalog.table_from_snapshot("pin").snapshot().count() == 10
+    # idempotent: second run finds nothing new
+    assert shell_cleaner_chore_run(catalog)["deleted"] == []
