@@ -1282,10 +1282,27 @@ class Admin:
 
         self._rewrite_regions(name, files, write_parts)
 
-    def _split_point_of(self, region_file: str):
+    def _split_point_of(
+        self,
+        region_file: str,
+        *,
+        prefix_len: int | None = None,
+        delimiter: str | None = None,
+        floor_key=None,
+    ):
         """Median distinct row of a region — the reference splits at the
         storefile midkey (SplitNormalizationPlan).  Bounded work: one
-        region file, one small job."""
+        region file, one small job.
+
+        ``prefix_len`` / ``delimiter`` apply the reference's
+        KeyPrefixRegionSplitPolicy / DelimitedKeyPrefixRegionSplitPolicy
+        (rs/KeyPrefixRegionSplitPolicy.java:34,
+        rs/DelimitedKeyPrefixRegionSplitPolicy.java:40): the midkey is
+        truncated to the fixed-length — or first-delimiter — group
+        prefix, so every row sharing a group key lands in ONE daughter
+        (the bare prefix sorts before all its full keys).  Returns None
+        when the truncated point cannot produce two non-empty daughters
+        (whole region is one group)."""
         rows = (
             self.spark.read.parquet(self._local_path(region_file))
             .select("row")
@@ -1294,14 +1311,31 @@ class Admin:
         n = rows.count()
         if n < 2:
             return None
-        return rows.orderBy("row").offset(n // 2).limit(1).first()["row"]
+        p = rows.orderBy("row").offset(n // 2).limit(1).first()["row"]
+        if isinstance(p, str):
+            if delimiter is not None and delimiter in p:
+                p = p.split(delimiter, 1)[0]
+            elif prefix_len is not None:
+                p = p[:prefix_len]
+        if floor_key is not None and p <= floor_key:
+            return None
+        return p
 
-    def normalize(self, name: str, **plan_kw) -> list[dict]:
+    def normalize(
+        self,
+        name: str,
+        *,
+        split_prefix_len: int | None = None,
+        split_delimiter: str | None = None,
+        **plan_kw,
+    ) -> list[dict]:
         """shell `normalize`: compute and execute normalization plans.
         Returns the executed plan list.  Merges run before splits (the
         region chain walked over the pre-plan geometry); every plan
         re-resolves its member regions by start key, because each
-        rewrite produces a new version dir."""
+        rewrite produces a new version dir.  ``split_prefix_len`` /
+        ``split_delimiter`` make executed splits respect key-prefix
+        groups (KeyPrefix/DelimitedKeyPrefixRegionSplitPolicy)."""
         self._require_switch("normalizer")
         plans = self.compute_normalization_plans(name, **plan_kw)
         for p in plans:
@@ -1321,7 +1355,12 @@ class Admin:
                 r["start_key"]: r["region_file"]
                 for r in self._region_sizes(name)
             }
-            split_at = self._split_point_of(by_start[p["start_key"]])
+            split_at = self._split_point_of(
+                by_start[p["start_key"]],
+                prefix_len=split_prefix_len,
+                delimiter=split_delimiter,
+                floor_key=p["start_key"],
+            )
             if split_at is not None:
                 self.split_region(name, split_at)
                 p["split_point"] = split_at

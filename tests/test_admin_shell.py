@@ -1145,3 +1145,54 @@ def test_cleaner_chore_reclaims_unreferenced_version_dirs(catalog):
     assert catalog.table_from_snapshot("pin").snapshot().count() == 10
     # idempotent: second run finds nothing new
     assert shell_cleaner_chore_run(catalog)["deleted"] == []
+
+
+def test_normalize_split_respects_key_prefix_groups(catalog):
+    """KeyPrefix/DelimitedKeyPrefixRegionSplitPolicy: executed split
+    points truncate to the group prefix, so all rows sharing a prefix
+    end up in ONE daughter; a region holding a single group refuses to
+    split rather than break it."""
+    catalog.create_table("kp", ["f"])
+    t = catalog.table("kp")
+    seq = 0
+    # 6 user groups x 20 fat rows plus 3 tiny singleton groups
+    for u in range(6):
+        for i in range(20):
+            t = shell_put(t, f"user{u}_{i:02d}", "f:q", "x" * 300, ts=1, seq=seq)
+            seq += 1
+    for i in range(3):
+        t = shell_put(t, f"v{i}_0", "f:q", "s", ts=1, seq=1000 + i)
+    catalog.flush("kp", t, num_regions=1)
+    # carve the tiny groups into their own regions (bare-prefix split
+    # points, so no group is broken) -> the user region is > 2x avg
+    for sp in ("v0", "v1", "v2"):
+        catalog.split_region("kp", sp)
+    plans = catalog.normalize(
+        "kp", split_delimiter="_", merge_min_region_count=99
+    )
+    executed = [p for p in plans if p["type"] == "split" and "split_point" in p]
+    assert executed, plans
+    for p in executed:
+        # split points are bare group prefixes (no delimiter suffix)
+        assert "_" not in p["split_point"]
+    # no region boundary splits a group: every group's rows sit inside
+    # one region's [start, end] range
+    regions = catalog.list_regions("kp").collect()
+    rows = [r.row for r in catalog.table("kp").cells.select("row").distinct().collect()]
+    by_group: dict = {}
+    for row in rows:
+        by_group.setdefault(row.split("_", 1)[0], []).append(row)
+    for g, members in by_group.items():
+        owners = set()
+        for m in members:
+            for reg in regions:
+                if reg.start_key <= m <= reg.end_key:
+                    owners.add(reg.region_file)
+                    break
+        assert len(owners) == 1, (g, owners)
+    # a single-group region refuses to split (truncated point hits the
+    # floor / too few rows) instead of breaking the group
+    v0_region = next(r for r in regions if r.start_key.startswith("v0"))
+    assert catalog._split_point_of(
+        v0_region.region_file, delimiter="_", floor_key=v0_region.start_key
+    ) is None
