@@ -674,10 +674,21 @@ class Admin:
             raise ValueError(f"{what} does not exist") from e
         return json.loads("\n".join(r.value for r in rows))
 
-    def snapshot(self, snapshot: str, name: str) -> None:
+    def snapshot(
+        self,
+        snapshot: str,
+        name: str,
+        *,
+        ttl_sec: int | None = None,
+        created_at: int | None = None,
+    ) -> None:
         """Admin.snapshot (snapshot/SnapshotManifest.java): record a
         manifest referencing the table's current immutable version dir.
-        O(1) metadata — no data is read or copied."""
+        O(1) metadata — no data is read or copied.  ``ttl_sec`` is the
+        reference's snapshot TTL (shell `snapshot 't','s',{TTL=>n}`):
+        ``snapshot_cleaner_chore`` deletes it once expired."""
+        import time as _time
+
         desc = self._read_desc(name)
         self._write_json(
             self._snap_path(snapshot),
@@ -686,8 +697,32 @@ class Admin:
                 "data_dir": desc.get("data_dir", f"{_table_path(name)}/cells"),
                 "mob_dir": desc.get("mob_dir"),
                 "families": desc["families"],
+                "ttl_sec": ttl_sec,
+                "created_at": (
+                    int(_time.time()) if created_at is None else created_at
+                ),
             },
         )
+
+    def snapshot_cleaner_chore(self, *, now: int | None = None) -> list[str]:
+        """SnapshotCleanerChore (master/cleaner/SnapshotCleanerChore.java):
+        delete snapshots whose TTL has elapsed.  Honors the
+        `snapshot_cleanup` switch (shell snapshot_cleanup_switch);
+        snapshots without a TTL never expire.  Run `cleaner_chore`
+        afterwards to reclaim the version dirs they pinned."""
+        import time as _time
+
+        if not self.is_switch_enabled("snapshot_cleanup"):
+            return []
+        now = int(_time.time()) if now is None else now
+        deleted = []
+        for s in self.list_snapshots():
+            man = self._read_json(self._snap_path(s), f"snapshot {s!r}")
+            ttl = man.get("ttl_sec")
+            if ttl and man.get("created_at", 0) + ttl <= now:
+                self.delete_snapshot(s)
+                deleted.append(s)
+        return deleted
 
     def clone_snapshot(self, snapshot: str, name: str) -> None:
         """Admin.cloneSnapshot: a new table whose descriptor points at
@@ -1207,8 +1242,10 @@ class Admin:
         """shell `splitormerge_switch` / `normalizer_switch` /
         `balance_switch`: flip a master switch, returning the PREVIOUS
         state (the shell prints the old value).  Kinds: split, merge,
-        normalizer, balancer."""
-        if kind not in ("split", "merge", "normalizer", "balancer"):
+        normalizer, balancer, snapshot_cleanup."""
+        if kind not in (
+            "split", "merge", "normalizer", "balancer", "snapshot_cleanup"
+        ):
             raise ValueError(f"unknown switch {kind!r}")
         sw = self._read_switches()
         prev = sw.get(kind, True)

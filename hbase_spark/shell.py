@@ -726,3 +726,12 @@ def shell_cleaner_chore_run(admin, **kw) -> dict:
     """shell `cleaner_chore_run` (cleaner_chore_run.rb) — archive
     cleanup of unreferenced layout version dirs."""
     return admin.cleaner_chore(**kw)
+
+
+def shell_snapshot_cleanup_switch(admin, enabled: bool) -> bool:
+    """shell `snapshot_cleanup_switch true|false` — previous state."""
+    return admin.set_switch("snapshot_cleanup", enabled)
+
+
+def shell_snapshot_cleanup_enabled(admin) -> bool:
+    return admin.is_switch_enabled("snapshot_cleanup")

@@ -141,3 +141,25 @@ def wal_player(
     if time_range is not None:
         df = df.filter(_time_range_pred(time_range))
     return df
+
+
+def log_cleaner(
+    log_dir: str, *, ttl_ms: int, now_ms: int | None = None
+) -> list[str]:
+    """TimeToLiveLogCleaner (master/cleaner/TimeToLiveLogCleaner.java):
+    delete mutation-log segments older than ``ttl_ms`` by file mtime.
+    Replication readers track consumed files in their checkpoints, so
+    removing fully-aged segments never disturbs an active stream; size
+    the TTL to exceed the slowest peer's lag, as the reference does.
+    Returns the deleted paths."""
+    import glob
+    import os
+    import time as _time
+
+    now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+    deleted = []
+    for f in glob.glob(os.path.join(log_dir, "*.parquet")):
+        if os.path.getmtime(f) * 1000 + ttl_ms <= now_ms:
+            os.remove(f)
+            deleted.append(f)
+    return deleted

@@ -1196,3 +1196,44 @@ def test_normalize_split_respects_key_prefix_groups(catalog):
     assert catalog._split_point_of(
         v0_region.region_file, delimiter="_", floor_key=v0_region.start_key
     ) is None
+
+
+def test_snapshot_ttl_cleanup_and_dir_reclaim(catalog):
+    """SnapshotCleanerChore: TTL'd snapshots expire (switch-gated),
+    non-TTL snapshots never do, and a follow-up cleaner_chore reclaims
+    the version dir the expired snapshot was pinning."""
+    from hbase_spark.shell import (
+        shell_cleaner_chore_run,
+        shell_snapshot_cleanup_enabled,
+        shell_snapshot_cleanup_switch,
+    )
+
+    catalog.create_table("sc", ["f"])
+    t = catalog.table("sc")
+    for i in range(5):
+        t = shell_put(t, f"r{i}", "f:q", str(i), ts=1, seq=i)
+    catalog.flush("sc", t, num_regions=1)                      # v1
+    catalog.snapshot("ephemeral", "sc", ttl_sec=60, created_at=1000)
+    catalog.snapshot("forever", "sc")
+    t2 = shell_put(catalog.table("sc"), "r9", "f:q", "x", ts=2, seq=99)
+    catalog.flush("sc", t2, num_regions=1)                     # v2 live
+
+    # switch off -> nothing expires
+    shell_snapshot_cleanup_switch(catalog, False)
+    assert not shell_snapshot_cleanup_enabled(catalog)
+    assert catalog.snapshot_cleaner_chore(now=10_000) == []
+    shell_snapshot_cleanup_switch(catalog, True)
+
+    # before expiry: kept; after: only the TTL'd one goes
+    assert catalog.snapshot_cleaner_chore(now=1030) == []
+    assert catalog.snapshot_cleaner_chore(now=1060) == ["ephemeral"]
+    assert catalog.list_snapshots() == ["forever"]
+    # v1 is still pinned by 'forever'; delete it and the dir reclaims
+    kept = shell_cleaner_chore_run(catalog, dry_run=True)["kept"]
+    assert any(k.endswith("cells-v1") for k in kept)
+    catalog.delete_snapshot("forever")
+    deleted = shell_cleaner_chore_run(catalog)["deleted"]
+    assert any(d.endswith("cells-v1") for d in deleted)
+    assert {r.row for r in catalog.table("sc").snapshot().collect()} == {
+        "r0", "r1", "r2", "r3", "r4", "r9"
+    }

@@ -365,3 +365,35 @@ def test_wal_observer_rewrites_and_notifies(spark, dirs):
     assert merged.filter(F.col("family") == "skip").count() == 0
     assert merged.filter(F.col("family") == "m").count() > 0
     assert len(seen) >= 2  # one notification per micro-batch
+
+
+def test_log_cleaner_removes_aged_segments(spark, dirs, tmp_path):
+    """TimeToLiveLogCleaner: segments older than the TTL are removed by
+    mtime; fresh segments and a resumed checkpointed stream are
+    untouched."""
+    import os
+
+    from hbase_spark.streaming.merge import log_cleaner
+
+    log = str(tmp_path / "log")
+    spark.range(3).selectExpr("id").write.mode("append").parquet(log)
+    files = sorted(
+        f for f in os.listdir(log) if f.endswith(".parquet")
+    )
+    assert files
+    old = os.path.join(log, files[0])
+    os.utime(old, (1_000_000, 1_000_000))  # far in the past
+    # "now" pinned just after the fresh files' real mtimes, so only the
+    # backdated segment is older than the one-hour TTL
+    now_ms = int(
+        max(
+            os.path.getmtime(os.path.join(log, f)) for f in files[1:]
+        ) * 1000
+    ) + 1000
+    deleted = log_cleaner(log, ttl_ms=3_600_000, now_ms=now_ms)
+    assert old in deleted
+    assert not os.path.exists(old)
+    # fresh files (mtime ~now at write time) survive a generous TTL
+    remaining = [f for f in os.listdir(log) if f.endswith(".parquet")]
+    assert len(remaining) == len(files) - 1
+    assert log_cleaner(log, ttl_ms=10**15, now_ms=now_ms) == []
