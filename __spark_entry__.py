@@ -3367,14 +3367,17 @@ _WINDOW = [
     "training_corpus_pipeline",
 ]
 
-# After the window: extra variants (all still hash-checked by
-# tools/check_parity.py when they carry an oracle — doc_ngram_jaccard,
-# the fine-grained qualifier-projection scan, the pandas cosine twin,
-# and the standalone forms of copy_table / multi-table union / verify
-# whose semantics are also hash-checked in-window as suite arms) and
-# the genuinely rows-only queries (SimHash internals are hash-seeded;
-# multimodal is a plumbing check; the raw ann/ivf top-k variants are
-# recall-gated + hash-checked in-window via embedding_ann_suite).
+# After the window: extra variants, all still hash-checked by
+# tools/check_parity.py when they carry an oracle — the fine-grained
+# qualifier-projection scan, the pandas cosine twin, the wide pivot
+# frame, and the standalone forms of copy_table / multi-table union /
+# verify / stream merge / backup whose semantics are also hash-checked
+# in-window as suite arms — plus the genuinely rows-only queries
+# (SimHash internals are hash-seeded but clone-recall is gated
+# in-window via doc_text_suite; multimodal is a plumbing check; the
+# raw ann/ivf top-k variants are recall-gated + hash-checked in-window
+# via embedding_ann_suite).  Every operator with a portable oracle has
+# an in-window hash row.
 _TAIL = [
     "stream_replication_merge",
     "backup_restore_pit",

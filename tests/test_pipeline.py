@@ -833,3 +833,47 @@ def test_stratified_sample_deterministic_and_rate_scoped(spark):
     # changing the seed changes the sample
     c = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.5, seed=7).collect()}
     assert a != c
+
+
+def test_text_op_laws_on_random_corpus(spark):
+    """Cross-cutting laws for the curation ops over a seeded random
+    corpus (one job): repetition count bounds, sampling monotonicity
+    (nested thresholds => nested samples), and full self-contamination
+    when the eval corpus contains the training corpus."""
+    import random
+
+    from hbase_spark.functions.text import (
+        contamination,
+        repetition_features,
+        stratified_sample,
+    )
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))),
+         rng.choice(["en", "zh", "fr"]))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    f = repetition_features("text")
+    checked = docs.select(
+        "doc_id", f["n_tokens"].alias("nt"), f["n_2grams"].alias("n2"),
+        f["n_distinct_2grams"].alias("nd"), f["top_token_count"].alias("tc"),
+    ).collect()
+    for r in checked:
+        assert 0 <= r.nd <= r.n2
+        assert 0 <= r.tc <= max(r.nt, 0) and (r.nt == 0) == (r.tc == 0)
+        # gram-count arithmetic: len>=2 -> n-1 grams, else one whole-doc gram
+        assert r.n2 == (r.nt - 1 if r.nt >= 2 else 1)
+
+    # monotone sampling: lower rate keeps a subset of higher rate
+    small = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.2).collect()}
+    large = {r.doc_id for r in stratified_sample(docs, {}, default_rate=0.7).collect()}
+    assert small <= large
+    assert stratified_sample(docs, {}, default_rate=1.0).count() == 60
+
+    # eval ⊇ train -> every training doc is fully contaminated
+    out = contamination(docs, docs, n=3).collect()
+    assert len(out) == 60 and all(r.n_contaminated >= 1 for r in out)
