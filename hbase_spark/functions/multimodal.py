@@ -242,9 +242,10 @@ def encode_png(pixels) -> bytes:
 def decode_wav(data: bytes):
     """Pure-numpy decode of a PCM WAV (RIFF) payload ->
     (samples float64 array shaped [n, channels] scaled to [-1, 1],
-    sample_rate).  Handles 8/16/32-bit integer PCM (format 1) and
-    32-bit float PCM (format 3); compressed codecs (mp3/flac/opus)
-    still need a real decoder at the same seam."""
+    sample_rate).  Handles 8/16/32-bit integer PCM (format 1),
+    32-bit float PCM (format 3), and ITU G.711 mu-law / A-law
+    companded audio (formats 7 / 6); perceptual codecs (mp3/flac/
+    opus) still need a real decoder at the same seam."""
     import numpy as np
 
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -275,6 +276,10 @@ def decode_wav(data: bytes):
         samples = np.frombuffer(raw, "<i4").astype("float64") / 2147483648.0
     elif af == 3 and bits == 32:
         samples = np.frombuffer(raw, "<f4").astype("float64")
+    elif af == 7 and bits == 8:  # ITU G.711 mu-law
+        samples = _ulaw_expand(np.frombuffer(raw, "u1")) / 32768.0
+    elif af == 6 and bits == 8:  # ITU G.711 A-law
+        samples = _alaw_expand(np.frombuffer(raw, "u1")) / 32768.0
     else:
         raise NotImplementedError(
             f"unsupported WAV format {af}/{bits}-bit; compressed audio "
@@ -285,19 +290,84 @@ def decode_wav(data: bytes):
     return samples, fmt["sample_rate"]
 
 
-def encode_wav(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
-    """Minimal 16-bit PCM WAV encoder (fixture builder for the decode
-    path).  ``samples``: iterable of floats in [-1, 1], interleaved."""
+def _ulaw_expand(codes):
+    """G.711 mu-law byte -> linear sample (classic expansion: invert,
+    rebuild the biased mantissa, shift by the segment, un-bias)."""
+    import numpy as np
+
+    u = (~codes.astype("int64")) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype("float64")
+
+
+def _alaw_expand(codes):
+    """G.711 A-law byte -> linear sample (XOR 0x55, then per-segment
+    mantissa reconstruction; sign bit set means positive)."""
+    import numpy as np
+
+    a = codes.astype("int64") ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype("float64")
+
+
+def _ulaw_compress(pcm16):
+    """Linear 16-bit -> G.711 mu-law byte (bias, find segment, pack)."""
+    import numpy as np
+
+    x = pcm16.astype("int64") >> 2  # 14-bit
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    m = np.minimum(np.abs(x) + 33, 0x1FFF)
+    seg = np.maximum(np.floor(np.log2(m)).astype("int64") - 5, 0)
+    return (((seg << 4) | ((m >> (seg + 1)) & 0x0F)) ^ mask).astype("uint8")
+
+
+def _alaw_compress(pcm16):
+    """Linear 16-bit -> G.711 A-law byte."""
+    import numpy as np
+
+    x = pcm16.astype("int64") >> 3  # 13-bit
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    m = np.where(x < 0, -x - 1, x)
+    seg = np.clip(
+        np.floor(np.log2(np.maximum(m, 1))).astype("int64") - 4, 0, 7
+    )
+    mant = np.where(seg < 2, (m >> 1) & 0x0F, (m >> seg) & 0x0F)
+    return (((seg << 4) | mant) ^ mask).astype("uint8")
+
+
+def encode_wav(
+    samples, sample_rate: int = 16000, channels: int = 1,
+    codec: str = "pcm16",
+) -> bytes:
+    """Minimal WAV encoder (fixture builder for the decode path).
+    ``samples``: iterable of floats in [-1, 1], interleaved.
+    ``codec``: 'pcm16' (format 1), 'ulaw' (G.711 mu-law, format 7) or
+    'alaw' (G.711 A-law, format 6)."""
     import numpy as np
 
     pcm = (np.clip(np.asarray(samples, "float64"), -1, 1) * 32767).astype("<i2")
-    raw = pcm.tobytes()
-    block = channels * 2
+    if codec == "pcm16":
+        audio_format, sample_bytes, raw = 1, 2, pcm.tobytes()
+    elif codec == "ulaw":
+        audio_format, sample_bytes, raw = 7, 1, _ulaw_compress(pcm).tobytes()
+    elif codec == "alaw":
+        audio_format, sample_bytes, raw = 6, 1, _alaw_compress(pcm).tobytes()
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    block = channels * sample_bytes
     fmt = (
-        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        audio_format.to_bytes(2, "little") + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + (sample_rate * block).to_bytes(4, "little")
-        + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + block.to_bytes(2, "little")
+        + (sample_bytes * 8).to_bytes(2, "little")
     )
     chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     chunks += b"data" + len(raw).to_bytes(4, "little") + raw

@@ -877,3 +877,37 @@ def test_text_op_laws_on_random_corpus(spark):
     # eval ⊇ train -> every training doc is fully contaminated
     out = contamination(docs, docs, n=3).collect()
     assert len(out) == 60 and all(r.n_contaminated >= 1 for r in out)
+
+
+def test_g711_ulaw_alaw_wav_decode():
+    """G.711 companded WAV (formats 7/6) decodes through the same seam:
+    known silence code points, near-lossless roundtrip for a sine at
+    companding tolerance, and monotone sign preservation."""
+    import numpy as np
+
+    from hbase_spark.functions.multimodal import (
+        _alaw_compress,
+        _ulaw_compress,
+        decode_wav,
+        encode_wav,
+    )
+
+    # canonical silence bytes: mu-law 0 -> 0xFF, A-law 0 -> 0xD5
+    assert _ulaw_compress(np.array([0], "<i2"))[0] == 0xFF
+    assert _alaw_compress(np.array([0], "<i2"))[0] == 0xD5
+
+    t = np.arange(800) / 8000.0
+    sig = 0.6 * np.sin(2 * np.pi * 440 * t)
+    for codec, tol in (("ulaw", 0.02), ("alaw", 0.02)):
+        wav = encode_wav(sig, sample_rate=8000, channels=1, codec=codec)
+        samples, rate = decode_wav(wav)
+        assert rate == 8000 and samples.shape == (800, 1)
+        err = np.abs(samples[:, 0] - sig)
+        assert err.max() < tol, (codec, err.max())
+        # companding preserves sign everywhere the signal is non-tiny
+        big = np.abs(sig) > 0.01
+        assert (np.sign(samples[:, 0])[big] == np.sign(sig)[big]).all()
+    # decoded mu-law and A-law agree with each other closely too
+    u, _ = decode_wav(encode_wav(sig, codec="ulaw"))
+    a, _ = decode_wav(encode_wav(sig, codec="alaw"))
+    assert np.abs(u - a).max() < 0.03
