@@ -2535,11 +2535,11 @@ def q_visibility_scan(spark, sf):
 def q_multimodal_decode(spark, sf):
     """Multimodal decode (rows-only): deterministic fake media ->
     mapInPandas Arrow-batched decode -> features + JVM-side frame
-    sampling counts, PLUS a real-codec arm — hand-built uncompressed
-    BMP payloads decoded by the pure-numpy in-container decoder
-    (functions/multimodal.decode_bmp), so the decode seam is proven on
-    actual pixels, not just plumbing.  JPEG/PNG still plug in at the
-    same seam."""
+    sampling counts, PLUS real-codec arms — uncompressed BMP, PNG,
+    baseline JPEG, PCM and G.711 mu-law WAV audio, and animated-GIF
+    frame sampling (functions/gif.py LZW + disposal compositing) —
+    so the decode seam is proven on actual pixels and samples, not
+    just plumbing."""
     from hbase_spark.functions.multimodal import (
         MEDIA_SCHEMA,
         decode_images,
@@ -2626,9 +2626,49 @@ def q_multimodal_decode(spark, sf):
         F.col("duration_ms").cast("int").alias("height"),
         F.round("rms", 6).alias("mean_luma"),
     )
+    # G.711 companded-audio arm: the same payloads mu-law compressed —
+    # the expansion path runs in the identical Arrow seam.
+    g711_media = spark.createDataFrame(
+        [
+            (50_000 + i, "audio",
+             encode_wav([((j * (i + 3)) % 200 - 100) / 100.0
+                         for j in range(800)], sample_rate=8000,
+                        codec="ulaw"), None)
+            for i in range(5)
+        ],
+        MEDIA_SCHEMA,
+    )
+    g711 = decode_audio(g711_media).select(
+        "media_id", F.col("channels").alias("width"),
+        F.col("duration_ms").cast("int").alias("height"),
+        F.round("rms", 6).alias("mean_luma"),
+    )
+    # Animated-GIF arm: REAL frame sampling (LZW decode + disposal
+    # compositing, functions/gif.py) — one row per sampled frame; the
+    # synthetic media_id folds in the tick so rows stay distinct.
+    import numpy as _np
+
+    from hbase_spark.functions.gif import encode_gif
+    from hbase_spark.functions.multimodal import sample_gif_frames
+
+    def _gif_payload(i):
+        dark = _np.full((6, 6, 3), (i * 13) % 200, "u1")
+        bright = _np.full((6, 6, 3), 200 + (i * 7) % 55, "u1")
+        return encode_gif([dark, bright], delays_ms=[1000, 1000])
+
+    gif_media = spark.createDataFrame(
+        [(60_000 + i, bytearray(_gif_payload(i))) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    gif = sample_gif_frames(gif_media, every_ms=1000).select(
+        (F.col("media_id") * 10 + (F.col("frame_ts") / 1000).cast("long"))
+        .alias("media_id"),
+        "width", "height", F.round("mean_luma", 6).alias("mean_luma"),
+    )
     return (
         feats.unionByName(frames).unionByName(real)
         .unionByName(compressed).unionByName(audio)
+        .unionByName(g711).unionByName(gif)
     )
 
 

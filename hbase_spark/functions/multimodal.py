@@ -493,8 +493,12 @@ def _decode_payload(payload: bytes, media_id: int, *, fake: bool, dim: int):
         from hbase_spark.functions.jpeg import decode_jpeg
 
         return _pixel_features(decode_jpeg(payload))
+    if head[:4] == b"GIF8":
+        from hbase_spark.functions.gif import decode_gif_first_frame
+
+        return _pixel_features(decode_gif_first_frame(payload))
     raise NotImplementedError(
-        "BMP/PPM/PNG/baseline-JPEG decode ships in-container; other "
+        "BMP/PPM/PNG/GIF/baseline-JPEG decode ships in-container; other "
         "formats need an image library plugged into this seam (or pass "
         "fake=True for the deterministic test decoder)"
     )
@@ -673,6 +677,66 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, fake: bool = False)
     return frames.withColumn(
         "frame_feature",
         F.array(*[(F.xxhash64("media_id", "frame_ts") % 1000) / 1000.0]),
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def sample_gif_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over animated-GIF payloads: decode each
+    payload's frame sequence once, walk the per-frame delays, and emit
+    the frame visible at every ``every_ms`` tick with its luma stats —
+    one output row per sampled frame.
+
+    Scale shape: same Arrow-batched mapInPandas seam as image decode;
+    the decoder runs once per payload however many ticks sample it,
+    and only (media_id, payload) columns reach Python.  Container
+    formats a production stack decodes with ffmpeg plug into this
+    exact seam."""
+    import numpy as np
+
+    from hbase_spark.functions.gif import decode_gif
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_ts": [], "width": [],
+                "height": [], "mean_luma": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, delays = decode_gif(bytes(payload))
+                total = sum(delays)
+                starts, t = [], 0
+                for d in delays:
+                    starts.append(t)
+                    t += d
+                for ts in range(0, max(total, 1), every_ms):
+                    i = max(
+                        j for j, s in enumerate(starts) if s <= ts
+                    )
+                    f = frames[i]
+                    luma = (
+                        0.299 * f[..., 0] + 0.587 * f[..., 1]
+                        + 0.114 * f[..., 2]
+                    )
+                    rows["media_id"].append(mid)
+                    rows["frame_ts"].append(ts)
+                    rows["width"].append(f.shape[1])
+                    rows["height"].append(f.shape[0])
+                    rows["mean_luma"].append(float(np.mean(luma)))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _sample, FRAME_SAMPLE_SCHEMA
     )
 
 

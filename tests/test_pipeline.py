@@ -911,3 +911,117 @@ def test_g711_ulaw_alaw_wav_decode():
     u, _ = decode_wav(encode_wav(sig, codec="ulaw"))
     a, _ = decode_wav(encode_wav(sig, codec="alaw"))
     assert np.abs(u - a).max() < 0.03
+
+
+def _gif_np():
+    import numpy as np
+    return np
+
+
+def test_gif_roundtrip_lossless_and_interlaced():
+    """GIF is a lossless indexed format: encode -> decode reproduces
+    pixels exactly, interlaced or not; the first-frame helper feeds the
+    image feature path."""
+    np = _gif_np()
+
+    from hbase_spark.functions.gif import (
+        decode_gif,
+        decode_gif_first_frame,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    # 7 distinct colors over a 16x11 canvas
+    palette = rng.randint(0, 256, (7, 3)).astype("u1")
+    img = palette[rng.randint(0, 7, (11, 16))]
+    for interlace in (False, True):
+        data = encode_gif([img], interlace=interlace)
+        frames, delays = decode_gif(data)
+        assert len(frames) == 1
+        assert (frames[0] == img).all(), f"interlace={interlace}"
+    ff = decode_gif_first_frame(encode_gif([img]))
+    assert tuple(ff[3][5]) == tuple(int(c) for c in img[3, 5])
+
+
+def test_gif_animation_transparency_and_disposal():
+    """Multi-frame compositing: transparent pixels show the prior
+    frame under disposal 1 (leave) and the background under disposal 2
+    (restore-to-background); delays carry through."""
+    np = _gif_np()
+
+    from hbase_spark.functions.gif import decode_gif, encode_gif
+
+    red = np.zeros((8, 8, 3), "u1"); red[:, :] = (200, 10, 10)
+    blue = np.zeros((8, 8, 3), "u1"); blue[:, :] = (10, 10, 200)
+    # frame 2: blue with a transparent hole (palette slot of red? no —
+    # transparent_index marks a slot; use the RED slot inside blue)
+    holed = blue.copy(); holed[2:4, 2:4] = (200, 10, 10)
+    data = encode_gif(
+        [red, holed], delays_ms=[50, 70],
+        transparent_index=0, disposal=1,
+    )
+    frames, delays = decode_gif(data)
+    assert delays == [50, 70]
+    # slot 0 is red's color (first color registered); in frame 2 the
+    # red-colored pixels are transparent -> prior frame (red) shows
+    assert (frames[1][2, 2] == (200, 10, 10)).all()
+    assert (frames[1][0, 0] == (10, 10, 200)).all()
+
+    # disposal 2: after frame 1, the canvas restores to background
+    # before frame 2's transparent region -> hole shows background 0,0,0?
+    data2 = encode_gif(
+        [red, holed], delays_ms=[50, 70],
+        transparent_index=0, disposal=2,
+    )
+    frames2, _ = decode_gif(data2)
+    # background = palette slot 0 (red) per the logical screen bg index 0
+    assert (frames2[1][2, 2] == (200, 10, 10)).all()
+    assert (frames2[1][0, 0] == (10, 10, 200)).all()
+
+
+def test_gif_frame_sampling_through_spark(spark):
+    """sample_gif_frames: real animated payloads decoded once per
+    payload in the Arrow seam; the frame visible at each tick is the
+    one the delays dictate."""
+    np = _gif_np()
+
+    from hbase_spark.functions.gif import encode_gif
+    from hbase_spark.functions.multimodal import sample_gif_frames
+
+    dark = np.zeros((6, 6, 3), "u1")
+    bright = np.full((6, 6, 3), 240, "u1")
+    payload = encode_gif([dark, bright], delays_ms=[1000, 1000])
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "media_id long, payload binary",
+    )
+    out = sample_gif_frames(media, every_ms=500).collect()
+    by = {(r.media_id, r.frame_ts): r for r in out}
+    assert len(by) == 8  # 2 payloads x ticks 0,500,1000,1500
+    assert by[(1, 0)].mean_luma < 1.0
+    assert by[(1, 500)].mean_luma < 1.0
+    assert by[(1, 1000)].mean_luma > 200.0
+    assert by[(2, 1500)].mean_luma > 200.0
+    assert by[(1, 0)].width == 6 and by[(1, 0)].height == 6
+
+
+def test_gif_through_image_decode_query(spark):
+    """A GIF payload flows through the generic decode_images seam with
+    exact luma (lossless format, exact expectation like BMP/PPM)."""
+    np = _gif_np()
+
+    from hbase_spark.functions.gif import encode_gif
+    from hbase_spark.functions.multimodal import decode_images
+
+    img = np.zeros((4, 4, 3), "u1")
+    img[:2] = (255, 255, 255)  # top half white, bottom black
+    payload = encode_gif([img])
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(payload), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    row = decode_images(media).collect()[0]
+    assert (row.width, row.height) == (4, 4)
+    # feature path normalizes to [0, 1]; half white half black -> 0.5
+    assert abs(row.mean_luma - 0.5) < 1e-6
