@@ -2601,9 +2601,14 @@ def q_multimodal_decode(spark, sf):
         [(20_000 + i, "image", encode_png(_px(i)), None) for i in range(10)],
         MEDIA_SCHEMA,
     )
+    from hbase_spark.functions.jpeg import encode_jpeg_progressive
+
     jpg_media = spark.createDataFrame(
         [(30_000 + i, "image", encode_jpeg(_px(i), quality_q=1), None)
-         for i in range(10)],
+         for i in range(10)]
+        + [(31_000 + i, "image",
+            encode_jpeg_progressive(_px(i), quality_q=1), None)
+           for i in range(5)],
         MEDIA_SCHEMA,
     )
     compressed = decode_images(png_media.unionByName(jpg_media)).select(

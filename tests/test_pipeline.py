@@ -1025,3 +1025,56 @@ def test_gif_through_image_decode_query(spark):
     assert (row.width, row.height) == (4, 4)
     # feature path normalizes to [0, 1]; half white half black -> 0.5
     assert abs(row.mean_luma - 0.5) < 1e-6
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    """Progressive (SOF2) and baseline encodes share quantized
+    coefficients, so their decodes must agree bit-for-bit — this
+    exercises every progressive scan kind (DC first/refine, AC first
+    with EOB runs + ZRL, AC refinement with correction bits)."""
+    import numpy as np
+
+    from hbase_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    cases = [
+        rng.randint(0, 256, (16, 16, 3)).astype("u1"),       # noise
+        np.tile(np.arange(24, dtype="u1") * 10, (18, 1))[
+            :, :, None
+        ].repeat(3, axis=2),                                  # gradient
+        np.full((9, 13, 3), 77, "u1"),                        # flat (EOB heavy)
+        rng.randint(0, 256, (33, 9, 3)).astype("u1"),         # odd dims
+    ]
+    for q in (1, 4, 16):
+        for img in cases:
+            base = decode_jpeg(encode_jpeg(img, quality_q=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality_q=q))
+            assert (base == prog).all(), (img.shape, q)
+    # near-lossless at q=1 on smooth content
+    g = cases[1]
+    out = decode_jpeg(encode_jpeg_progressive(g, quality_q=1))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_progressive_jpeg_through_image_seam(spark):
+    """A progressive payload flows through decode_images like any
+    other format (decode_jpeg dispatches on SOF2 internally)."""
+    import numpy as np
+
+    from hbase_spark.functions.jpeg import encode_jpeg_progressive
+    from hbase_spark.functions.multimodal import decode_images
+
+    img = np.zeros((8, 8, 3), "u1")
+    img[:4] = 255
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(encode_jpeg_progressive(img, quality_q=1)), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    row = decode_images(media).collect()[0]
+    assert (row.width, row.height) == (8, 8)
+    assert abs(row.mean_luma - 0.5) < 0.02
