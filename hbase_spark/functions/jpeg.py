@@ -236,13 +236,18 @@ def decode_jpeg(data: bytes):
                     data, pos, frame, scomp, huff_dc, huff_ac,
                     restart_interval, ss, se, ahal >> 4, ahal & 15,
                 )
+                frame["nscans"] = frame.get("nscans", 0) + 1
                 continue
             return _decode_scan(
                 data, pos, frame, scomp, qt, huff_dc, huff_ac,
                 restart_interval,
             )
         pos += 2 + seglen
-    if frame is not None and frame.get("progressive"):
+    if (
+        frame is not None
+        and frame.get("progressive")
+        and frame.get("nscans", 0) > 0
+    ):
         return _reconstruct_progressive(frame, qt)
     raise ValueError("JPEG missing SOS scan")
 

@@ -645,13 +645,18 @@ def test_multimodal_real_jpeg_decode(spark):
         decode_jpeg(encode_jpeg(gray)).astype(int) - 77
     ).max() <= 1
 
-    # progressive JPEG stays an explicit seam
+    # progressive (SOF2) is now supported; a scan-less SOF2 stream is a
+    # malformed payload, and arithmetic coding (SOF9) stays the seam
     import pytest
 
     sof2 = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
             + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="missing SOS"):
         decode_jpeg(sof2)
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + (11).to_bytes(2, "big")
+            + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof9)
 
     # through the Spark decode seam next to the other codecs
     media = spark.createDataFrame(
