@@ -1415,6 +1415,30 @@ def q_doc_minhash_dedup(spark, sf):
     return out.select("doc_id")
 
 
+@_q(
+    "doc_bpe_roundtrip",
+    """SELECT doc_id,
+              array_to_string(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> ''), ' ') AS value
+       FROM documents""",
+)
+def q_doc_bpe_roundtrip(spark, sf):
+    """Trained-BPE contract (functions/bpe.py): train merges on the
+    corpus, encode every document (distinct-word segmentation +
+    broadcast join — corpus text never reaches Python), and emit the
+    DETOKENIZED stream.  The merge rules are engine-side, but the
+    roundtrip law — detokenize(encode(text)) == the normalized word
+    stream — is exact SQL, so any training/encode/assembly bug
+    hash-mismatches the oracle."""
+    from hbase_spark.functions.bpe import bpe_detokenize, bpe_encode, train_bpe
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, num_merges=12)
+    enc = bpe_encode(docs, merges)
+    return enc.select("doc_id", bpe_detokenize("tokens").alias("value"))
+
+
 def q_doc_simhash_near_dups(spark, sf):
     """SimHash near-dup candidate pairs (rows-only)."""
     from hbase_spark.functions.dedup import simhash_candidates
@@ -3426,6 +3450,7 @@ _WINDOW = [
 _TAIL = [
     "stream_replication_merge",
     "backup_restore_pit",
+    "doc_bpe_roundtrip",
     "pivot_wide_orders",
     "scan_qualifier_projection",
     "embedding_cosine_topk_pandas",

@@ -1083,3 +1083,64 @@ def test_progressive_jpeg_through_image_seam(spark):
     row = decode_images(media).collect()[0]
     assert (row.width, row.height) == (8, 8)
     assert abs(row.mean_luma - 0.5) < 0.02
+
+
+def test_bpe_learns_classic_merges_and_roundtrips(spark):
+    """BPE on the classic corpus: the first merges are the expected
+    (e,s)(es,t)(est,</w>) sequence, encode applies them exactly as
+    trained, and detokenize(encode(text)) reproduces the normalized
+    word stream."""
+    from hbase_spark.functions.bpe import (
+        bpe_detokenize,
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    enc = bpe_encode(docs, merges)
+    row = enc.collect()[0]
+    assert row.n_tokens == len(row.tokens) > 0
+    got = enc.select(bpe_detokenize("tokens").alias("t")).collect()[0].t
+    assert got == " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                           + ["widest"] * 3)
+
+
+def test_bpe_on_documents_laws(spark, docs):
+    """Corpus laws: deterministic training, roundtrip identity on every
+    doc, and monotone compression (more merges never increase the
+    token count)."""
+    from hbase_spark.functions.bpe import (
+        bpe_detokenize,
+        bpe_encode,
+        train_bpe,
+    )
+    from hbase_spark.functions.text import _ascii_tokens
+
+    sample = docs.limit(60).select("doc_id", "text")
+    m1 = train_bpe(sample, num_merges=12)
+    m2 = train_bpe(sample, num_merges=12)
+    assert m1 == m2 and len(m1) == 12
+
+    enc = bpe_encode(sample, m1)
+    joined = enc.join(sample, "doc_id").select(
+        "doc_id",
+        bpe_detokenize("tokens").alias("got"),
+        F.concat_ws(" ", _ascii_tokens("text")).alias("want"),
+        "n_tokens",
+    )
+    bad = joined.filter(F.col("got") != F.col("want")).count()
+    assert bad == 0
+    # zero merges = character-level: strictly more tokens
+    n_char = bpe_encode(sample, []).agg(F.sum("n_tokens")).first()[0]
+    n_bpe = enc.agg(F.sum("n_tokens")).first()[0]
+    assert n_bpe < n_char
+    # empty doc still yields a row with an empty stream
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    r = bpe_encode(empty, m1).collect()[0]
+    assert r.n_tokens == 0 and r.tokens == []
