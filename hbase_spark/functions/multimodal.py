@@ -250,16 +250,19 @@ def decode_wav(data: bytes):
 
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, raw = 12, None, None
+    pos, fmt, raw, fact_n = 12, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fact" and size >= 4:
+            fact_n = int.from_bytes(body[0:4], "little")
         if cid == b"fmt ":
             fmt = {
                 "audio_format": int.from_bytes(body[0:2], "little"),
                 "channels": int.from_bytes(body[2:4], "little"),
                 "sample_rate": int.from_bytes(body[4:8], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
                 "bits": int.from_bytes(body[14:16], "little"),
             }
         elif cid == b"data":
@@ -280,6 +283,16 @@ def decode_wav(data: bytes):
         samples = _ulaw_expand(np.frombuffer(raw, "u1")) / 32768.0
     elif af == 6 and bits == 8:  # ITU G.711 A-law
         samples = _alaw_expand(np.frombuffer(raw, "u1")) / 32768.0
+    elif af == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        if fmt["channels"] != 1:
+            raise NotImplementedError(
+                "IMA ADPCM decode supports mono; stereo needs the "
+                "per-channel 4-byte interleave at this seam"
+            )
+        block_align = fmt.get("block_align", 0) or (len(raw))
+        samples = _ima_adpcm_expand(raw, block_align) / 32768.0
+        if fact_n is not None:  # trim final-block padding
+            samples = samples[:fact_n]
     else:
         raise NotImplementedError(
             f"unsupported WAV format {af}/{bits}-bit; compressed audio "
@@ -315,6 +328,100 @@ def _alaw_expand(codes):
                  (t + 0x108) << np.maximum(seg - 1, 0)),
     )
     return np.where(a & 0x80, t, -t).astype("float64")
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step (DVI/IMA public algorithm)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def _ima_adpcm_expand(raw: bytes, block_align: int):
+    """Mono IMA ADPCM data chunk -> int16 samples (float64 array).
+    Each block: 4-byte header (predictor int16 LE, step index, pad),
+    then 2 samples per byte, low nibble first."""
+    import numpy as np
+
+    out: list[int] = []
+    for off in range(0, len(raw), block_align):
+        block = raw[off : off + block_align]
+        if len(block) < 4:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(88, block[2])
+        out.append(pred)
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_step(pred, index, nibble)
+                out.append(pred)
+    return np.asarray(out, "float64")
+
+
+def _ima_quantize(diff: int, step: int) -> int:
+    """Encode-side nibble selection (mirror of the decode sum)."""
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def _ima_adpcm_compress(pcm16, block_samples: int = 505) -> tuple[bytes, int]:
+    """Mono int16 -> IMA ADPCM blocks; returns (data, block_align)."""
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    data = bytearray()
+    i = 0
+    index = 0
+    n = len(pcm16)
+    while i < n:
+        chunk = pcm16[i : i + block_samples]
+        i += block_samples
+        pred = int(chunk[0])
+        data += int(pred).to_bytes(2, "little", signed=True)
+        data += bytes((index, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            nib = _ima_quantize(int(s) - pred, _IMA_STEPS[index])
+            pred, index = _ima_step(pred, index, nib)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        start = len(data)
+        for a, b in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(a | (b << 4))
+        # pad the final block to block_align
+        data += b"\x00" * (block_align - 4 - (len(data) - start))
+    return bytes(data), block_align
 
 
 def _ulaw_compress(pcm16):
@@ -353,23 +460,36 @@ def encode_wav(
     import numpy as np
 
     pcm = (np.clip(np.asarray(samples, "float64"), -1, 1) * 32767).astype("<i2")
+    fact = b""
     if codec == "pcm16":
-        audio_format, sample_bytes, raw = 1, 2, pcm.tobytes()
+        audio_format, bits, raw = 1, 16, pcm.tobytes()
+        block = channels * 2
     elif codec == "ulaw":
-        audio_format, sample_bytes, raw = 7, 1, _ulaw_compress(pcm).tobytes()
+        audio_format, bits, raw = 7, 8, _ulaw_compress(pcm).tobytes()
+        block = channels
     elif codec == "alaw":
-        audio_format, sample_bytes, raw = 6, 1, _alaw_compress(pcm).tobytes()
+        audio_format, bits, raw = 6, 8, _alaw_compress(pcm).tobytes()
+        block = channels
+    elif codec == "ima_adpcm":
+        if channels != 1:
+            raise NotImplementedError("IMA ADPCM encoder is mono")
+        raw, block = _ima_adpcm_compress(pcm)
+        audio_format, bits = 0x11, 4
+        fact = (
+            b"fact" + (4).to_bytes(4, "little")
+            + len(pcm).to_bytes(4, "little")
+        )
     else:
         raise ValueError(f"unknown codec {codec!r}")
-    block = channels * sample_bytes
     fmt = (
         audio_format.to_bytes(2, "little") + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + (sample_rate * block).to_bytes(4, "little")
         + block.to_bytes(2, "little")
-        + (sample_bytes * 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
     )
     chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += fact
     chunks += b"data" + len(raw).to_bytes(4, "little") + raw
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 

@@ -1144,3 +1144,31 @@ def test_bpe_on_documents_laws(spark, docs):
     empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
     r = bpe_encode(empty, m1).collect()[0]
     assert r.n_tokens == 0 and r.tokens == []
+
+
+def test_ima_adpcm_wav_decode():
+    """IMA/DVI ADPCM WAV (format 0x11): block headers seed the
+    predictor, the step index adapts, the fact chunk trims final-block
+    padding — after the adaptation transient the error is within
+    classic ADPCM tolerance."""
+    import numpy as np
+
+    from hbase_spark.functions.multimodal import decode_wav, encode_wav
+
+    t = np.arange(2000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 300 * t)
+    wav = encode_wav(sig, sample_rate=8000, codec="ima_adpcm")
+    samples, rate = decode_wav(wav)
+    assert rate == 8000
+    assert samples.shape == (2000, 1)  # fact chunk trims block padding
+    err = np.abs(samples[:, 0] - sig)
+    assert err[16:].max() < 0.03          # post-transient accuracy
+    assert np.sqrt((err[16:] ** 2).mean()) < 0.01
+    # multi-block stream: predictor/index carry across block headers
+    # (2000 samples span 4 blocks of 505)
+    assert len(wav) > 4 * 256
+    # format marker honest: stereo remains an explicit seam
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        encode_wav(sig, channels=2, codec="ima_adpcm")
