@@ -2672,6 +2672,24 @@ def q_multimodal_decode(spark, sf):
         F.col("duration_ms").cast("int").alias("height"),
         F.round("rms", 6).alias("mean_luma"),
     )
+    # FLAC arm: the same payloads losslessly FLAC-compressed (fixed
+    # predictor + Rice) decode through the identical seam.
+    from hbase_spark.functions.flac import encode_flac
+
+    flac_media = spark.createDataFrame(
+        [
+            (55_000 + i, "audio",
+             encode_flac([((j * (i + 3)) % 200 - 100) / 100.0
+                          for j in range(800)], sample_rate=8000), None)
+            for i in range(5)
+        ],
+        MEDIA_SCHEMA,
+    )
+    flac = decode_audio(flac_media).select(
+        "media_id", F.col("channels").alias("width"),
+        F.col("duration_ms").cast("int").alias("height"),
+        F.round("rms", 6).alias("mean_luma"),
+    )
     # Animated-GIF arm: REAL frame sampling (LZW decode + disposal
     # compositing, functions/gif.py) — one row per sampled frame; the
     # synthetic media_id folds in the tick so rows stay distinct.
@@ -2697,7 +2715,7 @@ def q_multimodal_decode(spark, sf):
     return (
         feats.unionByName(frames).unionByName(real)
         .unionByName(compressed).unionByName(audio)
-        .unionByName(g711).unionByName(gif)
+        .unionByName(g711).unionByName(flac).unionByName(gif)
     )
 
 

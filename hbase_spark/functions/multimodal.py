@@ -535,8 +535,8 @@ def decode_audio(media: DataFrame, *, fake: bool = False,
                  windows: int = 8) -> DataFrame:
     """Decode audio payloads into features via mapInPandas.
 
-    PCM WAV decodes natively (pure numpy, all common bit depths);
-    compressed audio raises at the marked seam unless ``fake=True``.
+    WAV (PCM, G.711, IMA ADPCM) and FLAC decode natively; perceptual
+    codecs (mp3/opus) raise at the marked seam unless ``fake=True``.
     Same Arrow-batch shape as ``decode_images``.
     """
     def _one(payload: bytes, media_id: int) -> dict:
@@ -550,9 +550,14 @@ def decode_audio(media: DataFrame, *, fake: bool = False,
             }
         if (payload or b"")[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload), windows=windows)
+        if (payload or b"")[:4] == b"fLaC":
+            from hbase_spark.functions.flac import decode_flac
+
+            return _audio_features(*decode_flac(payload), windows=windows)
         raise NotImplementedError(
-            "only PCM WAV decode ships in-container; mp3/flac/opus need "
-            "an audio library plugged into this seam (or pass fake=True)"
+            "WAV (PCM/G.711/ADPCM) and FLAC decode ship in-container; "
+            "mp3/opus need an audio library plugged into this seam (or "
+            "pass fake=True)"
         )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

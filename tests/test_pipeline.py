@@ -1172,3 +1172,128 @@ def test_ima_adpcm_wav_decode():
 
     with pytest.raises(NotImplementedError):
         encode_wav(sig, channels=2, codec="ima_adpcm")
+
+
+def test_flac_roundtrip_lossless_and_crc():
+    """FLAC decode: bit-exact roundtrip over multiple frames (fixed
+    predictor + Rice residuals), and corruption anywhere flips a CRC
+    and raises."""
+    import numpy as np
+    import pytest
+
+    from hbase_spark.functions.flac import decode_flac, encode_flac
+
+    t = np.arange(9000) / 16000.0
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 1330 * t)
+    data = encode_flac(sig, sample_rate=16000)
+    dec, rate = decode_flac(data)
+    assert rate == 16000 and dec.shape == (9000, 1)
+    pcm = (np.clip(sig, -1, 1) * 32767).astype("int64")
+    got = (dec[:, 0] * 32768).round().astype("int64")
+    assert np.array_equal(got, pcm)
+    # smaller than raw PCM on tonal content
+    assert len(data) < 2 * 9000
+
+    corrupt = bytearray(data)
+    corrupt[len(data) // 2] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(corrupt))
+
+
+def test_flac_lpc_constant_and_stereo_side_frames():
+    """Hand-built frames cover the paths the fixture encoder does not
+    emit: an order-1 LPC subframe (coef 1, shift 0 == delta coding), a
+    CONSTANT subframe, and left/side stereo decorrelation."""
+    import numpy as np
+
+    from hbase_spark.functions.flac import (
+        _Bits,
+        _BitsW,
+        _crc8,
+        _crc16,
+        decode_flac,
+    )
+
+    def streaminfo(channels, total):
+        si = _BitsW()
+        si.write(16, 16); si.write(16, 16); si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(channels - 1, 3); si.write(15, 5)
+        si.write(total, 36); si.align()
+        body = bytes(si.buf) + b"\x00" * 16
+        return b"fLaC" + bytes((0x80,)) + len(body).to_bytes(3, "big") + body
+
+    def frame_header(bs, ch_code):
+        bw = _BitsW()
+        bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+        bw.write(7, 4); bw.write(0, 4); bw.write(ch_code, 4)
+        bw.write(4, 3); bw.write(0, 1)
+        bw.write(0, 8)          # frame 0
+        bw.write(bs - 1, 16)
+        bw.align()
+        hdr = bytes(bw.buf)
+        return hdr + bytes((_crc8(hdr),))
+
+    # LPC order-1 (coef=1, shift=0): x[i] = res + x[i-1] -> cumulative
+    vals = [100, 105, 103, 110, 90, 95, 95, 120]
+    sb = _BitsW()
+    sb.write(0, 1); sb.write(32 + 0, 6)  # LPC order 1 -> type 32
+    sb.write(0, 1)
+    sb.write(vals[0], 16)               # warmup
+    sb.write(3, 4)                      # precision 4 -> coef bits
+    sb.write(0, 5)                      # shift 0
+    sb.write(1, 4)                      # coef = 1
+    sb.write(0, 2); sb.write(0, 4)      # rice 4-bit, 1 partition
+    sb.write(2, 4)                      # parameter
+    from hbase_spark.functions.flac import _rice_write
+
+    _rice_write(sb, [vals[i] - vals[i - 1] for i in range(1, len(vals))], 2)
+    sb.align()
+    frame = frame_header(len(vals), 0) + bytes(sb.buf)
+    frame += _crc16(frame).to_bytes(2, "big")
+    dec, rate = decode_flac(streaminfo(1, len(vals)) + frame)
+    assert [int(round(v * 32768)) for v in dec[:, 0]] == vals
+
+    # CONSTANT subframe
+    cb = _BitsW()
+    cb.write(0, 1); cb.write(0, 6); cb.write(0, 1); cb.write(-7, 16)
+    cb.align()
+    frame = frame_header(6, 0) + bytes(cb.buf)
+    frame += _crc16(frame).to_bytes(2, "big")
+    dec, _ = decode_flac(streaminfo(1, 6) + frame)
+    assert [int(round(v * 32768)) for v in dec[:, 0]] == [-7] * 6
+
+    # left/side stereo: right = left - side; side carries 17 bits
+    left = [10, 20, 30, 40]
+    right = [1, 25, -5, 40]
+    side = [l - r for l, r in zip(left, right)]
+    st = _BitsW()
+    for seq, bits in ((left, 16), (side, 17)):
+        st.write(0, 1); st.write(1, 6); st.write(0, 1)  # VERBATIM
+        for v in seq:
+            st.write(v, bits)
+    st.align()
+    frame = frame_header(4, 8) + bytes(st.buf)
+    frame += _crc16(frame).to_bytes(2, "big")
+    dec, _ = decode_flac(streaminfo(2, 4) + frame)
+    out = (dec * 32768).round().astype(int)
+    assert out[:, 0].tolist() == left and out[:, 1].tolist() == right
+
+
+def test_flac_through_audio_seam(spark):
+    """FLAC payloads flow through decode_audio next to WAV."""
+    import numpy as np
+
+    from hbase_spark.functions.flac import encode_flac
+    from hbase_spark.functions.multimodal import decode_audio
+
+    t = np.arange(1600) / 16000.0
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t)
+    media = spark.createDataFrame(
+        [(3, "audio", bytearray(encode_flac(sig, 16000)), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    row = decode_audio(media).collect()[0]
+    assert row.sample_rate == 16000
+    assert row.duration_ms == 100
+    assert abs(row.rms - 0.3 / np.sqrt(2)) < 0.01
