@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata.
 
-The Spark-side plumbing is real and tested — schema, Arrow-batched
-mapInPandas pipelines, partition sizing — while the actual codec work
-is stubbed (the container has no image/audio libraries): pass
-``fake=True`` for a deterministic fake decoder, or get a clear
-NotImplementedError pointing at the integration seam.
+The Spark-side plumbing — schema, Arrow-batched mapInPandas
+pipelines, partition sizing, corrupt-payload policy — is real and
+tested, and so are the codecs, all pure Python/numpy (the container
+has no media libraries): BMP, PPM, PNG, baseline + progressive JPEG,
+GIF (incl. animated frame sampling), and WAV PCM / G.711 / IMA ADPCM
++ FLAC audio.  Formats beyond these (mp3/opus, arithmetic-coded JPEG)
+raise a clear NotImplementedError at the same seam a production
+C decoder plugs into; ``fake=True`` selects a deterministic fake
+decoder for plumbing-only tests.
 
 Design for 100 TB of media:
 - binary payloads stay in parquet; metadata columns (width/height/
@@ -55,6 +59,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
+)
+
+IMAGE_FEATURES_ERR_SCHEMA = T.StructType(
+    IMAGE_FEATURES_SCHEMA.fields
+    + [T.StructField("error", T.StringType(), True)]
 )
 
 
@@ -506,6 +515,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_ERR_SCHEMA = T.StructType(
+    AUDIO_FEATURES_SCHEMA.fields
+    + [T.StructField("error", T.StringType(), True)]
+)
+
 
 def _audio_features(samples, sample_rate: int, windows: int = 8) -> dict:
     """Features from decoded samples: RMS, zero-crossing rate, and a
@@ -532,13 +546,16 @@ def _audio_features(samples, sample_rate: int, windows: int = 8) -> dict:
 
 
 def decode_audio(media: DataFrame, *, fake: bool = False,
-                 windows: int = 8) -> DataFrame:
+                 windows: int = 8, on_error: str = "raise") -> DataFrame:
     """Decode audio payloads into features via mapInPandas.
 
     WAV (PCM, G.711, IMA ADPCM) and FLAC decode natively; perceptual
     codecs (mp3/opus) raise at the marked seam unless ``fake=True``.
-    Same Arrow-batch shape as ``decode_images``.
+    Same Arrow-batch shape as ``decode_images``; ``on_error`` applies
+    the same corrupt-corpus policy ('raise'/'skip'/'tag').
     """
+    if on_error not in ("raise", "skip", "tag"):
+        raise ValueError(f"bad on_error {on_error!r}")
     def _one(payload: bytes, media_id: int) -> dict:
         if fake:
             f = _fake_decode(payload, media_id, windows)
@@ -560,21 +577,43 @@ def decode_audio(media: DataFrame, *, fake: bool = False,
             "pass fake=True)"
         )
 
+    cols = ("sample_rate", "channels", "duration_ms", "rms",
+            "zero_crossing_rate", "energy")
+
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _one(p, m) for p, m in zip(pdf["payload"], pdf["media_id"])
-            ]
-            out = {"media_id": pdf["media_id"]}
-            for col in ("sample_rate", "channels", "duration_ms", "rms",
-                        "zero_crossing_rate", "energy"):
-                out[col] = [f[col] for f in feats]
-            yield pd.DataFrame(out)
+            out: dict = {"media_id": []}
+            out.update({c: [] for c in cols})
+            errors: list[str | None] = []
+            for p, m in zip(pdf["payload"], pdf["media_id"]):
+                try:
+                    f = _one(p, m)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — policy-driven
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    f = {c: None for c in cols}
+                    err = f"{type(e).__name__}: {e}"
+                out["media_id"].append(m)
+                for c in cols:
+                    out[c].append(f[c])
+                errors.append(err)
+            if on_error == "tag":
+                out["error"] = errors
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
 
+    schema = (
+        AUDIO_FEATURES_ERR_SCHEMA if on_error == "tag"
+        else AUDIO_FEATURES_SCHEMA
+    )
     return (
         media.filter(F.col("kind") == "audio")
         .select("media_id", "payload")
-        .mapInPandas(_decode_batch, AUDIO_FEATURES_SCHEMA)
+        .mapInPandas(_decode_batch, schema)
     )
 
 
@@ -629,35 +668,68 @@ def _decode_payload(payload: bytes, media_id: int, *, fake: bool, dim: int):
     )
 
 
-def decode_images(media: DataFrame, *, fake: bool = False, batch_dim: int = 8) -> DataFrame:
+def decode_images(
+    media: DataFrame, *, fake: bool = False, batch_dim: int = 8,
+    on_error: str = "raise",
+) -> DataFrame:
     """Decode image payloads into features via mapInPandas.
 
-    Uncompressed BMP (24-bpp) and binary PPM (P6) decode natively —
-    pure numpy over Arrow batches, no image library — proving the seam
-    end-to-end.  Compressed formats (JPEG/PNG) raise at the marked
-    seam unless ``fake=True``; the Spark plumbing — Arrow batching,
-    schema, column pruning of untouched metadata — is identical for
-    every decoder.
+    BMP/PPM/PNG/GIF/JPEG decode natively — pure numpy over Arrow
+    batches, no image library; unsupported formats raise at the
+    marked seam unless ``fake=True``.  The Spark plumbing — Arrow
+    batching, schema, column pruning of untouched metadata — is
+    identical for every decoder.
+
+    ``on_error`` is the corrupt-corpus policy a 100 TB run needs (one
+    bad payload must not kill a thousand-task job, and dropping it
+    silently hides data loss): 'raise' (default — fail the task),
+    'skip' (drop the row), or 'tag' (emit the row with null features
+    and the error message in an ``error`` column, so the quarantine
+    set is queryable and the loss is quantified).
     """
+    if on_error not in ("raise", "skip", "tag"):
+        raise ValueError(f"bad on_error {on_error!r}")
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_payload(p, m, fake=fake, dim=batch_dim)
-                for p, m in zip(pdf["payload"], pdf["media_id"])
-            ]
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "mean_luma": [], "feature": [],
+            }
+            errors: list[str | None] = []
+            for p, m in zip(pdf["payload"], pdf["media_id"]):
+                try:
+                    f = _decode_payload(p, m, fake=fake, dim=batch_dim)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — policy-driven
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    f = {"width": None, "height": None,
+                         "mean_luma": None, "feature": None}
+                    err = f"{type(e).__name__}: {e}"
+                rows["media_id"].append(m)
+                rows["width"].append(f["width"])
+                rows["height"].append(f["height"])
+                rows["mean_luma"].append(f["mean_luma"])
+                rows["feature"].append(f["feature"])
+                errors.append(err)
+            if on_error == "tag":
+                rows["error"] = errors
+            # object dtype everywhere: an all-skipped (empty) or
+            # all-null batch must not let pandas pick float64 for the
+            # array columns, which Arrow cannot cast to list<float>
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "mean_luma": [f["mean_luma"] for f in feats],
-                    "feature": [f["feature"] for f in feats],
-                }
+                {k: pd.Series(v, dtype="object") for k, v in rows.items()}
             )
 
+    schema = (
+        IMAGE_FEATURES_ERR_SCHEMA if on_error == "tag"
+        else IMAGE_FEATURES_SCHEMA
+    )
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
-        _decode_batch, IMAGE_FEATURES_SCHEMA
+        _decode_batch, schema
     )
 
 

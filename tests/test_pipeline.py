@@ -1297,3 +1297,57 @@ def test_flac_through_audio_seam(spark):
     assert row.sample_rate == 16000
     assert row.duration_ms == 100
     assert abs(row.rms - 0.3 / np.sqrt(2)) < 0.01
+
+
+def test_decode_on_error_policies(spark):
+    """Corrupt-corpus policy on the decode seams: 'raise' fails the
+    task (default), 'skip' drops only the bad rows, 'tag' quarantines
+    them with the error message — the 100 TB posture where one corrupt
+    payload neither kills the job nor disappears silently."""
+    import numpy as np
+    import pytest
+
+    from hbase_spark.functions.gif import encode_gif
+    from hbase_spark.functions.multimodal import (
+        decode_audio,
+        decode_images,
+        encode_wav,
+    )
+
+    good_img = encode_gif([np.full((4, 4, 3), 9, "u1")])
+    schema = (
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long,sample_rate:int>"
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good_img), None),
+            (2, "image", bytearray(b"not an image at all"), None),
+            (3, "image", bytearray(good_img[:20]), None),  # truncated
+        ],
+        schema,
+    )
+    with pytest.raises(Exception, match="IndexError|NotImplementedError|ValueError"):
+        decode_images(media).collect()
+    kept = decode_images(media, on_error="skip").collect()
+    assert [r.media_id for r in kept] == [1]
+    tagged = {r.media_id: r for r in decode_images(media, on_error="tag").collect()}
+    assert len(tagged) == 3
+    assert tagged[1].error is None and tagged[1].width == 4
+    assert "NotImplementedError" in tagged[2].error
+    assert tagged[3].error is not None and tagged[3].width is None
+
+    audio = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(encode_wav([0.0] * 100)), None),
+            (2, "audio", bytearray(b"garbage bytes"), None),
+        ],
+        schema,
+    )
+    with pytest.raises(Exception, match="ValueError|NotImplementedError"):
+        decode_audio(audio).collect()
+    assert [r.media_id for r in decode_audio(audio, on_error="skip").collect()] == [1]
+    at = {r.media_id: r for r in decode_audio(audio, on_error="tag").collect()}
+    assert at[1].error is None and at[2].rms is None and at[2].error
+    with pytest.raises(ValueError):
+        decode_images(media, on_error="bogus")
