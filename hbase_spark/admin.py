@@ -26,6 +26,8 @@ and the default namespace stays flat for back-compat.
 from __future__ import annotations
 
 import json
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -455,7 +457,8 @@ class Admin:
             self._write_region_file(lo, new_root, fam_dir, f"split-v{v}-a.parquet")
             self._write_region_file(hi, new_root, fam_dir, f"split-v{v}-b.parquet")
 
-        self._rewrite_regions(name, [target.region_file], write_parts)
+        with self._procedure("SPLIT_REGION", name):
+            self._rewrite_regions(name, [target.region_file], write_parts)
 
     def merge_region(self, name: str, row_a, row_b) -> None:
         """shell `merge_region`: merge the (distinct) regions containing
@@ -476,7 +479,8 @@ class Admin:
                 merged, new_root, fam_dir, f"merge-v{v}.parquet"
             )
 
-        self._rewrite_regions(name, files, write_parts)
+        with self._procedure("MERGE_TABLE_REGIONS", name):
+            self._rewrite_regions(name, files, write_parts)
 
     def locate_region(self, name: str, row) -> dict:
         """shell `locate_region 't', 'row'`: the region whose range
@@ -752,10 +756,11 @@ class Admin:
             raise RuntimeError(
                 f"table {man['table']!r} must be disabled before restore"
             )
-        desc["data_dir"] = man["data_dir"]
-        desc["mob_dir"] = man.get("mob_dir")
-        desc["families"] = man["families"]
-        self._write_desc(man["table"], desc)
+        with self._procedure("RESTORE_SNAPSHOT", man["table"]):
+            desc["data_dir"] = man["data_dir"]
+            desc["mob_dir"] = man.get("mob_dir")
+            desc["families"] = man["families"]
+            self._write_desc(man["table"], desc)
 
     def table_from_snapshot(self, snapshot: str, *, now: int | None = None) -> Table:
         """TableSnapshotInputFormat (mr/TableSnapshotInputFormat.java:84):
@@ -1375,6 +1380,23 @@ class Admin:
         groups (KeyPrefix/DelimitedKeyPrefixRegionSplitPolicy)."""
         self._require_switch("normalizer")
         plans = self.compute_normalization_plans(name, **plan_kw)
+        if plans:
+            with self._procedure("NORMALIZE", name):
+                self._execute_normalization(
+                    name, plans,
+                    split_prefix_len=split_prefix_len,
+                    split_delimiter=split_delimiter,
+                )
+        return plans
+
+    def _execute_normalization(
+        self,
+        name: str,
+        plans: list[dict],
+        *,
+        split_prefix_len: int | None = None,
+        split_delimiter: str | None = None,
+    ) -> None:
         for p in plans:
             if p["type"] != "merge":
                 continue
@@ -1401,7 +1423,6 @@ class Admin:
             if split_at is not None:
                 self.split_region(name, split_at)
                 p["split_point"] = split_at
-        return plans
 
     # -- region server groups (rsgroup/RSGroupAdminClient.java:61,
     # RSGroupInfoManagerImpl.java; shell add_rsgroup / move_tables_rsgroup
@@ -1576,6 +1597,247 @@ class Admin:
                        action="compact")
             out[name] = n_regions
         return out
+
+    # -- load balancer (master/balancer/StochasticLoadBalancer.java;
+    # shell `balance`, `balance_switch`).  Spark has no region servers
+    # to move regions BETWEEN — executor placement is the scheduler's
+    # job (SURVEY §4.3: repartitionByRange + AQE are the runtime
+    # analog).  What remains measurable and actionable is the part the
+    # stochastic cost model spends most of its weight on: even data
+    # mass per region.  ``balancer_report`` computes that cost per
+    # table; ``balance`` rewrites any table whose skew exceeds the slop
+    # (the reference's ``hbase.regions.slop`` gate,
+    # BaseLoadBalancer.java) into equal-mass regions via the immutable
+    # flush discipline — a targeted O(table) rewrite, not O(catalog). --
+
+    def balancer_report(self, name: str | None = None) -> list[dict]:
+        """Layout-skew report: per-table region-size distribution and
+        an imbalance cost in [0, 1] shaped like the reference's
+        CostFunction.cost() scaled sum-of-deviations
+        (StochasticLoadBalancer.java computeCost)."""
+        tables = [name] if name else [
+            t for t in self.list_tables() if self.is_table_enabled(t)
+        ]
+        out = []
+        for t in tables:
+            sizes = [r["bytes"] for r in self._region_sizes(t)]
+            n, total = len(sizes), sum(sizes)
+            avg = total / n if n else 0.0
+            # scaled sum of |size - avg|: 0 = perfectly even, 1 = all
+            # mass on one region (the reference's cost normalization)
+            dev = sum(abs(s - avg) for s in sizes)
+            worst = 2.0 * total * (1.0 - 1.0 / n) if n > 1 and total else 0.0
+            out.append({
+                "table": t,
+                "regions": n,
+                "total_bytes": total,
+                "min_bytes": min(sizes) if sizes else 0,
+                "max_bytes": max(sizes) if sizes else 0,
+                "imbalance": (max(sizes) / avg) if avg else 1.0,
+                "cost": (dev / worst) if worst else 0.0,
+            })
+        return out
+
+    def balance(
+        self,
+        name: str | None = None,
+        *,
+        slop: float = 0.2,
+        dry_run: bool = False,
+    ) -> dict[str, dict]:
+        """shell `balance` / Admin.balance(): rebalance every enabled
+        table (or one) whose max-region mass exceeds ``(1 + slop) x
+        average`` — the reference's slop gate.  The rewrite keeps the
+        region count and re-evens mass by range-repartitioning on the
+        row key (flush with the same region count).  Returns
+        {table: report_row} for the tables that needed (or would need)
+        a rewrite; honors the balancer master switch."""
+        self._require_switch("balancer")
+        plans = {
+            r["table"]: r
+            for r in self.balancer_report(name)
+            if r["regions"] > 1 and r["imbalance"] > 1.0 + slop
+        }
+        if dry_run:
+            return plans
+        for t, rep in plans.items():
+            with self._procedure("BALANCE", t):
+                table = self.table(t)
+                pts = equal_mass_split_points(
+                    self.spark, table.cells, rep["regions"]
+                )
+                desc = self._read_desc(t)
+                desc["split_points"] = pts
+                self._write_desc(t, desc)
+                self.flush(t, table, num_regions=rep["regions"],
+                           action="compact")
+        return plans
+
+    # -- procedures & locks (shell `list_procedures` / `list_locks`,
+    # master/procedure/*).  The reference's Procedure-v2 framework is
+    # crash-recoverable DDL orchestration — scoped out as a catalog
+    # transactionality concern (SURVEY §2.1).  What the two shell
+    # commands actually expose — which master operations ran / are
+    # running, and which table locks they hold — is observable here
+    # too: long-running admin ops journal themselves to the catalog. --
+
+    def _procs_path(self) -> str:
+        return f"{self.catalog_dir}/procedures.json"
+
+    def _read_procs(self) -> list[dict]:
+        try:
+            obj = self._read_json(self._procs_path(), "procedures")
+            return obj.get("procedures", [])
+        except ValueError:
+            return []
+
+    def _write_procs(self, procs: list[dict]) -> None:
+        self._write_json(self._procs_path(), {"procedures": procs})
+
+    @contextmanager
+    def _procedure(self, ptype: str, table: str | None = None,
+                   *, lock: str = "EXCLUSIVE"):
+        """Journal a master operation as a procedure entry with the
+        reference's lifecycle states (RUNNABLE -> SUCCESS /
+        ROLLEDBACK, ProcedureState in Procedure.java) and an exclusive
+        table lock for its duration (LockAndQueue semantics)."""
+        procs = self._read_procs()
+        pid = 1 + max((p["pid"] for p in procs), default=0)
+        entry = {
+            "pid": pid, "type": ptype, "table": table, "lock": lock,
+            "state": "RUNNABLE", "submitted_ts": time.time(),
+            "completed_ts": None,
+        }
+        self._write_procs(procs + [entry])
+        try:
+            yield pid
+        except BaseException:
+            self._finish_procedure(pid, "ROLLEDBACK")
+            raise
+        else:
+            self._finish_procedure(pid, "SUCCESS")
+
+    def _finish_procedure(self, pid: int, state: str) -> None:
+        procs = self._read_procs()
+        for p in procs:
+            if p["pid"] == pid:
+                p["state"] = state
+                p["completed_ts"] = time.time()
+        self._write_procs(procs)
+
+    def list_procedures(self, *, completed: bool = True) -> list[dict]:
+        """shell `list_procedures` (list_procedures.rb): every journaled
+        master op, newest last; ``completed=False`` shows only in-flight
+        ones."""
+        procs = self._read_procs()
+        if completed:
+            return procs
+        return [p for p in procs if p["state"] == "RUNNABLE"]
+
+    def list_locks(self) -> list[dict]:
+        """shell `list_locks` (list_locks.rb): table locks held by
+        in-flight procedures."""
+        return [
+            {"resource": p["table"], "lock_type": p["lock"],
+             "proc_pid": p["pid"], "proc_type": p["type"]}
+            for p in self._read_procs()
+            if p["state"] == "RUNNABLE" and p["table"]
+        ]
+
+    # -- WAL roll + master state dump (shell `wal_roll`, `zk_dump`) ----
+
+    def wal_roll(self, log_dir: str) -> dict:
+        """shell `wal_roll` (wal_roll.rb) / Admin.rollWALWriter: seal
+        the active log segment so cleaners/backup can treat everything
+        before the roll point as immutable.  The mutation log is a
+        directory of immutable parquet files (appends create new
+        files), so the roll point is a manifest of the files present at
+        roll time — the analog of closing the active WAL file."""
+        import os as _os
+
+        files = sorted(
+            f for f in (_os.listdir(log_dir) if _os.path.isdir(log_dir) else [])
+            if f.endswith(".parquet")
+        )
+        manifest = {"rolled_ts": time.time(), "sealed_files": files}
+        seq = len([f for f in _os.listdir(log_dir)
+                   if f.startswith("_rolled_")]) if _os.path.isdir(log_dir) else 0
+        path = f"{log_dir}/_rolled_{seq:06d}.json"
+        with open(path, "w") as fh:
+            json.dump(manifest, fh)
+        return {"manifest": path, "sealed": len(files)}
+
+    def zk_dump(self) -> dict:
+        """shell `zk_dump`: the coordination-state dump — for a
+        catalog-backed engine that is the catalog itself: tables and
+        enable state, namespaces, replication peers, rsgroups, master
+        switches, snapshots, in-flight procedures."""
+        return {
+            "tables": {
+                t: ("ENABLED" if self.is_table_enabled(t) else "DISABLED")
+                for t in self.list_tables()
+            },
+            "namespaces": self.list_namespaces(),
+            "peers": self.list_peers(),
+            "rsgroups": self.list_rsgroups(),
+            "switches": self._read_switches(),
+            "snapshots": self.list_snapshots(),
+            "procedures_running": self.list_procedures(completed=False),
+        }
+
+
+def equal_mass_split_points(
+    spark: SparkSession, cells, num_regions: int
+) -> list:
+    """Mass-even region boundaries: weighted quantiles of the row-key
+    space with weight = logical cell bytes — what the balancer needs
+    when value sizes are skewed (row-count-even ranges would leave the
+    fat keys piled in one region).
+
+    Scale shape: NO global sort.  Range-shard the per-row masses
+    (sampling pass), collect only the per-shard totals (bounded:
+    ``4 x num_regions`` rows) to get each shard's cumulative offset —
+    the same sharded-cumulative-sum discipline as sequence packing —
+    then an intra-shard window finds the first row crossing each
+    ``k/num_regions`` mass boundary.  Output is at most
+    ``num_regions - 1`` rows collected."""
+    from pyspark.sql import Window
+
+    mass = (
+        F.coalesce(F.length("value"), F.lit(0))
+        + F.length("row")
+        + F.length("qualifier")
+    ).cast("long")
+    shards = max(num_regions * 4, 8)
+    per_row = (
+        cells.groupBy("row").agg(F.sum(mass).alias("_m"))
+        .repartitionByRange(shards, "row")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    totals = {
+        r._pid: r.t
+        for r in per_row.groupBy("_pid").agg(F.sum("_m").alias("t")).collect()
+    }
+    # pid order == range order for repartitionByRange
+    offs, acc = [], 0
+    for p in sorted(totals):
+        offs.append((p, acc))
+        acc += totals[p]
+    if not acc or num_regions < 2:
+        return []
+    target = acc / num_regions
+    off_df = F.broadcast(
+        spark.createDataFrame(offs, "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy("row")
+    cum = F.col("_off") + F.sum("_m").over(w)
+    crossing = (
+        per_row.join(off_df, "_pid")
+        .withColumn("_k", F.floor(cum / F.lit(target)))
+        .withColumn("_kp", F.floor((cum - F.col("_m")) / F.lit(target)))
+        .filter((F.col("_k") > F.col("_kp")) & (F.col("_k") < num_regions))
+    )
+    return sorted(r.row for r in crossing.select("row").collect())
 
 
 def plan_normalization(

@@ -337,6 +337,67 @@ def _numeric_unbounded(col: Column) -> Column:
     )
 
 
+def with_numeric_unbounded(df, col: Column, out: str):
+    """Staged twin of ``_numeric_unbounded``: identical bytes, but every
+    intermediate term (normalized string, regexp captures, mantissa,
+    biased exponent) is its own named projection, so no codegen unit
+    re-inlines the whole regexp pipeline.  The single-Column form
+    composed per struct field exceeds janino's generated-method limits
+    and silently falls back to interpreted eval (~10x slower);
+    Catalyst keeps these stages separate because each alias is
+    referenced more than once and is non-cheap (CollapseProject's
+    collapse guard), so each stage compiles on its own.
+
+    Returns ``df`` with binary column ``out`` appended; temp columns
+    are dropped.
+    """
+    tmp: list[str] = []
+
+    def stage(name: str, c: Column) -> Column:
+        nonlocal df
+        n = f"_nu_{out}_{name}"
+        tmp.append(n)
+        df = df.withColumn(n, c)
+        return F.col(n)
+
+    s = stage("s", F.upper(col.cast("string")))
+    neg = s.startswith("-")
+    body = stage(
+        "body", F.when(neg, F.substring(s, 2, 2_000_000_000)).otherwise(s)
+    )
+    base = stage("base", F.regexp_extract(body, r"^([0-9]*\.?[0-9]*)", 1))
+    exp_s = stage("exps", F.regexp_extract(body, r"E([+-]?[0-9]+)$", 1))
+    exp10 = F.when(exp_s == "", F.lit(0)).otherwise(exp_s.cast("int"))
+    intpart = stage("int", F.regexp_extract(base, r"^([0-9]*)", 1))
+    fracpart = stage("frac", F.regexp_extract(base, r"\.([0-9]*)$", 1))
+    digits = stage("digits", F.concat(intpart, fracpart))
+    no_lead = stage("nolead", F.regexp_replace(digits, "^0+", ""))
+    mant = stage("mant", F.regexp_replace(no_lead, "0+$", ""))
+    e_val = (
+        F.length(intpart) + exp10 - (F.length(digits) - F.length(no_lead))
+    ).cast("long")
+    e_pos = stage("epos", e_val + F.lit(_E_BIAS).cast("long"))
+    e_neg = F.lit((1 << 32) - 1).cast("long") - e_pos
+    pos_enc = F.concat(
+        F.lit(b"\x22"), _fixed_be(e_pos, 4), F.encode(mant, "UTF-8"),
+        F.lit(b"\x00"),
+    )
+    neg_enc = F.concat(
+        F.lit(b"\x08"), _fixed_be(e_neg, 4),
+        F.encode(F.translate(mant, "0123456789", "9876543210"), "UTF-8"),
+        F.lit(b"\x5a"),
+    )
+    enc = (
+        F.when(s == "NAN", F.lit(b"\x25"))
+        .when(s == "INFINITY", F.lit(b"\x23"))
+        .when(s == "-INFINITY", F.lit(b"\x07"))
+        .when(mant == "", F.lit(b"\x15"))
+        .when(neg, neg_enc)
+        .otherwise(pos_enc)
+    )
+    return df.withColumn(out, enc).drop(*tmp)
+
+
 def py_ordered_from_numeric(v, *, unbounded: bool = False) -> bytes:
     from decimal import Context, Decimal
 
@@ -448,6 +509,30 @@ def struct_key(*fields: tuple[Column, str]) -> Column:
     if "blob" in kinds[:-1]:
         raise ValueError("'blob' (OrderedBlob) is only legal as the last field")
     return F.concat(*[_ENCODERS[kind](col) for col, kind in fields])
+
+
+def with_struct_key(df, out: str, *fields: tuple[Column, str]):
+    """DataFrame-level struct_key that routes ``numeric_unbounded``
+    fields through the staged encode (see ``with_numeric_unbounded``)
+    so compound keys containing one never blow the codegen method
+    limit.  Other kinds encode inline exactly as ``struct_key``.
+
+    Returns ``df`` with binary key column ``out`` appended.
+    """
+    kinds = [kind for _, kind in fields]
+    if "blob" in kinds[:-1]:
+        raise ValueError("'blob' (OrderedBlob) is only legal as the last field")
+    parts: list[Column] = []
+    tmp: list[str] = []
+    for i, (col, kind) in enumerate(fields):
+        if kind == "numeric_unbounded":
+            n = f"_sk_{out}_{i}"
+            df = with_numeric_unbounded(df, col, n)
+            parts.append(F.col(n))
+            tmp.append(n)
+        else:
+            parts.append(_ENCODERS[kind](col))
+    return df.withColumn(out, F.concat(*parts)).drop(*tmp)
 
 
 def py_struct_key(*fields: tuple[object, str]) -> bytes:

@@ -107,6 +107,98 @@ def agg_median(visible, family, qualifier, interpreter="long"):
     return _single(visible, family, qualifier, interpreter, lambda r: r["median"])
 
 
+def median_two_phase(
+    df: DataFrame,
+    value: Column,
+    *,
+    buckets: int = 4096,
+    final_cap: int = 1_000_000,
+):
+    """Exact median without an unbounded aggregation buffer.
+
+    The reference's median is a two-phase protocol: a first scan
+    collects per-region (sum, weight) partials and the client picks the
+    region straddling half the total weight, then a second, targeted
+    scan walks only that region in order
+    (AggregateImplementation.java:483-539, AggregationClient.java:778).
+    This is the same idea generalized to value-range buckets so it
+    holds at any row count:
+
+    1. one scan for (count, min, max) of the value column;
+    2. iterated range-bucket histograms (a map-side-combinable
+       hash-agg; ``buckets`` rows collected per round) that narrow the
+       candidate range containing the middle rank(s) until at most
+       ``final_cap`` candidates remain — each round divides the
+       candidate count by ~``buckets``, so 1e12 rows need 2 rounds;
+    3. a distributed top-k (``orderBy().limit(k)``) over the
+       candidates only.
+
+    Every phase is a bounded driver result; no executor ever buffers
+    more than one histogram or ``final_cap`` ordered values.  Returns
+    the interpolated median (mean of the two middle values for even
+    counts — the continuous-percentile convention of both Spark's
+    ``percentile`` and DuckDB's ``median``) as a Python number, to be
+    merged client-side exactly like the reference's AggregationClient.
+    """
+    vals = df.select(value.alias("_v")).filter(F.col("_v").isNotNull())
+    dv = F.col("_v").cast("double")
+    n, lo, hi = vals.agg(F.count("_v"), F.min(dv), F.max(dv)).first()
+    if not n:
+        return None
+    # 1-indexed middle ranks (equal for odd n)
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    cand, c_n = vals, n
+    # Narrow by histogram until the middle ranks sit in <= final_cap
+    # candidates.  Bucket on the double cast (monotone with every
+    # interpreter type, so rank-by-bucket == rank-by-value across
+    # buckets); the final sort uses the exact typed value.
+    #
+    # Progress guard: when the middle ranks straddle a tie run (or two
+    # values that a shrinking range never separates — an even count
+    # whose two middle values both stay in the kept bucket span), a
+    # round narrows the RANGE without shrinking the CANDIDATE set;
+    # without the guard that loops ~500 rounds to double underflow with
+    # a filter chained onto the plan each round.  Two consecutive
+    # no-progress rounds -> stop narrowing and let the final top-k
+    # resolve the remainder exactly (it is bounded by the last c_n).
+    stalled = 0
+    while c_n > final_cap and hi > lo and stalled < 2:
+        w = (hi - lo) / buckets
+        if w <= 0.0:  # double-precision underflow: all-but-tied values
+            break
+        prev_c_n = c_n
+        bidx = F.least(
+            F.floor((dv - F.lit(lo)) / F.lit(w)), F.lit(buckets - 1)
+        ).cast("int")
+        hist = dict(
+            cand.groupBy(bidx.alias("_b")).agg(F.count("*").alias("_c"))
+            .collect()
+        )
+        cum, b1, b2 = 0, None, None
+        for b in range(buckets):
+            c = hist.get(b, 0)
+            if b1 is None and cum + c >= k1:
+                b1 = b
+                below = cum
+            if cum + c >= k2:
+                b2 = b
+                break
+            cum += c
+        cand = cand.filter(bidx.between(b1, b2))
+        c_n = sum(hist.get(b, 0) for b in range(b1, b2 + 1))
+        k1, k2 = k1 - below, k2 - below
+        lo, hi = lo + b1 * w, min(hi, lo + (b2 + 1) * w)
+        stalled = stalled + 1 if c_n >= prev_c_n else 0
+    # ties collapsed the double range: the sort below resolves them
+    hi_v = cand.orderBy("_v").limit(k2).agg(F.max("_v")).first()[0]
+    lo_v = (
+        hi_v
+        if k1 == k2
+        else cand.orderBy("_v").limit(k1).agg(F.max("_v")).first()[0]
+    )
+    return (lo_v + hi_v) / 2
+
+
 def row_count(visible: DataFrame) -> int:
     """AggregationClient.rowCount (AggregationClient.java:350) /
     RowCounter (mr/RowCounter.java:60): distinct row keys.  The

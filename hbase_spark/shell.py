@@ -735,3 +735,42 @@ def shell_snapshot_cleanup_switch(admin, enabled: bool) -> bool:
 
 def shell_snapshot_cleanup_enabled(admin) -> bool:
     return admin.is_switch_enabled("snapshot_cleanup")
+
+
+# -- balancer / procedures / locks / wal / zk (balancer.rb,
+# list_procedures.rb, list_locks.rb, wal_roll.rb, zk_dump.rb) ----------
+
+
+def shell_balancer(admin, name: str | None = None, **kw) -> bool:
+    """shell `balance` (balancer.rb): run the balancer now; returns
+    True if it ran (i.e. the switch is on), like the reference shell.
+    Keyword args pass through to Admin.balance (slop, dry_run)."""
+    admin.balance(name, **kw)
+    return True
+
+
+def shell_balancer_report(admin, name: str | None = None) -> list[dict]:
+    """Layout-skew report backing `balance` — region mass histogram +
+    imbalance cost per table (the StochasticLoadBalancer cost view)."""
+    return admin.balancer_report(name)
+
+
+def shell_list_procedures(admin) -> list[dict]:
+    """shell `list_procedures` (list_procedures.rb)."""
+    return admin.list_procedures()
+
+
+def shell_list_locks(admin) -> list[dict]:
+    """shell `list_locks` (list_locks.rb)."""
+    return admin.list_locks()
+
+
+def shell_wal_roll(admin, log_dir: str) -> dict:
+    """shell `wal_roll 'server'` (wal_roll.rb) — here the roll target
+    is a mutation-log directory."""
+    return admin.wal_roll(log_dir)
+
+
+def shell_zk_dump(admin) -> dict:
+    """shell `zk_dump` (zk_dump.rb) — coordination-state dump."""
+    return admin.zk_dump()

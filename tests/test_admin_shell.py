@@ -1237,3 +1237,110 @@ def test_snapshot_ttl_cleanup_and_dir_reclaim(catalog):
     assert {r.row for r in catalog.table("sc").snapshot().collect()} == {
         "r0", "r1", "r2", "r3", "r4", "r9"
     }
+
+
+def test_balancer_report_and_balance_even_out_skew(catalog, spark):
+    from hbase_spark.shell import (
+        shell_balance_switch,
+        shell_balancer,
+        shell_balancer_report,
+        shell_put,
+    )
+
+    catalog.create_table("tb", ["f"])
+    t = catalog.table("tb")
+    for i in range(40):
+        # fat values on a narrow key prefix -> one heavy region
+        v = ("X" * 2000) if i < 8 else "v"
+        t = shell_put(t, f"{i:04d}", "f:q", v, ts=10, seq=i)
+    # all heavy keys below '0008': 4 range regions make region 0 heavy
+    catalog.flush("tb", t, num_regions=4)
+    rep = {r["table"]: r for r in shell_balancer_report(catalog)}
+    assert rep["tb"]["regions"] > 1
+    assert rep["tb"]["imbalance"] > 1.2
+    assert 0.0 < rep["tb"]["cost"] <= 1.0
+
+    plans = catalog.balance(dry_run=True)
+    assert "tb" in plans
+
+    done = catalog.balance()
+    assert "tb" in done
+    rep2 = {r["table"]: r for r in shell_balancer_report(catalog)}
+    assert rep2["tb"]["imbalance"] < rep["tb"]["imbalance"]
+    # data intact after the rewrite
+    from hbase_spark.shell import shell_count
+
+    assert shell_count(catalog.table("tb")) == 40
+
+    # the balancer switch gates execution, like the reference
+    assert shell_balance_switch(catalog, False) is True
+    with pytest.raises(RuntimeError):
+        shell_balancer(catalog)
+    shell_balance_switch(catalog, True)
+
+
+def test_procedures_and_locks_journal_master_ops(catalog, spark):
+    from hbase_spark.shell import (
+        shell_list_locks,
+        shell_list_procedures,
+        shell_put,
+    )
+
+    catalog.create_table("tp", ["f"])
+    t = catalog.table("tp")
+    for i in range(10):
+        t = shell_put(t, f"{i:04d}", "f:q", "v", ts=10, seq=i)
+    catalog.flush("tp", t, num_regions=2)
+    catalog.split_region("tp", "0002")
+    catalog.snapshot("snap-tp", "tp")
+    catalog.disable_table("tp")
+    catalog.restore_snapshot("snap-tp")
+
+    procs = shell_list_procedures(catalog)
+    types = [p["type"] for p in procs]
+    assert "SPLIT_REGION" in types
+    assert "RESTORE_SNAPSHOT" in types
+    assert all(p["state"] == "SUCCESS" for p in procs)
+    assert all(p["completed_ts"] is not None for p in procs)
+    # pids are unique and monotone
+    pids = [p["pid"] for p in procs]
+    assert pids == sorted(pids) and len(set(pids)) == len(pids)
+    # no in-flight procedures -> no locks
+    assert shell_list_locks(catalog) == []
+    # an in-flight procedure holds an exclusive table lock
+    with catalog._procedure("MERGE_TABLE_REGIONS", "tp"):
+        locks = shell_list_locks(catalog)
+        assert locks == [{
+            "resource": "tp", "lock_type": "EXCLUSIVE",
+            "proc_pid": locks[0]["proc_pid"],
+            "proc_type": "MERGE_TABLE_REGIONS",
+        }]
+    # a failing procedure rolls back
+    with pytest.raises(ValueError):
+        with catalog._procedure("NORMALIZE", "tp"):
+            raise ValueError("boom")
+    assert shell_list_procedures(catalog)[-1]["state"] == "ROLLEDBACK"
+
+
+def test_wal_roll_and_zk_dump(catalog, spark, tmp_path):
+    from hbase_spark.shell import shell_wal_roll, shell_zk_dump
+
+    log_dir = str(tmp_path / "wal")
+    df = spark.range(3).selectExpr("cast(id as string) as v")
+    df.write.mode("overwrite").parquet(log_dir)
+    out = shell_wal_roll(catalog, log_dir)
+    assert out["sealed"] >= 1
+    import json as _json
+
+    with open(out["manifest"]) as fh:
+        man = _json.load(fh)
+    assert len(man["sealed_files"]) == out["sealed"]
+    # a second roll gets a new manifest sequence
+    out2 = shell_wal_roll(catalog, log_dir)
+    assert out2["manifest"] != out["manifest"]
+
+    catalog.create_table("tz", ["f"])
+    dump = shell_zk_dump(catalog)
+    assert dump["tables"]["tz"] == "ENABLED"
+    assert dump["switches"] == catalog._read_switches()
+    assert dump["procedures_running"] == []

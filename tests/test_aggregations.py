@@ -46,6 +46,45 @@ def test_agg_endpoint_vs_duckdb(spark, sf_dir, li_cells):
     assert float(got["median"]) == pytest.approx(float(exp[6]))
 
 
+def test_median_two_phase_matches_exact_percentile(spark, sf_dir, li_cells):
+    from hbase_spark.operators.aggregations import median_two_phase
+
+    visible = resolve(li_cells, versions=1).filter(
+        (F.col("family") == "li") & (F.col("qualifier") == "l_quantity")
+    )
+    v = F.col("value").cast("decimal(18,2)").cast("decimal(38,10)")
+    exact = visible.agg(
+        F.expr("percentile(cast(value as double), 0.5)")
+    ).first()[0]
+    # final_cap=50 forces multiple histogram-narrowing rounds; the
+    # answer must equal the unbounded-buffer percentile regardless
+    got = median_two_phase(visible, v, buckets=16, final_cap=50)
+    assert float(got) == pytest.approx(float(exact))
+    # and with the scale defaults (single top-k, no histogram round)
+    got2 = median_two_phase(visible, v)
+    assert float(got2) == pytest.approx(float(exact))
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [1.0],
+        [1.0, 2.0],
+        [3.0, 1.0, 2.0],
+        [5.0, 5.0, 5.0, 5.0],          # all tied: double range collapses
+        [1.0, 1.0, 2.0, 100.0, 100.0],  # skewed with ties at the middle
+        [-4.5, 0.0, 0.0, 7.25, 7.25, 9.0],
+    ],
+)
+def test_median_two_phase_small_lists(spark, vals):
+    from hbase_spark.operators.aggregations import median_two_phase
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    exact = df.agg(F.expr("percentile(value, 0.5)")).first()[0]
+    got = median_two_phase(df, F.col("value"), buckets=4, final_cap=1)
+    assert float(got) == pytest.approx(float(exact))
+
+
 def test_row_count_and_cell_counter(spark, li_cells):
     visible = resolve(li_cells, versions=1)
     n = visible.select("row").distinct().count()

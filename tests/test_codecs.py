@@ -272,6 +272,33 @@ def test_spark_numeric_unbounded_matches_python(spark):
     assert by_val == by_enc
 
 
+def test_staged_numeric_unbounded_matches_column_form(spark):
+    """with_numeric_unbounded / with_struct_key (the sequential-
+    projection encode that keeps every codegen unit under janino's
+    64KB method limit) must emit byte-identical encodings to the
+    single-Column form and the Python twin."""
+    from hbase_spark.functions.codecs import (
+        _py_numeric_unbounded,
+        with_struct_key,
+    )
+
+    vals = ["-1.5e20", "-123.456", "-1e-25", "0", "4.2e-30", "1",
+            "98765.000001", "7e33"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    staged = with_struct_key(df, "k", (F.col("v"), "numeric_unbounded"))
+    for r in staged.collect():
+        assert bytes(r.k) == _py_numeric_unbounded(Decimal(r.v)), r.v
+    # and composed mid-struct with a trailing field
+    comp = with_struct_key(
+        df, "k", (F.col("v"), "numeric_unbounded"), (F.length("v"), "int")
+    )
+    for r, v in zip(comp.select("k", "v").collect(), vals):
+        exp = _py_numeric_unbounded(Decimal(r.v)) + py_ordered_from_int(
+            len(r.v), 4
+        )
+        assert bytes(r.k) == exp, r.v
+
+
 @given(st.lists(st.binary(min_size=0, max_size=24), min_size=2, max_size=30,
                 unique=True))
 @settings(max_examples=50, deadline=None)
