@@ -2759,10 +2759,31 @@ def q_multimodal_decode(spark, sf):
         .alias("media_id"),
         "width", "height", F.round("mean_luma", 6).alias("mean_luma"),
     )
+    # MJPEG-in-AVI arm: REAL container frame sampling (RIFF demux +
+    # baseline-JPEG per frame, functions/avi.py) through the same seam
+    # and row shape as the GIF arm.
+    from hbase_spark.functions.avi import encode_avi_mjpeg
+    from hbase_spark.functions.multimodal import sample_avi_frames
+
+    def _avi_payload(i):
+        dark = _np.full((6, 6, 3), (i * 13) % 200, "u1")
+        bright = _np.full((6, 6, 3), 200 + (i * 7) % 55, "u1")
+        return encode_avi_mjpeg([dark, bright], fps=1)
+
+    avi_media = spark.createDataFrame(
+        [(70_000 + i, bytearray(_avi_payload(i))) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    avi = sample_avi_frames(avi_media, every_ms=1000).select(
+        (F.col("media_id") * 10 + (F.col("frame_ts") / 1000).cast("long"))
+        .alias("media_id"),
+        "width", "height", F.round("mean_luma", 6).alias("mean_luma"),
+    )
     return (
         feats.unionByName(frames).unionByName(real)
         .unionByName(compressed).unionByName(audio)
         .unionByName(g711).unionByName(flac).unionByName(gif)
+        .unionByName(avi)
     )
 
 

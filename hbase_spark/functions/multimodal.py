@@ -937,6 +937,47 @@ def sample_gif_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def sample_avi_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over MJPEG-in-AVI payloads (functions/avi.py
+    demuxes the RIFF container, functions/jpeg.py decodes each frame):
+    walk the stream's fps-derived frame timeline and emit the frame
+    visible at every ``every_ms`` tick with its luma stats — the same
+    contract, schema and Arrow-batched mapInPandas seam as
+    ``sample_gif_frames``, so GIF and AVI arms are interchangeable in a
+    pipeline.  Decode runs once per payload regardless of tick count;
+    only (media_id, payload) reach Python."""
+    import numpy as np
+
+    from hbase_spark.functions.avi import decode_avi_mjpeg
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_ts": [], "width": [],
+                "height": [], "mean_luma": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, fps = decode_avi_mjpeg(bytes(payload))
+                frame_ms = 1000.0 / fps
+                total = int(frame_ms * len(frames))
+                for ts in range(0, max(total, 1), every_ms):
+                    f = frames[min(int(ts / frame_ms), len(frames) - 1)]
+                    luma = (
+                        0.299 * f[..., 0] + 0.587 * f[..., 1]
+                        + 0.114 * f[..., 2]
+                    )
+                    rows["media_id"].append(mid)
+                    rows["frame_ts"].append(ts)
+                    rows["width"].append(f.shape[1])
+                    rows["height"].append(f.shape[0])
+                    rows["mean_luma"].append(float(np.mean(luma)))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _sample, FRAME_SAMPLE_SCHEMA
+    )
+
+
 def make_fake_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake media table for pipeline tests."""
     rows = []

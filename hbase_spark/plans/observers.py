@@ -73,6 +73,22 @@ class Observer:
     post_compact: Callable[[DataFrame], None] | None = None  # postCompact
     pre_bulk_load: Callable[[DataFrame], DataFrame] | None = None
     post_bulk_load: Callable[[DataFrame], None] | None = None
+    # scanner lifecycle family (RegionObserver.java: postScannerOpen
+    # :1100, postScannerFilterRow :1175, preScannerClose :1190,
+    # postScannerClose :1203; preScannerOpen is ``pre_scan`` above).
+    # ``post_scanner_open`` wraps the freshly-opened scanner frame
+    # BEFORE the per-row post_scan hooks.  ``post_scanner_filter_row``
+    # is the reference's "row was filtered out" callback: it receives
+    # the cells of rows the Scan filter DROPPED and returns the subset
+    # to resurrect (None/empty = stay filtered) — the declarative twin
+    # of returning hasMore=true from the hook.  The close hooks are
+    # notifications with the final scanner frame at plan hand-off (a
+    # lazy engine's scanner "closes" when the consumer materializes;
+    # interception points are fixed at hand-off).
+    post_scanner_open: Callable[[DataFrame], DataFrame] | None = None
+    post_scanner_filter_row: Callable[[DataFrame], DataFrame] | None = None
+    pre_scanner_close: Callable[[DataFrame], None] | None = None
+    post_scanner_close: Callable[[DataFrame], None] | None = None
 
 
 @dataclass
@@ -85,12 +101,42 @@ class ObservedTable:
     def scan(self, spec: Scan | None = None, **kwargs) -> DataFrame:
         spec = spec or Scan(**kwargs)
         for ob in self.observers:
-            if ob.pre_scan:
+            if ob.pre_scan:  # preScannerOpen
                 spec = ob.pre_scan(spec)
         out = self.table.scan(spec)
         for ob in self.observers:
-            if ob.post_scan:
+            if ob.post_scanner_open:  # postScannerOpen — wrap the scanner
+                out = ob.post_scanner_open(out)
+        if spec.filter is not None and any(
+            ob.post_scanner_filter_row for ob in self.observers
+        ):
+            # postScannerFilterRow: the hook sees the rows the filter
+            # excluded.  Cost shape matches the reference (the hook is
+            # the slow path, called once per filtered row): one extra
+            # filter-free scan, anti-joined on row key to the kept set
+            # — the join touches only dropped rows.
+            from dataclasses import replace as _replace
+
+            unfiltered = self.table.scan(
+                _replace(spec, filter=None, limit=None)
+            )
+            dropped = unfiltered.join(
+                out.select("row").distinct(), "row", "left_anti"
+            )
+            for ob in self.observers:
+                if ob.post_scanner_filter_row:
+                    rescued = ob.post_scanner_filter_row(dropped)
+                    if rescued is not None:
+                        out = out.unionByName(rescued)
+        for ob in self.observers:
+            if ob.post_scan:  # postScannerNext
                 out = ob.post_scan(out)
+        for ob in self.observers:
+            if ob.pre_scanner_close:
+                ob.pre_scanner_close(out)
+        for ob in self.observers:
+            if ob.post_scanner_close:
+                ob.post_scanner_close(out)
         return out
 
     def get(self, row_key, **kw) -> DataFrame:
@@ -268,6 +314,47 @@ def secure_bulk_load_observer(allowed_families: list[str]) -> Observer:
         return cells.filter(F.col("family").isin(allowed_families))
 
     return Observer(pre_bulk_load=pre)
+
+
+def scan_auditing_observer(audit: dict) -> Observer:
+    """Scanner-lifecycle metrics: count scanner opens/closes and the
+    rows the filter dropped — the metrics-coprocessor pattern over the
+    scanner family (RegionObserver.java postScannerOpen :1100 /
+    postScannerFilterRow :1175 / postScannerClose :1203)."""
+
+    def opened(df: DataFrame) -> DataFrame:
+        audit["opened"] = audit.get("opened", 0) + 1
+        return df
+
+    def filtered(dropped: DataFrame):
+        audit["filtered_rows"] = dropped.select("row").distinct().count()
+        return None  # observe only; nothing resurrected
+
+    def closing(df: DataFrame) -> None:
+        audit["closing"] = audit.get("closing", 0) + 1
+
+    def closed(df: DataFrame) -> None:
+        audit["closed"] = audit.get("closed", 0) + 1
+
+    return Observer(
+        post_scanner_open=opened,
+        post_scanner_filter_row=filtered,
+        pre_scanner_close=closing,
+        post_scanner_close=closed,
+    )
+
+
+def row_rescue_observer(keep: Column) -> Observer:
+    """postScannerFilterRow interception that overrides the filter's
+    verdict: cells of dropped rows matching ``keep`` are returned to
+    the result — the AccessController-style 'the coprocessor outranks
+    the filter' pattern, generalized declaratively (the reference hook
+    reacts per dropped row mid-iteration)."""
+
+    def rescue(dropped: DataFrame) -> DataFrame:
+        return dropped.filter(keep)
+
+    return Observer(post_scanner_filter_row=rescue)
 
 
 def write_heavy_increment_observer(value_type: str = "long") -> Observer:

@@ -384,3 +384,40 @@ def test_master_observer_region_switch_and_rsgroup_hooks(spark):
         assert "pool2" in root.list_rsgroups()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scanner_lifecycle_hooks_audit_and_rescue(spark):
+    from hbase_spark.operators.scan import Scan
+    from hbase_spark.plans.observers import (
+        row_rescue_observer,
+        scan_auditing_observer,
+    )
+
+    t = Table(
+        put_cells(
+            spark,
+            [("r1", "f", "a", "1"), ("r2", "f", "a", "7"),
+             ("r3", "f", "a", "9")],
+            ts=10,
+            seq=1,
+        )
+    )
+    audit = {}
+    spec = Scan(filter=F.col("value") < "5")  # drops r2, r3
+    ot = ObservedTable(t, [scan_auditing_observer(audit)])
+    got = {r.row for r in ot.scan(spec).collect()}
+    assert got == {"r1"}
+    assert audit["opened"] == 1
+    assert audit["filtered_rows"] == 2
+    assert audit["closing"] == 1 and audit["closed"] == 1
+
+    # a rescue observer outranks the filter for matching rows
+    ot2 = ObservedTable(t, [row_rescue_observer(F.col("row") == "r3")])
+    got2 = {r.row for r in ot2.scan(spec).collect()}
+    assert got2 == {"r1", "r3"}
+
+    # no filter -> the filter-row hook never fires (no extra scan)
+    audit2 = {}
+    ObservedTable(t, [scan_auditing_observer(audit2)]).scan().collect()
+    assert "filtered_rows" not in audit2
+    assert audit2["opened"] == 1

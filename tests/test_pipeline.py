@@ -1351,3 +1351,60 @@ def test_decode_on_error_policies(spark):
     assert at[1].error is None and at[2].rms is None and at[2].error
     with pytest.raises(ValueError):
         decode_images(media, on_error="bogus")
+
+
+def test_avi_mjpeg_roundtrip_and_corrupt_policy():
+    """encode_avi_mjpeg -> decode_avi_mjpeg: container roundtrip with
+    frame-exact count/fps and near-exact pixels (JPEG q=1); corrupt
+    payloads raise per the media-seam policy."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    dark = np.full((8, 8, 3), 16, "u1")
+    bright = np.full((8, 8, 3), 235, "u1")
+    payload = encode_avi_mjpeg([dark, bright, dark], fps=2)
+    frames, fps = decode_avi_mjpeg(payload)
+    assert fps == 2.0 and len(frames) == 3
+    assert frames[0].shape == (8, 8, 3)
+    # solid-color frames survive JPEG q=1 within quantization error
+    assert abs(float(frames[0].mean()) - 16) < 4
+    assert abs(float(frames[1].mean()) - 235) < 4
+
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")  # wrong container
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(payload[:40])  # truncated mid-chunk
+    # a stream declaring a non-MJPG codec must refuse, not guess
+    bad = bytearray(payload)
+    i = bad.find(b"vids") + 4
+    bad[i:i + 4] = b"H264"
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(bytes(bad))
+
+
+def test_avi_frame_sampling_through_spark(spark):
+    """sample_avi_frames: the MJPEG-AVI arm honors the stream's fps
+    timeline through the same Arrow seam as the GIF arm."""
+    import numpy as np
+
+    from hbase_spark.functions.avi import encode_avi_mjpeg
+    from hbase_spark.functions.multimodal import sample_avi_frames
+
+    dark = np.zeros((6, 6, 3), "u1")
+    bright = np.full((6, 6, 3), 240, "u1")
+    # 1 fps -> frame duration 1000 ms, mirroring the GIF test's delays
+    payload = encode_avi_mjpeg([dark, bright], fps=1)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "media_id long, payload binary",
+    )
+    out = sample_avi_frames(media, every_ms=500).collect()
+    by = {(r.media_id, r.frame_ts): r for r in out}
+    assert len(by) == 8  # 2 payloads x ticks 0,500,1000,1500
+    assert by[(1, 0)].mean_luma < 10.0
+    assert by[(1, 500)].mean_luma < 10.0
+    assert by[(1, 1000)].mean_luma > 200.0
+    assert by[(2, 1500)].mean_luma > 200.0
+    assert by[(1, 0)].width == 6 and by[(1, 0)].height == 6
