@@ -282,7 +282,9 @@ class Admin:
         minor compaction likewise retains deletes —
         rs/compactions/RatioBasedCompactionPolicy.java picks files,
         ScanQueryMatcher keeps tombstones); contrast ``major_compact``
-        which applies the tombstone/TTL/version rewrite."""
+        which applies the tombstone/TTL/version rewrite.  Honors the
+        compaction master switch (shell `compaction_switch`)."""
+        self._require_switch("compaction")
         t = self.table(name)
         self.flush(name, t, num_regions=num_regions, action="compact")
 
@@ -307,9 +309,11 @@ class Admin:
         """Admin.majorCompact / shell `major_compact`: rewrite the
         table's layout with tombstones applied and versions pruned
         under the family schema knobs, as a NEW immutable version dir
-        (snapshots referencing the old dir stay valid)."""
+        (snapshots referencing the old dir stay valid).  Honors the
+        compaction master switch (shell `compaction_switch`)."""
         from hbase_spark.operators.resolve import compact
 
+        self._require_switch("compaction")
         t = self.table(name, now=now)
         rewritten = compact(
             t.cells,
@@ -1249,7 +1253,8 @@ class Admin:
         state (the shell prints the old value).  Kinds: split, merge,
         normalizer, balancer, snapshot_cleanup."""
         if kind not in (
-            "split", "merge", "normalizer", "balancer", "snapshot_cleanup"
+            "split", "merge", "normalizer", "balancer", "snapshot_cleanup",
+            "compaction", "catalogjanitor", "peer_modification",
         ):
             raise ValueError(f"unknown switch {kind!r}")
         sw = self._read_switches()
@@ -1598,6 +1603,110 @@ class Admin:
             out[name] = n_regions
         return out
 
+    # -- remaining data-touching shell surface (round 5): snapshot /
+    # quota size listings, replicated-table listing, peer-config
+    # refinements, compaction + catalog-janitor switches ----------------
+
+    def list_snapshot_sizes(self) -> dict[str, int]:
+        """shell `list_snapshot_sizes` (list_snapshot_sizes.rb): bytes
+        referenced by each snapshot manifest — a metadata walk plus one
+        directory size per manifest, no data scan."""
+        out = {}
+        for s in self.list_snapshots():
+            man = self._read_json(self._snap_path(s), f"snapshot {s!r}")
+            out[s] = self._dir_bytes(
+                f"{self.catalog_dir}/{man['data_dir']}"
+            ) + (
+                self._dir_bytes(f"{self.catalog_dir}/{man['mob_dir']}")
+                if man.get("mob_dir") else 0
+            )
+        return out
+
+    def list_quota_table_sizes(self) -> dict[str, int]:
+        """shell `list_quota_table_sizes`: current space usage per
+        table (the QuotaObserverChore's size report)."""
+        return {
+            t: self.space_usage(t)
+            for t in self.list_tables()
+        }
+
+    def list_replicated_tables(self) -> list[str]:
+        """shell `list_replicated_tables`: tables with at least one
+        REPLICATION_SCOPE=1 family (enable_table_replication sets the
+        scope, ColumnFamilyDescriptor.setScope analog)."""
+        return sorted(
+            t for t in self.list_tables() if self._scoped_families(t)
+        )
+
+    def append_peer_table_cfs(
+        self, peer_id: str, table_cfs: dict[str, list[str] | None]
+    ) -> None:
+        """shell `append_peer_tableCFs`: add tables/families to a
+        peer's replication map (Admin.appendReplicationPeerTableCFs)."""
+        self._require_switch("peer_modification")
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        cur = peers[peer_id].get("table_cfs") or {}
+        for t, fams in table_cfs.items():
+            if t in cur and cur[t] is not None and fams is not None:
+                cur[t] = sorted(set(cur[t]) | set(fams))
+            else:
+                cur[t] = fams
+        peers[peer_id]["table_cfs"] = cur
+        self._write_json(self._peers_path(), peers)
+
+    def remove_peer_table_cfs(
+        self, peer_id: str, table_cfs: dict[str, list[str] | None]
+    ) -> None:
+        """shell `remove_peer_tableCFs`
+        (Admin.removeReplicationPeerTableCFs)."""
+        self._require_switch("peer_modification")
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        cur = peers[peer_id].get("table_cfs") or {}
+        for t, fams in table_cfs.items():
+            if t not in cur:
+                continue
+            if fams is None or cur[t] is None:
+                del cur[t]
+            else:
+                left = sorted(set(cur[t]) - set(fams))
+                if left:
+                    cur[t] = left
+                else:
+                    del cur[t]
+        peers[peer_id]["table_cfs"] = cur or None
+        self._write_json(self._peers_path(), peers)
+
+    def set_peer_bandwidth(self, peer_id: str, bandwidth: int) -> None:
+        """shell `set_peer_bandwidth`: per-peer replication throughput
+        cap in bytes/sec (ReplicationPeerConfig.setBandwidth) — stored
+        on the peer and consumed by the throttle limiter the same way
+        table throttles are."""
+        self._require_switch("peer_modification")
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        peers[peer_id]["bandwidth"] = int(bandwidth)
+        self._write_json(self._peers_path(), peers)
+
+    def set_peer_serial(self, peer_id: str, serial: bool) -> None:
+        """shell `set_peer_serial`: per-key-ordered shipping
+        (ReplicationPeerConfig.setSerial; the serial replication path
+        in streaming/stateful.py enforces the ordering)."""
+        self._require_switch("peer_modification")
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        peers[peer_id]["serial"] = bool(serial)
+        self._write_json(self._peers_path(), peers)
+
+    def list_peer_configs(self) -> dict[str, dict]:
+        """shell `list_peer_configs` — full config map per peer."""
+        return self._read_peers()
+
     # -- load balancer (master/balancer/StochasticLoadBalancer.java;
     # shell `balance`, `balance_switch`).  Spark has no region servers
     # to move regions BETWEEN — executor placement is the scheduler's
@@ -1653,9 +1762,10 @@ class Admin:
         {table: report_row} for the tables that needed (or would need)
         a rewrite; honors the balancer master switch."""
         self._require_switch("balancer")
+        report = self.balancer_report(name)
         plans = {
             r["table"]: r
-            for r in self.balancer_report(name)
+            for r in report
             if r["regions"] > 1 and r["imbalance"] > 1.0 + slop
         }
         if dry_run:
@@ -1671,7 +1781,51 @@ class Admin:
                 self._write_desc(t, desc)
                 self.flush(t, table, num_regions=rep["regions"],
                            action="compact")
+        # shell get_balancer_decisions / get_balancer_rejections
+        # (NamedQueue BalancerDecision/BalancerRejection journals)
+        self._append_balancer_log("decisions", [
+            {"table": t, "imbalance": r["imbalance"], "cost": r["cost"],
+             "regions": r["regions"]}
+            for t, r in plans.items()
+        ])
+        self._append_balancer_log("rejections", [
+            {"table": r["table"], "imbalance": r["imbalance"],
+             "reason": f"imbalance <= slop gate {1.0 + slop:.2f}"}
+            for r in report if r["table"] not in plans
+        ])
         return plans
+
+    def _balancer_log_path(self) -> str:
+        return f"{self.catalog_dir}/balancer-log.json"
+
+    def _append_balancer_log(self, kind: str, entries: list[dict]) -> None:
+        try:
+            log = self._read_json(self._balancer_log_path(), "balancer log")
+        except ValueError:
+            log = {"decisions": [], "rejections": []}
+        log[kind] = (log.get(kind, []) + entries)[-250:]  # bounded journal
+        self._write_json(self._balancer_log_path(), log)
+
+    def get_balancer_decisions(self) -> list[dict]:
+        """shell `get_balancer_decisions` (BalancerDecision named
+        queue): tables the last balance runs rewrote, with their
+        pre-rewrite skew."""
+        try:
+            return self._read_json(
+                self._balancer_log_path(), "balancer log"
+            ).get("decisions", [])
+        except ValueError:
+            return []
+
+    def get_balancer_rejections(self) -> list[dict]:
+        """shell `get_balancer_rejections` (BalancerRejection named
+        queue): tables balance runs considered and skipped, with why."""
+        try:
+            return self._read_json(
+                self._balancer_log_path(), "balancer log"
+            ).get("rejections", [])
+        except ValueError:
+            return []
 
     # -- procedures & locks (shell `list_procedures` / `list_locks`,
     # master/procedure/*).  The reference's Procedure-v2 framework is

@@ -774,3 +774,124 @@ def shell_wal_roll(admin, log_dir: str) -> dict:
 def shell_zk_dump(admin) -> dict:
     """shell `zk_dump` (zk_dump.rb) — coordination-state dump."""
     return admin.zk_dump()
+
+
+# -- round-5 data-touching scraps (show_filters.rb, get_counter.rb,
+# list_replicated_tables.rb, list_snapshot_sizes.rb,
+# list_quota_table_sizes.rb, compaction_switch.rb, catalogjanitor_*.rb,
+# get_balancer_decisions.rb, get_balancer_rejections.rb, peer cmds) ----
+
+# ParseFilter registry names (filter/ParseFilter.java:52-100) — the
+# filters the string DSL can construct (show_filters prints this list)
+SUPPORTED_FILTERS = [
+    "ColumnCountGetFilter", "ColumnPaginationFilter", "ColumnPrefixFilter",
+    "ColumnRangeFilter", "ColumnValueFilter", "DependentColumnFilter",
+    "FamilyFilter", "FilterList", "FirstKeyOnlyFilter", "FuzzyRowFilter",
+    "InclusiveStopFilter", "KeyOnlyFilter", "MultiRowRangeFilter",
+    "MultipleColumnPrefixFilter", "PageFilter", "PrefixFilter",
+    "QualifierFilter", "RandomRowFilter", "RowFilter",
+    "SingleColumnValueExcludeFilter", "SingleColumnValueFilter",
+    "SkipFilter", "TimestampsFilter", "ValueFilter", "WhileMatchFilter",
+]
+
+
+def shell_show_filters(admin=None) -> list[str]:
+    """shell `show_filters` — the ParseFilter-constructible filters."""
+    return list(SUPPORTED_FILTERS)
+
+
+def shell_get_counter(table, row, column) -> int:
+    """shell `get_counter 't', 'row', 'cf:q'` — the current long value
+    of a counter cell (increments resolve to their sum at read time)."""
+    fam, qual = column.split(":", 1)
+    out = (
+        table.snapshot()
+        .filter(
+            (F.col("row") == row)
+            & (F.col("family") == fam)
+            & (F.col("qualifier") == qual)
+        )
+        .select("value")
+        .collect()
+    )
+    if not out:
+        raise KeyError(f"no counter at {row!r} {column!r}")
+    return int(out[0].value)
+
+
+def shell_list_replicated_tables(admin) -> list[str]:
+    return admin.list_replicated_tables()
+
+
+def shell_list_snapshot_sizes(admin) -> dict:
+    return admin.list_snapshot_sizes()
+
+
+def shell_list_quota_table_sizes(admin) -> dict:
+    return admin.list_quota_table_sizes()
+
+
+def shell_compaction_switch(admin, enabled: bool) -> bool:
+    """shell `compaction_switch true|false` — previous state."""
+    return admin.set_switch("compaction", enabled)
+
+
+def shell_catalogjanitor_switch(admin, enabled: bool) -> bool:
+    """shell `catalogjanitor_switch` — gates the janitor run (the
+    version-dir GC role the catalog janitor plays after split/merge)."""
+    return admin.set_switch("catalogjanitor", enabled)
+
+
+def shell_catalogjanitor_enabled(admin) -> bool:
+    return admin.is_switch_enabled("catalogjanitor")
+
+
+def shell_catalogjanitor_run(admin, **kw) -> dict:
+    """shell `catalogjanitor_run`: GC the version dirs split/merge/
+    flush left behind (CatalogJanitor.java's cleanParent role maps to
+    the same immutable-dir reclaim as the cleaner chore)."""
+    if not admin.is_switch_enabled("catalogjanitor"):
+        raise RuntimeError("master switch 'catalogjanitor' is disabled")
+    return admin.cleaner_chore(**kw)
+
+
+def shell_get_balancer_decisions(admin) -> list[dict]:
+    return admin.get_balancer_decisions()
+
+
+def shell_get_balancer_rejections(admin) -> list[dict]:
+    return admin.get_balancer_rejections()
+
+
+def shell_append_peer_table_cfs(admin, peer_id: str, table_cfs: dict) -> None:
+    admin.append_peer_table_cfs(peer_id, table_cfs)
+
+
+def shell_remove_peer_table_cfs(admin, peer_id: str, table_cfs: dict) -> None:
+    admin.remove_peer_table_cfs(peer_id, table_cfs)
+
+
+def shell_show_peer_table_cfs(admin, peer_id: str):
+    """shell `show_peer_tableCFs`."""
+    return admin.get_peer_config(peer_id).get("table_cfs")
+
+
+def shell_set_peer_bandwidth(admin, peer_id: str, bandwidth: int) -> None:
+    admin.set_peer_bandwidth(peer_id, bandwidth)
+
+
+def shell_set_peer_serial(admin, peer_id: str, serial: bool) -> None:
+    admin.set_peer_serial(peer_id, serial)
+
+
+def shell_list_peer_configs(admin) -> dict:
+    return admin.list_peer_configs()
+
+
+def shell_peer_modification_switch(admin, enabled: bool) -> bool:
+    """shell `peer_modification_switch` — previous state."""
+    return admin.set_switch("peer_modification", enabled)
+
+
+def shell_peer_modification_enabled(admin) -> bool:
+    return admin.is_switch_enabled("peer_modification")

@@ -1344,3 +1344,105 @@ def test_wal_roll_and_zk_dump(catalog, spark, tmp_path):
     assert dump["tables"]["tz"] == "ENABLED"
     assert dump["switches"] == catalog._read_switches()
     assert dump["procedures_running"] == []
+
+
+def test_round5_shell_scraps(catalog, spark):
+    from hbase_spark.shell import (
+        shell_catalogjanitor_run,
+        shell_catalogjanitor_switch,
+        shell_compaction_switch,
+        shell_get_balancer_decisions,
+        shell_get_balancer_rejections,
+        shell_get_counter,
+        shell_incr,
+        shell_list_quota_table_sizes,
+        shell_list_replicated_tables,
+        shell_list_snapshot_sizes,
+        shell_put,
+        shell_show_filters,
+    )
+
+    # show_filters lists the ParseFilter-constructible names
+    names = shell_show_filters()
+    assert "SingleColumnValueFilter" in names and "FuzzyRowFilter" in names
+
+    catalog.create_table("t5", ["f"])
+    t = catalog.table("t5")
+    t = shell_put(t, "r", "f:q", "v", ts=10, seq=1)
+    t = shell_incr(t, "r", "f:cnt", 5, ts=20, seq=2)
+    t = shell_incr(t, "r", "f:cnt", 7, ts=30, seq=3)
+    assert shell_get_counter(t, "r", "f:cnt") == 12
+
+    # snapshot / quota size listings are metadata walks over real dirs
+    catalog.flush("t5", t, num_regions=2)
+    catalog.snapshot("s5", "t5")
+    sizes = shell_list_snapshot_sizes(catalog)
+    assert sizes["s5"] > 0
+    qsizes = shell_list_quota_table_sizes(catalog)
+    assert qsizes["t5"] >= sizes["s5"]
+
+    # replicated-table listing follows family replication scope
+    assert shell_list_replicated_tables(catalog) == []
+    catalog.enable_table_replication("t5")
+    assert shell_list_replicated_tables(catalog) == ["t5"]
+
+    # compaction switch gates both compactions
+    assert shell_compaction_switch(catalog, False) is True
+    with pytest.raises(RuntimeError):
+        catalog.compact("t5")
+    with pytest.raises(RuntimeError):
+        catalog.major_compact("t5")
+    shell_compaction_switch(catalog, True)
+    catalog.compact("t5", num_regions=2)
+
+    # catalog janitor honors its switch and reclaims like the chore
+    shell_catalogjanitor_switch(catalog, False)
+    with pytest.raises(RuntimeError):
+        shell_catalogjanitor_run(catalog)
+    shell_catalogjanitor_switch(catalog, True)
+    out = shell_catalogjanitor_run(catalog, dry_run=True)
+    assert isinstance(out, dict)
+
+    # balance journals decisions/rejections
+    catalog.balance()
+    dec = shell_get_balancer_decisions(catalog)
+    rej = shell_get_balancer_rejections(catalog)
+    assert dec == [] or all("table" in d for d in dec)
+    assert any(r["table"] == "t5" for r in rej)  # even table -> rejected
+
+
+def test_round5_peer_config_refinements(catalog):
+    from hbase_spark.shell import (
+        shell_append_peer_table_cfs,
+        shell_list_peer_configs,
+        shell_peer_modification_switch,
+        shell_remove_peer_table_cfs,
+        shell_set_peer_bandwidth,
+        shell_set_peer_serial,
+        shell_show_peer_table_cfs,
+    )
+
+    catalog.add_peer("p1", "/tmp/peer1", table_cfs={"ta": ["f"]})
+    shell_append_peer_table_cfs(catalog, "p1", {"ta": ["g"], "tb": None})
+    assert shell_show_peer_table_cfs(catalog, "p1") == {
+        "ta": ["f", "g"], "tb": None,
+    }
+    shell_remove_peer_table_cfs(catalog, "p1", {"ta": ["f"]})
+    assert shell_show_peer_table_cfs(catalog, "p1") == {
+        "ta": ["g"], "tb": None,
+    }
+    shell_remove_peer_table_cfs(catalog, "p1", {"ta": None, "tb": None})
+    assert shell_show_peer_table_cfs(catalog, "p1") is None
+
+    shell_set_peer_bandwidth(catalog, "p1", 1_000_000)
+    shell_set_peer_serial(catalog, "p1", True)
+    cfg = shell_list_peer_configs(catalog)["p1"]
+    assert cfg["bandwidth"] == 1_000_000 and cfg["serial"] is True
+
+    # the peer-modification switch gates every mutator
+    assert shell_peer_modification_switch(catalog, False) is True
+    with pytest.raises(RuntimeError):
+        shell_set_peer_bandwidth(catalog, "p1", 5)
+    with pytest.raises(RuntimeError):
+        shell_append_peer_table_cfs(catalog, "p1", {"tc": None})
+    shell_peer_modification_switch(catalog, True)
