@@ -800,25 +800,6 @@ def shell_show_filters(admin=None) -> list[str]:
     return list(SUPPORTED_FILTERS)
 
 
-def shell_get_counter(table, row, column) -> int:
-    """shell `get_counter 't', 'row', 'cf:q'` — the current long value
-    of a counter cell (increments resolve to their sum at read time)."""
-    fam, qual = column.split(":", 1)
-    out = (
-        table.snapshot()
-        .filter(
-            (F.col("row") == row)
-            & (F.col("family") == fam)
-            & (F.col("qualifier") == qual)
-        )
-        .select("value")
-        .collect()
-    )
-    if not out:
-        raise KeyError(f"no counter at {row!r} {column!r}")
-    return int(out[0].value)
-
-
 def shell_list_replicated_tables(admin) -> list[str]:
     return admin.list_replicated_tables()
 
