@@ -899,23 +899,59 @@ def q_agg_endpoint(spark, sf):
 
     The median is the reference's two-phase protocol
     (AggregateImplementation.java:483-539 + client merge in
-    AggregationClient.java:778), NOT an unbounded percentile() buffer:
-    bounded histogram scans narrow to the middle ranks, a top-k picks
-    them, and the client merges the number into the final row — so no
-    executor ever buffers the whole column at 100 TB."""
+    AggregationClient.java:778), NOT an unbounded percentile() buffer,
+    and the query runs the reference's exact TWO scans: scan 1 is the
+    endpoint aggregate itself (its count/min/max double as the median's
+    phase-1 stats), scan 2 a targeted top-k that pulls only the two
+    middle-rank values; the client merges the final row exactly like
+    AggregationClient (partials -> one result row, here via a local
+    single-row frame).  No executor ever buffers the whole column."""
     from hbase_spark.operators.aggregations import median_two_phase
 
     visible = resolve(_lineitem_cells_layout(spark, sf), versions=1)
     v = F.col("value").cast("decimal(18,2)").cast("decimal(38,10)")
-    med = median_two_phase(visible, v)
-    return visible.agg(
-        F.max(v).cast("double").alias("max_v"),
-        F.min(v).cast("double").alias("min_v"),
-        F.sum(v).cast("double").alias("sum_v"),
-        F.count(v).alias("count_v"),
-        F.round(F.sum(v).cast("double") / F.count(v), 4).alias("avg_v"),
-        F.round(F.stddev_pop(v.cast("double")), 4).alias("std_v"),
-        F.round(F.lit(float(med)).cast("double"), 4).alias("median_v"),
+    # One resolved-value column persisted across the two passes — the
+    # analog of the reference's second scan hitting the block cache the
+    # first scan just warmed.  A single numeric column, MEMORY_AND_DISK
+    # (spills, never OOMs); the stats-free histogram path of
+    # median_two_phase is the documented no-persist fallback.
+    vals = visible.select(v.alias("value"))
+    vals.persist()
+    try:
+        row = vals.agg(
+            F.max("value").cast("double").alias("max_v"),
+            F.min("value").cast("double").alias("min_v"),
+            F.sum("value").cast("double").alias("sum_v"),
+            F.count("value").alias("count_v"),
+            F.round(F.sum("value").cast("double") / F.count("value"), 4)
+            .alias("avg_v"),
+            F.round(F.stddev_pop(F.col("value").cast("double")), 4)
+            .alias("std_v"),
+        ).first()
+        med = median_two_phase(
+            vals, F.col("value"),
+            stats=(row.count_v, row.min_v, row.max_v),
+            # small final_cap: one cheap histogram round over the cached
+            # column shrinks the exact top-k sort to a few hundred rows
+            # (smaller final sorts are strictly MORE scale-safe; the
+            # price is one extra cached-scan round)
+            final_cap=20_000,
+        )
+    finally:
+        vals.unpersist()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # HALF_UP to match Spark's/DuckDB's round(), not Python's HALF_EVEN
+    med_r = (
+        None if med is None
+        else float(Decimal(str(med)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+    )
+    return spark.createDataFrame(
+        [(row.max_v, row.min_v, row.sum_v, row.count_v, row.avg_v,
+          row.std_v, med_r)],
+        "max_v double, min_v double, sum_v double, count_v bigint, "
+        "avg_v double, std_v double, median_v double",
     )
 
 

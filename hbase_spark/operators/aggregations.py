@@ -113,6 +113,7 @@ def median_two_phase(
     *,
     buckets: int = 4096,
     final_cap: int = 1_000_000,
+    stats: tuple | None = None,
 ):
     """Exact median without an unbounded aggregation buffer.
 
@@ -142,7 +143,15 @@ def median_two_phase(
     """
     vals = df.select(value.alias("_v")).filter(F.col("_v").isNotNull())
     dv = F.col("_v").cast("double")
-    n, lo, hi = vals.agg(F.count("_v"), F.min(dv), F.max(dv)).first()
+    if stats is not None:
+        # caller already aggregated (count, min, max) — e.g. the main
+        # endpoint aggregate row — so phase 1 costs nothing extra and
+        # the whole median is ONE additional scan, matching the
+        # reference's two-scan protocol exactly
+        n, lo, hi = stats
+        lo, hi = float(lo), float(hi)
+    else:
+        n, lo, hi = vals.agg(F.count("_v"), F.min(dv), F.max(dv)).first()
     if not n:
         return None
     # 1-indexed middle ranks (equal for odd n)
@@ -189,13 +198,11 @@ def median_two_phase(
         k1, k2 = k1 - below, k2 - below
         lo, hi = lo + b1 * w, min(hi, lo + (b2 + 1) * w)
         stalled = stalled + 1 if c_n >= prev_c_n else 0
-    # ties collapsed the double range: the sort below resolves them
-    hi_v = cand.orderBy("_v").limit(k2).agg(F.max("_v")).first()[0]
-    lo_v = (
-        hi_v
-        if k1 == k2
-        else cand.orderBy("_v").limit(k1).agg(F.max("_v")).first()[0]
-    )
+    # ties collapsed the double range are resolved by this exact sort.
+    # Both middle ranks come out of ONE job: the ordered top-k2 frame's
+    # last two rows (k1 = k2 or k2-1 by construction).
+    t = cand.orderBy("_v").limit(k2).tail(1 if k1 == k2 else 2)
+    lo_v, hi_v = t[0]._v, t[-1]._v
     return (lo_v + hi_v) / 2
 
 

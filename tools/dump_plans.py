@@ -10,7 +10,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import HEADLINE, headline_queries  # noqa: E402
+from bench import EXTENDED, HEADLINE, headline_queries  # noqa: E402
 from hbase_spark.sources.tables import get_spark  # noqa: E402
 
 
@@ -22,7 +22,7 @@ def main() -> None:
     queries = headline_queries()
     out = ["# PLANS — executed physical plans of the headline queries\n"]
     out.append(f"Scale: `{sf_dir}`; final AQE plans (post-materialization).\n")
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         df = queries[name](spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -30,7 +30,7 @@ def main() -> None:
         out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("".join(out))
-    print(f"wrote PLANS.md with {len(HEADLINE)} plans")
+    print(f"wrote PLANS.md with {len(HEADLINE + EXTENDED)} plans")
 
 
 if __name__ == "__main__":
