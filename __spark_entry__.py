@@ -3384,6 +3384,120 @@ SELECT doc_id, CAST(doc_id + 1000000 AS VARCHAR) AS value
 FROM documents WHERE doc_id % 25 = 0
 """
 
+
+def _pii_injected(docs):
+    """Deterministic PII injection (the corpus is synthetic and
+    PII-free): an email, a phone and an IPv4 derived from doc_id are
+    appended, so detection counts and the redacted text are exact,
+    portable expectations on both engines."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".0.1"),
+        ),
+    )
+
+
+def _pii_arm(spark, sf):
+    """PII detect + redact (functions/text.py pii_stats / redact_pii):
+    per-type regexp counts and the sequentially-redacted text, both
+    pure codegen'd string expressions in one scan stage.  The value
+    packs counts and the redacted text, so a drift in either pattern
+    semantics or redaction order turns the hash red."""
+    from hbase_spark.functions.text import pii_stats, redact_pii
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    st = pii_stats(_pii_injected(docs))
+    red = redact_pii(st)
+    return red.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("pii_email").cast("string"),
+            F.col("pii_ipv4").cast("string"),
+            F.col("pii_phone").cast("string"),
+            F.col("pii_ssn").cast("string"),
+            F.col("pii_credit_card").cast("string"),
+            F.col("pii_total").cast("string"),
+            F.col("text"),
+        ).alias("value"),
+    )
+
+
+def _pii_sql():
+    from hbase_spark.functions.text import PII_PATTERNS as P
+
+    inj = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or +1-555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+    )
+    counts = " || ':' || ".join(
+        f"CAST(len(regexp_extract_all(text, '{P[t]}')) AS VARCHAR)"
+        for t in ("email", "ipv4", "phone", "ssn", "credit_card")
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{P[t]}'))" for t in P
+    )
+    red = "text"
+    for t in P:  # same order as redact_pii
+        red = f"regexp_replace({red}, '{P[t]}', '[{t.upper()}]', 'g')"
+    return f"""
+    WITH inj AS (SELECT doc_id, {inj} AS text FROM documents)
+    SELECT doc_id, {counts} || ':' || CAST(({total}) AS VARCHAR)
+           || ':' || {red} AS value
+    FROM inj
+    """
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.25, "src1": 1.5, "src2": 2.0}
+
+
+def _mixture_arm(spark, sf):
+    """Domain-mixture sampling (functions/text.py mixture_sample):
+    fractional down-sampling AND integer up-sampling (epoch copies) in
+    one deterministic scan+explode — the corpus-mixing step of a
+    training pipeline.  src0 keeps ~25%, src1 repeats ~1.5x, src2
+    exactly 2x, everything else 1x."""
+    from hbase_spark.functions.text import mixture_sample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    out = mixture_sample(docs, _MIXTURE_WEIGHTS, group_col="source")
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("source"), F.col("epoch").cast("string")
+        ).alias("value"),
+    )
+
+
+_MIXTURE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8))
+              AS BIGINT) % 1000000 AS bucket,
+         CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                     WHEN 'src2' THEN 2 ELSE 1 END AS whole,
+         CASE source WHEN 'src0' THEN 250000 WHEN 'src1' THEN 500000
+                     WHEN 'src2' THEN 0 ELSE 0 END AS frac
+  FROM documents),
+c AS (SELECT doc_id, source,
+             whole + CASE WHEN bucket < frac THEN 1 ELSE 0 END AS copies
+      FROM w)
+SELECT doc_id, source || ':' || CAST(e AS VARCHAR) AS value
+FROM c, unnest(range(copies)) AS t(e)
+"""
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
@@ -3391,7 +3505,9 @@ _register_suite(
      ("repetition", _repetition_arm),
      ("decontaminate", _decontaminate_arm),
      ("sample_stratified", _sample_arm),
-     ("simhash_clones", _simhash_clone_arm)],
+     ("simhash_clones", _simhash_clone_arm),
+     ("pii_redact", _pii_arm),
+     ("mixture", _mixture_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3404,7 +3520,9 @@ _register_suite(
      ("repetition", _REPETITION_SQL),
      ("decontaminate", _DECONTAMINATE_SQL),
      ("sample_stratified", _SAMPLE_SQL),
-     ("simhash_clones", _SIMHASH_CLONES_SQL)],
+     ("simhash_clones", _SIMHASH_CLONES_SQL),
+     ("pii_redact", _pii_sql()),
+     ("mixture", _MIXTURE_SQL)],
     ["doc_id", "value"],
 )
 

@@ -340,6 +340,111 @@ def stratified_sample(
     return docs.filter(bucket < rate)
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround; \b and (?:...) are
+# common to both.  Redaction applies them in THIS dict order — the
+# order is part of the contract (overlapping matches resolve the same
+# way on every engine).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "credit_card": r"\b[0-9]{4}(?: [0-9]{4}){3}\b",
+}
+
+
+def pii_stats(
+    docs: DataFrame, *, text_col: str = "text",
+    types: list[str] | None = None,
+) -> DataFrame:
+    """Per-document PII match counts — the detection half of the
+    standard pre-training redaction pass.  Pure ``regexp_count``
+    column expressions: one scan stage, JVM-side, no shuffle, no
+    Python.  Returns the input plus one ``pii_<type>`` long column per
+    requested type and a ``pii_total``."""
+    types = list(PII_PATTERNS) if types is None else types
+    out = docs
+    for t in types:
+        out = out.withColumn(
+            f"pii_{t}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[t]))
+        )
+    total = None
+    for t in types:
+        c = F.col(f"pii_{t}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
+def redact_pii(
+    docs: DataFrame, *, text_col: str = "text",
+    types: list[str] | None = None, out_col: str | None = None,
+) -> DataFrame:
+    """Replace every PII match with its ``[TYPE]`` tag (the redaction
+    half).  Sequential ``regexp_replace`` in PII_PATTERNS order — each
+    a codegen'd string expression in the same scan stage."""
+    types = list(PII_PATTERNS) if types is None else types
+    expr = F.col(text_col)
+    for t in types:
+        expr = F.regexp_replace(
+            expr, PII_PATTERNS[t], f"[{t.upper()}]"
+        )
+    return docs.withColumn(out_col or text_col, expr)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Domain-mixture sampling with UP-sampling: weight w per group
+    means every doc of that group appears floor(w) times plus once
+    more with probability frac(w) — the mixture-weights step of a
+    training-data pipeline (downsample boilerplate sources, repeat
+    rare high-quality ones), generalizing ``stratified_sample`` (pure
+    down-sampling) to w > 1.
+
+    Deterministic: the fractional keep uses the same portable md5
+    bucket as stratified_sample, so the realized mixture is stable
+    under repartitioning and reproducible on any SQL engine.  Plan
+    shape: one scan stage with an explode — copies materialize as rows
+    with ``epoch_col`` = 0..copies-1, no shuffle, no RNG state."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1_000_000),
+    )
+    whole = F.lit(int(default_weight))
+    frac = F.lit(int((default_weight % 1) * 1_000_000))
+    for g, w in sorted(weights.items()):
+        whole = F.when(F.col(group_col) == g, int(w)).otherwise(whole)
+        frac = F.when(
+            F.col(group_col) == g, int(round((w % 1) * 1_000_000))
+        ).otherwise(frac)
+    copies = whole + F.when(bucket < frac, 1).otherwise(0)
+    return (
+        docs.withColumn("_copies", copies)
+        .filter(F.col("_copies") >= 1)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)),
+        )
+        .drop("_copies")
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     *,

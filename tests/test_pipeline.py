@@ -1408,3 +1408,62 @@ def test_avi_frame_sampling_through_spark(spark):
     assert by[(1, 1000)].mean_luma > 200.0
     assert by[(2, 1500)].mean_luma > 200.0
     assert by[(1, 0)].width == 6 and by[(1, 0)].height == 6
+
+
+def test_pii_stats_and_redaction(spark):
+    from hbase_spark.functions.text import pii_stats, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org now"),
+            (2, "call +1-555-123-4567 or ssn 123-45-6789"),
+            (3, "host 192.168.0.1 card 4111 1111 1111 1111"),
+            (4, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    st = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert (st[1].pii_email, st[1].pii_total) == (2, 2)
+    assert (st[2].pii_phone, st[2].pii_ssn, st[2].pii_total) == (1, 1, 2)
+    assert (st[3].pii_ipv4, st[3].pii_credit_card) == (1, 1)
+    assert st[4].pii_total == 0
+
+    red = {r.doc_id: r.text for r in redact_pii(docs).collect()}
+    assert red[1] == "mail [EMAIL] and [EMAIL] now"
+    assert red[2] == "call [PHONE] or ssn [SSN]"
+    assert red[3] == "host [IPV4] card [CREDIT_CARD]"
+    assert red[4] == "clean text, no pii at all"
+
+
+def test_mixture_sample_up_and_down(spark):
+    from hbase_spark.functions.text import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(
+        docs, {"src0": 0.0, "src1": 0.5, "src2": 2.0, "src3": 1.25},
+        group_col="source",
+    )
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # src0 fully dropped; src2 exactly doubled with epochs 0 and 1
+    assert "src0" not in by_src
+    assert len(by_src["src2"]) == 200
+    assert {r.epoch for r in by_src["src2"]} == {0, 1}
+    # src1 keeps roughly half (deterministic md5 bucket), epoch 0 only
+    assert 25 <= len(by_src["src1"]) <= 75
+    assert {r.epoch for r in by_src["src1"]} == {0}
+    # src3: everyone at least once, ~quarter twice
+    ids3 = [r.doc_id for r in by_src["src3"]]
+    assert len(set(ids3)) == 100
+    assert 100 + 10 <= len(ids3) <= 100 + 40
+    # deterministic: identical second run
+    again = sorted((r.doc_id, r.epoch) for r in mixture_sample(
+        docs, {"src0": 0.0, "src1": 0.5, "src2": 2.0, "src3": 1.25},
+        group_col="source",
+    ).collect())
+    assert again == sorted((r.doc_id, r.epoch) for r in rows)
