@@ -3460,6 +3460,56 @@ def _pii_sql():
     """
 
 
+def _para_arm(spark, sf):
+    """Paragraph-level exact dedup (functions/text.py paragraph_dedup
+    — the C4/RefinedWeb boilerplate-stripping pass).  Every doc gets a
+    shared boilerplate header and a per-(doc_id%7) group footer
+    injected; the op must keep each duplicated paragraph only at its
+    first (doc_id, pos) occurrence and reassemble in order — the
+    deduped text is the hash-checked value."""
+    from hbase_spark.functions.text import paragraph_dedup
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    inj = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("SUBSCRIBE TO OUR NEWSLETTER\n\n"),
+            F.col("text"),
+            F.lit("\n\nshared footer "),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        ),
+    )
+    return paragraph_dedup(inj).select(
+        "doc_id", F.col("text").alias("value")
+    )
+
+
+_PARA_DEDUP_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || chr(10) || text
+         || chr(10) || chr(10) || 'shared footer '
+         || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents),
+s AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS sp FROM inj),
+p AS (
+  SELECT doc_id, sp[t.e + 1] AS para, t.e + 1 AS pos
+  FROM s, unnest(range(len(sp))) AS t(e)),
+w AS (
+  SELECT para, min(doc_id * 1000000 + pos) AS wk FROM p GROUP BY para),
+kept AS (
+  SELECT p.doc_id, p.para, p.pos
+  FROM p JOIN w ON p.para = w.para
+  WHERE p.doc_id * 1000000 + p.pos = w.wk)
+SELECT inj.doc_id,
+       coalesce(
+         (SELECT string_agg(k.para, chr(10) || chr(10) ORDER BY k.pos)
+          FROM kept k WHERE k.doc_id = inj.doc_id), '') AS value
+FROM inj
+"""
+
+
 _MIXTURE_WEIGHTS = {"src0": 0.25, "src1": 1.5, "src2": 2.0}
 
 
@@ -3507,7 +3557,8 @@ _register_suite(
      ("sample_stratified", _sample_arm),
      ("simhash_clones", _simhash_clone_arm),
      ("pii_redact", _pii_arm),
-     ("mixture", _mixture_arm)],
+     ("mixture", _mixture_arm),
+     ("para_dedup", _para_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3522,7 +3573,8 @@ _register_suite(
      ("sample_stratified", _SAMPLE_SQL),
      ("simhash_clones", _SIMHASH_CLONES_SQL),
      ("pii_redact", _pii_sql()),
-     ("mixture", _MIXTURE_SQL)],
+     ("mixture", _MIXTURE_SQL),
+     ("para_dedup", _PARA_DEDUP_SQL)],
     ["doc_id", "value"],
 )
 

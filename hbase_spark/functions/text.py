@@ -445,6 +445,59 @@ def mixture_sample(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Paragraph-level exact dedup across the corpus (the C4/
+    RefinedWeb line-dedup pass): every duplicated paragraph survives
+    only at its FIRST global occurrence — ordered by (doc id,
+    position) — and is stripped everywhere else (including repeats
+    inside one document); documents are reassembled in original
+    paragraph order, empty if nothing survived.
+
+    Scale shape: paragraphs shuffle as 8-byte xxhash64 keys, never
+    text (collision odds negligible at corpus scale, same argument as
+    the MinHash verify); the winner per hash is one min(struct) hash
+    aggregation with map-side partials; reassembly is a
+    collect_list/array_sort per doc — state bounded by one document's
+    paragraphs, the same per-key bound as chunking.  One scan, two
+    shuffles (winner agg + reassembly), no window over the corpus.
+    """
+    out_col = out_col or text_col
+    p = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"),
+    ).withColumn("_h", F.xxhash64("_p"))
+    winners = p.groupBy("_h").agg(F.min(F.struct("_id", "_pos")).alias("_w"))
+    kept = (
+        p.join(winners, "_h")
+        .filter(
+            (F.col("_w._id") == F.col("_id"))
+            & (F.col("_w._pos") == F.col("_pos"))
+        )
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                    lambda s: s["_p"],
+                ),
+            ).alias("_deduped")
+        )
+    )
+    return (
+        docs.join(kept, F.col(id_col) == F.col("_id"), "left")
+        .withColumn(out_col, F.coalesce("_deduped", F.lit("")))
+        .drop("_id", "_deduped")
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     *,

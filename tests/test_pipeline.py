@@ -1467,3 +1467,28 @@ def test_mixture_sample_up_and_down(spark):
         group_col="source",
     ).collect())
     assert again == sorted((r.doc_id, r.epoch) for r in rows)
+
+
+def test_paragraph_dedup_keeps_first_global_occurrence(spark):
+    from hbase_spark.functions.text import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BOILER\n\nunique one\n\nBOILER"),  # in-doc repeat too
+            (2, "BOILER\n\nunique two"),
+            (3, "unique three\n\nBOILER"),
+            (4, "BOILER"),                            # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in paragraph_dedup(docs).collect()}
+    assert out[1] == "BOILER\n\nunique one"   # first occurrence kept,
+    assert out[2] == "unique two"             # in-doc repeat stripped
+    assert out[3] == "unique three"
+    assert out[4] == ""                       # empty doc retained
+    # idempotent: running again changes nothing
+    red = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id long, text string"
+    )
+    again = {r.doc_id: r.text for r in paragraph_dedup(red).collect()}
+    assert again == out
