@@ -3510,6 +3510,62 @@ FROM inj
 """
 
 
+def _html_arm(spark, sf):
+    """HTML cleaning (functions/text.py strip_html / extract_urls):
+    docs wrapped in a deterministic HTML shell — style block, tags,
+    entities, an anchor with a per-doc URL — must come back as the
+    original words plus the decoded tail, with the URL extracted.
+    value = cleaned text | joined urls."""
+    from hbase_spark.functions.text import extract_urls, strip_html
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    inj = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style>"
+                  "<script>var x=1;</script></head><body><p>"),
+            F.col("text"),
+            F.lit('</p><a href="https://ex.com/d/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">link</a>&amp; &lt;more&gt;</body></html>'),
+        ),
+    )
+    out = strip_html(extract_urls(inj))
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("text"), F.concat_ws(",", F.col("urls"))
+        ).alias("value"),
+    )
+
+
+def _html_sql():
+    from hbase_spark.functions.text import HTML_ENTITIES
+
+    inj = (
+        "'<html><head><style>p{color:red}</style>"
+        "<script>var x=1;</script></head><body><p>' || text ||"
+        " '</p><a href=\"https://ex.com/d/' || CAST(doc_id AS VARCHAR)"
+        " || '\">link</a>&amp; &lt;more&gt;</body></html>'"
+    )
+    clean = "text"
+    for pat in (r"(?s)<script[^>]*>.*?</script>",
+                r"(?s)<style[^>]*>.*?</style>", r"(?s)<[^>]+>"):
+        clean = f"regexp_replace({clean}, '{pat}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{ch_sql}')"
+    clean = f"trim(regexp_replace({clean}, '\\s+', ' ', 'g'))"
+    urls = (
+        "array_to_string(regexp_extract_all(text,"
+        " 'https?://[^\\s<>\"'']+'), ',')"
+    )
+    return f"""
+    WITH inj AS (SELECT doc_id, {inj} AS text FROM documents)
+    SELECT doc_id, {clean} || '|' || {urls} AS value FROM inj
+    """
+
+
 _MIXTURE_WEIGHTS = {"src0": 0.25, "src1": 1.5, "src2": 2.0}
 
 
@@ -3558,7 +3614,8 @@ _register_suite(
      ("simhash_clones", _simhash_clone_arm),
      ("pii_redact", _pii_arm),
      ("mixture", _mixture_arm),
-     ("para_dedup", _para_arm)],
+     ("para_dedup", _para_arm),
+     ("html_clean", _html_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3574,7 +3631,8 @@ _register_suite(
      ("simhash_clones", _SIMHASH_CLONES_SQL),
      ("pii_redact", _pii_sql()),
      ("mixture", _MIXTURE_SQL),
-     ("para_dedup", _PARA_DEDUP_SQL)],
+     ("para_dedup", _PARA_DEDUP_SQL),
+     ("html_clean", _html_sql())],
     ["doc_id", "value"],
 )
 

@@ -1187,15 +1187,28 @@ class Admin:
     def _peer_table_dir(self, peer: dict, name: str) -> str:
         return f"{peer['cluster_key']}/{_table_path(name)}/cells"
 
-    def replicate_log(self, name: str, log_dir: str) -> dict[str, int]:
+    def replicate_log(
+        self, name: str, log_dir: str, *, now_ms: int | None = None
+    ) -> dict[str, int]:
         """Ship a table's mutation log to every enabled peer — one
         checkpointed availableNow stream per peer (the
         ReplicationSource/ReplicationEndpoint pair of merge.py).
         Idempotent per peer: offsets live in the per-peer checkpoint,
         so re-running ships only new log files.  Returns
-        {peer_id: 1 if shipped, 0 if skipped}."""
+        {peer_id: 1 if shipped, 0 if skipped}.
+
+        Peers with ``set_peer_bandwidth`` are throttled on actually-
+        shipped bytes with a token-DEBT bucket (the reference's
+        ReplicationThrottler likewise charges after shipping and
+        sleeps off the excess): a batch always completes, the bucket
+        goes negative by its size, and further ships raise
+        RpcThrottlingException until refill at ``bandwidth`` bytes/sec
+        clears the debt.  ``now_ms`` is injectable for deterministic
+        tests, like the other time-dependent admin ops."""
+        from hbase_spark.quotas import RpcThrottlingException
         from hbase_spark.streaming.merge import mutation_stream, stream_merge
 
+        now_ms = int(time.time() * 1000) if now_ms is None else now_ms
         scoped = self._scoped_families(name)
         shipped: dict[str, int] = {}
         for peer_id, peer in sorted(self._read_peers().items()):
@@ -1212,6 +1225,21 @@ class Admin:
                 if not fams:
                     shipped[peer_id] = 0
                     continue
+            bw = peer.get("bandwidth")
+            tokens = None
+            if bw:
+                state = peer.get("_bw_state") or {
+                    "tokens": float(bw), "last_ms": now_ms
+                }
+                elapsed = max(0, now_ms - state["last_ms"])
+                tokens = min(
+                    float(bw), state["tokens"] + bw * elapsed / 1000.0
+                )
+                if tokens <= 0:
+                    raise RpcThrottlingException(
+                        f"replication bandwidth (peer {peer_id})",
+                        int(-tokens / bw * 1000) + 1,
+                    )
             stream = mutation_stream(self.spark, log_dir)
             from pyspark.sql import functions as F
 
@@ -1220,11 +1248,17 @@ class Admin:
                 f"{self.catalog_dir}/{_table_path(name)}/"
                 f"replication/{peer_id}/ckpt"
             )
-            q = stream_merge(
-                stream, self._peer_table_dir(peer, name), ckpt,
-                trigger_once=True,
-            )
+            dest = self._peer_table_dir(peer, name)
+            before = self._dir_bytes(dest)
+            q = stream_merge(stream, dest, ckpt, trigger_once=True)
             q.awaitTermination()
+            if bw:
+                delta = self._dir_bytes(dest) - before
+                peers = self._read_peers()
+                peers[peer_id]["_bw_state"] = {
+                    "tokens": tokens - delta, "last_ms": now_ms
+                }
+                self._write_json(self._peers_path(), peers)
             shipped[peer_id] = 1
         return shipped
 

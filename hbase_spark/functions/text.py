@@ -445,6 +445,48 @@ def mixture_sample(
     )
 
 
+# Entity map shared by strip_html and its SQL twin; amp LAST so
+# "&amp;lt;" decodes to "&lt;", not "<" (single-pass decode contract).
+HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def strip_html(
+    docs: DataFrame, *, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """HTML → text for web-corpus cleaning: drop <script>/<style>
+    blocks with their content, strip remaining tags, decode the common
+    entities (single pass, HTML_ENTITIES order), collapse whitespace.
+    A chain of codegen'd regexp/replace expressions in one scan stage —
+    no Python, no parser dependency; the regex subset ((?s), non-greedy,
+    no backrefs) behaves identically under Java regex and RE2, so the
+    op is oracle-checkable.  A production stack swaps in a real parser
+    at the same seam without touching the plan."""
+    expr = F.col(text_col)
+    expr = F.regexp_replace(expr, r"(?s)<script[^>]*>.*?</script>", " ")
+    expr = F.regexp_replace(expr, r"(?s)<style[^>]*>.*?</style>", " ")
+    expr = F.regexp_replace(expr, r"(?s)<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        expr = F.replace(expr, F.lit(ent), F.lit(ch))
+    expr = F.trim(F.regexp_replace(expr, r"\s+", " "))
+    return docs.withColumn(out_col or text_col, expr)
+
+
+def extract_urls(
+    docs: DataFrame, *, text_col: str = "text", out_col: str = "urls"
+) -> DataFrame:
+    """All http(s) URLs per document as an array column (link-graph /
+    provenance extraction).  One regexp_extract_all expression."""
+    return docs.withColumn(
+        out_col,
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"""https?://[^\s<>"']+"""), F.lit(0)
+        ),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     *,

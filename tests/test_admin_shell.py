@@ -1446,3 +1446,43 @@ def test_round5_peer_config_refinements(catalog):
     with pytest.raises(RuntimeError):
         shell_append_peer_table_cfs(catalog, "p1", {"tc": None})
     shell_peer_modification_switch(catalog, True)
+
+
+def test_peer_bandwidth_throttles_replication(catalog, spark):
+    import tempfile
+
+    from hbase_spark.quotas import RpcThrottlingException
+    from hbase_spark.shell import shell_set_peer_bandwidth
+
+    catalog.create_table("rb", ["f"])
+    catalog.enable_table_replication("rb")
+    dest = tempfile.mkdtemp(prefix="hb_peer_bw_")
+    catalog.add_peer("bw", dest)
+    shell_set_peer_bandwidth(catalog, "bw", 1000)  # 1000 B/s
+
+    log = tempfile.mkdtemp(prefix="hb_log_bw_") + "/wal"
+    _write_log(
+        spark, log, [(f"r{i}", "f", "q", 10, 4, str(i), i) for i in range(8)]
+    )
+    # first ship always completes; the bucket goes into debt (a parquet
+    # batch is far larger than the 1000-token bucket)
+    assert catalog.replicate_log("rb", log, now_ms=1_000_000) == {"bw": 1}
+    st = catalog.get_peer_config("bw")["_bw_state"]
+    assert st["tokens"] < 0
+
+    # immediately after (no refill time): further ships throttle
+    _write_log(spark, log, [("x1", "f", "q", 20, 4, "9", 9)])
+    with pytest.raises(RpcThrottlingException):
+        catalog.replicate_log("rb", log, now_ms=1_000_000)
+
+    # after enough wall-clock the debt refills and shipping resumes
+    debt_ms = int(-st["tokens"] / 1000 * 1000) + 1000
+    assert catalog.replicate_log(
+        "rb", log, now_ms=1_000_000 + debt_ms
+    ) == {"bw": 1}
+    # a peer WITHOUT a bandwidth never throttles (same log, new peer;
+    # far-future now so the throttled peer's debt is long cleared)
+    dest2 = tempfile.mkdtemp(prefix="hb_peer_nobw_")
+    catalog.add_peer("nobw", dest2)
+    out = catalog.replicate_log("rb", log, now_ms=2_000_000_000)
+    assert out["nobw"] == 1 and out["bw"] == 1

@@ -1492,3 +1492,25 @@ def test_paragraph_dedup_keeps_first_global_occurrence(spark):
     )
     again = {r.doc_id: r.text for r in paragraph_dedup(red).collect()}
     assert again == out
+
+
+def test_strip_html_and_extract_urls(spark):
+    from hbase_spark.functions.text import extract_urls, strip_html
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><head><style>p{x}</style><script>if(a<b){}</script>"
+                "</head><body><h1>Title</h1><p>hello   world</p>"
+                '<a href="https://ex.com/a?q=1">link</a>'
+                " &amp;lt; &quot;q&#39;&nbsp;end</body></html>"),
+            (2, "plain text http://plain.org/x no markup"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_html(extract_urls(docs)).collect()}
+    # tags gone, script/style content gone, entities decoded ONCE
+    # (&amp;lt; -> &lt;, not <), whitespace collapsed
+    assert out[1].text == 'Title hello world link &lt; "q\' end'
+    assert out[1].urls == ["https://ex.com/a?q=1"]
+    assert out[2].text == "plain text http://plain.org/x no markup"
+    assert out[2].urls == ["http://plain.org/x"]
