@@ -464,6 +464,22 @@ class Admin:
         with self._procedure("SPLIT_REGION", name):
             self._rewrite_regions(name, [target.region_file], write_parts)
 
+    def truncate_region(self, name: str, row) -> None:
+        """shell `truncate_region 't', 'row'` (truncate_region.rb):
+        delete all data of the single region containing ``row`` —
+        the same immutable rewrite as split/merge, with the region's
+        file dropped and nothing written in its place.  The region
+        boundary itself disappears with its file (as in the reference,
+        where the region is recreated empty and the next write
+        re-materializes it)."""
+        target = self.locate_region(name, row)
+
+        def write_parts(new_root, fam_dir, v):  # nothing replaces it
+            pass
+
+        with self._procedure("TRUNCATE_REGION", name):
+            self._rewrite_regions(name, [target["region_file"]], write_parts)
+
     def merge_region(self, name: str, row_a, row_b) -> None:
         """shell `merge_region`: merge the (distinct) regions containing
         ``row_a`` and ``row_b`` into one.  Like the reference's

@@ -876,3 +876,8 @@ def shell_peer_modification_switch(admin, enabled: bool) -> bool:
 
 def shell_peer_modification_enabled(admin) -> bool:
     return admin.is_switch_enabled("peer_modification")
+
+
+def shell_truncate_region(admin, name: str, row) -> None:
+    """shell `truncate_region 't', 'row'` (truncate_region.rb)."""
+    admin.truncate_region(name, row)

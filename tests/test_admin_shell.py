@@ -1486,3 +1486,30 @@ def test_peer_bandwidth_throttles_replication(catalog, spark):
     catalog.add_peer("nobw", dest2)
     out = catalog.replicate_log("rb", log, now_ms=2_000_000_000)
     assert out["nobw"] == 1 and out["bw"] == 1
+
+
+def test_truncate_region_drops_only_that_region(catalog, spark):
+    from hbase_spark.shell import shell_count, shell_put, shell_truncate_region
+
+    catalog.create_table("ttr", ["f"])
+    t = catalog.table("ttr")
+    for i in range(40):
+        t = shell_put(t, f"{i:04d}", "f:q", str(i), ts=10, seq=i)
+    catalog.flush("ttr", t, num_regions=4)
+    regions = catalog.list_regions("ttr").collect()
+    assert len(regions) == 4
+    victim = catalog.locate_region("ttr", "0000")
+
+    shell_truncate_region(catalog, "ttr", "0000")
+    t2 = catalog.table("ttr")
+    rows = {r.row for r in t2.snapshot().select("row").distinct().collect()}
+    # every row OUTSIDE the victim region survives; the victim's are gone
+    lost = {f"{i:04d}" for i in range(40)} - rows
+    assert lost and all(
+        victim["start_key"] <= r <= victim["end_key"] for r in lost
+    )
+    assert shell_count(t2) == 40 - len(lost)
+    # journaled like the other region procedures
+    assert any(
+        p["type"] == "TRUNCATE_REGION" for p in catalog.list_procedures()
+    )
