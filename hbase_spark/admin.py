@@ -275,7 +275,8 @@ class Admin:
         }
         self.create_table(dst, fams)
 
-    def compact(self, name: str, *, num_regions: int = 32) -> None:
+    def compact(self, name: str, *, num_regions: int = 32,
+                observers: list | None = None) -> None:
         """Admin.compact / shell `compact` — MINOR compaction: coalesce
         the layout into ``num_regions`` sorted range files as a new
         immutable version dir.  No cell is dropped (the reference's
@@ -283,8 +284,50 @@ class Admin:
         rs/compactions/RatioBasedCompactionPolicy.java picks files,
         ScanQueryMatcher keeps tombstones); contrast ``major_compact``
         which applies the tombstone/TTL/version rewrite.  Honors the
-        compaction master switch (shell `compaction_switch`)."""
+        compaction master switch (shell `compaction_switch`).
+
+        ``observers`` with compaction-selection hooks switch to the
+        reference's FILE-SELECTING minor compaction
+        (RegionObserver.java preCompactSelection :268 /
+        postCompactSelection :290 around the compaction policy's
+        store-file pick): candidates are the table's current region
+        files, ``pre_compact_selection`` may shrink the list, and only
+        the selected files are coalesced — the rest are carried into
+        the new layout version untouched, exactly like unselected
+        store files.  Selection is store-scoped in the reference, so
+        the selected files must share one family dir."""
         self._require_switch("compaction")
+        if observers and any(
+            getattr(ob, "pre_compact_selection", None)
+            or getattr(ob, "post_compact_selection", None)
+            for ob in observers
+        ):
+            candidates = [
+                r.region_file for r in self.list_regions(name).collect()
+            ]
+            selected = list(candidates)
+            for ob in observers:
+                if getattr(ob, "pre_compact_selection", None):
+                    selected = ob.pre_compact_selection(selected)
+            if bad := set(selected) - set(candidates):
+                raise ValueError(f"selection outside candidates: {bad}")
+            for ob in observers:
+                if getattr(ob, "post_compact_selection", None):
+                    ob.post_compact_selection(selected)
+            if len(selected) < 2:  # nothing to coalesce — like an
+                return             # empty policy selection
+            merged = self.spark.read.parquet(
+                *[self._local_path(f) for f in selected]
+            )
+
+            def write_parts(new_root, fam_dir, v):
+                self._write_region_file(
+                    merged, new_root, fam_dir, f"compact-v{v}.parquet"
+                )
+
+            with self._procedure("COMPACT_REGIONS", name):
+                self._rewrite_regions(name, selected, write_parts)
+            return
         t = self.table(name)
         self.flush(name, t, num_regions=num_regions, action="compact")
 

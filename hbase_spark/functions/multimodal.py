@@ -937,18 +937,14 @@ def sample_gif_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def sample_avi_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
-    """REAL frame sampling over MJPEG-in-AVI payloads (functions/avi.py
-    demuxes the RIFF container, functions/jpeg.py decodes each frame):
-    walk the stream's fps-derived frame timeline and emit the frame
-    visible at every ``every_ms`` tick with its luma stats — the same
+def _sample_fps_frames(media: DataFrame, decode, every_ms: int) -> DataFrame:
+    """Shared fps-timeline sampler for containers whose demuxer
+    returns (frames, fps) — MJPEG-in-AVI and MJPEG-in-MP4.  Same
     contract, schema and Arrow-batched mapInPandas seam as
-    ``sample_gif_frames``, so GIF and AVI arms are interchangeable in a
-    pipeline.  Decode runs once per payload regardless of tick count;
-    only (media_id, payload) reach Python."""
+    ``sample_gif_frames``, so all the container arms are
+    interchangeable in a pipeline.  Decode runs once per payload
+    regardless of tick count; only (media_id, payload) reach Python."""
     import numpy as np
-
-    from hbase_spark.functions.avi import decode_avi_mjpeg
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -957,7 +953,7 @@ def sample_avi_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
                 "height": [], "mean_luma": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames, fps = decode_avi_mjpeg(bytes(payload))
+                frames, fps = decode(bytes(payload))
                 frame_ms = 1000.0 / fps
                 total = int(frame_ms * len(frames))
                 for ts in range(0, max(total, 1), every_ms):
@@ -976,6 +972,26 @@ def sample_avi_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _sample, FRAME_SAMPLE_SCHEMA
     )
+
+
+def sample_avi_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over MJPEG-in-AVI payloads (functions/avi.py
+    demuxes the RIFF container, functions/jpeg.py decodes each
+    frame)."""
+    from hbase_spark.functions.avi import decode_avi_mjpeg
+
+    return _sample_fps_frames(media, decode_avi_mjpeg, every_ms)
+
+
+def sample_mp4_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over MJPEG-in-MP4 payloads (functions/mp4.py
+    walks the ISO-BMFF sample tables, functions/jpeg.py decodes each
+    sample): frame timing from mdhd/stts, sample bytes from
+    stsz+stsc+stco — the fps timeline then samples exactly like the
+    AVI arm."""
+    from hbase_spark.functions.mp4 import decode_mp4_mjpeg
+
+    return _sample_fps_frames(media, decode_mp4_mjpeg, every_ms)
 
 
 def make_fake_media(spark, n: int = 100) -> DataFrame:

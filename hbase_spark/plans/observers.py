@@ -89,6 +89,25 @@ class Observer:
     post_scanner_filter_row: Callable[[DataFrame], DataFrame] | None = None
     pre_scanner_close: Callable[[DataFrame], None] | None = None
     post_scanner_close: Callable[[DataFrame], None] | None = None
+    # exists + mini-batch interception (RegionObserver.java:
+    # preExists :246 — may answer and bypass the read — postExists
+    # :262, preBatchMutate :716 — sees the whole mini-batch —
+    # postBatchMutate :736)
+    pre_exists: Callable[[object], "bool | None"] | None = None
+    post_exists: Callable[[object, bool], bool] | None = None
+    pre_batch_mutate: Callable[[list], list] | None = None
+    post_batch_mutate: Callable[["Table"], "Table"] | None = None
+    # compaction FILE selection — store-scoped, like the reference's
+    # (RegionObserver.java: preCompactSelection :268 may shrink the
+    # candidate store-file list, postCompactSelection :290 is notified
+    # with the final pick).  Consumed by Admin.compact(observers=...).
+    pre_compact_selection: Callable[[list], list] | None = None
+    post_compact_selection: Callable[[list], None] | None = None
+    # WAL replay interception (RegionObserver.java: preWALRestore
+    # :1395 — may rewrite the replayed edits — postWALRestore :1416).
+    # Consumed by streaming.merge.wal_player(observers=...).
+    pre_wal_restore: Callable[[DataFrame], DataFrame] | None = None
+    post_wal_restore: Callable[[DataFrame], None] | None = None
 
 
 @dataclass
@@ -148,6 +167,36 @@ class ObservedTable:
             if ob.post_get:
                 out = ob.post_get(out)
         return out
+
+    def exists(self, row_key) -> bool:
+        """preExists may answer without reading (the reference's
+        bypass: the hook fills in ``exists`` and the get is skipped);
+        postExists may rewrite the verdict."""
+        found = None
+        for ob in self.observers:
+            if ob.pre_exists:
+                found = ob.pre_exists(row_key)
+                if found is not None:
+                    break
+        if found is None:
+            found = self.table.exists(row_key)
+        for ob in self.observers:
+            if ob.post_exists:
+                found = ob.post_exists(row_key, found)
+        return bool(found)
+
+    def batch(self, mutation_frames: list) -> "ObservedTable":
+        """preBatchMutate sees (and may rewrite or drop members of)
+        the WHOLE mini-batch before any merge; postBatchMutate sees
+        the merged table."""
+        for ob in self.observers:
+            if ob.pre_batch_mutate:
+                mutation_frames = ob.pre_batch_mutate(mutation_frames)
+        t = self.table.batch(mutation_frames)
+        for ob in self.observers:
+            if ob.post_batch_mutate:
+                t = ob.post_batch_mutate(t)
+        return ObservedTable(t, self.observers)
 
     def with_cells(self, more: DataFrame) -> "ObservedTable":
         for ob in self.observers:

@@ -133,13 +133,27 @@ def wal_player(
     time_range: tuple | None = None,
     key_type=None,
     value_type=None,
+    observers: list | None = None,
 ) -> DataFrame:
     """Batch replay of a mutation-log range (WALPlayer: mr/WALPlayer.java:76):
     read the log files, optionally time-window, return cells ready to
-    append to a table (or bulk-write via sources.layout.write_table)."""
+    append to a table (or bulk-write via sources.layout.write_table).
+
+    ``observers``: RegionObserver WAL-replay hooks —
+    ``pre_wal_restore`` may rewrite the replayed edits before they are
+    handed to the caller, ``post_wal_restore`` is notified with the
+    final frame (RegionObserver.java:1395,1416; the reference fires
+    per WALEdit during region replay, the declarative twin is one
+    transform over the replayed frame)."""
     df = spark.read.schema(cell_schema(key_type, value_type)).parquet(log_dir)
     if time_range is not None:
         df = df.filter(_time_range_pred(time_range))
+    for ob in observers or []:
+        if getattr(ob, "pre_wal_restore", None):
+            df = ob.pre_wal_restore(df)
+    for ob in observers or []:
+        if getattr(ob, "post_wal_restore", None):
+            ob.post_wal_restore(df)
     return df
 
 

@@ -1513,3 +1513,40 @@ def test_truncate_region_drops_only_that_region(catalog, spark):
     assert any(
         p["type"] == "TRUNCATE_REGION" for p in catalog.list_procedures()
     )
+
+
+def test_compact_selection_hooks_coalesce_only_selected(catalog, spark):
+    """preCompactSelection shrinks the candidate file list; only the
+    selected region files are coalesced, the rest carry over."""
+    from hbase_spark.plans.observers import Observer
+    from hbase_spark.shell import shell_count, shell_put
+
+    catalog.create_table("tcs", ["f"])
+    t = catalog.table("tcs")
+    for i in range(40):
+        t = shell_put(t, f"{i:04d}", "f:q", str(i), ts=10, seq=i)
+    catalog.flush("tcs", t, num_regions=4)
+    files = sorted(r.region_file for r in catalog.list_regions("tcs").collect())
+    assert len(files) == 4
+
+    seen = {}
+    ob = Observer(
+        pre_compact_selection=lambda cands: sorted(cands)[:2],
+        post_compact_selection=lambda sel: seen.__setitem__("sel", sorted(sel)),
+    )
+    catalog.compact("tcs", observers=[ob])
+    assert seen["sel"] == files[:2]
+    after = sorted(r.region_file for r in catalog.list_regions("tcs").collect())
+    # 4 regions -> 3: two coalesced into one, two untouched
+    assert len(after) == 3
+    # carried-over files keep their basenames in the new version dir
+    assert {f.rsplit("/", 1)[-1] for f in files[2:]} <= {
+        f.rsplit("/", 1)[-1] for f in after
+    }
+    assert shell_count(catalog.table("tcs")) == 40  # no cells dropped
+    assert any(p["type"] == "COMPACT_REGIONS" for p in catalog.list_procedures())
+
+    # empty selection -> no compaction, layout untouched
+    before = catalog.describe("tcs")["version"]
+    catalog.compact("tcs", observers=[Observer(pre_compact_selection=lambda c: [])])
+    assert catalog.describe("tcs")["version"] == before

@@ -421,3 +421,51 @@ def test_scanner_lifecycle_hooks_audit_and_rescue(spark):
     ObservedTable(t, [scan_auditing_observer(audit2)]).scan().collect()
     assert "filtered_rows" not in audit2
     assert audit2["opened"] == 1
+
+
+def test_exists_hooks_short_circuit_and_rewrite(spark):
+    from hbase_spark.plans.observers import Observer
+
+    t = base(spark)
+    calls = []
+
+    def pre(key):
+        calls.append(key)
+        return True if key == "ghost" else None  # bypass only for ghost
+
+    ot = ObservedTable(t, [Observer(pre_exists=pre)])
+    # preExists answers for the missing key without a read (bypass)
+    assert ot.exists("ghost") is True
+    # pre returns None -> the real read runs
+    assert ot.exists("r1") is True
+    assert ot.exists("nope") is False
+    assert calls == ["ghost", "r1", "nope"]
+
+    # postExists may rewrite the verdict
+    ot2 = ObservedTable(t, [Observer(post_exists=lambda k, found: not found)])
+    assert ot2.exists("r1") is False
+    assert ot2.exists("nope") is True
+
+
+def test_batch_mutate_hooks(spark):
+    from hbase_spark.plans.observers import Observer
+
+    t = base(spark)
+    seen = {}
+
+    def pre(frames):
+        seen["n"] = len(frames)
+        return frames[:1]  # drop the second mutation frame
+
+    def post(table):
+        seen["post_rows"] = table.snapshot().count()
+        return table
+
+    m1 = put_cells(spark, [("r9", "f", "a", "x")], ts=20, seq=5)
+    m2 = put_cells(spark, [("r8", "f", "a", "y")], ts=20, seq=6)
+    ot = ObservedTable(t, [Observer(pre_batch_mutate=pre, post_batch_mutate=post)])
+    out = ot.batch([m1, m2])
+    rows = {r.row for r in out.table.snapshot().collect()}
+    assert seen["n"] == 2
+    assert "r9" in rows and "r8" not in rows  # frame 2 was dropped
+    assert seen["post_rows"] == out.table.snapshot().count()

@@ -1514,3 +1514,64 @@ def test_strip_html_and_extract_urls(spark):
     assert out[1].urls == ["https://ex.com/a?q=1"]
     assert out[2].text == "plain text http://plain.org/x no markup"
     assert out[2].urls == ["http://plain.org/x"]
+
+
+def test_mp4_mjpeg_roundtrip_and_corrupt_policy():
+    """encode_mp4_mjpeg -> decode_mp4_mjpeg: ISO-BMFF roundtrip with
+    frame-exact count/fps and near-exact pixels (JPEG q=1); corrupt
+    payloads raise per the media-seam policy."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_spark.functions.mp4 import decode_mp4_mjpeg, encode_mp4_mjpeg
+
+    dark = np.full((8, 8, 3), 16, "u1")
+    bright = np.full((8, 8, 3), 235, "u1")
+    payload = encode_mp4_mjpeg([dark, bright, dark], fps=2)
+    frames, fps = decode_mp4_mjpeg(payload)
+    assert fps == 2.0 and len(frames) == 3
+    assert frames[0].shape == (8, 8, 3)
+    assert abs(float(frames[0].mean()) - 16) < 4
+    assert abs(float(frames[1].mean()) - 235) < 4
+
+    with _pytest.raises(ValueError):
+        decode_mp4_mjpeg(b"RIFF\x00\x00\x00\x00AVI ")  # wrong container
+    with _pytest.raises(ValueError):
+        decode_mp4_mjpeg(payload[:40])  # truncated mid-box
+    # a track declaring a non-MJPEG codec must refuse, not guess
+    bad = bytearray(payload)
+    i = bad.find(b"stsd")
+    j = bad.find(b"jpeg", i)
+    bad[j:j + 4] = b"avc1"
+    with _pytest.raises(ValueError):
+        decode_mp4_mjpeg(bytes(bad))
+    # sample tables pointing past the file are an error, not a guess
+    bad2 = bytearray(payload)
+    k = bad2.find(b"stco")
+    bad2[k + 12:k + 16] = (len(payload) + 100).to_bytes(4, "big")
+    with _pytest.raises(ValueError):
+        decode_mp4_mjpeg(bytes(bad2))
+
+
+def test_mp4_frame_sampling_through_spark(spark):
+    """sample_mp4_frames: the MJPEG-MP4 arm honors the stts/mdhd
+    timeline through the same Arrow seam as the AVI and GIF arms."""
+    import numpy as np
+
+    from hbase_spark.functions.mp4 import encode_mp4_mjpeg
+    from hbase_spark.functions.multimodal import sample_mp4_frames
+
+    dark = np.zeros((6, 6, 3), "u1")
+    bright = np.full((6, 6, 3), 240, "u1")
+    payload = encode_mp4_mjpeg([dark, bright], fps=1)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "media_id long, payload binary",
+    )
+    out = sample_mp4_frames(media, every_ms=500).collect()
+    by = {(r.media_id, r.frame_ts): r for r in out}
+    assert len(by) == 8  # 2 payloads x ticks 0,500,1000,1500
+    assert by[(1, 0)].mean_luma < 10.0
+    assert by[(1, 1000)].mean_luma > 200.0
+    assert by[(2, 1500)].mean_luma > 200.0
+    assert by[(1, 0)].width == 6 and by[(1, 0)].height == 6

@@ -397,3 +397,29 @@ def test_log_cleaner_removes_aged_segments(spark, dirs, tmp_path):
     remaining = [f for f in os.listdir(log) if f.endswith(".parquet")]
     assert len(remaining) == len(files) - 1
     assert log_cleaner(log, ttl_ms=10**15, now_ms=now_ms) == []
+
+
+def test_wal_restore_hooks_rewrite_and_notify(spark, dirs):
+    """preWALRestore rewrites the replayed edits; postWALRestore is
+    notified with the final frame (RegionObserver.java:1395,1416)."""
+    from hbase_spark.plans.observers import Observer
+
+    batches = _mutation_log(spark)
+    for b in batches:
+        spark.createDataFrame(b, schema=cell_schema()).coalesce(1).write.mode(
+            "append"
+        ).parquet(dirs["log"])
+    seen = {}
+    ob = Observer(
+        pre_wal_restore=lambda df: df.withColumn(
+            "value", F.concat(F.lit("restored:"), F.col("value"))
+        ),
+        post_wal_restore=lambda df: seen.__setitem__("n", df.count()),
+    )
+    plain = wal_player(spark, dirs["log"], time_range=(1001, 1003))
+    replayed = wal_player(
+        spark, dirs["log"], time_range=(1001, 1003), observers=[ob]
+    )
+    vals = [r.value for r in replayed.filter("value is not null").collect()]
+    assert vals and all(v.startswith("restored:") for v in vals)
+    assert seen["n"] == replayed.count() == plain.count()
