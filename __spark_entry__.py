@@ -2815,11 +2815,31 @@ def q_multimodal_decode(spark, sf):
         .alias("media_id"),
         "width", "height", F.round("mean_luma", 6).alias("mean_luma"),
     )
+    # MJPEG-in-MP4 arm: REAL ISO-BMFF frame sampling (stsz/stsc/stco
+    # sample tables + mdhd/stts timing, functions/mp4.py) through the
+    # same seam and row shape as the GIF/AVI arms.
+    from hbase_spark.functions.mp4 import encode_mp4_mjpeg
+    from hbase_spark.functions.multimodal import sample_mp4_frames
+
+    def _mp4_payload(i):
+        dark = _np.full((6, 6, 3), (i * 13) % 200, "u1")
+        bright = _np.full((6, 6, 3), 200 + (i * 7) % 55, "u1")
+        return encode_mp4_mjpeg([dark, bright], fps=1)
+
+    mp4_media = spark.createDataFrame(
+        [(80_000 + i, bytearray(_mp4_payload(i))) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    mp4 = sample_mp4_frames(mp4_media, every_ms=1000).select(
+        (F.col("media_id") * 10 + (F.col("frame_ts") / 1000).cast("long"))
+        .alias("media_id"),
+        "width", "height", F.round("mean_luma", 6).alias("mean_luma"),
+    )
     return (
         feats.unionByName(frames).unionByName(real)
         .unionByName(compressed).unionByName(audio)
         .unionByName(g711).unionByName(flac).unionByName(gif)
-        .unionByName(avi)
+        .unionByName(avi).unionByName(mp4)
     )
 
 
@@ -3604,6 +3624,46 @@ SELECT doc_id, source || ':' || CAST(e AS VARCHAR) AS value
 FROM c, unnest(range(copies)) AS t(e)
 """
 
+def _dupgram_arm(spark, sf):
+    """Corpus-wide duplicate 5-gram stats (functions/text.py
+    duplicate_ngram_stats — the Lee et al. 2022 substring-duplication
+    measure): per doc, distinct-gram count and how many of those grams
+    occur in >= 2 documents."""
+    from hbase_spark.functions.text import duplicate_ngram_stats
+
+    docs = load_table(spark, sf, "documents")
+    out = duplicate_ngram_stats(docs)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("n_grams").cast("string"),
+            F.col("n_dup_grams").cast("string"),
+        ).alias("value"),
+    )
+
+
+_DUPGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+g AS (SELECT doc_id, CASE
+        WHEN len(toks) >= 5 THEN list_transform(
+            range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 || ' ' || toks[i+3] || ' ' || toks[i+4])
+        ELSE [coalesce(list_aggregate(toks, 'string_agg', ' '), '')]
+      END AS g5 FROM t),
+tg AS (SELECT doc_id, unnest(list_distinct(g5)) AS gr FROM g),
+dup AS (SELECT gr FROM tg GROUP BY gr HAVING count(*) >= 2),
+per AS (SELECT doc_id, count(*) AS ng FROM tg GROUP BY doc_id),
+dpd AS (SELECT doc_id, count(*) AS nd FROM tg JOIN dup USING (gr)
+        GROUP BY doc_id)
+SELECT per.doc_id,
+       CAST(ng AS VARCHAR) || ':' || CAST(coalesce(nd, 0) AS VARCHAR)
+         AS value
+FROM per LEFT JOIN dpd USING (doc_id)
+"""
+
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
@@ -3615,7 +3675,8 @@ _register_suite(
      ("pii_redact", _pii_arm),
      ("mixture", _mixture_arm),
      ("para_dedup", _para_arm),
-     ("html_clean", _html_arm)],
+     ("html_clean", _html_arm),
+     ("dup_ngrams", _dupgram_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3632,7 +3693,8 @@ _register_suite(
      ("pii_redact", _pii_sql()),
      ("mixture", _MIXTURE_SQL),
      ("para_dedup", _PARA_DEDUP_SQL),
-     ("html_clean", _html_sql())],
+     ("html_clean", _html_sql()),
+     ("dup_ngrams", _DUPGRAM_SQL)],
     ["doc_id", "value"],
 )
 

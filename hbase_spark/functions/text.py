@@ -587,3 +587,64 @@ def pack_chunks(
             F.col("pack_id").cast("string")
         ).alias("pack_key"),
     ).withColumnRenamed("_shard", "shard")
+
+
+def duplicate_ngram_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus-wide duplicate-n-gram fraction — the substring-level
+    duplication measure of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022), computed per document: of a
+    document's DISTINCT word-``n``-grams, what fraction also occurs in
+    at least one OTHER document.  Output:
+    (id, n_grams, n_dup_grams, dup_fraction) for every input row —
+    filter on ``dup_fraction`` to drop boilerplate-heavy documents, or
+    keep it as an audit column.  (Document-level near-dup is MinHash's
+    job, functions/dedup.py; this catches sub-document duplication —
+    shared headers, license blocks, templated paragraphs — that
+    whole-document similarity misses.)
+
+    Scale shape: grams travel as 8-byte xxhash64 values, never text.
+    Pass 1 is a map-side-combinable hash-agg counting documents per
+    gram hash; the duplicated-gram set (count >= 2) then semi-joins
+    back against the per-doc gram hashes — the join touches gram
+    hashes only, and the corpus text is tokenized in a map stage,
+    never shuffled.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_word_ngrams(_ascii_tokens(text_col), n))
+        ).alias("_g"),
+    ).select(id_col, F.xxhash64("_g").alias("_h"))
+    dup = (
+        grams.groupBy("_h")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("_h")
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    dup_per_doc = (
+        grams.join(dup, "_h", "semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_dup_grams"))
+    )
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("dup_fraction"),
+        )
+    )

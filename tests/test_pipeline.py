@@ -1575,3 +1575,30 @@ def test_mp4_frame_sampling_through_spark(spark):
     assert by[(1, 1000)].mean_luma > 200.0
     assert by[(2, 1500)].mean_luma > 200.0
     assert by[(1, 0)].width == 6 and by[(1, 0)].height == 6
+
+
+def test_duplicate_ngram_stats(spark):
+    """Cross-document duplicate 5-gram fraction: shared boilerplate is
+    counted, unique text is not, short docs use the whole-doc gram."""
+    from hbase_spark.functions.text import duplicate_ngram_stats
+
+    boiler = "all rights reserved by the example corporation"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon unique one"),
+            (2, boiler + " zeta eta theta iota kappa unique two"),
+            (3, "completely unrelated text with no shared grams here"),
+            (4, "tiny doc"),
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    st = {r.doc_id: r for r in duplicate_ngram_stats(docs).collect()}
+    # docs 1 and 2 share exactly the grams inside the boilerplate run
+    # (7 tokens -> 3 shared 5-grams); their unique tails are not dups
+    assert st[1].n_dup_grams == 3 and st[2].n_dup_grams == 3
+    assert 0 < st[1].dup_fraction < 1
+    assert st[3].n_dup_grams == 0 and st[3].dup_fraction == 0.0
+    # short docs fall back to the whole-doc gram; 4 and 5 are twins
+    assert st[4].n_grams == 1 and st[4].n_dup_grams == 1
+    assert st[5].dup_fraction == 1.0
