@@ -1602,3 +1602,81 @@ def test_duplicate_ngram_stats(spark):
     # short docs fall back to the whole-doc gram; 4 and 5 are twins
     assert st[4].n_grams == 1 and st[4].n_dup_grams == 1
     assert st[5].dup_fraction == 1.0
+
+
+def test_warc_roundtrip_and_corrupt_policy():
+    """encode_warc -> parse_warc: spec-shaped records roundtrip (plain
+    and gzip-member streams); corrupt payloads raise per the shared
+    ingestion-seam policy."""
+    import pytest as _pytest
+
+    from hbase_spark.sources.warc import encode_warc, parse_warc
+
+    recs = [
+        {"warc_type": "warcinfo", "record_id": "<urn:uuid:0>",
+         "content_type": "application/warc-fields",
+         "content": b"software: test"},
+        {"warc_type": "response", "record_id": "<urn:uuid:1>",
+         "target_uri": "http://a.example/x",
+         "warc_date": "2024-01-01T00:00:00Z",
+         "content_type": "text/html",
+         "content": b"<html>hello world</html>"},
+        {"warc_type": "conversion", "record_id": "<urn:uuid:2>",
+         "target_uri": "http://b.example/y", "content_type": "text/plain",
+         "content": b"plain text\nwith newlines\r\nand crlf"},
+    ]
+    for compress in (False, True):
+        rows = parse_warc(encode_warc(recs, compress=compress))
+        assert [r[2] for r in rows] == ["warcinfo", "response", "conversion"]
+        assert rows[1][3] == "http://a.example/x"
+        assert rows[2][6] == recs[2]["content"]  # binary-exact body
+
+    with _pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # not a WARC stream
+    with _pytest.raises(ValueError):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody")  # no length
+    with _pytest.raises(ValueError):
+        parse_warc(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")  # overrun
+
+
+def test_warc_ingestion_through_spark(spark, tmp_path):
+    """read_warc: one task per archive, records split task-side;
+    warc_documents projects crawl records to the documents shape the
+    curation operators consume."""
+    from hbase_spark.functions.text import duplicate_ngram_stats
+    from hbase_spark.sources.warc import encode_warc, read_warc, warc_documents
+
+    def resp(i, text):
+        return {
+            "warc_type": "response", "record_id": f"<urn:uuid:{i}>",
+            "target_uri": f"http://ex.org/{i}", "content_type": "text/html",
+            "content": text.encode(),
+        }
+
+    boiler = "all rights reserved by example corp and partners inc"
+    (tmp_path / "a.warc.gz").write_bytes(encode_warc(
+        [{"warc_type": "warcinfo", "record_id": "<urn:uuid:w>",
+          "content": b"x"},
+         resp(1, boiler + " page one body"),
+         resp(2, boiler + " page two body")], compress=True))
+    (tmp_path / "b.warc").write_bytes(encode_warc(
+        [resp(3, "a fully unique page about gardens and rivers here")]))
+
+    warc = read_warc(spark, str(tmp_path))
+    assert warc.count() == 4
+    assert warc.filter("warc_type = 'warcinfo'").count() == 1
+
+    docs = warc_documents(warc)
+    got = {r.source: r for r in docs.collect()}
+    assert set(got) == {f"http://ex.org/{i}" for i in (1, 2, 3)}
+    assert got["http://ex.org/1"].text.startswith(boiler)
+    assert got["http://ex.org/1"].n_chars == len(boiler + " page one body")
+    # ids are deterministic -> re-ingesting is idempotent
+    again = {r.source: r.doc_id for r in warc_documents(read_warc(
+        spark, str(tmp_path))).collect()}
+    assert again == {s: r.doc_id for s, r in got.items()}
+    # and the projected frame feeds the curation operators directly
+    st = {r.doc_id: r for r in duplicate_ngram_stats(docs).collect()}
+    dup1 = st[got["http://ex.org/1"].doc_id]
+    assert dup1.n_dup_grams > 0
+    assert st[got["http://ex.org/3"].doc_id].n_dup_grams == 0
