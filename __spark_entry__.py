@@ -3778,16 +3778,50 @@ def _ivf_arm(spark, sf):
 
 _EXACT_TOPK_SQL = _ORACLES["embedding_cosine_topk"]
 
+
+def _semdedup_arm(spark, sf):
+    """SemDeDup clone contract (functions/dedup.py semantic_dedup):
+    clone every vector (id + 1_000_000, identical embedding) and run
+    the cluster-then-dedup pass at a threshold only exact clones can
+    reach.  Identical vectors always share a nearest centroid, so the
+    within-cluster restriction cannot miss a clone pair: the dropped
+    set must be EXACTLY the clones, each duplicating its original at
+    cosine 1 — which is what the oracle asserts, making the
+    engine-seeded clustering hash-checkable the same way the SimHash
+    clone-recall arm is."""
+    from hbase_spark.functions.dedup import semantic_dedup
+
+    vecs = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    clones = vecs.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    both = vecs.unionByName(clones)
+    out = semantic_dedup(both, threshold=1 - 1e-9, on_overflow="error")
+    return out.filter(~F.col("keep")).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+_SEMDEDUP_SQL = """
+SELECT vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS score
+FROM embeddings
+"""
+
 _register_suite(
     "embedding_ann_suite",
     [("exact_pandas", q_embedding_cosine_topk_pandas),
      ("ann_recall", _recall_gated(q_embedding_cosine_topk, _ann_arm,
                                   _ANN_TAU, "hyperplane ANN")),
      ("ivf_recall", _recall_gated(q_embedding_cosine_topk, _ivf_arm,
-                                  _ANN_TAU, "IVF ANN"))],
+                                  _ANN_TAU, "IVF ANN")),
+     ("semdedup_clones", _semdedup_arm)],
     [("exact_pandas", _EXACT_TOPK_SQL),
      ("ann_recall", _EXACT_TOPK_SQL),
-     ("ivf_recall", _EXACT_TOPK_SQL)],
+     ("ivf_recall", _EXACT_TOPK_SQL),
+     ("semdedup_clones", _SEMDEDUP_SQL)],
     ["vec_id", "score"],
 )
 

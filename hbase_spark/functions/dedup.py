@@ -615,3 +615,79 @@ def embedding_near_dups(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023 — "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): coarse-
+    cluster the embedding space, detect cosine-duplicate pairs WITHIN
+    each cluster only, and drop every id that duplicates a smaller-id
+    representative.  Output: one row per input id —
+    (id, list_id, keep, dup_of, score) where ``dup_of`` is the
+    smallest same-cluster id it duplicates (null when kept) and
+    ``score`` the cosine to that representative.  The greedy by-id
+    rule is deterministic; like the paper, duplicates of a dropped id
+    stay dropped (one representative survives per duplicate chain).
+
+    Scale shape: clustering is a map stage against ``nlist`` broadcast
+    centroid literals (similarity.ivf_centroids — only ~nlist rows
+    ever reach the driver); the within-cluster restriction is the
+    LSH-bucket trick with clusters as buckets, so candidate pairs ride
+    the shared capped `_bucket_pairs` contract (a hot cluster raises
+    under ``on_overflow='error'`` instead of going quadratic), and the
+    exact-cosine verify joins fetch vectors for candidate pairs only.
+    Compare ``embedding_near_dups`` (hyperplane-LSH buckets): same
+    candidate discipline, different bucketing geometry.
+    """
+    from hbase_spark.functions.similarity import cosine, ivf_assign, ivf_centroids
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            vecs, vec_col=vec_col, id_col=id_col, nlist=nlist
+        )
+    assigned = ivf_assign(vecs, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "list_id"
+    )
+    pairs = _bucket_pairs(
+        assigned, "list_id", cap=cap, on_overflow=on_overflow
+    )
+    va = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    dups = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    rep = (
+        dups.groupBy(F.col("id_b").alias("_id"))
+        .agg(F.min(F.struct("id_a", "_cos")).alias("_m"))
+        .select(
+            "_id",
+            F.col("_m.id_a").alias("dup_of"),
+            F.col("_m._cos").alias("score"),
+        )
+    )
+    return (
+        assigned.select("_id", "list_id")
+        .join(rep, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "list_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "score",
+        )
+    )

@@ -1680,3 +1680,44 @@ def test_warc_ingestion_through_spark(spark, tmp_path):
     dup1 = st[got["http://ex.org/1"].doc_id]
     assert dup1.n_dup_grams > 0
     assert st[got["http://ex.org/3"].doc_id].n_dup_grams == 0
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: within-cluster cosine dups drop to one representative
+    (smallest id); near-but-below-threshold and unrelated vectors are
+    kept; duplicate chains keep exactly their head."""
+    import math
+
+    from hbase_spark.functions.dedup import semantic_dedup
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    a = unit(1.0, 0.0, 0.0, 0.0)
+    a2 = unit(1.0, 0.01, 0.0, 0.0)      # cosine ~0.99995 to a
+    a3 = unit(1.0, 0.02, 0.0, 0.0)      # dup of a2 (and of a)
+    b = unit(0.0, 1.0, 0.0, 0.0)        # orthogonal — never a dup
+    c = unit(1.0, 1.0, 0.0, 0.0)        # cosine ~0.707 to a — below 0.95
+    vecs = spark.createDataFrame(
+        [(1, a), (2, a2), (3, a3), (10, b), (11, c)],
+        "vec_id long, embedding array<double>",
+    )
+    # nlist=1: one cluster, so this scenario tests pure threshold +
+    # representative semantics (near-dups straddling a cluster
+    # boundary are an accepted SemDeDup miss by construction — the
+    # clone contract below pins what clustering MUST preserve)
+    out = {r.vec_id: r for r in semantic_dedup(
+        vecs, threshold=0.95, nlist=1).collect()}
+    assert len(out) == 5
+    assert out[1].keep and out[10].keep and out[11].keep
+    assert not out[2].keep and out[2].dup_of == 1 and out[2].score > 0.999
+    assert not out[3].keep and out[3].dup_of in (1, 2)
+    # identical clusters for identical vectors: clone contract
+    clones = vecs.withColumn("vec_id", F.col("vec_id") + 100)
+    both = vecs.unionByName(clones)
+    out2 = {r.vec_id: r for r in semantic_dedup(
+        both, threshold=1 - 1e-9, on_overflow="error").collect()}
+    dropped = {k for k, r in out2.items() if not r.keep}
+    assert dropped == {101, 102, 103, 110, 111}
+    assert all(out2[k].dup_of == k - 100 for k in dropped)
