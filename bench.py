@@ -47,6 +47,8 @@ EXTENDED = [
     "doc_chunking",            # sliding-window token chunks
     "doc_packing",             # token-budget sequence packing
     "ordered_struct_key_scan",  # OrderedBytes struct-key range scan
+    "doc_dup_ngrams",          # corpus-wide duplicate-ngram fraction
+    "embedding_semdedup",      # SemDeDup clone-contract pass
 ]
 
 
@@ -59,6 +61,8 @@ def headline_queries() -> dict:
     queries.setdefault("filter_single_column_value", entrymod.q_filter_scvf)
     queries.setdefault("multi_get", entrymod.q_multi_get)
     queries.setdefault("doc_language_id", entrymod.q_doc_language_id)
+    queries.setdefault("doc_dup_ngrams", entrymod._dupgram_arm)
+    queries.setdefault("embedding_semdedup", entrymod._semdedup_arm)
     return queries
 
 

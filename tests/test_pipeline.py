@@ -1721,3 +1721,60 @@ def test_semantic_dedup(spark):
     dropped = {k for k, r in out2.items() if not r.keep}
     assert dropped == {101, 102, 103, 110, 111}
     assert all(out2[k].dup_of == k - 100 for k in dropped)
+
+
+def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
+    """write_webdataset -> read_webdataset -> wds_samples roundtrips
+    byte-exactly; output shards are a pure function of the data
+    (zeroed tar metadata, sorted members, hash routing)."""
+    import pytest as _pytest
+
+    from hbase_spark.sources.webdataset import (
+        parse_wds_shard,
+        read_webdataset,
+        wds_samples,
+        write_webdataset,
+    )
+
+    rows = [
+        (f"{i:06d}",
+         {"jpg": bytes([i % 256] * 32),
+          "txt": f"caption {i}".encode(),
+          "json": b'{"id": %d}' % i})
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, files map<string, binary>"
+    )
+    out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    man = {r.shard: r for r in write_webdataset(df, out1, shards=4).collect()}
+    assert sum(r.n_samples for r in man.values()) == 40
+    assert sum(r.n_files for r in man.values()) == 120
+
+    got = wds_samples(read_webdataset(spark, out1))
+    back = {r.key: dict(r.files) for r in got.collect()}
+    assert set(back) == {k for k, _ in rows}
+    for k, files in rows:
+        assert {e: bytes(b) for e, b in back[k].items()} == files
+
+    # byte-determinism: a second write produces identical shard files
+    write_webdataset(df, out2, shards=4)
+    import os as _os
+    for name in sorted(_os.listdir(out1)):
+        if name.endswith(".tar"):
+            a = open(f"{out1}/{name}", "rb").read()
+            b = open(f"{out2}/{name}", "rb").read()
+            assert a == b, name
+
+    # corrupt policy: not-a-tar and non-WebDataset member names raise
+    with _pytest.raises(ValueError):
+        parse_wds_shard(b"definitely not a tar file")
+    import io as _io
+    import tarfile as _tarfile
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as t:
+        info = _tarfile.TarInfo(name="no_extension")
+        info.size = 1
+        t.addfile(info, _io.BytesIO(b"x"))
+    with _pytest.raises(ValueError):
+        parse_wds_shard(buf.getvalue())
