@@ -312,3 +312,39 @@ def test_mob_table_point_read_pushes_row_filter_to_both_stores(spark):
             assert "EqualTo(row,r04)" in ln, ln
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_duplicate_ngram_plan_shuffles_hashes_not_text(spark):
+    """duplicate_ngram_stats: every exchange carries gram HASHES or
+    ids — the document text must never cross a shuffle boundary."""
+    from hbase_spark.functions.text import duplicate_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared boilerplate text plus unique tail {i % 7}")
+         for i in range(64)],
+        "doc_id long, text string",
+    )
+    df = duplicate_ngram_stats(docs)
+    plan = plan_of(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan  # the gram-count agg is real
+
+
+def test_semantic_dedup_plan_no_cartesian_no_forced_broadcast(spark):
+    """semantic_dedup: candidate pairs come from capped cluster
+    groups, never an all-pairs product; the verify joins have no
+    forced broadcast (AQE sizes the build side)."""
+    from hbase_spark.functions.dedup import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)])
+         for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    df = semantic_dedup(vecs, threshold=0.999, nlist=4)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
