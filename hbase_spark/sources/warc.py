@@ -128,6 +128,17 @@ def parse_warc(data: bytes, *, warc_file: str = "") -> list[tuple]:
     return rows
 
 
+def _split_archives(batches):
+    import pandas as pd
+
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for fname, content in zip(pdf["path"], pdf["content"]):
+            rows.extend(parse_warc(bytes(content), warc_file=fname))
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """One row per WARC record across every archive under ``path``.
 
@@ -135,19 +146,31 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     every WARC consumer uses, because gzip-member archives are not
     block-splittable — and record splitting happens task-side in an
     Arrow-batched mapInPandas; nothing shuffles."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _split_archives, WARC_SCHEMA
+    )
 
-    def _split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        for pdf in batches:
-            rows = []
-            for fname, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc(bytes(content), warc_file=fname))
-            yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(_split, WARC_SCHEMA)
+def stream_warc(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``read_warc`` for a continuously-fed crawl
+    drop directory: the `binaryFile` file stream discovers new
+    archives (checkpointed offsets = exactly-once per archive), and
+    the same task-side split turns each into records.  Feed it to
+    `foreachBatch` with ``warc_documents`` + the curation operators
+    for an ingest-as-it-lands pipeline."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, "
+        "content binary"  # the binaryFile source's fixed schema —
+    )                     # streaming sources require it spelled out
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path)
+    return files.select("path", "content").mapInPandas(
+        _split_archives, WARC_SCHEMA
+    )
 
 
 def warc_documents(warc: DataFrame, *, min_chars: int = 1) -> DataFrame:

@@ -423,3 +423,46 @@ def test_wal_restore_hooks_rewrite_and_notify(spark, dirs):
     vals = [r.value for r in replayed.filter("value is not null").collect()]
     assert vals and all(v.startswith("restored:") for v in vals)
     assert seen["n"] == replayed.count() == plain.count()
+
+
+def test_stream_warc_ingests_archives_as_they_land(spark, tmp_path):
+    """stream_warc: the binaryFile stream discovers crawl archives and
+    splits records task-side; a second archive landing after the first
+    run is picked up incrementally (checkpointed offsets)."""
+    from hbase_spark.sources.warc import encode_warc, stream_warc, warc_documents
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def resp(i, text):
+        return {"warc_type": "response", "record_id": f"<urn:uuid:{i}>",
+                "target_uri": f"http://ex.org/{i}",
+                "content_type": "text/html", "content": text.encode()}
+
+    (drop / "a.warc.gz").write_bytes(
+        encode_warc([resp(1, "first page"), resp(2, "second page")],
+                    compress=True))
+
+    def run():
+        q = (
+            stream_warc(spark, str(drop))
+            .transform(warc_documents)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert {r.source for r in spark.read.parquet(sink).collect()} == {
+        "http://ex.org/1", "http://ex.org/2"
+    }
+    (drop / "b.warc").write_bytes(encode_warc([resp(3, "third page")]))
+    run()
+    got = spark.read.parquet(sink).collect()
+    assert {r.source for r in got} == {f"http://ex.org/{i}" for i in (1, 2, 3)}
+    assert len(got) == 3  # archive a was NOT reprocessed
