@@ -3799,7 +3799,14 @@ def _semdedup_arm(spark, sf):
     )
     clones = vecs.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
     both = vecs.unionByName(clones)
-    out = semantic_dedup(both, threshold=1 - 1e-9, on_overflow="error")
+    # nlist=64 keeps clusters in the paper's small-cell regime (~n/64
+    # members -> candidate pairs shrink quadratically vs nlist=16,
+    # measured 2x at sf0.1); the CONTRACT is clustering-invariant —
+    # identical vectors co-assign under any centroid set, so the
+    # dropped set (and the oracle) is the same for any nlist.
+    out = semantic_dedup(
+        both, threshold=1 - 1e-9, nlist=64, on_overflow="error"
+    )
     return out.filter(~F.col("keep")).select(
         "vec_id", F.round("score", 6).alias("score")
     )

@@ -649,14 +649,15 @@ def semantic_dedup(
     Compare ``embedding_near_dups`` (hyperplane-LSH buckets): same
     candidate discipline, different bucketing geometry.
     """
-    from hbase_spark.functions.similarity import cosine, ivf_assign, ivf_centroids
+    from hbase_spark.functions.similarity import cosine, ivf_centroids
 
     if centroids is None:
         centroids = ivf_centroids(
             vecs, vec_col=vec_col, id_col=id_col, nlist=nlist
         )
-    assigned = ivf_assign(vecs, centroids, vec_col=vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "list_id"
+    assigned = _assign_clusters_arrow(
+        vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        centroids,
     )
     pairs = _bucket_pairs(
         assigned, "list_id", cap=cap, on_overflow=on_overflow
@@ -691,3 +692,46 @@ def semantic_dedup(
             "score",
         )
     )
+
+
+def _assign_clusters_arrow(vecs: DataFrame, centroids: list) -> DataFrame:
+    """Nearest-centroid assignment as ONE numpy matmul per Arrow batch
+    — input (_id, _v), output adds ``list_id``.
+
+    similarity.ivf_assign expresses the same argmax as a Catalyst
+    array-of-structs max, which is fine for a probe-time nprobe
+    ranking but quadratic in expression size for dedup-scale nlist
+    (64 centroids x 64 dims = thousands of expression nodes per row);
+    here the centroid matrix rides the task closure and each batch is
+    a (rows x dim) @ (dim x nlist) product.  Ties (identical vectors)
+    break to the first max index — deterministic, so clones always
+    co-assign."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray([c for _, c in centroids], dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    ids = np.asarray([i for i, _ in centroids])
+
+    schema = T.StructType(
+        list(vecs.schema.fields)
+        + [T.StructField("list_id", T.IntegerType(), False)]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.asarray(pdf["_v"].to_list(), dtype="float64")
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                pdf = pdf.assign(
+                    list_id=ids[(Vn @ Cn.T).argmax(axis=1)].astype("int32")
+                )
+            else:
+                pdf = pdf.assign(list_id=pd.Series([], dtype="int32"))
+            yield pdf
+
+    return vecs.mapInPandas(_assign, schema)
