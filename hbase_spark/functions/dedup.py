@@ -378,7 +378,7 @@ def jaccard_pairs(
     )
 
 
-def minhash_dedup(
+def minhash_pairs(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -390,33 +390,11 @@ def minhash_dedup(
     cap: int = _BUCKET_CAP,
     on_overflow: str = "truncate",
 ) -> DataFrame:
-    """End-to-end near-dedup: LSH candidates -> exact Jaccard >= t ->
-    drop the larger id of each dup pair (greedy representative-keeps-
-    min-id; one connected-component hop, sufficient for near-dup
-    clusters where every member pairs with the representative).
-
-    Skew contract: bucket groups are built through the same
-    ``_capped_groups`` cap+audit path as ``_bucket_pairs`` — a bucket
-    over ``cap`` ids either truncates deterministically (default; audit
-    with ``bucket_overflow()`` over the banded frame) or fails the job
-    with ``on_overflow='error'``.  Never a silent bare slice.
-
-    Plan shape (round-2.5, measured 35% over the fused hash-set-through-
-    the-buckets form at sf0.1): ONE codegen hash aggregation over the
-    exploded gram stream computes the k minima AND the doc's hash set
-    (every gram hashed exactly once, map-side partial aggregation);
-    the per-doc frame is locally checkpointed — it is O(corpus hash
-    sets) on executor storage, replacing ``bands`` copies of the same
-    sets flowing through the bucket exchange.  Banding then shuffles
-    only (id, bucket) pairs; the few surviving candidate pairs join the
-    hash sets back (broadcast-size under AQE) for the exact Jaccard
-    verify.  (Jaccard over 64-bit shingle hashes instead of shingle
-    strings — collision probability is negligible.)  Earlier A/B also
-    showed: computing sig and set as two array expressions doubles the
-    gram work (CollapseProject inlines the gram subtree into both
-    consumers), and exploding an array-built gram column loses
-    whole-stage codegen around the aggregation.
-    """
+    """Verified near-dup pairs ``(a, b)`` with a < b and exact Jaccard
+    (over 64-bit shingle hashes) >= ``threshold`` — the LSH candidate +
+    verify stages of ``minhash_dedup``, exposed so cluster-level
+    consumers (``dedup_clusters``) share one plan.  See
+    ``minhash_dedup`` for the plan-shape notes."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -458,12 +436,108 @@ def minhash_dedup(
     jac = F.size(F.array_intersect("_hs_a", "_hs_b")) / F.greatest(
         F.size(F.array_union("_hs_a", "_hs_b")), F.lit(1)
     )
-    drop = (
-        verified.filter(jac >= threshold)
-        .select(F.col("b").alias(id_col))
-        .distinct()
+    return verified.filter(jac >= threshold).select("a", "b")
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
+) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates -> exact Jaccard >= t ->
+    drop the larger id of each dup pair (greedy representative-keeps-
+    min-id; one connected-component hop, sufficient for near-dup
+    clusters where every member pairs with the representative — for
+    chain-shaped clusters use ``dedup_clusters``, which closes the
+    pair graph transitively).
+
+    Skew contract: bucket groups are built through the same
+    ``_capped_groups`` cap+audit path as ``_bucket_pairs`` — a bucket
+    over ``cap`` ids either truncates deterministically (default; audit
+    with ``bucket_overflow()`` over the banded frame) or fails the job
+    with ``on_overflow='error'``.  Never a silent bare slice.
+
+    Plan shape (round-2.5, measured 35% over the fused hash-set-through-
+    the-buckets form at sf0.1): ONE codegen hash aggregation over the
+    exploded gram stream computes the k minima AND the doc's hash set
+    (every gram hashed exactly once, map-side partial aggregation);
+    the per-doc frame is locally checkpointed — it is O(corpus hash
+    sets) on executor storage, replacing ``bands`` copies of the same
+    sets flowing through the bucket exchange.  Banding then shuffles
+    only (id, bucket) pairs; the few surviving candidate pairs join the
+    hash sets back (broadcast-size under AQE) for the exact Jaccard
+    verify.  (Jaccard over 64-bit shingle hashes instead of shingle
+    strings — collision probability is negligible.)  Earlier A/B also
+    showed: computing sig and set as two array expressions doubles the
+    gram work (CollapseProject inlines the gram subtree into both
+    consumers), and exploding an array-built gram column loses
+    whole-stage codegen around the aggregation.
+    """
+    dup = minhash_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        cap=cap, on_overflow=on_overflow,
     )
+    drop = dup.select(F.col("b").alias(id_col)).distinct()
     return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Transitive near-dup clusters: MinHash pair graph -> iterative
+    connected components (functions/graph.py large-star/small-star) ->
+    ``(id, cluster, keep)`` with ``cluster`` the minimum id reachable
+    through verified near-dup pairs and ``keep`` true for the cluster
+    representative (the minimum) only.
+
+    This is the closure `minhash_dedup` deliberately skips: its one-hop
+    drop rule is exact when every duplicate pairs with its
+    representative, but near-dup CHAINS (v1~v2~v3 with
+    jaccard(v1, v3) < t — crawl snapshots, document revisions) need the
+    pair graph closed transitively or the middle of the chain survives.
+    The iteration shuffles only (long, long) edges and converges in
+    O(log^2 n) rounds; singleton docs never enter it (they join back as
+    their own cluster).
+
+    ``pairs``: pre-computed edge frame (columns a, b) to cluster —
+    e.g. `semantic_dedup` candidates or a custom verifier; defaults to
+    ``minhash_pairs`` on the same arguments.
+    """
+    from hbase_spark.functions.graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_pairs(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            cap=cap, on_overflow=on_overflow,
+        )
+    comp = connected_components(
+        pairs, "a", "b", nodes=docs.select(id_col), node_col=id_col
+    )
+    return docs.join(
+        comp.select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster")
+        ),
+        id_col,
+    ).withColumn("keep", F.col(id_col) == F.col("cluster"))
 
 
 # ---------------------------------------------------------------- simhash

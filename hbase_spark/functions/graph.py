@@ -1,0 +1,160 @@
+"""Distributed connected components — alternating large-star/small-star.
+
+The two-phase star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014): alternate
+
+- **large-star**: every node points its *larger* neighbors at the
+  minimum of its closed neighborhood;
+- **small-star**: every node points its *smaller-or-equal* neighbors
+  (edges oriented big->small) at that minimum;
+
+until the edge set reaches a fixpoint, at which point every edge is
+``(node, root)`` with ``root`` the component's minimum id.  Converges in
+O(log^2 n) rounds worst-case and 3-5 rounds on the short-diameter graphs
+dedup produces.
+
+Why not one-hop min-id (what ``minhash_dedup`` uses)?  One hop is only
+correct when every duplicate pairs directly with its cluster
+representative.  Near-dup clusters are frequently *chains* (v1~v2,
+v2~v3, but jaccard(v1, v3) < t — successive crawl snapshots, doc
+revisions): transitive closure needs iteration, and a driver-side
+union-find needs the whole edge set on one machine.  This runs entirely
+as DataFrame ops.
+
+Scale shape, per round: one union (symmetrize / orient — map-only), one
+hash aggregation (min neighbor per node, map-side combinable), one
+shuffle join of edges back on the grouped node, a projection + distinct.
+Rows are pairs of longs throughout; hub nodes never materialize a
+neighbor array (no collect_list/collect_set), there are no windows, and
+nothing data-sized reaches the driver — the fixpoint check collects one
+(count, hash-sum) row per round.  Each round is localCheckpointed to cut
+the lineage that iterative plans otherwise accumulate.
+
+The reference has no graph operator; this backs ``dedup_clusters``
+(functions/dedup.py) — the transitive-closure step of MinHash/SemDeDup
+pipelines (e.g. the cluster step of Lee et al. 2022's NearDup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _signature(edges: DataFrame) -> tuple:
+    """Cheap deterministic fixpoint signature: (row count, XOR of row
+    hashes) — XOR is order-independent and overflow-free under ANSI
+    mode.  One tiny aggregate job; collision odds are negligible for a
+    convergence check that only ever compares successive rounds (the
+    edge set is distinct, so no even-multiplicity cancellation)."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(_u, _v))").alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star(E): for each node u, m = min(N(u) + {u}); emit
+    (v, m) for every neighbor v > u."""
+    sym = edges.unionByName(
+        edges.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    mins = sym.groupBy("_u").agg(
+        F.least(F.min("_v"), F.first("_u")).alias("_m")
+    )
+    return (
+        sym.join(mins, "_u")
+        .filter(F.col("_v") > F.col("_u"))
+        .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star(E): orient edges big->small; for each node u,
+    m = min of its smaller neighbors + itself; emit (v, m) for every
+    smaller neighbor v != m, plus (u, m)."""
+    oriented = edges.select(
+        F.greatest("_u", "_v").alias("_u"), F.least("_u", "_v").alias("_v")
+    ).filter(F.col("_u") != F.col("_v"))
+    mins = oriented.groupBy("_u").agg(F.min("_v").alias("_m"))
+    moved = (
+        oriented.join(mins, "_u")
+        .filter(F.col("_v") != F.col("_m"))
+        .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+    )
+    rooted = mins.select(F.col("_u"), F.col("_m").alias("_v"))
+    return moved.unionByName(rooted).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components of an undirected graph.
+
+    Parameters
+    ----------
+    edges:
+        Edge list; ``src``/``dst`` must be integral node ids (hash or
+        dense-rank string keys first).  Direction and duplicates are
+        irrelevant; self-loops are ignored.
+    nodes:
+        Optional node frame (column ``node_col``, default = ``src``):
+        isolated nodes (no edges) then appear in the output as their
+        own singleton component.  Without it the output covers exactly
+        the nodes incident to an edge.
+    max_rounds:
+        Hard stop; the algorithm converges in O(log^2 n) alternating
+        rounds, so hitting this indicates malformed input (e.g. NULL
+        ids) and raises rather than returning a partial closure.
+
+    Returns
+    -------
+    DataFrame ``(node, component)`` — one row per node, ``component``
+    the minimum node id reachable from it.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("_u"),
+            F.col(dst).cast("long").alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sig = _signature(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        nxt = _signature(e)
+        if nxt == sig:
+            break
+        sig = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # Fixpoint edge set is a star forest: (node, root) for every
+    # non-root node.  Roots and isolated nodes map to themselves.
+    assign = e.select(F.col("_u").alias("node"), F.col("_v").alias("component"))
+    roots = assign.select(F.col("component").alias("node")).distinct().join(
+        assign.select("node"), "node", "left_anti"
+    )
+    out = assign.unionByName(
+        roots.select("node", F.col("node").alias("component"))
+    )
+    if nodes is not None:
+        nc = node_col or src
+        iso = (
+            nodes.select(F.col(nc).cast("long").alias("node"))
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+        )
+        out = out.unionByName(iso.select("node", F.col("node").alias("component")))
+    return out
