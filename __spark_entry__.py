@@ -3664,6 +3664,76 @@ FROM per LEFT JOIN dpd USING (doc_id)
 """
 
 
+def _cc_arm(spark, sf):
+    """Transitive dedup-cluster closure (functions/graph.py
+    connected_components, the large-star/small-star iteration, driven
+    through functions/dedup.py dedup_clusters + paragraph_link_pairs).
+    Docs are linked into 8-long revision CHAINS via planted shared
+    paragraphs: doc d carries paragraphs 'LINK c p' and 'LINK c p+1'
+    (c = d div 8, p = d mod 8), so adjacent chain members share exactly
+    one paragraph and the chain's endpoints share none — only an
+    iterative closure over the edge graph assigns every member the
+    chain-minimum cluster id.  value = cluster:size, recomputed by the
+    oracle with a recursive min-label CTE over the same edge relation."""
+    from hbase_spark.functions.dedup import dedup_clusters, paragraph_link_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    inj = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nLINK "),
+            F.expr("doc_id DIV 8").cast("string"),
+            F.lit(" "),
+            F.pmod("doc_id", F.lit(8)).cast("string"),
+            F.lit("\n\nLINK "),
+            F.expr("doc_id DIV 8").cast("string"),
+            F.lit(" "),
+            (F.pmod("doc_id", F.lit(8)) + 1).cast("string"),
+        ),
+    )
+    pairs = paragraph_link_pairs(inj, cap=64, on_overflow="error")
+    out = dedup_clusters(docs, pairs=pairs)
+    sizes = out.groupBy("cluster").agg(F.count("*").alias("_n"))
+    return out.join(sizes, "cluster").select(
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("cluster").cast("string"), F.col("_n").cast("string")
+        ).alias("value"),
+    )
+
+
+_CC_CLUSTERS_SQL = """
+WITH RECURSIVE inj AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10) || 'LINK '
+           || CAST(doc_id // 8 AS VARCHAR) || ' '
+           || CAST(doc_id % 8 AS VARCHAR)
+         || chr(10) || chr(10) || 'LINK '
+           || CAST(doc_id // 8 AS VARCHAR) || ' '
+           || CAST(doc_id % 8 + 1 AS VARCHAR) AS text
+  FROM documents),
+p AS (
+  SELECT DISTINCT doc_id, para
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS para
+        FROM inj)
+  WHERE trim(para) <> ''),
+e AS (
+  SELECT x.doc_id AS u, y.doc_id AS v
+  FROM p x JOIN p y ON x.para = y.para AND x.doc_id < y.doc_id),
+es AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+lab(node, comp) AS (
+  SELECT doc_id, doc_id FROM inj
+  UNION
+  SELECT es.v, lab.comp FROM lab JOIN es ON es.u = lab.node),
+c AS (SELECT node, min(comp) AS comp FROM lab GROUP BY node),
+s AS (SELECT comp, count(*) AS n FROM c GROUP BY comp)
+SELECT c.node AS doc_id,
+       CAST(c.comp AS VARCHAR) || ':' || CAST(s.n AS VARCHAR) AS value
+FROM c JOIN s USING (comp)
+"""
+
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
@@ -3676,7 +3746,8 @@ _register_suite(
      ("mixture", _mixture_arm),
      ("para_dedup", _para_arm),
      ("html_clean", _html_arm),
-     ("dup_ngrams", _dupgram_arm)],
+     ("dup_ngrams", _dupgram_arm),
+     ("cc_clusters", _cc_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3694,7 +3765,8 @@ _register_suite(
      ("mixture", _MIXTURE_SQL),
      ("para_dedup", _PARA_DEDUP_SQL),
      ("html_clean", _html_sql()),
-     ("dup_ngrams", _DUPGRAM_SQL)],
+     ("dup_ngrams", _DUPGRAM_SQL),
+     ("cc_clusters", _CC_CLUSTERS_SQL)],
     ["doc_id", "value"],
 )
 

@@ -339,6 +339,42 @@ def bucket_overflow(
     )
 
 
+def paragraph_link_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
+) -> DataFrame:
+    """``(a, b)`` pairs of documents sharing at least one exact
+    paragraph — the edge relation of duplicate-content clustering
+    (group-then-keep-one over docs linked by duplicated boilerplate or
+    syndicated passages, the cluster step next to C4-style
+    ``paragraph_dedup``).  Feed the result to ``dedup_clusters(pairs=)``
+    for the transitive closure.
+
+    Scale shape: paragraphs travel as xxhash64 values (text never
+    crosses an exchange) and pair expansion routes through the shared
+    ``_capped_groups`` cap+audit contract — a viral paragraph shared by
+    more than ``cap`` docs either truncates deterministically (audit
+    with ``bucket_overflow()``) or fails the job, never a silent
+    quadratic blow-up."""
+    paras = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(text_col, sep)).alias("_p"),
+        )
+        .filter(F.trim("_p") != "")
+        .select("_id", F.xxhash64("_p").alias("_ph"))
+        .distinct()
+    )
+    return _bucket_pairs(paras, "_ph", cap=cap, on_overflow=on_overflow).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,
