@@ -2985,12 +2985,45 @@ _register_suite(
     _RTV,
 )
 
+def _cell_ttl_arm(spark, sf):
+    """Per-cell TTL (Mutation#setTTL -> TagType.TTL_TAG_TYPE;
+    ScanQueryMatcher.isCellTTLExpired :143 + preCheck :178): every
+    third mutation carries a 150s-of-millis cell TTL, composed with
+    the min_versions x family-TTL knobs of the sibling arm.  Tagged
+    cells expire at ts + ttl < now BEFORE version ranking — they free
+    their version slot and min_versions does not retain them — while
+    untagged cells follow the family TTL exactly as before."""
+    cells = _events_cells(spark, sf).withColumn(
+        "cell_ttl",
+        F.when(F.col("seq") % 3 == 0, F.lit(150_000_000)).otherwise(
+            F.lit(None).cast("long")
+        ),
+    )
+    out = resolve(
+        cells,
+        versions=2,
+        min_versions=1,
+        ttl_by_family={"e": 500_000_000},
+        cell_ttl_col="cell_ttl",
+        now=1_706_800_000_000,
+    )
+    return _rk(out, "qualifier", "ts", "value")
+
+
+_CELL_TTL_SQL = f"""WITH {_events_resolved_sql(
+    cells_pred="NOT (seq % 3 = 0 AND ts + 150000000 < 1706800000000)")}
+    SELECT rk, qualifier, ts, value FROM ranked
+    WHERE rn <= 2 AND (ts >= 1706300000000 OR rn <= 1)"""
+
+
 _register_suite(
     "resolve_version_policies",
     [("versions2", q_resolve_versions2),
-     ("min_versions_ttl", q_resolve_min_versions_ttl)],
+     ("min_versions_ttl", q_resolve_min_versions_ttl),
+     ("cell_ttl", _cell_ttl_arm)],
     [("versions2", _ORACLES["resolve_versions2"]),
-     ("min_versions_ttl", _ORACLES["resolve_min_versions_ttl"])],
+     ("min_versions_ttl", _ORACLES["resolve_min_versions_ttl"]),
+     ("cell_ttl", _CELL_TTL_SQL)],
     _RTV,
 )
 

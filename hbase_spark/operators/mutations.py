@@ -35,11 +35,23 @@ def make_cells(spark, rows: list[tuple], key_type=None, value_type=None) -> Data
     return spark.createDataFrame(rows, schema=cell_schema(key_type, value_type))
 
 
-def put_cells(spark, puts: list[tuple], *, ts: int, seq: int) -> DataFrame:
+def put_cells(
+    spark, puts: list[tuple], *, ts: int, seq: int, ttl: int | None = None
+) -> DataFrame:
     """client/Put.java:46 — puts = [(row, family, qualifier, value)];
-    ts defaults to "server now" in the reference, here passed explicitly."""
+    ts defaults to "server now" in the reference, here passed explicitly.
+
+    ``ttl`` is Mutation#setTTL (client/Mutation.java setTTL -> a
+    TagType.TTL_TAG_TYPE tag on every cell of the mutation): the batch
+    gains a ``cell_ttl`` column that ``resolve(cell_ttl_col='cell_ttl')``
+    expires per ScanQueryMatcher.isCellTTLExpired.  A base table united
+    with a TTL'd batch must carry the column too (NULL = untagged) —
+    ``apply_mutations`` projects to the base schema."""
     rows = [(r, f, q, ts, CellType.PUT, v, seq) for (r, f, q, v) in puts]
-    return make_cells(spark, rows)
+    out = make_cells(spark, rows)
+    if ttl is not None:
+        out = out.withColumn("cell_ttl", F.lit(ttl).cast("long"))
+    return out
 
 
 def delete_cells(

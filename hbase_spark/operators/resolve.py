@@ -88,6 +88,7 @@ def resolve(
     raw: bool = False,
     new_version_behavior: bool | set = False,
     keep_deleted_cells: bool | set = False,
+    cell_ttl_col: str | None = None,
 ) -> DataFrame:
     """Resolve a raw CellFrame into the visible snapshot.
 
@@ -135,6 +136,16 @@ def resolve(
         ``seePastDeleteMarkers ? tr.withinTimeRange(ts) :
         tr.withinOrAfterTimeRange(ts)``).  No-op without a bounded
         time_range, exactly like the reference.
+    cell_ttl_col:
+        Column carrying a per-cell TTL in millis (NULL = no tag) — the
+        Mutation#setTTL / TagType.TTL_TAG_TYPE analog.  Reference
+        semantics (querymatcher/ScanQueryMatcher.java:143-164, preCheck
+        :178): a cell with ``ts + ttl < now`` is SKIPped *before*
+        version counting — unlike family TTL it never consumes a
+        version slot and ``min_versions`` does not retain it — and the
+        tag "cannot extend lifetime beyond family settings" (:159), so
+        the family TTL still applies on top.  Raw scans are exempt
+        (preCheckRaw :189).  Requires ``now``.
     """
     c = cells
     if as_of is not None:
@@ -146,6 +157,14 @@ def resolve(
         if time_range is not None:
             c = c.filter(_time_range_pred(time_range))
         return c
+
+    if cell_ttl_col is not None:
+        if now is None:
+            raise ValueError("now= is required when cell_ttl_col is set")
+        c = c.filter(
+            F.col(cell_ttl_col).isNull()
+            | (F.col(cell_ttl_col) + F.col("ts") >= F.lit(now))
+        )
 
     min_versions = _norm_versions(min_versions, default=0)
     keep_deleted_cells = _norm_flag(keep_deleted_cells)

@@ -272,6 +272,106 @@ def test_ttl_requires_now(spark):
         resolve(to_df(spark, [cell("r", "f", "q", 1)]), ttl_by_family={"f": 1})
 
 
+def _ttl_df(spark, cells, ttls):
+    from pyspark.sql import functions as F
+
+    df = to_df(spark, cells)
+    expr = F.lit(None).cast("long")
+    for (row, fam, qual, ts), ttl in ttls.items():
+        expr = F.when(
+            (F.col("row") == row) & (F.col("family") == fam)
+            & (F.col("qualifier") == qual) & (F.col("ts") == ts),
+            F.lit(ttl),
+        ).otherwise(expr)
+    return df.withColumn("cell_ttl", expr)
+
+
+def _run_ttl(spark, cells, ttls, **kw):
+    got = resolve(_ttl_df(spark, cells, ttls), cell_ttl_col="cell_ttl", **kw)
+    return {(r.row, r.family, r.qualifier, r.ts, r.value) for r in got.collect()}
+
+
+def test_cell_ttl_expires_tagged_cells_only(spark):
+    # ScanQueryMatcher.isCellTTLExpired (:143): ts + ttl < now -> SKIP;
+    # untagged cells are untouched (no family TTL set here).
+    cells = [cell("r1", "f", "q", 1_000), cell("r1", "f", "q2", 1_000)]
+    got = _run_ttl(
+        spark, cells, {("r1", "f", "q", 1_000): 2_000}, now=10_000
+    )
+    assert got == {("r1", "f", "q2", 1_000, "r1/q2@1000")}
+    # boundary: ts + ttl == now is NOT expired (strict <)
+    got = _run_ttl(spark, cells, {("r1", "f", "q", 1_000): 9_000}, now=10_000)
+    assert len(got) == 2
+
+
+def test_cell_ttl_skips_before_version_counting(spark):
+    # preCheck SKIPs cell-TTL-expired cells before the column tracker:
+    # they never consume version slots and min_versions does NOT
+    # retain them (contrast test_min_versions_expired_consume_slots).
+    cells = [cell("r1", "f", "q", t) for t in (9_000, 1_000, 500)]
+    got = _run_ttl(
+        spark, cells, {("r1", "f", "q", 1_000): 100}, versions=2, now=10_000
+    )
+    # ts=1000 vanished pre-ranking -> ts=500 takes version slot 2
+    assert got == {
+        ("r1", "f", "q", 9_000, "r1/q@9000"),
+        ("r1", "f", "q", 500, "r1/q@500"),
+    }
+    got = _run_ttl(
+        spark, cells, {("r1", "f", "q", 9_000): 100},
+        versions=1, min_versions=1, ttl_by_family={"f": 100_000}, now=10_000,
+    )
+    assert got == {("r1", "f", "q", 1_000, "r1/q@1000")}
+
+
+def test_cell_ttl_cannot_extend_family_ttl(spark):
+    # ScanQueryMatcher.java:159 — the tag "cannot extend lifetime
+    # beyond family settings": a generous cell TTL does not save a
+    # family-TTL-expired cell.
+    cells = [cell("r1", "f", "q", 1_000)]
+    got = _run_ttl(
+        spark, cells, {("r1", "f", "q", 1_000): 1_000_000},
+        ttl_by_family={"f": 2_000}, now=10_000,
+    )
+    assert got == set()
+
+
+def test_cell_ttl_expired_tombstone_does_not_mask(spark):
+    # an expired-by-cell-TTL delete marker is SKIPped in preCheck, so
+    # it is never tracked by the delete tracker.
+    cells = [
+        cell("r1", "f", "q", 1_000),
+        cell("r1", "f", "q", 2_000, typ=DC, seq=99),
+    ]
+    got = _run_ttl(
+        spark, cells, {("r1", "f", "q", 2_000): 100}, now=10_000
+    )
+    assert got == {("r1", "f", "q", 1_000, "r1/q@1000")}
+
+
+def test_cell_ttl_raw_scan_exempt(spark):
+    # preCheckRaw (:189) "should not skip expired cells".
+    cells = [cell("r1", "f", "q", 1_000)]
+    df = _ttl_df(spark, cells, {("r1", "f", "q", 1_000): 100})
+    assert resolve(df, raw=True).count() == 1
+
+
+def test_cell_ttl_requires_now(spark):
+    df = _ttl_df(spark, [cell("r", "f", "q", 1)], {})
+    with pytest.raises(ValueError):
+        resolve(df, cell_ttl_col="cell_ttl")
+
+
+def test_put_cells_ttl_roundtrip(spark):
+    from hbase_spark.operators.mutations import put_cells
+
+    batch = put_cells(
+        spark, [("r1", "f", "q", "v")], ts=1_000, seq=1, ttl=500
+    )
+    assert resolve(batch, cell_ttl_col="cell_ttl", now=2_000).count() == 0
+    assert resolve(batch, cell_ttl_col="cell_ttl", now=1_400).count() == 1
+
+
 def test_raw_exposes_tombstones_and_versions(spark):
     cells = [
         cell("r1", "f", "q", 10),
