@@ -3697,6 +3697,54 @@ FROM per LEFT JOIN dpd USING (doc_id)
 """
 
 
+def _url_arm(spark, sf):
+    """URL-level dedup (functions/text.py canonical_url + url_dedup —
+    the pre-fetch dedup key of a CC-Net/C4-style crawl pipeline).
+    Every even doc gets a noisy variant (uppercase scheme+host, www.,
+    :443, tracking params, fragment, trailing slash) of its odd
+    sibling's clean URL; canonicalization must collapse each pair to
+    one key and keep the minimum id.  value = canonical:keep — the
+    oracle asserts the exact canonical string, so every rule in the
+    chain is hash-checked."""
+    from hbase_spark.functions.text import url_dedup
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    urls = docs.withColumn(
+        "url",
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/art/"),
+                F.expr("doc_id DIV 2").cast("string"),
+                F.lit("/?utm_campaign=x&fbclid=abc#sec2"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://example.com/art/"),
+                F.expr("doc_id DIV 2").cast("string"),
+            )
+        ),
+    )
+    out = url_dedup(urls)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("canonical_url"), F.col("keep").cast("string")
+        ).alias("value"),
+    )
+
+
+_URL_DEDUP_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://example.com/art/' || CAST(doc_id // 2 AS VARCHAR) AS cu
+  FROM documents),
+m AS (SELECT cu, min(doc_id) AS k FROM u GROUP BY cu)
+SELECT u.doc_id, u.cu || ':' || CAST(u.doc_id = m.k AS VARCHAR) AS value
+FROM u JOIN m USING (cu)
+"""
+
+
 def _cc_arm(spark, sf):
     """Transitive dedup-cluster closure (functions/graph.py
     connected_components, the large-star/small-star iteration, driven
@@ -3780,7 +3828,8 @@ _register_suite(
      ("para_dedup", _para_arm),
      ("html_clean", _html_arm),
      ("dup_ngrams", _dupgram_arm),
-     ("cc_clusters", _cc_arm)],
+     ("cc_clusters", _cc_arm),
+     ("url_dedup", _url_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3799,7 +3848,8 @@ _register_suite(
      ("para_dedup", _PARA_DEDUP_SQL),
      ("html_clean", _html_sql()),
      ("dup_ngrams", _DUPGRAM_SQL),
-     ("cc_clusters", _CC_CLUSTERS_SQL)],
+     ("cc_clusters", _CC_CLUSTERS_SQL),
+     ("url_dedup", _URL_DEDUP_SQL)],
     ["doc_id", "value"],
 )
 

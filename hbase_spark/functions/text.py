@@ -492,6 +492,69 @@ def extract_urls(
     )
 
 
+#: query parameters stripped by canonical_url — pure click-tracking
+#: identifiers that never change the served content.
+TRACKING_PARAMS = r"utm_[a-zA-Z]+|fbclid|gclid|mc_cid|mc_eid"
+
+
+def canonical_url(col) -> Column:
+    """Canonical form of a URL for URL-level dedup (the CC-Net/C4-style
+    pre-fetch dedup key): strip the #fragment, drop pure tracking
+    parameters (TRACKING_PARAMS) and tidy the leftover separators,
+    lowercase the scheme://host[:port] prefix (paths stay
+    case-sensitive), drop the default port (:80 http / :443 https),
+    drop a leading www., and drop a trailing slash.  A fixed chain of
+    codegen'd string expressions — the rule order is part of the
+    contract (each step's input is the previous step's output)."""
+    u = F.trim(col if not isinstance(col, str) else F.col(col))
+    u = F.regexp_replace(u, r"#.*", "")
+    u = F.regexp_replace(u, "([?&])(?:" + TRACKING_PARAMS + ")=[^&]*", "$1")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    prefix = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", 0)
+    )
+    rest = F.substring(u, F.length(prefix) + F.lit(1), F.length(u))
+    prefix = F.regexp_replace(prefix, r"^(http://[^/?#]+):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/?#]+):443$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https?://)www\.", "$1")
+    return F.regexp_replace(F.concat(prefix, rest), r"/$", "")
+
+
+def url_host(col) -> Column:
+    """Registrable host of a (canonical) URL — the per-domain grouping
+    key of domain-mixture sampling and crawl politeness stats."""
+    u = col if not isinstance(col, str) else F.col(col)
+    return F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)", 1))
+
+
+def url_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL-level exact dedup: one surviving document (minimum id) per
+    canonical URL — the cheapest dedup pass of a web-corpus pipeline,
+    run before any content-based stage.  Adds ``out_col`` and a
+    ``keep`` flag; the group key shuffles as the canonical string's
+    xxhash64 (URLs never cross an exchange), one map-side-combinable
+    min aggregation + a hash join back."""
+    canon = docs.withColumn(out_col, canonical_url(url_col))
+    winners = (
+        canon.groupBy(F.xxhash64(out_col).alias("_uh"))
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    return (
+        canon.withColumn("_uh", F.xxhash64(out_col))
+        .join(winners, "_uh")
+        .withColumn("keep", F.col(id_col) == F.col("_keep_id"))
+        .drop("_uh", "_keep_id")
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     *,

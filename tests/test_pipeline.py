@@ -71,6 +71,48 @@ def test_analyze_documents_shape(docs):
     assert token_count("text") is not None
 
 
+def test_canonical_url_rules(spark):
+    from hbase_spark.functions.text import canonical_url, url_host
+
+    cases = [
+        # case + default port + www + tracking params + fragment + trailing /
+        ("HTTPS://WWW.Example.COM:443/art/5/?utm_campaign=x&fbclid=abc#s2",
+         "https://example.com/art/5"),
+        ("http://Site.org:80/a?id=3&utm_source=rss&q=2",
+         "http://site.org/a?id=3&q=2"),
+        # non-default port and path case survive
+        ("https://example.com:8443/CaseSensitive/Path",
+         "https://example.com:8443/CaseSensitive/Path"),
+        # query that becomes empty is dropped entirely
+        ("https://example.com?utm_source=x", "https://example.com"),
+        ("https://example.com/", "https://example.com"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "expected"])
+    out = df.select(
+        "expected", canonical_url("url").alias("got"),
+        url_host(canonical_url("url")).alias("host"),
+    ).collect()
+    assert all(r.got == r.expected for r in out)
+    assert {r.host for r in out} <= {"example.com", "site.org"}
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    from hbase_spark.functions.text import url_dedup
+
+    rows = [
+        (3, "https://a.com/x?utm_source=1"),
+        (7, "HTTPS://A.COM/x"),
+        (9, "https://a.com/y"),
+    ]
+    out = url_dedup(spark.createDataFrame(rows, ["doc_id", "url"]))
+    got = {(r.doc_id, r.canonical_url, r.keep) for r in out.collect()}
+    assert got == {
+        (3, "https://a.com/x", True),
+        (7, "https://a.com/x", False),
+        (9, "https://a.com/y", True),
+    }
+
+
 def test_exact_dedup(spark, docs):
     # duplicate 10 docs verbatim with new ids
     dups = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100_000)
