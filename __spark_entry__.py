@@ -2917,15 +2917,47 @@ SELECT rk, qualifier, value FROM (
 ) WHERE value IS NOT NULL
 """
 
+def _batch_arm(spark, sf):
+    """Scan.setBatch partial results (client/Scan.java:475, implies
+    allowPartialResults :529): each row's 5 visible cells chunk into
+    partial results of <= 2 cells in cell order; value carries the
+    partial-result index so the chunking itself is hash-checked."""
+    out = scan(
+        _orders_cells(spark, sf),
+        Scan(start_row="100".zfill(12), stop_row="200".zfill(12), batch=2),
+    )
+    return out.select(
+        F.col("row").alias("rk"),
+        "qualifier",
+        F.concat_ws(
+            ":", F.col("batch").cast("string"), F.col("value")
+        ).alias("value"),
+    )
+
+
+_BATCH_ARM_SQL = f"""
+WITH cells AS ({_ORDERS_CELLS_SQL}),
+r AS (
+  SELECT rk, qualifier, value,
+         (row_number() OVER (PARTITION BY rk ORDER BY qualifier) - 1) // 2
+           AS b
+  FROM cells
+  WHERE rk >= lpad('100', 12, '0') AND rk < lpad('200', 12, '0'))
+SELECT rk, qualifier, CAST(b AS VARCHAR) || ':' || value AS value FROM r
+"""
+
+
 _register_suite(
     "scan_suite",
     [("range", q_scan_range), ("reversed_limit", q_scan_reversed_limit),
      ("qualifier_projection", q_scan_qualifier_projection),
-     ("pivot_roundtrip", _pivot_roundtrip_arm)],
+     ("pivot_roundtrip", _pivot_roundtrip_arm),
+     ("batch_partial", _batch_arm)],
     [("range", _ORACLES["scan_range"]),
      ("reversed_limit", _ORACLES["scan_reversed_limit"]),
      ("qualifier_projection", _ORACLES["scan_qualifier_projection"]),
-     ("pivot_roundtrip", _PIVOT_ROUNDTRIP_SQL)],
+     ("pivot_roundtrip", _PIVOT_ROUNDTRIP_SQL),
+     ("batch_partial", _BATCH_ARM_SQL)],
     _RQV,
 )
 

@@ -49,6 +49,8 @@ EXTENDED = [
     "ordered_struct_key_scan",  # OrderedBytes struct-key range scan
     "doc_dup_ngrams",          # corpus-wide duplicate-ngram fraction
     "embedding_semdedup",      # SemDeDup clone-contract pass
+    "doc_cc_clusters",         # iterative connected-components closure
+    "doc_url_dedup",           # URL canonicalization + dedup
 ]
 
 
@@ -63,6 +65,8 @@ def headline_queries() -> dict:
     queries.setdefault("doc_language_id", entrymod.q_doc_language_id)
     queries.setdefault("doc_dup_ngrams", entrymod._dupgram_arm)
     queries.setdefault("embedding_semdedup", entrymod._semdedup_arm)
+    queries.setdefault("doc_cc_clusters", entrymod._cc_arm)
+    queries.setdefault("doc_url_dedup", entrymod._url_arm)
     return queries
 
 

@@ -51,6 +51,11 @@ class Scan:
     as_of: int | None = None                 # mvccReadPoint analog, Scan.java:997
     max_results_per_family: int | None = None   # Scan.java:514
     row_offset_per_family: int = 0              # Scan.java:523
+    batch: int | None = None                    # setBatch, Scan.java:475
+    #   (chunks each row's cells into partial results of <= batch cells
+    #   in cell order — implies allowPartialResults, Scan.java:529; the
+    #   ScannerContext batch-limit analog surfaces as a `batch` column,
+    #   the partial-result index consumers group on)
     extra: dict = field(default_factory=dict)
 
 
@@ -186,6 +191,27 @@ def scan(
         # row-stage filter (filterRow analog)
         if isinstance(spec.filter, Filter):
             out = spec.filter.post(out)
+
+    if spec.batch is not None:
+        # Scan.setBatch (Scan.java:475): each row's visible cells chunk
+        # into partial results of <= batch cells, counted in cell order
+        # (family, qualifier, newest version first) — the order
+        # RegionScannerImpl returns them under a ScannerContext batch
+        # limit.  Transport chunking becomes an annotation column.
+        from pyspark.sql import Window
+
+        if spec.batch < 1:
+            raise ValueError("batch must be >= 1")
+        wb = Window.partitionBy("row").orderBy(
+            F.col("family").asc(),
+            F.col("qualifier").asc(),
+            F.col("ts").desc(),
+            F.col("seq").desc(),
+        )
+        out = out.withColumn(
+            "batch",
+            F.floor((F.row_number().over(wb) - 1) / spec.batch).cast("int"),
+        )
 
     if spec.limit is not None:
         key = F.col("row").desc() if spec.reversed else F.col("row").asc()

@@ -285,3 +285,34 @@ def test_buffered_mutator_coalesces_and_autoflushes(spark):
     bm2 = BufferedMutator(Table(bm.table.cells, {"f": FamilyDescriptor()}))
     with pytest.raises(NoSuchColumnFamilyError):
         bm2.mutate_put("r", "nope", "q", "x", ts=1, seq=1)
+
+
+def test_scan_batch_partial_results(spark):
+    """Scan.setBatch (client/Scan.java:475): a row's visible cells
+    chunk into partial results of <= batch cells, counted in cell
+    order (family asc, qualifier asc, newest version first)."""
+    from hbase_spark.operators.mutations import make_cells
+    from hbase_spark.operators.scan import Scan, scan
+
+    cells = make_cells(
+        spark,
+        [("r1", "f", f"q{i}", 10, CellType.PUT, f"v{i}", i) for i in range(5)]
+        + [("r1", "f", "q0", 20, CellType.PUT, "v0b", 9)]
+        + [("r2", "g", "qa", 10, CellType.PUT, "w", 1)],
+    )
+    out = scan(cells, Scan(batch=2, versions=2))
+    got = {
+        (r.row, r.family, r.qualifier, r.ts): r.batch for r in out.collect()
+    }
+    # r1 order: q0@20, q0@10, q1, q2, q3, q4 -> batches 0,0,1,1,2,2
+    assert got == {
+        ("r1", "f", "q0", 20): 0,
+        ("r1", "f", "q0", 10): 0,
+        ("r1", "f", "q1", 10): 1,
+        ("r1", "f", "q2", 10): 1,
+        ("r1", "f", "q3", 10): 2,
+        ("r1", "f", "q4", 10): 2,
+        ("r2", "g", "qa", 10): 0,
+    }
+    with pytest.raises(ValueError):
+        scan(cells, Scan(batch=0))
