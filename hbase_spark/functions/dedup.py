@@ -641,19 +641,21 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
-def simhash_candidates(
-    docs: DataFrame,
+def hamming_candidates(
+    sig: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    cap: int = _BUCKET_CAP,
+    on_overflow: str = "truncate",
 ) -> DataFrame:
-    """Near-dup candidates by SimHash banding (pigeonhole: two sigs
-    within ``max_hamming`` bits share at least one of ``bands`` equal
-    16-bit blocks when bands > max_hamming), verified by exact Hamming."""
+    """Near-dup pairs of any 64-bit signature frame ``(_id, _sig)`` by
+    pigeonhole banding: two sigs within ``max_hamming`` bits share at
+    least one of ``bands`` equal 64/bands-bit blocks when
+    bands > max_hamming; candidates verify by exact Hamming.  Shared by
+    SimHash text dedup and dHash image dedup — the signature rides the
+    id struct so the verify needs no join back."""
     width = 64 // bands
-    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     banded = sig.select(
         # carry the signature inside the id so the Hamming verify needs
         # no join back: collision groups hold (id, sig) structs
@@ -671,7 +673,7 @@ def simhash_candidates(
             )
         ).alias("_bucket"),
     )
-    pairs = _bucket_pairs(banded, "_bucket")
+    pairs = _bucket_pairs(banded, "_bucket", cap=cap, on_overflow=on_overflow)
     return (
         pairs.select(
             F.col("id_a.i").alias("id_a"),
@@ -680,6 +682,21 @@ def simhash_candidates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding (pigeonhole: two sigs
+    within ``max_hamming`` bits share at least one of ``bands`` equal
+    16-bit blocks when bands > max_hamming), verified by exact Hamming."""
+    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    return hamming_candidates(sig, max_hamming=max_hamming, bands=bands)
 
 
 # ------------------------------------------------------- embedding cosine

@@ -643,29 +643,81 @@ def _pixel_features(arr) -> dict:
     }
 
 
-def _decode_payload(payload: bytes, media_id: int, *, fake: bool, dim: int):
-    if fake:
-        return _fake_decode(payload, media_id, dim)
+def _decode_pixels(payload: bytes):
+    """Decoded HxWx3 RGB array for any in-container image format
+    (BMP / PPM / PNG / baseline+progressive JPEG / GIF first frame);
+    raises NotImplementedError at the documented seam otherwise."""
     head = (payload or b"")[:8]
     if head[:2] == b"BM":
-        return _pixel_features(decode_bmp(payload))
+        return decode_bmp(payload)
     if head[:2] == b"P6":
-        return _pixel_features(decode_ppm(payload))
+        return decode_ppm(payload)
     if head == b"\x89PNG\r\n\x1a\n":
-        return _pixel_features(decode_png(payload))
+        return decode_png(payload)
     if head[:3] == b"\xff\xd8\xff":
         from hbase_spark.functions.jpeg import decode_jpeg
 
-        return _pixel_features(decode_jpeg(payload))
+        return decode_jpeg(payload)
     if head[:4] == b"GIF8":
         from hbase_spark.functions.gif import decode_gif_first_frame
 
-        return _pixel_features(decode_gif_first_frame(payload))
+        return decode_gif_first_frame(payload)
     raise NotImplementedError(
         "BMP/PPM/PNG/GIF/baseline-JPEG decode ships in-container; other "
         "formats need an image library plugged into this seam (or pass "
         "fake=True for the deterministic test decoder)"
     )
+
+
+def _decode_payload(payload: bytes, media_id: int, *, fake: bool, dim: int):
+    if fake:
+        return _fake_decode(payload, media_id, dim)
+    return _pixel_features(_decode_pixels(payload))
+
+
+def _box_resample(arr, width: int, height: int):
+    """Deterministic box resample to (height, width): destination pixel
+    (r, c) is the float mean of the source box with integer edges
+    floor(i*src/dst) (each box forced >= 1 px, so upscale degrades to
+    nearest-duplication).  Works on HxW and HxWxC arrays; returns
+    float64 — callers round/cast for re-encode.  The per-destination
+    loop is bounded by the THUMBNAIL size (64x64 = 4k slices), not the
+    source; a reduceat/integral-image path is the vectorized upgrade
+    if thumbnails ever get large."""
+    import numpy as np
+
+    src = np.asarray(arr, dtype="float64")
+    sh, sw = src.shape[0], src.shape[1]
+
+    def bins(dst: int, n: int):
+        edges = [(i * n) // dst for i in range(dst + 1)]
+        return [(lo, max(hi, lo + 1)) for lo, hi in zip(edges, edges[1:])]
+
+    out = np.empty((height, width) + src.shape[2:], dtype="float64")
+    for r, (r0, r1) in enumerate(bins(height, sh)):
+        band = src[r0:r1]
+        for c, (c0, c1) in enumerate(bins(width, sw)):
+            out[r, c] = band[:, c0:c1].mean(axis=(0, 1))
+    return out
+
+
+def _dhash_bits(arr) -> int:
+    """64-bit difference hash (the classic dHash of the perceptual-
+    hashing literature): luma, box-resample to 9x8, bit (r, c) set iff
+    the pixel is brighter than its right neighbor.  Invariant to
+    uniform brightness/contrast shifts and to resizing — the cheap
+    near-dup signature for image corpora.  Returned as a SIGNED 64-bit
+    int (two's complement) so it lands in a Spark long."""
+    import numpy as np
+
+    luma = np.asarray(arr, dtype="float64") @ np.array([0.299, 0.587, 0.114])
+    g = _box_resample(luma, 9, 8)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if g[r, c] > g[r, c + 1]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= 1 << 63 else v
 
 
 def decode_images(
@@ -778,24 +830,40 @@ def resize_images(
     """Resize image payloads (the thumbnail/normalize step of a vision
     training pipeline) via mapInPandas.
 
-    Real resizer (PIL) plugs in at the seam; the fake path emits a
+    The real path (default) decodes with the in-container codecs
+    (BMP/PPM/PNG/JPEG/GIF), box-resamples (deterministic area means,
+    ``_box_resample``), and re-encodes as uncompressed BMP — a genuine
+    thumbnail pipeline with no external library; undecodable formats
+    raise at the shared codec seam.  The fake path emits a
     deterministic payload derived from the source bytes + target dims
-    so downstream stages (re-encode, dedup on resized bytes) are
-    exercised end to end.
+    (for exercising downstream stages against non-image payloads).
     """
-    if not fake:
-        raise NotImplementedError(
-            "image resizing requires an image library not present in this "
-            "container; pass fake=True for the deterministic test resizer "
-            "or plug a real one into _resize_batch"
-        )
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out_payloads = [
-                bytes([b % 256 for b in (len(p or b""), width, height)]) + (p or b"")[:16]
-                for p in pdf["payload"]
-            ]
+            if fake:
+                out_payloads = [
+                    bytes([b % 256 for b in (len(p or b""), width, height)])
+                    + (p or b"")[:16]
+                    for p in pdf["payload"]
+                ]
+            else:
+                out_payloads = []
+                for p in pdf["payload"]:
+                    px = np.clip(
+                        np.rint(_box_resample(_decode_pixels(p), width, height)),
+                        0, 255,
+                    ).astype("uint8")
+                    out_payloads.append(
+                        encode_bmp(
+                            [
+                                [tuple(int(v) for v in px[r, c]) for c in range(width)]
+                                for r in range(height)
+                            ]
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -810,6 +878,77 @@ def resize_images(
         .select("media_id", "payload")
         .mapInPandas(_resize_batch, RESIZED_SCHEMA)
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def dhash_images(
+    media: DataFrame, *, on_error: str = "raise"
+) -> DataFrame:
+    """Per-image 64-bit perceptual difference hash (``_dhash_bits``)
+    via the same Arrow seam as decode_images, with the shared
+    corrupt-payload policy ('raise' / 'skip' / 'tag' — tagged rows keep
+    a NULL dhash and the error in-schema)."""
+    if on_error not in ("raise", "skip", "tag"):
+        raise ValueError(f"bad on_error {on_error!r}")
+
+    def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errors = [], [], []
+            for p, m in zip(pdf["payload"], pdf["media_id"]):
+                try:
+                    h, err = _dhash_bits(_decode_pixels(p)), None
+                except Exception as e:  # noqa: BLE001 — policy-driven
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    h, err = None, f"{type(e).__name__}: {e}"
+                ids.append(m)
+                hashes.append(h)
+                errors.append(err)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "dhash": pd.Series(hashes, dtype="object"),
+                    "error": pd.Series(errors, dtype="object"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_hash_batch, DHASH_SCHEMA)
+    )
+
+
+def image_near_dups(
+    media: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash signatures -> the shared
+    pigeonhole Hamming banding (functions/dedup.py hamming_candidates,
+    the SimHash machinery) -> exact-Hamming verified (id_a, id_b,
+    hamming).  Brightness/contrast-shifted and re-scaled copies land at
+    Hamming 0-2; feed the pairs to dedup_clusters for transitive image
+    dedup.  Decode runs once per image (map-only); only (id, 64-bit
+    sig) structs reach the banding shuffle."""
+    from hbase_spark.functions.dedup import hamming_candidates
+
+    sig = dhash_images(media, on_error=on_error).filter(
+        F.col("dhash").isNotNull()
+    ).select(F.col("media_id").alias("_id"), F.col("dhash").alias("_sig"))
+    return hamming_candidates(sig, max_hamming=max_hamming, bands=bands)
 
 
 def extract_features(

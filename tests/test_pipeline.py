@@ -482,9 +482,12 @@ def test_resize_and_feature_extract_plumbing(spark):
     again = {r.media_id: r.payload for r in resize_images(
         media, width=32, height=32, fake=True).collect()}
     assert all(again[r.media_id] == r.payload for r in rows)
-    # real path is an explicit seam, not a silent fake
-    with pytest.raises(NotImplementedError):
-        resize_images(media, width=32, height=32)
+    # the real path is a real decoder chain now: non-image payloads
+    # still fail loudly at the codec seam (never a silent fake)
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        resize_images(media, width=32, height=32).collect()
     # features bridge into the ANN operators
     feats = extract_features(media, dim=8, fake=True)
     assert feats.schema["embedding"].dataType.simpleString() == "array<float>"
@@ -1820,3 +1823,92 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
         t.addfile(info, _io.BytesIO(b"x"))
     with _pytest.raises(ValueError):
         parse_wds_shard(buf.getvalue())
+
+
+def _gray_bmp(pattern, k):
+    """Gray BMP expanding each pattern cell to a k x k block."""
+    from hbase_spark.functions.multimodal import encode_bmp
+
+    rows = [
+        [(v, v, v) for v in row for _ in range(k)]
+        for row in pattern
+        for _ in range(k)
+    ]
+    return encode_bmp(rows)
+
+
+_DHASH_PATTERN = [
+    [((r * 37 + c * 61) % 191) + 10 for c in range(9)] for r in range(8)
+]
+
+
+def test_box_resample_exact_means(spark):
+    import numpy as np
+
+    from hbase_spark.functions.multimodal import _box_resample
+
+    src = np.arange(16, dtype="float64").reshape(4, 4)
+    out = _box_resample(src, 2, 2)
+    # 2x2 boxes: means of [[0,1,4,5]] etc.
+    assert out.tolist() == [[2.5, 4.5], [10.5, 12.5]]
+    # upscale duplicates nearest source pixels
+    up = _box_resample(np.array([[1.0, 3.0]]), 4, 1)
+    assert up.tolist() == [[1.0, 1.0, 3.0, 3.0]]
+
+
+def test_resize_images_real_path(spark):
+    from hbase_spark.functions.multimodal import (
+        decode_bmp,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_gray_bmp(_DHASH_PATTERN, 2)))],
+        "media_id long, kind string, payload binary",
+    )
+    out = resize_images(media, width=9, height=8).collect()[0]
+    assert (out.width, out.height) == (9, 8)
+    px = decode_bmp(bytes(out.payload))
+    # 2x2 box means of a block-expanded pattern = the pattern itself
+    assert [[int(px[r][c][0]) for c in range(9)] for r in range(8)] == (
+        _DHASH_PATTERN
+    )
+
+
+def test_dhash_invariant_to_brightness_and_scale(spark):
+    from hbase_spark.functions.multimodal import dhash_images
+
+    base = _gray_bmp(_DHASH_PATTERN, 2)
+    brighter = _gray_bmp([[v + 20 for v in row] for row in _DHASH_PATTERN], 2)
+    rescaled = _gray_bmp(_DHASH_PATTERN, 4)
+    distinct = _gray_bmp(
+        [[((r * 53 + c * 17) % 191) + 10 for c in range(9)] for r in range(8)], 2
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(base)), (2, "image", bytearray(brighter)),
+         (3, "image", bytearray(rescaled)), (4, "image", bytearray(distinct))],
+        "media_id long, kind string, payload binary",
+    )
+    h = {r.media_id: r.dhash for r in dhash_images(media).collect()}
+    assert h[1] == h[2] == h[3] != h[4]
+
+
+def test_image_near_dups_pairs_and_corrupt_policy(spark):
+    from hbase_spark.functions.multimodal import dhash_images, image_near_dups
+
+    base = _gray_bmp(_DHASH_PATTERN, 2)
+    brighter = _gray_bmp([[v + 20 for v in row] for row in _DHASH_PATTERN], 2)
+    distinct = _gray_bmp(
+        [[((r * 53 + c * 17) % 191) + 10 for c in range(9)] for r in range(8)], 2
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(base)), (2, "image", bytearray(brighter)),
+         (4, "image", bytearray(distinct)),
+         (9, "image", bytearray(b"not an image"))],
+        "media_id long, kind string, payload binary",
+    )
+    tagged = dhash_images(media, on_error="tag").collect()
+    assert {r.media_id for r in tagged if r.dhash is None} == {9}
+    assert any("NotImplementedError" in (r.error or "") for r in tagged)
+    pairs = image_near_dups(media, on_error="tag").collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
