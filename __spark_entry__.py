@@ -3729,6 +3729,104 @@ FROM per LEFT JOIN dpd USING (doc_id)
 """
 
 
+_GOPHER_BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    + "the of and that"
+)
+# one variant per doc_id % 8, each failing exactly one Gopher rule
+# (0 = passes everything), so every rule's threshold arithmetic is
+# exercised and hash-checked in isolation.
+_GOPHER_VARIANTS = [
+    _GOPHER_BASE,                                   # all pass
+    _GOPHER_BASE + " " + "# " * 10,                 # symbol ratio
+    _GOPHER_BASE + "\n- x" * 19,                    # bullet lines
+    _GOPHER_BASE + "\nso it goes...",               # ellipsis lines
+    "the of and that tiny",                         # word count
+    _GOPHER_BASE + " 12345" * 20,                   # alpha-word ratio
+    _GOPHER_BASE + " pneumonoultramicroscopicsilico" * 60,  # mean word len
+    ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip(),  # stop words
+]
+_GOPHER_RULE_ORDER = [
+    "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+    "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_ratio_ok",
+    "stop_words_ok",
+]
+
+
+def _gopher_arm(spark, sf):
+    """Gopher document-quality rules (functions/text.py gopher_rules,
+    Rae et al. 2021 Table A1): each doc gets one of 8 deterministic
+    variants — one per rule violation plus an all-pass — and the value
+    is the 7 rule bits + the keep bit, so every integer-exact threshold
+    is hash-checked."""
+    from hbase_spark.functions.text import gopher_filter
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    text = F.lit(_GOPHER_VARIANTS[0])
+    for i, v in enumerate(_GOPHER_VARIANTS[1:], start=1):
+        text = F.when(F.pmod("doc_id", F.lit(8)) == i, F.lit(v)).otherwise(text)
+    out = gopher_filter(docs.withColumn("text", text))
+    bits = [
+        F.col(k).cast("int").cast("string")
+        for k in (*_GOPHER_RULE_ORDER, "keep")
+    ]
+    return out.select("doc_id", F.concat(*bits).alias("value"))
+
+
+def _gopher_sql():
+    def lit(s):
+        return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+    cases = " ".join(
+        f"WHEN {i} THEN {lit(v)}" for i, v in enumerate(_GOPHER_VARIANTS)
+    )
+    stops = ", ".join(f"'{w}'" for w in
+                      ("the", "be", "to", "of", "and", "that", "have", "with"))
+    rules = {
+        "word_count_ok": "n >= 50 AND n <= 100000",
+        "mean_word_len_ok": "3 * n <= chars AND chars <= 10 * n",
+        "symbol_ratio_ok": "10 * symbols <= n",
+        "bullet_ratio_ok": "10 * bullets <= 9 * n_lines",
+        "ellipsis_ratio_ok": "10 * ellipses <= 3 * n_lines",
+        "alpha_ratio_ok": "5 * alpha >= 4 * n",
+        "stop_words_ok": "stops >= 2",
+    }
+    bit = " || ".join(
+        f"CAST(CAST(({rules[k]}) AS INT) AS VARCHAR)"
+        for k in _GOPHER_RULE_ORDER
+    )
+    keep = " AND ".join(f"({v})" for v in rules.values())
+    return f"""
+WITH t AS (
+  SELECT doc_id, CASE doc_id % 8 {cases} END AS text FROM documents),
+k AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS lines,
+         text
+  FROM t),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS chars,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+         greatest(len(lines), 1) AS n_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullets,
+         len(list_filter(lines, l -> right(rtrim(l), 3) = '...'))
+           AS ellipses,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         len(list_intersect(list_distinct(toks), [{stops}])) AS stops
+  FROM k)
+SELECT doc_id, {bit} || CAST(CAST(({keep}) AS INT) AS VARCHAR) AS value
+FROM m
+"""
+
+
 def _url_arm(spark, sf):
     """URL-level dedup (functions/text.py canonical_url + url_dedup —
     the pre-fetch dedup key of a CC-Net/C4-style crawl pipeline).
@@ -3861,7 +3959,8 @@ _register_suite(
      ("html_clean", _html_arm),
      ("dup_ngrams", _dupgram_arm),
      ("cc_clusters", _cc_arm),
-     ("url_dedup", _url_arm)],
+     ("url_dedup", _url_arm),
+     ("gopher_rules", _gopher_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -3881,7 +3980,8 @@ _register_suite(
      ("html_clean", _html_sql()),
      ("dup_ngrams", _DUPGRAM_SQL),
      ("cc_clusters", _CC_CLUSTERS_SQL),
-     ("url_dedup", _URL_DEDUP_SQL)],
+     ("url_dedup", _URL_DEDUP_SQL),
+     ("gopher_rules", _gopher_sql())],
     ["doc_id", "value"],
 )
 

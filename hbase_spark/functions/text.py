@@ -251,6 +251,72 @@ def repetition_features(col: str | Column = "text") -> dict[str, Column]:
     }
 
 
+#: Gopher's required-word rule list (Rae et al. 2021, Table A1).
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: str | Column = "text") -> dict[str, Column]:
+    """The document-level quality rules of Gopher (Rae et al. 2021,
+    Table A1) as boolean columns: word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio (# and ...) <= 0.1, <= 90%
+    bullet-started lines, <= 30% ellipsis-ended lines, >= 80% of words
+    with an alphabetic character, and >= 2 of the 8 required stop
+    words.
+
+    Every threshold compares cross-multiplied INTEGER counts
+    (``10*symbols <= words`` instead of a float ratio), so the DuckDB
+    twin matches bit-for-bit.  One tokenization + one line split,
+    single map stage, no shuffle — same scale shape as the other
+    quality scores."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = _ascii_tokens(c)
+    n = F.size(toks).cast("long")
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    symbols = (
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    ).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("long")
+    bullets = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    ).cast("long")
+    ellipses = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("long")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    return {
+        "word_count_ok": (n >= 50) & (n <= 100_000),
+        "mean_word_len_ok": (3 * n <= chars) & (chars <= 10 * n),
+        "symbol_ratio_ok": 10 * symbols <= n,
+        "bullet_ratio_ok": 10 * bullets <= 9 * n_lines,
+        "ellipsis_ratio_ok": 10 * ellipses <= 3 * n_lines,
+        "alpha_ratio_ok": 5 * alpha >= 4 * n,
+        "stop_words_ok": stop_hits >= 2,
+    }
+
+
+def gopher_filter(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """docs + the per-rule boolean columns + ``keep`` (every rule
+    passes) — keep the rule columns for loss auditing per rule, the
+    way the paper reports per-filter removal rates."""
+    rules = gopher_rules(text_col)
+    out = docs.select("*", *[v.alias(k) for k, v in rules.items()])
+    keep = F.lit(True)
+    for k in rules:
+        keep = keep & F.col(k)
+    return out.withColumn("keep", keep)
+
+
 def contamination(
     docs: DataFrame,
     eval_docs: DataFrame,

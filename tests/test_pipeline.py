@@ -1912,3 +1912,42 @@ def test_image_near_dups_pairs_and_corrupt_policy(spark):
     assert any("NotImplementedError" in (r.error or "") for r in tagged)
     pairs = image_near_dups(media, on_error="tag").collect()
     assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
+
+
+def test_gopher_rules_isolated_violations(spark):
+    """Each Gopher rule (Rae et al. 2021 Table A1) trips on exactly the
+    violation built for it, and the all-pass doc keeps."""
+    from hbase_spark.functions.text import gopher_filter
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+        + "the of and that"
+    )
+    rows = [
+        (0, base),
+        (1, base + " " + "# " * 10),
+        (2, base + "\n- x" * 19),
+        (3, base + "\nso it goes..."),
+        (4, "the of and that tiny"),
+        (5, base + " 12345" * 20),
+        (6, base + " pneumonoultramicroscopicsilico" * 60),
+        (7, "alpha beta gamma delta " * 15),
+    ]
+    out = gopher_filter(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).orderBy("doc_id").collect()
+    failing = {
+        1: "symbol_ratio_ok", 2: "bullet_ratio_ok", 3: "ellipsis_ratio_ok",
+        4: "word_count_ok", 5: "alpha_ratio_ok", 6: "mean_word_len_ok",
+        7: "stop_words_ok",
+    }
+    rule_cols = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_ratio_ok",
+        "stop_words_ok",
+    ]
+    assert out[0].keep and all(out[0][c] for c in rule_cols)
+    for r in out[1:]:
+        bad = failing[r.doc_id]
+        assert not r.keep and not r[bad]
+        assert all(r[c] for c in rule_cols if c != bad), r
