@@ -348,3 +348,62 @@ def test_semantic_dedup_plan_no_cartesian_no_forced_broadcast(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_shuffles_long_pairs_only(spark):
+    """connected_components: every exchange carries the two long node
+    columns (or aggregates of them) — no arrays, no strings, no
+    cartesian expansion; convergence state never reaches the driver
+    beyond the one-row signature."""
+    from hbase_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(48) if i % 8 != 7], ["src", "dst"]
+    )
+    df = connected_components(edges)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "collect_list" not in ln and "collect_set" not in ln, ln
+
+
+def test_paragraph_link_pairs_shuffles_hashes_not_text(spark):
+    """paragraph_link_pairs: paragraphs cross exchanges only as
+    xxhash64 values through the capped-group contract."""
+    from hbase_spark.functions.dedup import paragraph_link_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i}\n\nshared boilerplate {i % 5}")
+         for i in range(64)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(paragraph_link_pairs(docs))
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln and "_p#" not in ln, ln
+    assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_shuffles_url_hash_not_strings(spark):
+    """url_dedup: the group key crossing the exchange is xxhash64 of
+    the canonical URL, never the URL string itself."""
+    from hbase_spark.functions.text import url_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"https://example.com/p/{i % 9}?utm_source=x") for i in range(64)],
+        "doc_id long, url string",
+    )
+    import re
+
+    plan = plan_of(url_dedup(docs))
+    seen = 0
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            seen += 1
+            # the partition key is a long (the xxhash64 — Catalyst may
+            # inline it as _groupingexpression#NL); never a URL string
+            assert re.search(r"hashpartitioning\((?:_uh|_groupingexpression)#\d+L", ln), ln
+            assert "canonical_url" not in ln and "url#" not in ln, ln
+    assert seen >= 1
