@@ -1991,6 +1991,117 @@ class Admin:
             if p["state"] == "RUNNABLE" and p["table"]
         ]
 
+    def hbck(
+        self, name: str | None = None, *, stuck_after_sec: float = 0.0,
+        now: float | None = None,
+    ) -> dict:
+        """HbckChore / CatalogJanitor consistency report
+        (master/hbck/HbckChore.java, master/janitor/CatalogJanitor.java
+        + the HBCK2 report surface): inspect catalog and layout
+        invariants WITHOUT fixing anything — report-only, like
+        `hbase hbck` since 2.x.
+
+        Checks, each a list in the returned dict:
+
+        - ``overlaps``: region files of one (table, family) whose key
+          ranges intersect — CatalogJanitor's overlap report.  Region
+          ranges come from the same per-file min/max aggregation as
+          ``list_regions`` (metadata-scale, no collect of data).
+        - ``family_mismatches``: family dirs on disk without a
+          descriptor entry and descriptor families with no dir (the
+          no-such-CF half of meta/fs agreement).
+        - ``cleanable_dirs``: cells-v*/mob-v* version dirs pinned by no
+          live descriptor and no snapshot — the HFileCleaner delete
+          set, reclaimed by ``cleaner_chore``.  INFORMATIONAL: every
+          flush/split/merge leaves its predecessor dir for the chore
+          by design (archived HFiles are not an hbck inconsistency),
+          so this never fails ``ok``.
+        - ``broken_snapshots``: manifests whose data_dir is gone
+          (SnapshotHFileCleaner's corrupt-snapshot case).
+        - ``stuck_procedures``: RUNNABLE journal entries older than
+          ``stuck_after_sec`` with the locks they hold — the HBCK2
+          `bypass` candidates.
+
+        ``ok`` is True iff every list is empty.
+        """
+        import os
+        import time as _time
+
+        now = _time.time() if now is None else now
+        report: dict = {
+            "overlaps": [], "family_mismatches": [], "cleanable_dirs": [],
+            "broken_snapshots": [], "stuck_procedures": [],
+        }
+
+        tables = [name] if name else self.list_tables()
+        for t in tables:
+            desc = self._read_desc(t)
+            if desc.get("deleted"):
+                continue
+            # per-(family, file) key ranges -> overlap scan per family
+            cells = self.table(t).cells
+            regs = (
+                cells.groupBy(
+                    F.col("family"), F.input_file_name().alias("f")
+                )
+                .agg(F.min("row").alias("lo"), F.max("row").alias("hi"))
+                .collect()
+            )
+            by_fam: dict = {}
+            for r in regs:
+                by_fam.setdefault(r.family, []).append(r)
+            for fam, rows in by_fam.items():
+                rows.sort(key=lambda r: (r.lo, r.hi))
+                for prev, cur in zip(rows, rows[1:]):
+                    if cur.lo <= prev.hi:  # inclusive max: intersecting
+                        report["overlaps"].append(
+                            {"table": t, "family": fam,
+                             "a": prev.f, "b": cur.f,
+                             "range_a": (prev.lo, prev.hi),
+                             "range_b": (cur.lo, cur.hi)}
+                        )
+            # descriptor vs family dirs on disk
+            data_dir = self._abs_data_dir(desc, t)
+            disk_fams = {
+                d.split("=", 1)[1]
+                for d in (
+                    os.listdir(data_dir) if os.path.isdir(data_dir) else []
+                )
+                if d.startswith("family=")
+            }
+            declared = set(desc.get("families", {}))
+            if disk_fams:  # flat (by_family=False) layouts have no dirs
+                for fam in sorted(disk_fams - declared):
+                    report["family_mismatches"].append(
+                        {"table": t, "family": fam, "problem": "undeclared dir"}
+                    )
+                for fam in sorted(declared - disk_fams):
+                    report["family_mismatches"].append(
+                        {"table": t, "family": fam, "problem": "missing dir"}
+                    )
+
+        # cleanable version dirs + broken snapshots (cleaner-chore set,
+        # reported instead of deleted)
+        report["cleanable_dirs"] = self.cleaner_chore(dry_run=True)["deleted"]
+        for snap in self.list_snapshots():
+            man = self._read_json(self._snap_path(snap), f"snapshot {snap!r}")
+            if not os.path.isdir(f"{self.catalog_dir}/{man['data_dir']}"):
+                report["broken_snapshots"].append(
+                    {"snapshot": snap, "data_dir": man["data_dir"]}
+                )
+
+        for p in self.list_procedures(completed=False):
+            if now - p["submitted_ts"] >= stuck_after_sec:
+                report["stuck_procedures"].append(p)
+
+        report["ok"] = not any(
+            report[k] for k in (
+                "overlaps", "family_mismatches",
+                "broken_snapshots", "stuck_procedures",
+            )
+        )
+        return report
+
     # -- WAL roll + master state dump (shell `wal_roll`, `zk_dump`) ----
 
     def wal_roll(self, log_dir: str) -> dict:

@@ -776,6 +776,15 @@ def shell_zk_dump(admin) -> dict:
     return admin.zk_dump()
 
 
+def shell_hbck_chore_run(admin, **kw) -> dict:
+    """shell `hbck_chore_run` (hbck_chore_run.rb / Admin.runHbckChore):
+    run the master's HbckChore consistency scan and return the report
+    (region overlaps, meta/fs family agreement, orphan version dirs,
+    broken snapshots, stuck procedures) — report-only, like the
+    reference chore."""
+    return admin.hbck(**kw)
+
+
 # -- round-5 data-touching scraps (show_filters.rb, get_counter.rb,
 # list_replicated_tables.rb, list_snapshot_sizes.rb,
 # list_quota_table_sizes.rb, compaction_switch.rb, catalogjanitor_*.rb,

@@ -73,3 +73,33 @@ def batch_dedup_twin(
         .agg(F.min_by(payload, ordering).alias("_row"))
         .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     )
+
+
+def stream_url_dedup(
+    stream: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-level dedup — the ingestion-time twin of the batch
+    ``url_dedup`` (functions/text.py): keep the first-seen document per
+    CANONICAL URL within the watermark horizon, so a crawl frontier
+    that re-delivers tracking-param / fragment / case variants of one
+    page emits it once.
+
+    Same state discipline as ``stream_dedup``: the dedup key is the
+    xxhash64 of the canonical URL (8-byte state entries, evicted at the
+    horizon); canonicalization is the identical codegen rule chain the
+    batch op uses, so stream and batch agree on what 'same URL' means.
+    """
+    from hbase_spark.functions.text import canonical_url
+
+    with_key = stream.withColumn(
+        "_uh", F.xxhash64(canonical_url(url_col))
+    ).withColumn("_event_time", F.timestamp_millis(F.col(ts_col)))
+    return (
+        with_key.withWatermark("_event_time", watermark)
+        .dropDuplicatesWithinWatermark(["_uh"])
+        .drop("_event_time", "_uh")
+    )

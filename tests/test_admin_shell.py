@@ -1550,3 +1550,85 @@ def test_compact_selection_hooks_coalesce_only_selected(catalog, spark):
     before = catalog.describe("tcs")["version"]
     catalog.compact("tcs", observers=[Observer(pre_compact_selection=lambda c: [])])
     assert catalog.describe("tcs")["version"] == before
+
+
+def test_hbck_clean_catalog_reports_ok(catalog):
+    from hbase_spark.shell import shell_hbck_chore_run, shell_put
+
+    catalog.create_table("hk1", ["f"])
+    t = catalog.table("hk1")
+    for i in range(8):
+        t = shell_put(t, f"r{i}", "f:q", f"v{i}", ts=10, seq=i)
+    catalog.flush("hk1", t, num_regions=2)
+    rep = shell_hbck_chore_run(catalog)
+    assert rep["ok"], rep
+    assert rep["overlaps"] == []
+    # the pre-flush dir is cleanable archive, not an inconsistency
+    catalog.cleaner_chore()
+    assert catalog.hbck()["cleanable_dirs"] == []
+
+
+def test_hbck_detects_overlap_and_family_mismatch(catalog):
+    import glob
+    import os
+    import shutil as _sh
+
+    from hbase_spark.shell import shell_put
+
+    catalog.create_table("hk2", ["f"])
+    t = catalog.table("hk2")
+    for i in range(8):
+        t = shell_put(t, f"r{i}", "f:q", f"v{i}", ts=10, seq=i)
+    catalog.flush("hk2", t, num_regions=2)
+    desc = catalog._read_desc("hk2")
+    data_dir = catalog._abs_data_dir(desc, "hk2")
+    # duplicate a region file inside the family dir -> overlapping ranges
+    fam_dir = os.path.join(data_dir, "family=f")
+    part = sorted(glob.glob(f"{fam_dir}/*.parquet"))[0]
+    _sh.copy2(part, os.path.join(fam_dir, "part-dup.parquet"))
+    # and an undeclared family dir with a stray (valid) file
+    ghost = os.path.join(data_dir, "family=ghost")
+    os.makedirs(ghost)
+    _sh.copy2(part, os.path.join(ghost, "stray.parquet"))
+    rep = catalog.hbck("hk2")
+    assert not rep["ok"]
+    assert any(o["table"] == "hk2" and o["family"] == "f"
+               for o in rep["overlaps"])
+    assert {"table": "hk2", "family": "ghost", "problem": "undeclared dir"} in (
+        rep["family_mismatches"]
+    )
+
+
+def test_hbck_orphans_broken_snapshots_stuck_procs(catalog):
+    import os
+    import shutil as _sh
+
+    from hbase_spark.shell import shell_put
+
+    catalog.create_table("hk3", ["f"])
+    t = catalog.table("hk3")
+    for i in range(4):
+        t = shell_put(t, f"r{i}", "f:q", f"v{i}", ts=10, seq=i)
+    catalog.flush("hk3", t, num_regions=1)
+    catalog.snapshot("snap-hk3", "hk3")
+    # split creates cells-v2; the old dir stays pinned by the snapshot
+    catalog.split_region("hk3", "r2")
+    # v0 (pre-flush) is cleanable; v1 stays pinned by the snapshot
+    cleanable = catalog.hbck()["cleanable_dirs"]
+    assert all(not d.endswith("cells-v1") for d in cleanable)
+    assert catalog.hbck()["ok"]
+    # drop the snapshot's pinned dir -> broken snapshot; re-point the
+    # manifest? no — delete the dir it references after unpinning check
+    man = catalog._read_json(catalog._snap_path("snap-hk3"), "snap")
+    _sh.rmtree(os.path.join(catalog.catalog_dir, man["data_dir"]))
+    rep = catalog.hbck()
+    assert any(b["snapshot"] == "snap-hk3" for b in rep["broken_snapshots"])
+    # a hand-written RUNNABLE journal entry = a stuck procedure
+    procs = catalog._read_procs()
+    procs.append({"pid": 999, "type": "SPLIT_REGION", "table": "hk3",
+                  "lock": "EXCLUSIVE", "state": "RUNNABLE",
+                  "submitted_ts": 0.0, "completed_ts": None})
+    catalog._write_procs(procs)
+    rep = catalog.hbck(stuck_after_sec=60)
+    assert any(p["pid"] == 999 for p in rep["stuck_procedures"])
+    assert not rep["ok"]

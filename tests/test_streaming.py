@@ -466,3 +466,41 @@ def test_stream_warc_ingests_archives_as_they_land(spark, tmp_path):
     got = spark.read.parquet(sink).collect()
     assert {r.source for r in got} == {f"http://ex.org/{i}" for i in (1, 2, 3)}
     assert len(got) == 3  # archive a was NOT reprocessed
+
+
+def test_stream_url_dedup_collapses_canonical_variants(spark, dirs, tmp_path):
+    """Streaming URL dedup: noisy variants of one canonical URL
+    (tracking params, case, www., fragment) collapse to the first-seen
+    row within the watermark; distinct canonical URLs all pass."""
+    from hbase_spark.streaming.dedup import stream_url_dedup
+
+    schema = "doc_id long, url string, ts long"
+    src = str(tmp_path / "urls")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [
+            (1, "https://a.com/x", 1_000),
+            (2, "HTTPS://WWW.A.COM/x?utm_source=rss#top", 2_000),
+            (3, "https://a.com/y", 3_000),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    out = stream_url_dedup(
+        spark.readStream.schema(schema).parquet(src), watermark="10 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("url_dedup_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id
+            for r in spark.sql("SELECT doc_id FROM url_dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1, 3}
