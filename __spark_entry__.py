@@ -4086,13 +4086,14 @@ def _semdedup_arm(spark, sf):
     )
     clones = vecs.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
     both = vecs.unionByName(clones)
-    # nlist=64 keeps clusters in the paper's small-cell regime (~n/64
-    # members -> candidate pairs shrink quadratically vs nlist=16,
-    # measured 2x at sf0.1); the CONTRACT is clustering-invariant —
-    # identical vectors co-assign under any centroid set, so the
-    # dropped set (and the oracle) is the same for any nlist.
+    # nlist='auto' sizes clusters to the corpus the way the paper does
+    # (k grows with n; ~256 members/cluster) — a fixed nlist trips the
+    # skew cap once the corpus outgrows it (found at 16x in the scale
+    # sweep).  The CONTRACT is clustering-invariant — identical vectors
+    # co-assign under any centroid set, so the dropped set (and the
+    # oracle) is the same for any nlist.
     out = semantic_dedup(
-        both, threshold=1 - 1e-9, nlist=64, on_overflow="error"
+        both, threshold=1 - 1e-9, nlist="auto", on_overflow="error"
     )
     return out.filter(~F.col("keep")).select(
         "vec_id", F.round("score", 6).alias("score")

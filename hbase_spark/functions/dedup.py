@@ -750,7 +750,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    nlist: int = 16,
+    nlist: int | str = 16,
     cap: int = _BUCKET_CAP,
     on_overflow: str = "truncate",
     centroids: list | None = None,
@@ -775,9 +775,18 @@ def semantic_dedup(
     exact-cosine verify joins fetch vectors for candidate pairs only.
     Compare ``embedding_near_dups`` (hyperplane-LSH buckets): same
     candidate discipline, different bucketing geometry.
+
+    ``nlist='auto'`` sizes the cluster count to the corpus the way the
+    paper does (k grows with n): one count job, then
+    ``ceil(n / 256)`` clusters (min 16) — ~256 members each, safely
+    under the skew cap at any scale, with candidate pairs linear in n
+    (n x 256 / 2) instead of quadratic.  A fixed nlist stops scaling:
+    cluster membership grows with the corpus until it trips the cap.
     """
     from hbase_spark.functions.similarity import cosine, ivf_centroids
 
+    if nlist == "auto":
+        nlist = max(16, -(-vecs.count() // 256))
     if centroids is None:
         centroids = ivf_centroids(
             vecs, vec_col=vec_col, id_col=id_col, nlist=nlist
