@@ -33,11 +33,12 @@ def export_table(
     raw mode) to a bulk layout.
 
     ``format``: 'parquet' (default — the pruned range layout) or an
-    interchange format for foreign consumers, 'json' / 'csv' — the
-    analog of Export's pluggable serialization (the reference writes
-    SequenceFiles of Results).  Canonical cells carry string values, so
-    interchange formats need no binary encoding; they skip the range
-    layout (plain write)."""
+    interchange format for foreign consumers, 'json' / 'csv' / 'orc'
+    — the analog of Export's pluggable serialization (the reference
+    writes SequenceFiles of Results).  Canonical cells carry string
+    values, so interchange formats need no binary encoding; they skip
+    the range layout (plain write; ORC keeps columnar stats for
+    foreign engines that prune on them)."""
     spec = spec or Scan(raw=raw)
     out = scan(cells, spec)
     if format == "parquet":
@@ -46,6 +47,8 @@ def export_table(
         out.write.mode(kw.get("mode", "overwrite")).json(path)
     elif format == "csv":
         out.write.mode(kw.get("mode", "overwrite")).option("header", True).csv(path)
+    elif format == "orc":
+        out.write.mode(kw.get("mode", "overwrite")).orc(path)
     else:
         raise ValueError(f"unknown export format {format!r}")
 
@@ -68,6 +71,8 @@ def import_table(
         df = spark.read.schema(cell_schema()).json(path)
     elif format == "csv":
         df = spark.read.schema(cell_schema()).option("header", True).csv(path)
+    elif format == "orc":
+        df = spark.read.schema(cell_schema()).orc(path)
     else:
         raise ValueError(f"unknown import format {format!r}")
     if rename_families:

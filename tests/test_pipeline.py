@@ -512,7 +512,7 @@ def test_export_import_interchange_formats(spark, tmp_path):
     want = {
         (r.row, r.qualifier, r.ts, r.type, r.value) for r in cells.collect()
     }
-    for fmt in ("json", "csv"):
+    for fmt in ("json", "csv", "orc"):
         path = str(tmp_path / f"exp_{fmt}")
         export_table(cells, path, format=fmt)  # raw: tombstones survive
         back = import_table(spark, path, format=fmt)
