@@ -1951,3 +1951,60 @@ def test_gopher_rules_isolated_violations(spark):
         bad = failing[r.doc_id]
         assert not r.keep and not r[bad]
         assert all(r[c] for c in rule_cols if c != bad), r
+
+
+def test_image_curation_pipeline_end_to_end(spark, tmp_path):
+    """The full multimodal curation chain, every stage real: decode ->
+    dHash near-dup pairs -> transitive clusters -> keep representatives
+    -> resize to thumbnails -> WebDataset shards -> read back."""
+    from hbase_spark.functions.dedup import dedup_clusters
+    from hbase_spark.functions.multimodal import (
+        decode_bmp,
+        image_near_dups,
+        resize_images,
+    )
+    from hbase_spark.sources.webdataset import (
+        read_webdataset,
+        wds_samples,
+        write_webdataset,
+    )
+
+    patterns = {
+        0: _DHASH_PATTERN,
+        1: [[v + 15 for v in row] for row in _DHASH_PATTERN],  # dup of 0
+        2: [[((r * 53 + c * 17) % 191) + 10 for c in range(9)]
+            for r in range(8)],
+        3: [[((r * 11 + c * 7) % 191) + 10 for c in range(9)]
+            for r in range(8)],
+    }
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(_gray_bmp(p, 2))) for i, p in patterns.items()],
+        "media_id long, kind string, payload binary",
+    )
+    pairs = image_near_dups(media).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    clusters = dedup_clusters(
+        media.withColumnRenamed("media_id", "doc_id"), pairs=pairs
+    )
+    kept_ids = {r.doc_id for r in clusters.filter("keep").collect()}
+    assert kept_ids == {0, 2, 3}  # 1 is 0's brightness clone
+    kept = media.join(
+        clusters.filter("keep").select(F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
+    thumbs = resize_images(kept, width=9, height=8)
+    wds = thumbs.select(
+        F.concat(F.lit("img-"), F.col("media_id").cast("string")).alias("key"),
+        F.create_map(F.lit("bmp"), F.col("payload")).alias("files"),
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(wds, out, shards=2).collect()
+    back = wds_samples(read_webdataset(spark, out))
+    rows = {r.key: bytes(r.files["bmp"]) for r in back.collect()}
+    assert set(rows) == {f"img-{i}" for i in kept_ids}
+    # the representative's thumbnail decodes to the 9x8 pattern
+    px = decode_bmp(rows["img-0"])
+    assert [[int(px[r][c][0]) for c in range(9)] for r in range(8)] == (
+        _DHASH_PATTERN
+    )
