@@ -2038,30 +2038,42 @@ class Admin:
             desc = self._read_desc(t)
             if desc.get("deleted"):
                 continue
-            # per-(family, file) key ranges -> overlap scan per family
-            cells = self.table(t).cells
-            regs = (
-                cells.groupBy(
-                    F.col("family"), F.input_file_name().alias("f")
-                )
-                .agg(F.min("row").alias("lo"), F.max("row").alias("hi"))
-                .collect()
-            )
-            by_fam: dict = {}
-            for r in regs:
-                by_fam.setdefault(r.family, []).append(r)
-            for fam, rows in by_fam.items():
-                rows.sort(key=lambda r: (r.lo, r.hi))
-                for prev, cur in zip(rows, rows[1:]):
-                    if cur.lo <= prev.hi:  # inclusive max: intersecting
-                        report["overlaps"].append(
-                            {"table": t, "family": fam,
-                             "a": prev.f, "b": cur.f,
-                             "range_a": (prev.lo, prev.hi),
-                             "range_b": (cur.lo, cur.hi)}
-                        )
-            # descriptor vs family dirs on disk
+            # per-(family, file) key ranges -> overlap scan per family.
+            # Read the layout directly (not Admin.table): hbck must run
+            # on DISABLED tables too — repair is exactly when tables
+            # are disabled — and needs no mob merge or enabled check.
             data_dir = self._abs_data_dir(desc, t)
+            if os.path.isdir(data_dir):
+                from hbase_spark.sources.layout import read_table
+
+                cells = read_table(self.spark, data_dir)
+                regs = (
+                    cells.groupBy(
+                        F.col("family"), F.input_file_name().alias("f")
+                    )
+                    .agg(F.min("row").alias("lo"), F.max("row").alias("hi"))
+                    .collect()
+                )
+                by_fam: dict = {}
+                for r in regs:
+                    by_fam.setdefault(r.family, []).append(r)
+                for fam, rows in by_fam.items():
+                    # running max-hi (CatalogJanitor-style): a wide
+                    # region must flag overlap with EVERY later region
+                    # it contains, not only its sorted neighbor
+                    rows.sort(key=lambda r: (r.lo, r.hi))
+                    widest = None
+                    for cur in rows:
+                        if widest is not None and cur.lo <= widest.hi:
+                            report["overlaps"].append(
+                                {"table": t, "family": fam,
+                                 "a": widest.f, "b": cur.f,
+                                 "range_a": (widest.lo, widest.hi),
+                                 "range_b": (cur.lo, cur.hi)}
+                            )
+                        if widest is None or cur.hi > widest.hi:
+                            widest = cur
+            # descriptor vs family dirs on disk
             disk_fams = {
                 d.split("=", 1)[1]
                 for d in (

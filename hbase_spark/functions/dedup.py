@@ -364,7 +364,10 @@ def paragraph_link_pairs(
     paras = (
         docs.select(
             F.col(id_col).alias("_id"),
-            F.explode(F.split(text_col, sep)).alias("_p"),
+            # \Q...\E quotes the separator: ``sep`` is a LITERAL string
+            # (matching the DuckDB oracle's string_split), not a regex —
+            # a bare F.split would treat '||' or '.' as a pattern
+            F.explode(F.split(text_col, "\\Q" + sep + "\\E")).alias("_p"),
         )
         .filter(F.trim("_p") != "")
         .select("_id", F.xxhash64("_p").alias("_ph"))

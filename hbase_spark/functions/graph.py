@@ -111,19 +111,36 @@ def connected_components(
         the nodes incident to an edge.
     max_rounds:
         Hard stop; the algorithm converges in O(log^2 n) alternating
-        rounds, so hitting this indicates malformed input (e.g. NULL
-        ids) and raises rather than returning a partial closure.
+        rounds, so hitting this indicates malformed input and raises
+        rather than returning a partial closure.
+
+    Node ids must be integral (hash or dense-rank string keys first):
+    an id that is NULL or does not cast to long fails the job in-plan
+    — a silent NULL would otherwise collapse every edge and return an
+    empty closure.
 
     Returns
     -------
     DataFrame ``(node, component)`` — one row per node, ``component``
     the minimum node id reachable from it.
     """
+
+    def _node(col_name: str):
+        c = F.col(col_name).cast("long")
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("connected_components: non-integral node id: "),
+                    F.coalesce(
+                        F.col(col_name).cast("string"), F.lit("NULL")
+                    ),
+                )
+            ),
+        ).otherwise(c)
+
     e = (
-        edges.select(
-            F.col(src).cast("long").alias("_u"),
-            F.col(dst).cast("long").alias("_v"),
-        )
+        edges.select(_node(src).alias("_u"), _node(dst).alias("_v"))
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
         .localCheckpoint(eager=False)
@@ -152,7 +169,7 @@ def connected_components(
     if nodes is not None:
         nc = node_col or src
         iso = (
-            nodes.select(F.col(nc).cast("long").alias("node"))
+            nodes.select(_node(nc).alias("node"))
             .distinct()
             .join(out.select("node"), "node", "left_anti")
         )

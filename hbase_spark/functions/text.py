@@ -647,7 +647,11 @@ def paragraph_dedup(
     out_col = out_col or text_col
     p = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"),
+        # \Q...\E: sep is a literal separator (the rejoin below uses it
+        # verbatim), not a regex — '||' or '.' must not explode per char
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("_pos", "_p"),
     ).withColumn("_h", F.xxhash64("_p"))
     winners = p.groupBy("_h").agg(F.min(F.struct("_id", "_pos")).alias("_w"))
     kept = (

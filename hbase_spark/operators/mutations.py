@@ -44,9 +44,10 @@ def put_cells(
     ``ttl`` is Mutation#setTTL (client/Mutation.java setTTL -> a
     TagType.TTL_TAG_TYPE tag on every cell of the mutation): the batch
     gains a ``cell_ttl`` column that ``resolve(cell_ttl_col='cell_ttl')``
-    expires per ScanQueryMatcher.isCellTTLExpired.  A base table united
-    with a TTL'd batch must carry the column too (NULL = untagged) —
-    ``apply_mutations`` projects to the base schema."""
+    expires per ScanQueryMatcher.isCellTTLExpired.  ``apply_mutations``
+    unions by name with NULL-fill, so a TTL'd batch merged into an
+    untagged base keeps its tags (the base's cells read as NULL =
+    untagged)."""
     rows = [(r, f, q, ts, CellType.PUT, v, seq) for (r, f, q, v) in puts]
     out = make_cells(spark, rows)
     if ttl is not None:
@@ -114,8 +115,14 @@ def bulk_delete(
 def apply_mutations(cells: DataFrame, mutations: DataFrame) -> DataFrame:
     """Append a mutation CellFrame (puts + tombstones) — the memstore
     apply step (rs/HRegion.java:5485 applyToMemStore).  Pure union:
-    tombstones are data."""
-    return cells.unionByName(mutations.select(*cells.columns))
+    tombstones are data.
+
+    Schemas may differ in optional extras (a ``put_cells(ttl=...)``
+    batch carries ``cell_ttl``): the union keeps EVERY column, filling
+    NULL (= untagged) on the side that lacks it — silently projecting
+    the batch to the base schema would drop the TTL tag and the cells
+    would never expire."""
+    return cells.unionByName(mutations, allowMissingColumns=True)
 
 
 def apply_increments(

@@ -1632,3 +1632,56 @@ def test_hbck_orphans_broken_snapshots_stuck_procs(catalog):
     rep = catalog.hbck(stuck_after_sec=60)
     assert any(p["pid"] == 999 for p in rep["stuck_procedures"])
     assert not rep["ok"]
+
+
+def test_hbck_runs_on_disabled_tables(catalog):
+    from hbase_spark.shell import shell_put
+
+    catalog.create_table("hk4", ["f"])
+    t = catalog.table("hk4")
+    for i in range(4):
+        t = shell_put(t, f"r{i}", "f:q", f"v{i}", ts=10, seq=i)
+    catalog.flush("hk4", t, num_regions=1)
+    catalog.disable_table("hk4")
+    # repair is exactly when tables are disabled: the report must not
+    # throw TableNotEnabledError (review finding)
+    rep = catalog.hbck("hk4")
+    assert rep["ok"], rep
+
+
+def test_hbck_reports_contained_overlaps_not_just_adjacent(catalog):
+    import glob
+    import os
+    import shutil as _sh
+
+    from hbase_spark.shell import shell_put
+
+    catalog.create_table("hk5", ["f"])
+    t = catalog.table("hk5")
+    for i in range(12):
+        t = shell_put(t, f"r{i:02d}", "f:q", f"v{i}", ts=10, seq=i)
+    catalog.flush("hk5", t, num_regions=3)
+    desc = catalog._read_desc("hk5")
+    fam_dir = os.path.join(catalog._abs_data_dir(desc, "hk5"), "family=f")
+    parts = sorted(glob.glob(f"{fam_dir}/*.parquet"))
+    assert len(parts) >= 3
+    # plant a WIDE file spanning the whole key space (r00..r11): after
+    # sorting it comes first, and every real region is CONTAINED in it
+    # — only a running max-hi scan flags them all (review finding:
+    # prev-only comparison reported just the first pair)
+    spark = catalog.spark
+    wide_df = (
+        spark.read.parquet(parts[0])
+        .unionByName(spark.read.parquet(parts[-1]))
+    )
+    tmp = os.path.join(os.path.dirname(fam_dir), "_wide_tmp")
+    wide_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(f"{tmp}/*.parquet")[0]
+    _sh.move(src, os.path.join(fam_dir, "part-0000-wide.parquet"))
+    _sh.rmtree(tmp, ignore_errors=True)
+    rep = catalog.hbck("hk5")
+    # the wide file overlaps EVERY one of the 3 original regions
+    wide_pairs = [
+        o for o in rep["overlaps"] if "wide" in o["a"] or "wide" in o["b"]
+    ]
+    assert len(wide_pairs) == 3, rep["overlaps"]

@@ -130,3 +130,23 @@ def test_dedup_clusters_singletons_and_custom_pairs(spark):
     assert {(r.doc_id, r.cluster, r.keep) for r in rows} == {
         (1, 1, True), (2, 2, True), (7, 2, False),
     }
+
+
+def test_cc_non_integral_ids_fail_loudly(spark):
+    """A NULL or non-castable node id must fail the job in-plan — a
+    silent NULL would collapse every edge and return an empty closure
+    (review finding)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    e = spark.createDataFrame([(1, None), (2, 3)], "src long, dst long")
+    with pytest.raises(Exception, match="non-integral node id|CAST|NULL"):
+        connected_components(e).collect()
+    docs = spark.createDataFrame(
+        [("warc-a", "t"), ("warc-b", "t")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([("warc-a", "warc-b")], ["a", "b"])
+    from hbase_spark.functions.dedup import dedup_clusters
+
+    with pytest.raises(Exception):
+        dedup_clusters(docs, pairs=pairs).collect()

@@ -2008,3 +2008,20 @@ def test_image_curation_pipeline_end_to_end(spark, tmp_path):
     assert [[int(px[r][c][0]) for c in range(9)] for r in range(8)] == (
         _DHASH_PATTERN
     )
+
+
+def test_paragraph_ops_treat_sep_as_literal(spark):
+    """Separators with regex metacharacters ('||', '.') split as
+    literals (review finding: bare F.split treated them as patterns)."""
+    from hbase_spark.functions.dedup import paragraph_link_pairs
+    from hbase_spark.functions.text import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha||shared boiler"), (2, "beta||shared boiler")],
+        ["doc_id", "text"],
+    )
+    pairs = paragraph_link_pairs(docs, sep="||")
+    assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}
+    dd = paragraph_dedup(docs, sep="||").orderBy("doc_id").collect()
+    assert dd[0].text == "alpha||shared boiler"
+    assert dd[1].text == "beta"

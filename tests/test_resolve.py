@@ -530,3 +530,21 @@ def test_scan_projection_equals_post_resolve_filter(
         and (quals is None or c["qualifier"] in quals)
     }
     assert got == expected
+
+
+def test_apply_mutations_preserves_cell_ttl_both_ways(spark):
+    """A TTL'd batch merged into an untagged base keeps its tags, and
+    an untagged batch merged into a tagged base keeps the base's
+    (review finding: the old projection silently dropped cell_ttl)."""
+    from hbase_spark.operators.mutations import apply_mutations, put_cells
+
+    base = put_cells(spark, [("r1", "f", "q", "old")], ts=100, seq=1)
+    batch = put_cells(spark, [("r2", "f", "q", "new")], ts=100, seq=2, ttl=50)
+    merged = apply_mutations(base, batch)
+    assert "cell_ttl" in merged.columns
+    vis = resolve(merged, cell_ttl_col="cell_ttl", now=200)
+    assert {r.row for r in vis.collect()} == {"r1"}  # r2 expired at 150
+    # inverse direction: tagged base + untagged batch
+    merged2 = apply_mutations(batch, base)
+    vis2 = resolve(merged2, cell_ttl_col="cell_ttl", now=120)
+    assert {r.row for r in vis2.collect()} == {"r1", "r2"}
