@@ -2998,12 +2998,58 @@ _register_suite(
     _RQV,
 )
 
+def _cf_timerange_arm(spark, sf):
+    """setColumnFamilyTimeRange (client/Scan.java:330 /
+    Get.java:205): per-family time ranges override the scan-level one
+    — one scan fetches family 'hi' from a later window than everything
+    else, the way the reference fetches different freshness per store.
+    Events split into two families by qualifier; versions=2 proves the
+    range applies before version counting."""
+    cells = (
+        _events_cells(spark, sf)
+        .filter(F.col("type") == 4)
+        .withColumn(
+            "family",
+            F.when(F.col("qualifier") >= "m", "hi").otherwise("lo"),
+        )
+    )
+    out = scan(
+        cells,
+        Scan(
+            time_range=(None, 1_706_000_000_000),
+            family_time_ranges={
+                "hi": (1_706_000_000_000, 1_706_500_000_000)
+            },
+            versions=2,
+        ),
+    )
+    return _rk(out, "family", "qualifier", "value")
+
+
+_CF_TIMERANGE_SQL = f"""
+WITH cells AS (SELECT * FROM ({_EVENTS_CELLS_SQL}) WHERE type = 4),
+fc AS (SELECT rk, qualifier, ts, value, seq,
+              CASE WHEN qualifier >= 'm' THEN 'hi' ELSE 'lo' END AS family
+       FROM cells),
+rng AS (SELECT * FROM fc
+        WHERE (family = 'hi' AND ts >= 1706000000000
+               AND ts < 1706500000000)
+           OR (family = 'lo' AND ts < 1706000000000)),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY rk, family, qualifier
+             ORDER BY ts DESC, seq DESC) AS rn FROM rng)
+SELECT rk, family, qualifier, value FROM ranked WHERE rn <= 2
+"""
+
+
 _register_suite(
     "family_scoped_scan",
     [("family_filter", q_filter_family),
-     ("family_pagination", q_scan_family_pagination)],
+     ("family_pagination", q_scan_family_pagination),
+     ("cf_timerange", _cf_timerange_arm)],
     [("family_filter", _ORACLES["filter_family"]),
-     ("family_pagination", _ORACLES["scan_family_pagination"])],
+     ("family_pagination", _ORACLES["scan_family_pagination"]),
+     ("cf_timerange", _CF_TIMERANGE_SQL)],
     ["rk", "family", "qualifier", "value"],
 )
 

@@ -56,6 +56,13 @@ class Scan:
     #   in cell order — implies allowPartialResults, Scan.java:529; the
     #   ScannerContext batch-limit analog surfaces as a `batch` column,
     #   the partial-result index consumers group on)
+    family_time_ranges: dict | None = None      # setColumnFamilyTimeRange,
+    #   Scan.java:330 / Get.java:205: family -> (min_ts, max_ts)
+    #   half-open, OVERRIDING the scan-level time_range for that
+    #   family's store (each StoreScanner's matcher gets its CF's
+    #   TimeRange); families absent from the map keep time_range.
+    #   Check order matches the global range: after tombstone masking,
+    #   before version counting.
     extra: dict = field(default_factory=dict)
 
 
@@ -68,6 +75,44 @@ def row_range_pred(scan: Scan) -> Column:
         op = F.col("row").__le__ if scan.stop_inclusive else F.col("row").__lt__
         pred = pred & op(F.lit(scan.stop_row))
     return pred
+
+
+def _scan_time_pred(spec: Scan) -> Column | None:
+    """The put-visibility time predicate: scan-level range with
+    per-family overrides (setColumnFamilyTimeRange, Scan.java:330)."""
+    if spec.time_range is None and not spec.family_time_ranges:
+        return None
+    pred = (
+        _time_range_pred(spec.time_range)
+        if spec.time_range is not None
+        else F.lit(True)
+    )
+    for fam, tr in (spec.family_time_ranges or {}).items():
+        pred = F.when(
+            F.col("family") == fam, _time_range_pred(tr)
+        ).otherwise(pred)
+    return pred
+
+
+def _kdc_hi(spec: Scan) -> Column | None:
+    """Per-family upper bound for KEEP_DELETED_CELLS marker tracking
+    (the matcher's tr.withinTimeRange uses each store's CF range)."""
+    glob = (
+        spec.time_range[1]
+        if spec.time_range is not None and spec.time_range[1] is not None
+        else None
+    )
+    fams = {
+        f: tr[1]
+        for f, tr in (spec.family_time_ranges or {}).items()
+        if tr[1] is not None
+    }
+    if glob is None and not fams:
+        return None
+    hi = F.lit(glob).cast("long")
+    for fam, v in fams.items():
+        hi = F.when(F.col("family") == fam, F.lit(v)).otherwise(hi)
+    return hi
 
 
 def scan(
@@ -111,8 +156,9 @@ def scan(
 
     if spec.raw:
         out = c
-        if spec.time_range is not None:
-            out = out.filter(_time_range_pred(spec.time_range))
+        tp = _scan_time_pred(spec)
+        if tp is not None:
+            out = out.filter(tp)
     else:
         from hbase_spark.operators.resolve import _fam_member, _norm_flag, _norm_versions
 
@@ -145,24 +191,23 @@ def scan(
                     cutoff = None
         puts = c.filter(F.col("type") == CellType.PUT)
         dels = c.filter(F.col("type") != CellType.PUT)
-        if (
-            keep_deleted_cells
-            and spec.time_range is not None
-            and spec.time_range[1] is not None
-        ):
+        hi = _kdc_hi(spec)
+        if keep_deleted_cells and hi is not None:
             # KEEP_DELETED_CELLS: markers after the scan's time range
             # don't mask (NormalUserScanQueryMatcher.java:95) — KDC
-            # families only, when family-keyed.
-            hi = F.lit(spec.time_range[1])
+            # families only, when family-keyed; per-family CF ranges
+            # bound their own family's markers.
+            keep_pred = hi.isNull() | (F.col("ts") < hi)
             if keep_deleted_cells is True:
-                dels = dels.filter(F.col("ts") < hi)
+                dels = dels.filter(keep_pred)
             else:
                 dels = dels.filter(
-                    ~_fam_member(keep_deleted_cells) | (F.col("ts") < hi)
+                    ~_fam_member(keep_deleted_cells) | keep_pred
                 )
         out = mask_deletes(puts, dels, new_version_behavior=new_version_behavior)
-        if spec.time_range is not None:
-            out = out.filter(_time_range_pred(spec.time_range))
+        tp = _scan_time_pred(spec)
+        if tp is not None:
+            out = out.filter(tp)
 
         # cell-level filter BEFORE version counting (matcher order)
         if isinstance(spec.filter, Column):

@@ -316,3 +316,45 @@ def test_scan_batch_partial_results(spark):
     }
     with pytest.raises(ValueError):
         scan(cells, Scan(batch=0))
+
+
+def test_scan_column_family_time_range(spark):
+    """setColumnFamilyTimeRange (client/Scan.java:330): a family's own
+    range overrides the scan-level one; other families keep it; the
+    KDC marker bound follows each family's range."""
+    from hbase_spark.operators.mutations import make_cells
+    from hbase_spark.operators.scan import Scan, scan
+
+    cells = make_cells(
+        spark,
+        [("r1", "a", "q", t, CellType.PUT, f"a{t}", t) for t in (10, 30, 50)]
+        + [("r1", "b", "q", t, CellType.PUT, f"b{t}", t) for t in (10, 30, 50)],
+    )
+    out = scan(
+        cells,
+        Scan(time_range=(0, 20), family_time_ranges={"b": (40, 60)},
+             versions=3),
+    )
+    got = {(r.family, r.ts) for r in out.collect()}
+    assert got == {("a", 10), ("b", 50)}
+    # family override alone (no scan-level range): others unconstrained
+    out2 = scan(cells, Scan(family_time_ranges={"b": (0, 20)}, versions=3))
+    got2 = {(r.family, r.ts) for r in out2.collect()}
+    assert got2 == {("a", 10), ("a", 30), ("a", 50), ("b", 10)}
+    # KDC: a marker past family b's range does not mask b's history,
+    # while family a (marker within its global range) stays masked
+    kdc = make_cells(
+        spark,
+        [("r1", "a", "q", 10, CellType.PUT, "av", 1),
+         ("r1", "a", "q", 15, CellType.DELETE_COLUMN, None, 2),
+         ("r1", "b", "q", 10, CellType.PUT, "bv", 1),
+         ("r1", "b", "q", 30, CellType.DELETE_COLUMN, None, 2)],
+    )
+    out3 = scan(
+        kdc,
+        Scan(time_range=(0, 20), family_time_ranges={"b": (0, 20)},
+             versions=3),
+        keep_deleted_cells=True,
+    )
+    got3 = {(r.family, r.ts) for r in out3.collect()}
+    assert got3 == {("b", 10)}
