@@ -3991,6 +3991,236 @@ FROM c JOIN s USING (comp)
 """
 
 
+# --- CC-Net perplexity LM, Naive Bayes classifier, BM25 retrieval ---
+# Three corpus-curation classics (functions/lm.py, functions/
+# retrieval.py).  Scoring-doc variants plant the legs the synthetic
+# corpus never hits naturally (its vocabulary is shared, so OOV and
+# short-doc paths need fixtures): doc_id % 50 == 7 appends two
+# never-seen words (OOV bigrams), == 13 becomes a 1-token doc (NULL
+# perplexity), == 21 becomes empty.  Training reads the UNMODIFIED
+# lang='en' slice — the CC-Net shape (trusted reference corpus scores
+# the noisy crawl).  All counts are integers; the only floats (ppl,
+# NB score, BM25 score) are log/rational functions of those integers,
+# rounded to 4 decimals through decimal(18,4) so both engines format
+# identically.
+
+_LM_OOV_SUFFIX = " qqqzz9 vvkk7 qqqzz9 wwjj3"
+
+
+def _lm_variant_text(col="text"):
+    return (
+        F.when(F.pmod("doc_id", F.lit(50)) == 7,
+               F.concat(F.col(col), F.lit(_LM_OOV_SUFFIX)))
+        .when(F.pmod("doc_id", F.lit(50)) == 13, F.lit("single"))
+        .when(F.pmod("doc_id", F.lit(50)) == 21, F.lit(""))
+        .otherwise(F.col(col))
+    )
+
+
+_LM_VARIANT_SQL = (
+    "CASE WHEN doc_id % 50 = 7 THEN text || '" + _LM_OOV_SUFFIX + "' "
+    "WHEN doc_id % 50 = 13 THEN 'single' "
+    "WHEN doc_id % 50 = 21 THEN '' ELSE text END"
+)
+
+
+def _dec4(c):
+    return c.cast("decimal(18,4)").cast("string")
+
+
+def _lm_ppl_arm(spark, sf):
+    """CC-Net perplexity filtering (Wenzek et al. 2020; functions/
+    lm.py): add-1 bigram LM trained on the lang='en' slice, every doc
+    scored.  value pins the exact integer join statistics (positions,
+    OOV positions, matched bigram/context mass) plus the 4-decimal
+    perplexity — so the training counts, the scoring joins, and the
+    smoothing arithmetic are all hash-checked."""
+    from hbase_spark.functions.lm import lm_score, train_bigram_lm
+
+    docs = load_table(spark, sf, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_score(
+        docs.select("doc_id", _lm_variant_text().alias("text")), lm
+    )
+    return scored.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("n_bigrams").cast("string"),
+            F.col("n_oov_bigrams").cast("string"),
+            F.col("sum_c12").cast("string"),
+            F.col("sum_c1").cast("string"),
+            F.coalesce(_dec4(F.round("ppl", 4)), F.lit("null")),
+        ).alias("value"),
+    )
+
+
+_LM_PPL_SQL = f"""
+WITH ref AS (
+  SELECT {_TOKS_DUCK} AS toks FROM documents WHERE lang = 'en'),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w),
+vocab AS (SELECT count(*) AS v FROM uni),
+bi AS (
+  SELECT g, count(*) AS c12 FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS g
+    FROM ref WHERE len(toks) >= 2) GROUP BY g),
+sc AS (
+  SELECT doc_id, {_TOKS_DUCK.replace('text', f'({_LM_VARIANT_SQL})')} AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(g := toks[i] || ' ' || toks[i+1],
+                                 w := toks[i]))) AS p
+  FROM sc WHERE len(toks) >= 2),
+j AS (
+  SELECT doc_id, coalesce(c12, 0) AS c12, coalesce(c1, 0) AS c1
+  FROM (SELECT doc_id, p.g AS g, p.w AS w FROM pos)
+  LEFT JOIN bi USING (g) LEFT JOIN uni USING (w)),
+agg AS (
+  SELECT doc_id, count(*) AS nb,
+         sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS oov,
+         sum(c12) AS s12, sum(c1) AS s1,
+         sum(ln(c12 + 1.0) - ln(c1 + 1.0 * (SELECT v FROM vocab)))
+           AS slogp
+  FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(nb, 0) AS VARCHAR) || ':' ||
+       CAST(coalesce(oov, 0) AS VARCHAR) || ':' ||
+       CAST(coalesce(s12, 0) AS VARCHAR) || ':' ||
+       CAST(coalesce(s1, 0) AS VARCHAR) || ':' ||
+       coalesce(CAST(CAST(round(exp(-slogp / nb), 4)
+                AS DECIMAL(18,4)) AS VARCHAR), 'null') AS value
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _nb_arm(spark, sf):
+    """Multinomial Naive Bayes (functions/lm.py — the GPT-3/CC-Net
+    'quality classifier' slot): trained on the even-id half with lang
+    labels, classifies every doc.  The min_margin gate makes the
+    discrete argmax hash-stable: any decision closer than 1e-9 in log
+    space fails the job instead of hashing an engine-dependent pick
+    (measured min margin ~5e-4 on this corpus — 5 orders of margin).
+    value = predicted label : 4-decimal log-score."""
+    from hbase_spark.functions.lm import nb_classify, train_naive_bayes
+
+    docs = load_table(spark, sf, "documents")
+    model = train_naive_bayes(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), label_col="lang"
+    )
+    pred = nb_classify(docs, model, min_margin=1e-9)
+    return pred.select(
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("pred"), _dec4(F.round("score", 4))
+        ).alias("value"),
+    )
+
+
+_NB_SQL = f"""
+WITH train AS (
+  SELECT lang AS label, {_TOKS_DUCK} AS toks FROM documents
+  WHERE doc_id % 2 = 0),
+wc AS (
+  SELECT label, w, count(*) AS c_wc
+  FROM (SELECT label, unnest(toks) AS w FROM train) GROUP BY label, w),
+cls AS (
+  SELECT label, count(*) AS n_docs,
+         sum(len(toks)) AS n_tokens FROM train GROUP BY label),
+stats AS (
+  SELECT (SELECT count(DISTINCT w) FROM wc) AS v,
+         (SELECT sum(n_docs) FROM cls) AS nd),
+tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS w FROM documents),
+per AS (
+  SELECT doc_id, label, count(*) AS n_words,
+         sum(ln(coalesce(c_wc, 0) + 1.0)) AS s_num
+  FROM tok CROSS JOIN (SELECT label FROM cls) c
+  LEFT JOIN wc USING (w, label)
+  GROUP BY doc_id, label),
+scored AS (
+  SELECT doc_id, label,
+         ln(CAST(n_docs AS DOUBLE) / nd) + s_num
+           - n_words * ln(n_tokens + 1.0 * v) AS score
+  FROM per JOIN cls USING (label) CROSS JOIN stats),
+best AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scored)
+SELECT doc_id,
+       label || ':' || CAST(CAST(round(score, 4) AS DECIMAL(18,4))
+                            AS VARCHAR) AS value
+FROM best WHERE rn = 1
+"""
+
+
+_BM25_QUERIES = [
+    (1, "spark join shuffle"),
+    (2, "table scan filter value"),
+    (3, "window agg partition qqqzz9"),
+]
+
+
+def _bm25_arm(spark, sf):
+    """Okapi BM25 top-10 per query (functions/retrieval.py) over the
+    document corpus — three fixed queries, one containing a term no
+    document has (the df=0 leg simply contributes nothing).  Rank ties
+    break on doc_id in both engines; value = query:rank:score4."""
+    from hbase_spark.functions.retrieval import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    out = bm25_topk(docs, _BM25_QUERIES, k=10)
+    return out.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            ":",
+            F.col("query_id").cast("string"),
+            F.col("rank").cast("string"),
+            _dec4(F.round("score", 4)),
+        ).alias("value"),
+    )
+
+
+def _bm25_sql():
+    qrows = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {qrows}),
+qt AS (
+  SELECT DISTINCT query_id, w FROM (
+    SELECT query_id,
+           unnest({_TOKS_DUCK.replace("text", "qtext")}) AS w FROM q)),
+d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, w, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM d)
+  GROUP BY doc_id, dl, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+sc AS (
+  SELECT query_id, doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+  FROM tf JOIN qt USING (w) JOIN dfreq USING (w) CROSS JOIN stats
+  GROUP BY query_id, doc_id),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc)
+SELECT doc_id,
+       CAST(query_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR) || ':'
+         || CAST(CAST(round(score, 4) AS DECIMAL(18,4)) AS VARCHAR)
+         AS value
+FROM rk WHERE rank <= 10
+"""
+
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
@@ -4006,7 +4236,10 @@ _register_suite(
      ("dup_ngrams", _dupgram_arm),
      ("cc_clusters", _cc_arm),
      ("url_dedup", _url_arm),
-     ("gopher_rules", _gopher_arm)],
+     ("gopher_rules", _gopher_arm),
+     ("lm_ppl", _lm_ppl_arm),
+     ("nb_lang", _nb_arm),
+     ("bm25", _bm25_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4027,7 +4260,10 @@ _register_suite(
      ("dup_ngrams", _DUPGRAM_SQL),
      ("cc_clusters", _CC_CLUSTERS_SQL),
      ("url_dedup", _URL_DEDUP_SQL),
-     ("gopher_rules", _gopher_sql())],
+     ("gopher_rules", _gopher_sql()),
+     ("lm_ppl", _LM_PPL_SQL),
+     ("nb_lang", _NB_SQL),
+     ("bm25", _bm25_sql())],
     ["doc_id", "value"],
 )
 

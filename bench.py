@@ -51,6 +51,9 @@ EXTENDED = [
     "embedding_semdedup",      # SemDeDup clone-contract pass
     "doc_cc_clusters",         # iterative connected-components closure
     "doc_url_dedup",           # URL canonicalization + dedup
+    "doc_lm_ppl",              # CC-Net bigram-LM perplexity scoring
+    "doc_nb_classify",         # Naive Bayes corpus classification
+    "doc_bm25",                # BM25 top-k lexical retrieval
 ]
 
 
@@ -67,6 +70,9 @@ def headline_queries() -> dict:
     queries.setdefault("embedding_semdedup", entrymod._semdedup_arm)
     queries.setdefault("doc_cc_clusters", entrymod._cc_arm)
     queries.setdefault("doc_url_dedup", entrymod._url_arm)
+    queries.setdefault("doc_lm_ppl", entrymod._lm_ppl_arm)
+    queries.setdefault("doc_nb_classify", entrymod._nb_arm)
+    queries.setdefault("doc_bm25", entrymod._bm25_arm)
     return queries
 
 

@@ -1,0 +1,221 @@
+"""functions/lm.py (bigram-LM perplexity, Naive Bayes) and
+functions/retrieval.py (TF-IDF / BM25) against hand-computed models
+on tiny corpora — every count, smoothing term, and ranking law."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_spark.functions.lm import (
+    lm_score,
+    nb_classify,
+    perplexity_bucket,
+    train_bigram_lm,
+    train_naive_bayes,
+)
+from hbase_spark.functions.retrieval import (
+    bm25_topk,
+    corpus_stats,
+    document_frequencies,
+    term_frequencies,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------- LM
+
+
+def test_bigram_lm_counts_and_perplexity_by_hand(spark):
+    # ref corpus: "a b a" + "b a" -> unigrams a:3 b:2 (V=2),
+    # bigrams: "a b":1, "b a":2
+    ref = _docs(spark, [(0, "a b a"), (1, "b a")])
+    lm = train_bigram_lm(ref)
+    uni = {r["c1"] for r in lm.unigrams.collect()}
+    assert uni == {3, 2}
+    bi = sorted(r["c12"] for r in lm.bigrams.collect())
+    assert bi == [1, 2]
+    st = lm.stats.first()
+    assert st["vocab_size"] == 2 and st["n_tokens"] == 5
+
+    # score "a b c": bigrams "a b" (c12=1, c1=3), "b c" (c12=0, c1=2)
+    out = lm_score(_docs(spark, [(7, "a b c")]), lm).first()
+    assert out["n_bigrams"] == 2
+    assert out["n_oov_bigrams"] == 1
+    assert out["sum_c12"] == 1 and out["sum_c1"] == 5
+    k, v = 1.0, 2
+    expect = -(
+        math.log((1 + k) / (3 + k * v)) + math.log((0 + k) / (2 + k * v))
+    ) / 2
+    assert out["log_ppl"] == pytest.approx(expect, rel=1e-12)
+    assert out["ppl"] == pytest.approx(math.exp(expect), rel=1e-12)
+
+
+def test_bigram_lm_short_and_empty_docs_score_null(spark):
+    lm = train_bigram_lm(_docs(spark, [(0, "a b a b")]))
+    rows = {
+        r["doc_id"]: r
+        for r in lm_score(
+            _docs(spark, [(1, "solo"), (2, ""), (3, "a b")]), lm
+        ).collect()
+    }
+    for d in (1, 2):
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["ppl"] is None
+    assert rows[3]["n_bigrams"] == 1 and rows[3]["ppl"] is not None
+
+
+def test_perplexity_bucket_thresholds_and_null(spark):
+    lm = train_bigram_lm(_docs(spark, [(0, "a b a b a b a b")]))
+    scored = lm_score(
+        _docs(spark, [(1, "a b a b"), (2, "z z z z"), (3, "x")]), lm
+    )
+    # Thresholds are in the default log_ppl space: doc 1 is
+    # in-distribution (log_ppl ~0.257), doc 2 all-OOV (log_ppl =
+    # ln V ~0.693, the add-1 smoothing floor 1/V per position), doc 3
+    # NULL (too short)
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_bucket(scored, head=0.41, tail=0.64).collect()
+    }
+    assert got[1] == "head"
+    assert got[2] == "tail"
+    assert got[3] == "tail"  # NULL (too short) buckets conservative
+
+
+def test_lm_oov_rate_separates_reference_from_noise(spark):
+    ref = _docs(spark, [(i, "alpha beta gamma delta") for i in range(4)])
+    lm = train_bigram_lm(ref)
+    out = {
+        r["doc_id"]: r
+        for r in lm_score(
+            _docs(spark, [(0, "alpha beta gamma"), (1, "qq ww ee rr")]), lm
+        ).collect()
+    }
+    assert out[0]["n_oov_bigrams"] == 0
+    assert out[1]["n_oov_bigrams"] == out[1]["n_bigrams"] == 3
+    assert out[1]["ppl"] > out[0]["ppl"]
+
+
+# ------------------------------------------------------- Naive Bayes
+
+
+def test_nb_two_class_scores_by_hand(spark):
+    train = spark.createDataFrame(
+        [(0, "spam spam buy", "spam"), (1, "hello world", "ham")],
+        "doc_id long, text string, lang string",
+    )
+    model = train_naive_bayes(train, label_col="lang")
+    st = model.stats.first()
+    assert st["vocab_size"] == 4 and st["n_docs_total"] == 2
+
+    out = nb_classify(
+        _docs(spark, [(9, "spam buy")]), model
+    ).first()
+    # by hand: V=4, k=1; spam class: n_tokens=3, prior ln(1/2)
+    s_spam = (
+        math.log(0.5)
+        + math.log((2 + 1) / (3 + 4))
+        + math.log((1 + 1) / (3 + 4))
+    )
+    s_ham = (
+        math.log(0.5)
+        + math.log((0 + 1) / (2 + 4))
+        + math.log((0 + 1) / (2 + 4))
+    )
+    assert out["pred"] == "spam"
+    assert out["score"] == pytest.approx(s_spam, rel=1e-12)
+    assert out["margin"] == pytest.approx(s_spam - s_ham, rel=1e-12)
+
+
+def test_nb_oov_words_smooth_not_zero(spark):
+    train = spark.createDataFrame(
+        [(0, "a a a", "x"), (1, "b b b", "y")],
+        "doc_id long, text string, lang string",
+    )
+    model = train_naive_bayes(train, label_col="lang")
+    out = nb_classify(_docs(spark, [(5, "zz zz")]), model).first()
+    # all-OOV doc: both classes score identically except priors (equal)
+    # -> tie broken deterministically by max(struct) = greater label
+    assert out["margin"] == pytest.approx(0.0, abs=1e-12)
+    assert out["pred"] == "y"
+
+
+def test_nb_margin_gate_raises_on_tie(spark):
+    train = spark.createDataFrame(
+        [(0, "a a a", "x"), (1, "b b b", "y")],
+        "doc_id long, text string, lang string",
+    )
+    model = train_naive_bayes(train, label_col="lang")
+    gated = nb_classify(
+        _docs(spark, [(5, "zz zz")]), model, min_margin=1e-9
+    )
+    with pytest.raises(Exception, match="margin below gate"):
+        gated.collect()
+
+
+def test_nb_single_class_margin_infinite(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c", "only")], "doc_id long, text string, lang string"
+    )
+    model = train_naive_bayes(train, label_col="lang")
+    out = nb_classify(_docs(spark, [(1, "a")]), model, min_margin=1.0).first()
+    assert out["pred"] == "only" and math.isinf(out["margin"])
+
+
+# -------------------------------------------------------------- BM25
+
+
+def test_term_and_document_frequencies(spark):
+    docs = _docs(spark, [(0, "a a b"), (1, "b c")])
+    tf = term_frequencies(docs)
+    assert tf.count() == 4  # (0,a),(0,b),(1,b),(1,c)
+    assert {r["dl"] for r in tf.filter("doc_id = 0").collect()} == {3}
+    df = [r["df"] for r in document_frequencies(tf).collect()]
+    assert sorted(df) == [1, 1, 2]  # a:1, b:2, c:1
+    st = corpus_stats(docs).first()
+    assert st["n_docs"] == 2 and st["avgdl"] == pytest.approx(2.5)
+
+
+def test_bm25_score_by_hand_and_ranking(spark):
+    docs = _docs(spark, [(0, "x x y"), (1, "x z z"), (2, "w w w")])
+    out = {
+        (r["query_id"], r["doc_id"]): r
+        for r in bm25_topk(docs, [(1, "x")], k=10).collect()
+    }
+    # idf(x) = ln(1 + (3-2+0.5)/(2+0.5)); avgdl=3, dl=3 -> norm=1
+    idf = math.log(1 + 1.5 / 2.5)
+
+    def s(tf):
+        return idf * tf * 2.2 / (tf + 1.2)
+
+    assert out[(1, 0)]["score"] == pytest.approx(s(2), rel=1e-12)
+    assert out[(1, 1)]["score"] == pytest.approx(s(1), rel=1e-12)
+    assert out[(1, 0)]["rank"] == 1 and out[(1, 1)]["rank"] == 2
+    assert (1, 2) not in out  # no shared term -> never scored
+
+
+def test_bm25_rank_ties_break_on_doc_id(spark):
+    docs = _docs(spark, [(5, "q r"), (3, "q s"), (9, "q t")])
+    rows = bm25_topk(docs, [(1, "q")], k=3).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [3, 5, 9]
+    assert len({r["score"] for r in rows}) == 1
+
+
+def test_bm25_unseen_query_term_contributes_nothing(spark):
+    docs = _docs(spark, [(0, "a b"), (1, "a c")])
+    both = bm25_topk(docs, [(1, "a never9seen")], k=5)
+    just_a = bm25_topk(docs, [(1, "a")], k=5)
+    a = {(r["doc_id"], round(r["score"], 12)) for r in both.collect()}
+    b = {(r["doc_id"], round(r["score"], 12)) for r in just_a.collect()}
+    assert a == b
+
+
+def test_bm25_length_normalization_prefers_short_docs(spark):
+    docs = _docs(spark, [(0, "x y"), (1, "x " + "pad " * 20)])
+    rows = {r["doc_id"]: r["score"] for r in
+            bm25_topk(docs, [(1, "x")], k=5).collect()}
+    assert rows[0] > rows[1]

@@ -407,3 +407,61 @@ def test_url_dedup_shuffles_url_hash_not_strings(spark):
             assert re.search(r"hashpartitioning\((?:_uh|_groupingexpression)#\d+L", ln), ln
             assert "canonical_url" not in ln and "url#" not in ln, ln
     assert seen >= 1
+
+
+def _text_docs(spark, n=64):
+    return spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 7} delta epsilon") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_lm_score_shuffles_gram_hashes_not_text(spark):
+    """lm_score: training counts and scoring joins exchange 8-byte
+    gram hashes; document text is tokenized map-side and never crosses
+    an exchange.  The scalar vocab frame rides as a broadcast."""
+    from hbase_spark.functions.lm import lm_score, train_bigram_lm
+
+    docs = _text_docs(spark)
+    plan = plan_of(lm_score(docs, train_bigram_lm(docs)))
+    assert "BroadcastExchange" in plan  # 1-row vocab stats
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+            assert "_t#" not in ln, ln
+
+
+def test_nb_classify_broadcasts_classes_and_shuffles_hashes(spark):
+    """nb_classify: the class list and model stats are broadcast; the
+    (word hash, label) join and the per-doc agg shuffle longs + the
+    short label, never the document text."""
+    from hbase_spark.functions.lm import nb_classify, train_naive_bayes
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 5}", "x" if i % 2 else "y")
+         for i in range(64)],
+        "doc_id long, text string, lang string",
+    )
+    model = train_naive_bayes(docs, label_col="lang")
+    plan = plan_of(nb_classify(docs, model))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan  # class fan-out is BNLJ/broadcast
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_bm25_broadcasts_query_terms_and_windows_matched_set_only(spark):
+    """bm25_topk: query terms and corpus stats broadcast against the
+    postings frame; the rank window partitions on query_id over the
+    MATCHED set (the join precedes the window); text never shuffles."""
+    from hbase_spark.functions.retrieval import bm25_topk
+
+    plan = plan_of(bm25_topk(_text_docs(spark), [(1, "alpha tok1")], k=5))
+    assert "BroadcastExchange" in plan
+    assert "Window" in plan
+    # the window's sort input comes from the scored (post-join) agg,
+    # partitioned by query_id — a single-column long partition key
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
