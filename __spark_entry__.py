@@ -4221,6 +4221,90 @@ FROM rk WHERE rank <= 10
 """
 
 
+# --- ExactSubstr removal (Lee et al. 2022 §3.1, applied) ------------
+# Planted variants: doc_id % 9 == 4 appends a shared 12-token block
+# (cross-document duplicated substring), % 9 == 7 wraps the doc in the
+# same 9-token run twice (intra-document repeat — both copies must
+# go).  n=8 so the planted runs dominate; any natural duplicated
+# 8-gram is removed identically by both engines.
+
+_XS_BLOCK = (
+    "omega sigma lambda theta kappa zeta rho phi chi psi mu nu"
+)
+_XS_REPEAT = "r1tok r2tok r3tok r4tok r5tok r6tok r7tok r8tok r9tok"
+
+
+def _exact_substr_arm(spark, sf):
+    """remove_duplicated_substrings (functions/text.py): value =
+    tokens:removed:md5(cleaned) — pins the coverage arithmetic, the
+    all-copies removal rule, and the exact reassembled text."""
+    from hbase_spark.functions.text import remove_duplicated_substrings
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(9)) == 4,
+            F.concat_ws(" ", F.col("text"), F.lit(_XS_BLOCK)),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(9)) == 7,
+            F.concat_ws(
+                " ", F.lit(_XS_REPEAT), F.col("text"), F.lit(_XS_REPEAT)
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = remove_duplicated_substrings(docs, n=8)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("n_tokens").cast("string"),
+            F.col("n_removed").cast("string"),
+            F.md5(F.col("text")),
+        ).alias("value"),
+    )
+
+
+_EXACT_SUBSTR_SQL = f"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 4 THEN text || ' ' || '{_XS_BLOCK}'
+              WHEN doc_id % 9 = 7
+                THEN '{_XS_REPEAT}' || ' ' || text || ' ' || '{_XS_REPEAT}'
+              ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM v),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS w
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+st AS (
+  SELECT doc_id, i - 1 AS s,
+         list_aggregate(toks[i:i+7], 'string_agg', ' ') AS g
+  FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+  WHERE len(toks) >= 8),
+dup AS (SELECT g FROM st GROUP BY g HAVING count(*) >= 2),
+ds AS (SELECT doc_id, s, 1 AS d FROM st JOIN dup USING (g)),
+fl AS (
+  SELECT tok.doc_id, tok.pos, tok.w,
+         max(d) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                      RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+  FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id AND ds.s = tok.pos),
+rb AS (
+  SELECT doc_id, count(*) AS nt,
+         coalesce(sum(cov), 0) AS nr,
+         coalesce(string_agg(w, ' ' ORDER BY pos)
+                    FILTER (WHERE cov IS NULL), '') AS clean
+  FROM fl GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(nt, 0) AS VARCHAR) || ':' ||
+       CAST(coalesce(nr, 0) AS VARCHAR) || ':' ||
+       md5(coalesce(clean, '')) AS value
+FROM documents d LEFT JOIN rb USING (doc_id)
+"""
+
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
@@ -4239,7 +4323,8 @@ _register_suite(
      ("gopher_rules", _gopher_arm),
      ("lm_ppl", _lm_ppl_arm),
      ("nb_lang", _nb_arm),
-     ("bm25", _bm25_arm)],
+     ("bm25", _bm25_arm),
+     ("exact_substr", _exact_substr_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4263,7 +4348,8 @@ _register_suite(
      ("gopher_rules", _gopher_sql()),
      ("lm_ppl", _LM_PPL_SQL),
      ("nb_lang", _NB_SQL),
-     ("bm25", _bm25_sql())],
+     ("bm25", _bm25_sql()),
+     ("exact_substr", _EXACT_SUBSTR_SQL)],
     ["doc_id", "value"],
 )
 

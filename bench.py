@@ -54,6 +54,7 @@ EXTENDED = [
     "doc_lm_ppl",              # CC-Net bigram-LM perplexity scoring
     "doc_nb_classify",         # Naive Bayes corpus classification
     "doc_bm25",                # BM25 top-k lexical retrieval
+    "doc_exact_substr",        # ExactSubstr duplicated-run removal
 ]
 
 
@@ -73,6 +74,7 @@ def headline_queries() -> dict:
     queries.setdefault("doc_lm_ppl", entrymod._lm_ppl_arm)
     queries.setdefault("doc_nb_classify", entrymod._nb_arm)
     queries.setdefault("doc_bm25", entrymod._bm25_arm)
+    queries.setdefault("doc_exact_substr", entrymod._exact_substr_arm)
     return queries
 
 

@@ -874,3 +874,46 @@ def _assign_clusters_arrow(vecs: DataFrame, centroids: list) -> DataFrame:
             yield pdf
 
     return vecs.mapInPandas(_assign, schema)
+
+
+def lsh_params(
+    threshold: float,
+    num_hashes: int = 128,
+    *,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose the (bands, rows-per-band) banding for ``minhash_pairs``
+    / ``minhash_dedup`` that minimizes the weighted false-positive +
+    false-negative probability mass around a Jaccard ``threshold`` —
+    the standard MinHashLSH parameter search (MMDS ch. 3; the same
+    integral-grid optimization the public datasketch library uses).
+
+    For banding (b, r), the candidate probability at similarity s is
+    ``1 - (1 - s^r)^b``; FP mass integrates that below the threshold,
+    FN mass integrates its complement above.  Returns (bands, rows)
+    with ``bands * rows <= num_hashes``.  Pure driver-side arithmetic
+    over at most num_hashes candidate pairs — nothing touches data.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    steps = 1000
+    dx = 1.0 / steps
+    best, best_err = None, None
+    for b in range(1, num_hashes + 1):
+        max_r = num_hashes // b
+        for r in range(1, max_r + 1):
+            fp = sum(
+                1.0 - (1.0 - (i * dx) ** r) ** b
+                for i in range(int(threshold * steps))
+            ) * dx
+            fn = sum(
+                (1.0 - ((i * dx) ** r)) ** b
+                for i in range(int(threshold * steps), steps)
+            ) * dx
+            err = fp_weight * fp + fn_weight * fn
+            if best_err is None or err < best_err:
+                best, best_err = (b, r), err
+    return best

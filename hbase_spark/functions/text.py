@@ -10,7 +10,7 @@ at 100 TB they are a single map stage with no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
@@ -792,4 +792,93 @@ def duplicate_ngram_stats(
                 "dup_fraction"
             ),
         )
+    )
+
+
+def remove_duplicated_substrings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    out_col: str | None = None,
+) -> DataFrame:
+    """ExactSubstr deduplication APPLIED (Lee et al. 2022 §3.1 — the
+    companion to ``duplicate_ngram_stats``, which only measures): every
+    maximal token run covered by a word-``n``-gram that occurs at least
+    twice in the corpus (counting every occurrence, including repeats
+    inside one document) is REMOVED from the text, and documents are
+    rebuilt from the surviving tokens.  This is the paper's released
+    tool behavior — all copies of a duplicated substring go, not all
+    but one; the per-document audit columns (``n_tokens``,
+    ``n_removed``) make the aggressiveness measurable.  Docs shorter
+    than ``n`` tokens carry no ``n``-gram and pass through untouched.
+
+    The paper builds a corpus suffix array; the distributable
+    equivalent is gram-coverage: token position ``t`` is removed iff
+    some duplicated ``n``-gram starts in ``[t-n+1, t]`` — exactly the
+    positions a >=n-token repeated substring covers.
+
+    Scale shape: grams and the duplicate set travel as 8-byte xxhash64
+    values (text never shuffles); the duplicate test is one map-side-
+    combinable gram-count agg + a semi-joinable inner join on hashes;
+    coverage is a per-document RANGE window over token positions
+    (state bounded by one document, never the corpus); reassembly is
+    the same per-doc collect_list/array_sort bound as paragraph_dedup.
+    """
+    out_col = out_col or text_col
+    base = docs.select(
+        F.col(id_col).alias("_id"), _ascii_tokens(text_col).alias("_t")
+    )
+    toks = base.select(
+        "_id", F.posexplode("_t").alias("_pos", "_w")
+    )
+    starts = base.filter(F.size("_t") >= n).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))),
+            )
+        ).alias("_s", "_gh"),
+    )
+    dup = (
+        starts.groupBy("_gh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_gh")
+    )
+    dup_starts = starts.join(dup, "_gh").select(
+        "_id", F.col("_s").alias("_pos"), F.lit(1).alias("_d")
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rangeBetween(-(n - 1), 0)
+    )
+    flagged = (
+        toks.join(dup_starts, ["_id", "_pos"], "left")
+        .withColumn("_cov", F.max("_d").over(w))
+    )
+    rebuilt = flagged.groupBy("_id").agg(
+        F.count("*").cast("long").alias("_n_tokens"),
+        F.sum(F.coalesce("_cov", F.lit(0))).cast("long").alias("_n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_cov").isNull(), F.struct("_pos", "_w"))
+                    )
+                ),
+                lambda s: s["_w"],
+            ),
+        ).alias("_clean"),
+    )
+    return (
+        docs.join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .withColumn(out_col, F.coalesce("_clean", F.lit("")))
+        .withColumn("n_tokens", F.coalesce("_n_tokens", F.lit(0)))
+        .withColumn("n_removed", F.coalesce("_n_removed", F.lit(0)))
+        .drop("_id", "_clean", "_n_tokens", "_n_removed")
     )

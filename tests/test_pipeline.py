@@ -2025,3 +2025,90 @@ def test_paragraph_ops_treat_sep_as_literal(spark):
     dd = paragraph_dedup(docs, sep="||").orderBy("doc_id").collect()
     assert dd[0].text == "alpha||shared boiler"
     assert dd[1].text == "beta"
+
+
+def test_remove_duplicated_substrings_cross_and_intra_doc(spark):
+    """ExactSubstr applied (Lee et al. 2022): a duplicated n-gram run
+    is removed from EVERY occurrence — across documents and within
+    one — while unique and too-short docs pass through untouched."""
+    from hbase_spark.functions.text import remove_duplicated_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd ee ff gg hh unique1 unique2"),
+            (1, "xx aa bb cc dd ee ff gg hh yy"),
+            (2, "one two three four five six seven eight"),
+            (3, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8 tail"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_substrings(docs, n=8).collect()
+    }
+    assert out[0]["text"] == "unique1 unique2"
+    assert out[0]["n_tokens"] == 10 and out[0]["n_removed"] == 8
+    assert out[1]["text"] == "xx yy"
+    assert out[2]["text"] == "one two three four five six seven eight"
+    assert out[2]["n_removed"] == 0
+    # intra-doc repeat: BOTH copies go (the paper's tool behavior)
+    assert out[3]["text"] == "tail"
+    assert out[3]["n_removed"] == 16
+    assert out[4]["text"] == "short doc"  # < n tokens: untouched
+
+
+def test_remove_duplicated_substrings_maximal_run_coverage(spark):
+    """A duplicated run LONGER than n removes the whole run: every
+    token covered by any duplicated n-gram start goes, so an n+2-token
+    shared run disappears entirely from both docs."""
+    from hbase_spark.functions.text import remove_duplicated_substrings
+
+    run = "s1 s2 s3 s4 s5"  # n=4 -> 5-token run = 2 overlapping 4-grams
+    docs = spark.createDataFrame(
+        [(0, f"head1 {run} mid1"), (1, f"head2 {run} mid2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_substrings(docs, n=4).collect()
+    }
+    assert out[0]["text"] == "head1 mid1"
+    assert out[1]["text"] == "head2 mid2"
+    assert out[0]["n_removed"] == 5
+
+
+def test_remove_duplicated_substrings_can_empty_a_doc(spark):
+    from hbase_spark.functions.text import remove_duplicated_substrings
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+    )
+    out = remove_duplicated_substrings(docs, n=4).collect()
+    assert all(r["text"] == "" and r["n_removed"] == 4 for r in out)
+
+
+def test_lsh_params_optimizes_banding_near_threshold():
+    from hbase_spark.functions.dedup import lsh_params
+
+    for t in (0.3, 0.5, 0.8, 0.9):
+        b, r = lsh_params(t, 128)
+        assert b * r <= 128 and b >= 1 and r >= 1
+        # the banding S-curve midpoint ~ (1/b)^(1/r) lands near t
+        assert abs((1 / b) ** (1 / r) - t) < 0.15
+    # recall-biased weighting pushes the curve midpoint DOWN (catch
+    # more below-threshold pairs), precision-biased pushes it up
+    br = lsh_params(0.7, 128, fp_weight=0.1, fn_weight=0.9)
+    bp = lsh_params(0.7, 128, fp_weight=0.9, fn_weight=0.1)
+    assert (1 / br[0]) ** (1 / br[1]) < (1 / bp[0]) ** (1 / bp[1])
+
+
+def test_lsh_params_validates_inputs():
+    import pytest as _pytest
+
+    from hbase_spark.functions.dedup import lsh_params
+
+    with _pytest.raises(ValueError):
+        lsh_params(0.0)
+    with _pytest.raises(ValueError):
+        lsh_params(0.5, 1)
