@@ -4473,6 +4473,43 @@ SELECT vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS score
 FROM embeddings
 """
 
+
+def _semantic_decon_arm(spark, sf):
+    """Semantic eval-set decontamination (functions/similarity.py
+    semantic_decontaminate — the embedding sibling of the 5-gram
+    decontaminate arm): eval = the vec_id % 20 == 3 slice PLUS exact
+    clones of the % 20 == 7 corpus vectors, so the planted
+    contamination sits at cosine 1 while everything else keeps its
+    natural (low) max.  value = every corpus item's max-eval cosine —
+    the full decision surface is hash-checked, not just the flag."""
+    from hbase_spark.functions.similarity import semantic_decontaminate
+
+    vecs = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    ev = vecs.filter(F.pmod("vec_id", F.lit(20)) == 3).unionByName(
+        vecs.filter(F.pmod("vec_id", F.lit(20)) == 7)
+    )
+    out = semantic_decontaminate(
+        vecs.filter(F.pmod("vec_id", F.lit(20)) != 3), ev, threshold=0.999
+    )
+    return out.select("vec_id", F.round("max_eval_cos", 6).alias("score"))
+
+
+_SEMANTIC_DECON_SQL = """
+WITH ev AS (
+  SELECT embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % 20 = 3 OR vec_id % 20 = 7),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id % 20 != 3)
+SELECT c.vec_id, round(max(list_cosine_similarity(v, e)), 6) AS score
+FROM c CROSS JOIN ev GROUP BY c.vec_id
+"""
+
 _register_suite(
     "embedding_ann_suite",
     [("exact_pandas", q_embedding_cosine_topk_pandas),
@@ -4480,11 +4517,13 @@ _register_suite(
                                   _ANN_TAU, "hyperplane ANN")),
      ("ivf_recall", _recall_gated(q_embedding_cosine_topk, _ivf_arm,
                                   _ANN_TAU, "IVF ANN")),
-     ("semdedup_clones", _semdedup_arm)],
+     ("semdedup_clones", _semdedup_arm),
+     ("semantic_decon", _semantic_decon_arm)],
     [("exact_pandas", _EXACT_TOPK_SQL),
      ("ann_recall", _EXACT_TOPK_SQL),
      ("ivf_recall", _EXACT_TOPK_SQL),
-     ("semdedup_clones", _SEMDEDUP_SQL)],
+     ("semdedup_clones", _SEMDEDUP_SQL),
+     ("semantic_decon", _SEMANTIC_DECON_SQL)],
     ["vec_id", "score"],
 )
 

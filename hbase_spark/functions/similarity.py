@@ -257,3 +257,44 @@ def ivf_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    sibling of text.contamination's 5-gram overlap: a corpus item is
+    contaminated when its nearest EVAL-SET embedding sits at or above
+    ``threshold`` cosine (near-duplicates of test items that n-gram
+    overlap misses: paraphrases, translations, reformattings).
+
+    Output: the corpus with ``max_eval_cos`` (NULL when the eval set
+    is empty) and a ``contaminated`` flag — filter on it or keep it as
+    an audit column.
+
+    Scale shape: eval sets are benchmark-sized (thousands), so the
+    eval frame is broadcast and every (corpus, eval) cosine is exact,
+    computed map-side inside codegen (aggregate/zip_with) — no
+    shuffle of the corpus, one hash-agg per corpus id for the max.
+    For eval sets too large to broadcast, pre-bucket with ann_index
+    and reuse this over each probe bucket.
+    """
+    ev = eval_vecs.select(F.col(vec_col).alias("_ev"))
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(ev))
+        .select(id_col, cosine(F.col(vec_col), F.col("_ev")).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("max_eval_cos"))
+    )
+    return corpus.join(scored, id_col, "left").withColumn(
+        "contaminated",
+        F.coalesce(
+            F.col("max_eval_cos") >= F.lit(float(threshold)), F.lit(False)
+        ),
+    )

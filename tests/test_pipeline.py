@@ -2112,3 +2112,34 @@ def test_lsh_params_validates_inputs():
         lsh_params(0.0)
     with _pytest.raises(ValueError):
         lsh_params(0.5, 1)
+
+
+def test_semantic_decontaminate_flags_planted_near_dups(spark, vecs):
+    """Embedding-space decontamination: items whose exact clone sits
+    in the eval set are contaminated at threshold ~1; everything else
+    keeps its natural (sub-threshold) max and survives; an empty eval
+    set contaminates nothing (NULL max)."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.functions.similarity import semantic_decontaminate
+
+    corpus = vecs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    ev = corpus.filter("vec_id % 10 = 4")  # clones of these leak into eval
+    out = semantic_decontaminate(corpus, ev, threshold=0.999)
+    got = {r["vec_id"]: r for r in out.collect()}
+    for vid, r in got.items():
+        assert r["contaminated"] == (vid % 10 == 4)
+        if vid % 10 == 4:
+            assert r["max_eval_cos"] == pytest.approx(1.0, abs=1e-9)
+
+    empty = semantic_decontaminate(
+        corpus, ev.filter("vec_id < 0"), threshold=0.5
+    )
+    rows = empty.collect()
+    assert all(not r["contaminated"] for r in rows)
+    assert all(r["max_eval_cos"] is None for r in rows)
