@@ -4481,7 +4481,12 @@ def _semantic_decon_arm(spark, sf):
     clones of the % 20 == 7 corpus vectors, so the planted
     contamination sits at cosine 1 while everything else keeps its
     natural (low) max.  value = every corpus item's max-eval cosine —
-    the full decision surface is hash-checked, not just the flag."""
+    the full decision surface is hash-checked, not just the flag.
+    The eval slice is additionally pinned to vec_id < 1000: benchmark
+    eval sets are FIXED-size, so the arm must hold |eval| constant as
+    the corpus grows or the broadcast loop turns O(n^2) — the 16x
+    scale sweep caught exactly that (alpha 1.27) with an unpinned
+    slice.  A no-op at the driver SFs (ids 0..499)."""
     from hbase_spark.functions.similarity import semantic_decontaminate
 
     vecs = load_table(spark, sf, "embeddings").select(
@@ -4490,8 +4495,9 @@ def _semantic_decon_arm(spark, sf):
             "embedding"
         ),
     )
-    ev = vecs.filter(F.pmod("vec_id", F.lit(20)) == 3).unionByName(
-        vecs.filter(F.pmod("vec_id", F.lit(20)) == 7)
+    pinned = vecs.filter(F.col("vec_id") < 1000)
+    ev = pinned.filter(F.pmod("vec_id", F.lit(20)) == 3).unionByName(
+        pinned.filter(F.pmod("vec_id", F.lit(20)) == 7)
     )
     out = semantic_decontaminate(
         vecs.filter(F.pmod("vec_id", F.lit(20)) != 3), ev, threshold=0.999
@@ -4502,7 +4508,7 @@ def _semantic_decon_arm(spark, sf):
 _SEMANTIC_DECON_SQL = """
 WITH ev AS (
   SELECT embedding::DOUBLE[] AS e FROM embeddings
-  WHERE vec_id % 20 = 3 OR vec_id % 20 = 7),
+  WHERE (vec_id % 20 = 3 OR vec_id % 20 = 7) AND vec_id < 1000),
 c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   WHERE vec_id % 20 != 3)

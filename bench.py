@@ -55,6 +55,7 @@ EXTENDED = [
     "doc_nb_classify",         # Naive Bayes corpus classification
     "doc_bm25",                # BM25 top-k lexical retrieval
     "doc_exact_substr",        # ExactSubstr duplicated-run removal
+    "embedding_semantic_decon",  # eval-set embedding decontamination
 ]
 
 
@@ -75,6 +76,9 @@ def headline_queries() -> dict:
     queries.setdefault("doc_nb_classify", entrymod._nb_arm)
     queries.setdefault("doc_bm25", entrymod._bm25_arm)
     queries.setdefault("doc_exact_substr", entrymod._exact_substr_arm)
+    queries.setdefault(
+        "embedding_semantic_decon", entrymod._semantic_decon_arm
+    )
     return queries
 
 

@@ -540,12 +540,18 @@ def dedup_clusters(
     cap: int = _BUCKET_CAP,
     on_overflow: str = "truncate",
     pairs: DataFrame | None = None,
+    keep_by: str | Column | None = None,
 ) -> DataFrame:
     """Transitive near-dup clusters: MinHash pair graph -> iterative
     connected components (functions/graph.py large-star/small-star) ->
     ``(id, cluster, keep)`` with ``cluster`` the minimum id reachable
     through verified near-dup pairs and ``keep`` true for the cluster
-    representative (the minimum) only.
+    representative — by default the minimum id; pass ``keep_by`` (a
+    column of ``docs``, e.g. a quality score or token count) to keep
+    the HIGHEST-scoring member instead (ties to the smaller id) — the
+    RefinedWeb-style "keep the best copy" rule.  Representative
+    selection is one min(struct) hash-agg over (cluster, -score, id),
+    the same bounded shape as the default.
 
     This is the closure `minhash_dedup` deliberately skips: its one-hop
     drop rule is exact when every duplicate pairs with its
@@ -571,12 +577,26 @@ def dedup_clusters(
     comp = connected_components(
         pairs, "a", "b", nodes=docs.select(id_col), node_col=id_col
     )
-    return docs.join(
+    labeled = docs.join(
         comp.select(
             F.col("node").alias(id_col), F.col("component").alias("cluster")
         ),
         id_col,
-    ).withColumn("keep", F.col(id_col) == F.col("cluster"))
+    )
+    if keep_by is None:
+        return labeled.withColumn("keep", F.col(id_col) == F.col("cluster"))
+    score = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+    winners = labeled.groupBy("cluster").agg(
+        F.min(
+            F.struct(
+                (-score.cast("double")).alias("_s"),
+                F.col(id_col).alias("_i"),
+            )
+        )["_i"].alias("_keep_id")
+    )
+    return labeled.join(winners, "cluster").withColumn(
+        "keep", F.col(id_col) == F.col("_keep_id")
+    ).drop("_keep_id")
 
 
 # ---------------------------------------------------------------- simhash

@@ -302,7 +302,9 @@ def nb_classify(
     deterministic tie-break on the label, though the gate makes ties a
     failure, not a coin flip.  OOV words score k / (n_tokens_c + kV)
     like any unseen-in-class word, the standard multinomial-NB
-    convention.
+    convention.  Token-LESS documents carry no evidence and are absent
+    from the output — left-join the result back onto the corpus and
+    default to the majority prior if you need total coverage.
     """
     tok = _tok_frame(docs, id_col, text_col).select(
         id_col, F.xxhash64("_w").alias("hw")

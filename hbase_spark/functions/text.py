@@ -882,3 +882,36 @@ def remove_duplicated_substrings(
         .withColumn("n_removed", F.coalesce("_n_removed", F.lit(0)))
         .drop("_id", "_clean", "_n_tokens", "_n_removed")
     )
+
+
+def temperature_weights(
+    sizes: dict[str, int | float], *, alpha: float = 0.3, total: float | None = None
+) -> dict[str, float]:
+    """Temperature-based mixture weights from per-group corpus sizes —
+    the multilingual/multi-domain sampling rule (p_i ∝ size_i^alpha,
+    mBERT/XLM-R style: alpha < 1 up-weights small groups): returns the
+    per-group repeat factor to feed ``mixture_sample`` so the realized
+    mixture matches the tempered distribution while the total token
+    budget stays at ``total`` × the corpus size (default 1.0 —
+    re-mixing, not growing).
+
+    Driver-side arithmetic over a handful of group sizes; use
+    ``docs.groupBy(group_col).count()`` (a one-row-per-group collect)
+    to obtain ``sizes``.
+    """
+    if not sizes:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    n = {k: float(v) for k, v in sizes.items()}
+    mass = sum(n.values())
+    if mass <= 0:
+        raise ValueError("sizes must contain a positive total")
+    tempered = {k: v**alpha for k, v in n.items()}
+    z = sum(tempered.values())
+    budget = (total if total is not None else 1.0) * mass
+    # weight = desired rows / available rows
+    return {
+        k: (tempered[k] / z) * budget / n[k] if n[k] > 0 else 0.0
+        for k in n
+    }

@@ -173,22 +173,35 @@ def stream_warc(
     )
 
 
-def warc_documents(warc: DataFrame, *, min_chars: int = 1) -> DataFrame:
+def warc_documents(
+    warc: DataFrame, *, min_chars: int = 1, with_date: bool = False
+) -> DataFrame:
     """Project crawl records to the `documents` shape the curation
     operators consume: response/conversion records with a text
     payload become (doc_id, text, source, n_chars) — doc_id a
     deterministic hash of (record_id, uri) so re-ingesting an archive
-    is idempotent."""
+    is idempotent.  ``with_date=True`` adds ``warc_ts`` (the WARC-Date
+    header as epoch millis) — the event time the streaming ingest
+    pipeline's watermark needs."""
     from pyspark.sql import functions as F
 
     text = F.col("content").cast("string")
+    cols = [
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        text.alias("text"),
+        F.col("target_uri").alias("source"),
+        F.length(text).alias("n_chars"),
+    ]
+    if with_date:
+        cols.append(
+            F.unix_millis(
+                F.to_timestamp(
+                    F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                )
+            ).alias("warc_ts")
+        )
     return (
         warc.filter(F.col("warc_type").isin("response", "conversion"))
-        .select(
-            F.xxhash64("record_id", "target_uri").alias("doc_id"),
-            text.alias("text"),
-            F.col("target_uri").alias("source"),
-            F.length(text).alias("n_chars"),
-        )
+        .select(*cols)
         .filter(F.col("n_chars") >= min_chars)
     )

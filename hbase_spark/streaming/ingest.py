@@ -1,0 +1,102 @@
+"""Streaming corpus ingestion: crawl drop → curated document store.
+
+The end-to-end ingest-as-it-lands pipeline a training-data platform
+runs continuously, composed from pieces that are each already tested
+and (where portable) oracle-checked in batch form:
+
+    stream_warc (checkpointed archive discovery, sources/warc.py)
+      → warc_documents (records → the curation `documents` shape)
+      → stream_url_dedup (canonical-URL first-seen within watermark)
+      → gopher_filter + quality/token columns (functions/text.py)
+      → foreachBatch parquet append (exactly-once per archive via the
+        stream checkpoint, same discipline as streaming/merge.py)
+
+Scale shape: one task per archive end-to-end (WARC gzip members are
+not splittable — the parallelism unit every crawl consumer uses);
+dedup state is 8 bytes per URL within the watermark horizon; the
+quality gate is pure codegen column arithmetic; the sink appends
+columnar files partitioned however the downstream layout wants them.
+Nothing in the hot path collects, and the only shuffle is the
+dropDuplicates state exchange on an 8-byte key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def curate_documents(docs: DataFrame, *, min_tokens: int = 0) -> DataFrame:
+    """The batch curation transform shared by the streaming pipeline
+    and any backfill job (stream/batch parity by construction — the
+    same plan fragment runs in both): Gopher rule bits + keep flag,
+    language ID, token count, and fingerprint columns appended to the
+    documents frame; rows below ``min_tokens`` or failing the Gopher
+    gate are dropped."""
+    from hbase_spark.functions.text import (
+        fingerprint,
+        gopher_rules,
+        lang_id,
+        token_count,
+    )
+
+    rules = gopher_rules("text")
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    out = (
+        docs.withColumn("lang_pred", lang_id("text"))
+        .withColumn("n_tokens", token_count("text"))
+        .withColumn("fp", fingerprint("text"))
+        .withColumn("gopher_keep", keep)
+    )
+    return out.filter(
+        F.col("gopher_keep") & (F.col("n_tokens") >= F.lit(min_tokens))
+    )
+
+
+def stream_curate_warc(
+    spark: SparkSession,
+    crawl_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    *,
+    watermark: str = "1 hour",
+    min_tokens: int = 0,
+    max_files_per_trigger: int | None = None,
+):
+    """Wire the full ingest pipeline and return the started streaming
+    query: WARC archives landing under ``crawl_dir`` become curated,
+    URL-deduped parquet documents under ``out_dir``.  Stop the
+    returned query to pause ingestion; the checkpoint resumes it
+    exactly-once per archive.
+
+    URL dedup keys on the canonical form of the record's target URI;
+    event time is the WARC-Date header, so a frontier that re-delivers
+    a page (or its tracking-param variants) within the watermark
+    horizon emits it once.
+    """
+    from hbase_spark.sources.warc import stream_warc, warc_documents
+    from hbase_spark.streaming.dedup import stream_url_dedup
+
+    records = stream_warc(
+        spark, crawl_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    docs = warc_documents(records, with_date=True)
+    deduped = stream_url_dedup(
+        docs,
+        url_col="source",
+        ts_col="warc_ts",
+        watermark=watermark,
+    ).drop("warc_ts")
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        curated = curate_documents(batch, min_tokens=min_tokens)
+        curated.write.mode("append").parquet(out_dir)
+
+    return (
+        deduped.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -150,3 +150,35 @@ def test_cc_non_integral_ids_fail_loudly(spark):
 
     with pytest.raises(Exception):
         dedup_clusters(docs, pairs=pairs).collect()
+
+
+def test_dedup_clusters_keep_by_quality(spark):
+    """keep_by: the cluster representative is the highest-scoring
+    member (ties to the smaller id), not the minimum id — the
+    keep-the-best-copy rule; singletons always keep."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.functions.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "b", 0.9), (3, "c", 0.9), (9, "solo", 0.1)],
+        "doc_id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_clusters(
+            docs, pairs=pairs, keep_by="quality"
+        ).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie on quality -> smaller id 2 wins
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert all(out[i]["cluster"] == 1 for i in (1, 2, 3))
+    assert out[9]["keep"] and out[9]["cluster"] == 9
+
+    # default (no keep_by) still keeps the minimum id
+    base = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert [base[i] for i in (1, 2, 3, 9)] == [True, False, False, True]

@@ -219,3 +219,31 @@ def test_bm25_length_normalization_prefers_short_docs(spark):
     rows = {r["doc_id"]: r["score"] for r in
             bm25_topk(docs, [(1, "x")], k=5).collect()}
     assert rows[0] > rows[1]
+
+
+def test_tfidf_score_by_hand(spark):
+    from hbase_spark.functions.retrieval import (
+        _query_terms,
+        corpus_stats,
+        tfidf_score,
+    )
+
+    docs = _docs(spark, [(0, "x x y"), (1, "y z"), (2, "z z")])
+    tf = term_frequencies(docs)
+    out = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in tfidf_score(
+            tf,
+            document_frequencies(tf),
+            corpus_stats(docs),
+            _query_terms(spark, [(1, "x y")]),
+        ).collect()
+    }
+    # doc 0: x tf=2 df=1, y tf=1 df=2; N=3
+    exp0 = (1 + math.log(2)) * math.log(3 / 1) + (1 + math.log(1)) * math.log(
+        3 / 2
+    )
+    exp1 = (1 + math.log(1)) * math.log(3 / 2)  # y only
+    assert out[(1, 0)] == pytest.approx(exp0, rel=1e-12)
+    assert out[(1, 1)] == pytest.approx(exp1, rel=1e-12)
+    assert (1, 2) not in out  # no query term

@@ -2143,3 +2143,35 @@ def test_semantic_decontaminate_flags_planted_near_dups(spark, vecs):
     rows = empty.collect()
     assert all(not r["contaminated"] for r in rows)
     assert all(r["max_eval_cos"] is None for r in rows)
+
+
+def test_temperature_weights_tempered_masses():
+    import math
+
+    from hbase_spark.functions.text import temperature_weights
+
+    sizes = {"en": 900, "de": 90, "zh": 10}
+    w = temperature_weights(sizes, alpha=0.3)
+    # realized mass per group follows size^alpha, total preserved
+    masses = {k: w[k] * sizes[k] for k in sizes}
+    assert sum(masses.values()) == pytest.approx(1000.0)
+    for a, b in (("en", "de"), ("de", "zh")):
+        assert masses[a] / masses[b] == pytest.approx(
+            (sizes[a] / sizes[b]) ** 0.3, rel=1e-12
+        )
+    # alpha=1 is the identity mixture; alpha=0 is uniform mass
+    w1 = temperature_weights(sizes, alpha=1.0)
+    assert all(v == pytest.approx(1.0) for v in w1.values())
+    w0 = temperature_weights(sizes, alpha=0.0)
+    m0 = {k: w0[k] * sizes[k] for k in sizes}
+    assert max(m0.values()) == pytest.approx(min(m0.values()))
+    # total scales the budget; empty/invalid inputs behave
+    wt = temperature_weights(sizes, alpha=0.3, total=0.5)
+    assert sum(wt[k] * sizes[k] for k in sizes) == pytest.approx(500.0)
+    assert temperature_weights({}) == {}
+    with pytest.raises(ValueError):
+        temperature_weights(sizes, alpha=-1)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0})
+    assert math.isfinite(sum(temperature_weights({"a": 5, "b": 0},
+                                                 alpha=0.5).values()))

@@ -504,3 +504,80 @@ def test_stream_url_dedup_collapses_canonical_variants(spark, dirs, tmp_path):
     finally:
         q.stop()
     assert got == {1, 3}
+
+
+def test_stream_curate_warc_end_to_end(spark, tmp_path):
+    """The full ingest-as-it-lands pipeline (streaming/ingest.py):
+    WARC archives -> documents -> canonical-URL streaming dedup ->
+    Gopher gate -> parquet append.  URL variants of one page collapse
+    to the first-seen record; a boilerplate doc fails the quality
+    gate; curated rows land with audit columns."""
+    from hbase_spark.sources.warc import encode_warc
+    from hbase_spark.streaming.ingest import stream_curate_warc
+
+    good = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+        + "the of and that"
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+
+    def rec(i, uri, text, date="2024-01-01T00:00:00Z"):
+        return {
+            "warc_type": "response",
+            "record_id": f"<urn:uuid:{i}>",
+            "target_uri": uri,
+            "warc_date": date,
+            "content_type": "text/plain",
+            "content": text.encode(),
+        }
+
+    (crawl / "a.warc").write_bytes(
+        encode_warc(
+            [
+                rec(1, "https://ex.com/page?utm_source=x#frag", good),
+                # fails the Gopher word-count rule
+                rec(2, "https://ex.com/other", "tiny doc"),
+            ]
+        )
+    )
+    (crawl / "b.warc").write_bytes(
+        encode_warc(
+            [
+                # the same page as record 1 after canonicalization
+                rec(3, "HTTPS://EX.COM/page/", good + " again"),
+                rec(4, "https://ex.com/third", good),
+            ]
+        )
+    )
+
+    q = stream_curate_warc(
+        spark,
+        str(crawl),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        min_tokens=10,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["source"]: r for r in out.collect()}
+    # one of the two URL-variant records survived, plus the third page;
+    # the tiny doc failed the Gopher word-count rule
+    canon = {u for u in rows if "page" in u}
+    assert len(canon) == 1
+    assert "https://ex.com/third" in rows
+    assert all(r["gopher_keep"] for r in rows.values())
+    assert all(r["n_tokens"] >= 10 for r in rows.values())
+    assert all(r["lang_pred"] is not None for r in rows.values())
+
+    # re-running against the same checkpoint ingests nothing new
+    q2 = stream_curate_warc(
+        spark,
+        str(crawl),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        min_tokens=10,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == len(rows)
