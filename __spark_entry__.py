@@ -4098,6 +4098,104 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _lm_backoff_arm(spark, sf):
+    """Stupid-backoff trigram LM (Brants et al. 2007; functions/lm.py
+    train_ngram_lm + lm_score_backoff): trained on the lang='en'
+    slice, scores the same variant docs as the bigram arm (OOV /
+    1-token / empty legs).  value pins the scored-position count, the
+    exact backoff-cascade depth, the OOV count, AND the 4-decimal
+    backoff perplexity — so every order's counts, the coalesce
+    cascade, and the alpha accounting are hash-checked."""
+    from hbase_spark.functions.lm import lm_score_backoff, train_ngram_lm
+
+    docs = load_table(spark, sf, "documents")
+    lm = train_ngram_lm(docs.filter(F.col("lang") == "en"), n=3)
+    scored = lm_score_backoff(
+        docs.select("doc_id", _lm_variant_text().alias("text")), lm
+    )
+    return scored.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("n_scored").cast("string"),
+            F.col("n_backoffs").cast("string"),
+            F.col("n_oov").cast("string"),
+            F.coalesce(_dec4(F.round("score_ppl", 4)), F.lit("null")),
+        ).alias("value"),
+    )
+
+
+_LM_BACKOFF_SQL = f"""
+WITH ref AS (
+  SELECT {_TOKS_DUCK} AS toks FROM documents WHERE lang = 'en'),
+o1 AS (SELECT w, count(*) AS c FROM (
+        SELECT unnest(toks) AS w FROM ref) GROUP BY w),
+o2 AS (SELECT g, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM ref WHERE len(toks) >= 2) GROUP BY g),
+o3 AS (SELECT g, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM ref WHERE len(toks) >= 3) GROUP BY g),
+st AS (SELECT (SELECT count(*) FROM o1) AS v,
+              (SELECT sum(c) FROM o1) AS nt),
+sc AS (
+  SELECT doc_id, {_TOKS_DUCK.replace('text', f'({_LM_VARIANT_SQL})')} AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         toks[i+1] AS g1,
+         CASE WHEN i >= 1 THEN toks[i] || ' ' || toks[i+1] END AS g2,
+         CASE WHEN i >= 2
+              THEN toks[i-1] || ' ' || toks[i] || ' ' || toks[i+1] END AS g3,
+         CASE WHEN i >= 1 THEN toks[i] END AS x2,
+         CASE WHEN i >= 2 THEN toks[i-1] || ' ' || toks[i] END AS x3
+  FROM sc, unnest(range(0, len(toks))) AS r(i)),
+j AS (
+  SELECT pos.doc_id,
+         u.c AS c1, b.c AS c2, t.c AS c3, xu.c AS cx2, xb.c AS cx3,
+         g2, g3
+  FROM pos
+  LEFT JOIN o1 u  ON u.w = pos.g1
+  LEFT JOIN o2 b  ON b.g = pos.g2
+  LEFT JOIN o3 t  ON t.g = pos.g3
+  LEFT JOIN o1 xu ON xu.w = pos.x2
+  LEFT JOIN o2 xb ON xb.g = pos.x3),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN c3 IS NOT NULL AND cx3 IS NOT NULL
+                THEN ln(c3 * 1.0 / cx3)
+              WHEN c2 IS NOT NULL AND cx2 IS NOT NULL
+                THEN ln(c2 * 1.0 / cx2)
+              WHEN c1 IS NOT NULL THEN ln(c1 * 1.0 / nt)
+              ELSE ln(1.0 / (nt + v)) END
+         + ((CASE WHEN g3 IS NOT NULL
+                   AND (c3 IS NULL OR cx3 IS NULL) THEN 1 ELSE 0 END)
+          + (CASE WHEN g2 IS NOT NULL
+                   AND (c2 IS NULL OR cx2 IS NULL) THEN 1 ELSE 0 END))
+           * ln(0.4) AS logs,
+         (CASE WHEN g3 IS NOT NULL
+                AND (c3 IS NULL OR cx3 IS NULL) THEN 1 ELSE 0 END)
+         + (CASE WHEN g2 IS NOT NULL
+                  AND (c2 IS NULL OR cx2 IS NULL) THEN 1 ELSE 0 END)
+           AS backoffs,
+         CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS oov
+  FROM j CROSS JOIN st),
+agg AS (
+  SELECT doc_id, count(*) AS ns, sum(backoffs) AS nb, sum(oov) AS no,
+         sum(logs) AS slogs
+  FROM sel GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ns, 0) AS VARCHAR) || ':' ||
+       CAST(coalesce(nb, 0) AS VARCHAR) || ':' ||
+       CAST(coalesce(no, 0) AS VARCHAR) || ':' ||
+       coalesce(CAST(CAST(round(exp(-slogs / ns), 4)
+                AS DECIMAL(18,4)) AS VARCHAR), 'null') AS value
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _nb_arm(spark, sf):
     """Multinomial Naive Bayes (functions/lm.py — the GPT-3/CC-Net
     'quality classifier' slot): trained on the even-id half with lang
@@ -4322,6 +4420,7 @@ _register_suite(
      ("url_dedup", _url_arm),
      ("gopher_rules", _gopher_arm),
      ("lm_ppl", _lm_ppl_arm),
+     ("lm_backoff", _lm_backoff_arm),
      ("nb_lang", _nb_arm),
      ("bm25", _bm25_arm),
      ("exact_substr", _exact_substr_arm)],
@@ -4347,6 +4446,7 @@ _register_suite(
      ("url_dedup", _URL_DEDUP_SQL),
      ("gopher_rules", _gopher_sql()),
      ("lm_ppl", _LM_PPL_SQL),
+     ("lm_backoff", _LM_BACKOFF_SQL),
      ("nb_lang", _NB_SQL),
      ("bm25", _bm25_sql()),
      ("exact_substr", _EXACT_SUBSTR_SQL)],

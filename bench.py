@@ -56,6 +56,7 @@ EXTENDED = [
     "doc_bm25",                # BM25 top-k lexical retrieval
     "doc_exact_substr",        # ExactSubstr duplicated-run removal
     "embedding_semantic_decon",  # eval-set embedding decontamination
+    "doc_lm_backoff",          # stupid-backoff trigram LM scoring
 ]
 
 
@@ -79,6 +80,7 @@ def headline_queries() -> dict:
     queries.setdefault(
         "embedding_semantic_decon", entrymod._semantic_decon_arm
     )
+    queries.setdefault("doc_lm_backoff", entrymod._lm_backoff_arm)
     return queries
 
 

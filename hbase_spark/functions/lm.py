@@ -1,6 +1,6 @@
 """Statistical language-model operators for corpus curation.
 
-Two classic, fully-distributable models that published pretraining
+Three classic, fully-distributable models that published pretraining
 pipelines run at corpus scale, expressed as pure DataFrame plans:
 
 - **Bigram LM perplexity filtering** (the CC-Net recipe, Wenzek et
@@ -18,6 +18,12 @@ pipelines run at corpus scale, expressed as pure DataFrame plans:
   join against the count table, and an argmax — all counts integer,
   all smoothing add-k, so a SQL oracle can reproduce every decision.
 
+- **General n-gram LM with stupid backoff** (Brants et al. 2007,
+  "Large Language Models in Machine Translation" — the
+  MapReduce-scale LM recipe: no context-dependent normalization, so
+  training is one count-agg per order and scoring is pure lookups
+  with a fixed alpha penalty per backed-off order).
+
 Scale shape (100 TB posture): tokens and grams travel as 8-byte
 xxhash64 values — document text is tokenized in a map stage and never
 crosses an exchange.  The trained "models" are count DataFrames
@@ -30,6 +36,7 @@ driver; scalar statistics (vocab size, class totals) ride along as
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -369,3 +376,197 @@ def nb_classify(
             "margin",
         )
     return out
+
+
+# --------------------------------------------------------------------
+# General n-gram LM with stupid backoff (Brants et al. 2007)
+# --------------------------------------------------------------------
+
+
+@dataclass
+class NgramLM:
+    """Counts for orders 1..n: ``orders[k]`` is a (hash-of-k-words
+    gram, count) frame; ``stats`` one row (vocab_size, n_tokens).
+    Like BigramLM, every frame is a vocabulary-bounded aggregate —
+    the model behaves like a set of dimension tables.
+    """
+
+    n: int
+    orders: dict[int, DataFrame]
+    stats: DataFrame
+
+
+def _gram_hashes(toks: Column, k: int) -> Column:
+    """Array of xxhash64 over every k-token window of ``toks``
+    (empty when the doc is shorter than k)."""
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def train_ngram_lm(
+    ref_docs: DataFrame, *, n: int = 3, text_col: str = "text"
+) -> NgramLM:
+    """Count every order 1..n in one tokenize pass — the MapReduce
+    LM-training shape of "Large Language Models in Machine
+    Translation" (Brants et al., 2007): each order is a map-side-
+    combinable hash-agg over 8-byte gram hashes; text never shuffles.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    base = ref_docs.select(_ascii_tokens(text_col).alias("_t"))
+    orders = {
+        k: (
+            base.select(F.explode(_gram_hashes(F.col("_t"), k)).alias("_h"))
+            .groupBy(F.col("_h").alias(f"h{k}"))
+            .agg(F.count("*").cast("long").alias(f"c{k}"))
+        )
+        for k in range(1, n + 1)
+    }
+    stats = orders[1].agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("c1").cast("long").alias("n_tokens"),
+    )
+    return NgramLM(n=n, orders=orders, stats=stats)
+
+
+def lm_score_backoff(
+    docs: DataFrame,
+    lm: NgramLM,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff scoring (Brants et al. 2007 §4): for each token
+    position with its longest available context,
+
+        S(w | ctx_k) = count_k+1(ctx_k . w) / count_k(ctx_k)   if seen
+                     = alpha * S(w | ctx_k-1)                  else
+
+    grounding at S(w) = count_1(w) / N, with the add-1 floor
+    (1 / (N + V)) for out-of-vocabulary words so log scores stay
+    finite.  The paper's point — and this implementation's — is that
+    backoff needs NO context-dependent normalization, so scoring is
+    pure count lookups: one left hash-join per order on an 8-byte
+    gram hash, a coalesce cascade picks the longest seen order.
+
+    Output per document: ``n_scored`` positions (every token scores —
+    position i uses min(i, n-1) context words), ``n_backoffs`` (total
+    orders backed off across positions, integer — pins the cascade),
+    and ``avg_logs`` / ``score_ppl`` (the perplexity-style
+    exp(-avg log S); S is not a normalized probability, the standard
+    stupid-backoff caveat).
+    """
+    n = lm.n
+    base = docs.select(F.col(id_col), _ascii_tokens(text_col).alias("_t"))
+    # one row per token position, carrying the gram hash ENDING at the
+    # position for every order k (null when the position has fewer
+    # than k-1 context tokens before it)
+    pos_cols = [
+        F.when(
+            F.col("_i") >= k - 1,
+            F.xxhash64(
+                F.concat_ws(
+                    " ", F.slice(F.col("_t"), F.col("_i") - (k - 2), k)
+                )
+            ),
+        ).alias(f"g{k}")
+        for k in range(1, n + 1)
+    ]
+    # context hash for order k = gram of the k-1 tokens before position
+    ctx_cols = [
+        F.when(
+            F.col("_i") >= k - 1,
+            F.xxhash64(
+                F.concat_ws(
+                    " ", F.slice(F.col("_t"), F.col("_i") - (k - 2), k - 1)
+                )
+            ),
+        ).alias(f"x{k}")
+        for k in range(2, n + 1)
+    ]
+    pos = base.select(
+        id_col,
+        F.posexplode("_t").alias("_i", "_w"),
+        F.col("_t"),
+    ).select(id_col, F.col("_i"), *pos_cols, *ctx_cols)
+    j = pos
+    for k in range(1, n + 1):
+        j = j.join(
+            lm.orders[k].withColumnRenamed(f"h{k}", f"g{k}"), f"g{k}", "left"
+        )
+    for k in range(2, n + 1):
+        j = j.join(
+            lm.orders[k - 1]
+            .select(
+                F.col(f"h{k-1}").alias(f"x{k}"),
+                F.col(f"c{k-1}").alias(f"cx{k}"),
+            ),
+            f"x{k}",
+            "left",
+        )
+    stats = lm.stats
+    # coalesce cascade: highest seen order wins; each step down costs
+    # one factor of alpha (applied below via the backoff count)
+    score = None
+    for k in range(n, 1, -1):
+        term = F.when(
+            F.col(f"c{k}").isNotNull() & F.col(f"cx{k}").isNotNull(),
+            F.log(F.col(f"c{k}") / F.col(f"cx{k}")),
+        )
+        score = term if score is None else F.coalesce(score, term)
+    # the alpha penalties: a position that fell through d orders pays
+    # d * log(alpha); count the fall-throughs explicitly
+    backoffs = None
+    for k in range(n, 1, -1):
+        # a backoff happens only when order k was AVAILABLE (enough
+        # context before the position — g_k non-null) but unseen;
+        # doc-start positions simply start at their longest available
+        # order with no penalty (the paper scores the longest
+        # available context)
+        miss = (
+            F.col(f"g{k}").isNotNull()
+            & (F.col(f"c{k}").isNull() | F.col(f"cx{k}").isNull())
+        ).cast("int")
+        backoffs = miss if backoffs is None else backoffs + miss
+    # a miss at order k only counts if every higher available order
+    # also missed — with nested contexts that is automatic (if
+    # ctx_k.w is seen, the shorter ctx_{k-1}.w inside it is seen
+    # too), so the simple sum of misses equals the fall-through depth.
+    unigram = F.when(
+        F.col("c1").isNotNull(),
+        F.log(F.col("c1") / F.col("n_tokens")),
+    ).otherwise(
+        F.log(F.lit(1.0) / (F.col("n_tokens") + F.col("vocab_size")))
+    )
+    oov = F.col("c1").isNull().cast("int")
+    full = F.coalesce(score, unigram) if score is not None else unigram
+    logs = full + (
+        (backoffs if backoffs is not None else F.lit(0))
+        * F.lit(math.log(alpha))
+    )
+    per_doc = (
+        j.crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.sum(backoffs if backoffs is not None else F.lit(0))
+            .cast("long")
+            .alias("n_backoffs"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.sum(logs).alias("_sum_logs"),
+        )
+    )
+    out = docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        F.coalesce("n_backoffs", F.lit(0)).cast("long").alias("n_backoffs"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        (-F.col("_sum_logs") / F.col("n_scored")).alias("avg_logs"),
+    )
+    return out.withColumn("score_ppl", F.exp("avg_logs"))

@@ -247,3 +247,75 @@ def test_tfidf_score_by_hand(spark):
     assert out[(1, 0)] == pytest.approx(exp0, rel=1e-12)
     assert out[(1, 1)] == pytest.approx(exp1, rel=1e-12)
     assert (1, 2) not in out  # no query term
+
+
+# ----------------------------------------------- stupid backoff n-gram
+
+
+def test_ngram_lm_counts_per_order(spark):
+    from hbase_spark.functions.lm import train_ngram_lm
+
+    lm = train_ngram_lm(_docs(spark, [(0, "a b c a b d")]), n=3)
+    assert sorted(r["c1"] for r in lm.orders[1].collect()) == [1, 1, 2, 2]
+    assert sorted(r["c2"] for r in lm.orders[2].collect()) == [1, 1, 1, 2]
+    assert sorted(r["c3"] for r in lm.orders[3].collect()) == [1, 1, 1, 1]
+    st = lm.stats.first()
+    assert st["vocab_size"] == 4 and st["n_tokens"] == 6
+
+
+def test_stupid_backoff_scores_by_hand(spark):
+    from hbase_spark.functions.lm import lm_score_backoff, train_ngram_lm
+
+    lm = train_ngram_lm(_docs(spark, [(0, "a b c a b d")]), n=3)
+    out = {
+        r["doc_id"]: r
+        for r in lm_score_backoff(
+            _docs(spark, [(1, "a b c"), (2, "c b d"), (3, "z")]), lm
+        ).collect()
+    }
+    la = math.log(0.4)
+    # doc 1: "a" unigram 2/6 (no context, NO penalty); "b" via "a b"/
+    # "a" = 2/2; "c" via trigram "a b c"/"a b" = 1/2.  Zero backoffs.
+    d1 = out[1]
+    assert d1["n_scored"] == 3 and d1["n_backoffs"] == 0 and d1["n_oov"] == 0
+    exp1 = -(math.log(2 / 6) + math.log(2 / 2) + math.log(1 / 2)) / 3
+    assert d1["avg_logs"] == pytest.approx(exp1, rel=1e-12)
+    assert d1["score_ppl"] == pytest.approx(math.exp(exp1), rel=1e-12)
+    # doc 2: "c" unigram 1/6; "b" backs off ("c b" unseen) to unigram
+    # 2/6 with one alpha; "d" backs off from the unseen trigram to
+    # "b d"/"b" = 1/2 with one alpha.  Two backoffs total.
+    d2 = out[2]
+    assert d2["n_backoffs"] == 2 and d2["n_oov"] == 0
+    exp2 = -(
+        math.log(1 / 6) + (math.log(2 / 6) + la) + (math.log(1 / 2) + la)
+    ) / 3
+    assert d2["avg_logs"] == pytest.approx(exp2, rel=1e-12)
+    # doc 3: single OOV token -> add-1 floor 1/(N+V), no backoff charge
+    d3 = out[3]
+    assert d3["n_scored"] == 1 and d3["n_oov"] == 1 and d3["n_backoffs"] == 0
+    assert d3["avg_logs"] == pytest.approx(-math.log(1 / 10), rel=1e-12)
+
+
+def test_stupid_backoff_prefers_in_distribution_text(spark):
+    from hbase_spark.functions.lm import lm_score_backoff, train_ngram_lm
+
+    ref = _docs(
+        spark, [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(3)]
+    )
+    lm = train_ngram_lm(ref, n=3)
+    out = {
+        r["doc_id"]: r["score_ppl"]
+        for r in lm_score_backoff(
+            _docs(spark, [(0, "the quick brown fox"),
+                          (1, "dog lazy the over jumps")]), lm
+        ).collect()
+    }
+    assert out[0] < out[1]  # fluent order scores better than shuffled
+
+
+def test_train_ngram_lm_validates_n(spark):
+    from hbase_spark.functions.lm import train_ngram_lm
+
+    with pytest.raises(ValueError):
+        train_ngram_lm(_docs(spark, [(0, "a b")]), n=0)
