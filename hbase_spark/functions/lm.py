@@ -313,8 +313,15 @@ def nb_classify(
     from the output — left-join the result back onto the corpus and
     default to the majority prior if you need total coverage.
     """
-    tok = _tok_frame(docs, id_col, text_col).select(
-        id_col, F.xxhash64("_w").alias("hw")
+    # Aggregate to (doc, word-hash, occurrence count) BEFORE fanning
+    # out over classes: the class cross-join and the word-class lookup
+    # then touch each distinct word once per doc, not each occurrence —
+    # sum over occurrences of log p(w) == sum over distinct words of
+    # cnt * log p(w), bit-identical math on a fraction of the rows.
+    tok = (
+        _tok_frame(docs, id_col, text_col)
+        .groupBy(id_col, F.xxhash64("_w").alias("hw"))
+        .agg(F.count("*").cast("long").alias("_cnt"))
     )
     cls = model.classes.crossJoin(F.broadcast(model.stats))
     k = float(model.add_k)
@@ -323,9 +330,10 @@ def nb_classify(
         .join(model.word_class, ["hw", "label"], "left")
         .groupBy(id_col, "label")
         .agg(
-            F.count("*").cast("long").alias("n_words"),
+            F.sum("_cnt").cast("long").alias("n_words"),
             F.sum(
-                F.log(F.coalesce("c_wc", F.lit(0)) + F.lit(k))
+                F.col("_cnt")
+                * F.log(F.coalesce("c_wc", F.lit(0)) + F.lit(k))
             ).alias("_sum_log_num"),
         )
     )
