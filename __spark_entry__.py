@@ -4701,7 +4701,46 @@ _WINDOW = [
 # raw ann/ivf top-k variants are recall-gated + hash-checked in-window
 # via embedding_ann_suite).  Every operator with a portable oracle has
 # an in-window hash row.
+@_q(
+    "agg_weighted_median",
+    """WITH v AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS rk,
+             o_orderkey % 1000 AS val,
+             (o_custkey % 7) + 1 AS wgt
+      FROM orders),
+    c AS (SELECT val, sum(wgt) OVER (ORDER BY rk) AS cum FROM v),
+    t AS (SELECT sum(wgt) AS tot FROM v)
+    SELECT val AS median FROM c, t
+    WHERE cum <= tot / 2.0 ORDER BY cum DESC LIMIT 1""",
+)
+def q_agg_weighted_median(spark, sf):
+    """The reference's weighted median endpoint (AggregationClient.java
+    :796-869 — value and weight in two qualifiers, walked in row-key
+    order to the half-mass point; operators/aggregations.py
+    agg_median_weighted).  Value = o_orderkey % 1000, weight =
+    (o_custkey % 7) + 1, keyed by the padded order key; the DuckDB
+    twin replays the identical cumulative-weight walk."""
+    from hbase_spark.operators.aggregations import agg_median_weighted
+
+    orders = load_table(spark, sf, "orders")
+    rows = orders.select(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("row"),
+        (F.col("o_orderkey") % 1000).cast("string").alias("_val"),
+        ((F.col("o_custkey") % 7) + 1).cast("string").alias("_wgt"),
+    )
+    visible = rows.selectExpr(
+        "row", "'f' AS family", "'val' AS qualifier", "_val AS value"
+    ).unionByName(
+        rows.selectExpr(
+            "row", "'f' AS family", "'wgt' AS qualifier", "_wgt AS value"
+        )
+    )
+    got = agg_median_weighted(visible, "f", "val", "wgt", prefix_len=8)
+    return spark.createDataFrame([(int(got),)], "median bigint")
+
+
 _TAIL = [
+    "agg_weighted_median",
     "stream_replication_merge",
     "backup_restore_pit",
     "doc_bpe_roundtrip",

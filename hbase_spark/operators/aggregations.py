@@ -17,7 +17,7 @@ the same single-group calls plus the natural group_by generalization.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _INTERPRETERS = {
@@ -213,3 +213,105 @@ def row_count(visible: DataFrame) -> int:
     count(distinct row) gives Catalyst the same shortcut via a
     partial-agg over the single pruned column."""
     return visible.select("row").distinct().count()
+
+
+def median_mass_midpoint(
+    df: DataFrame,
+    value: Column,
+    weight: Column,
+    order: Column,
+    *,
+    prefix_len: int = 3,
+) -> object:
+    """The reference's ACTUAL median protocol, including the weighted
+    form (AggregationClient.java:796-869, AggregateImplementation.java
+    :483-539): walk rows in ROW-KEY order accumulating the weight
+    column (the value column itself when no weight is given) and
+    return the value of the last row BEFORE the running sum exceeds
+    half the total — the mass midpoint of the keyspace.  For keyed
+    data this answers "which value sits at the point splitting the
+    (weighted) mass in half, in key order" — e.g. the reading at the
+    time splitting a day's traffic in half.  (`agg_table`'s `median`
+    is the statistical median of values; this is the reference's
+    key-ordered semantics, kept as its own operator because the two
+    answer different questions.)
+
+    Faithfully two-phase and scale-safe: phase 1 buckets rows by an
+    order-preserving key prefix (the region analog — lexicographic,
+    so bucket order IS key order) and collects only per-bucket weight
+    sums (<= alphabet^prefix_len rows); the driver walks buckets to
+    find the one straddling the half mass, exactly like the
+    reference's per-region first scan; phase 2 sorts WITHIN the
+    straddling bucket only (one bounded partition) and walks it with
+    a cumulative-sum window.  No full-table sort, no unbounded
+    collect.
+    """
+    rows = df.select(
+        order.cast("string").alias("_k"),
+        value.alias("_v"),
+        weight.cast("double").alias("_w"),
+    )
+    bucketed = rows.withColumn("_b", F.substring("_k", 1, prefix_len))
+    sums = bucketed.groupBy("_b").agg(F.sum("_w").alias("_s")).collect()
+    if not sums:
+        return None
+    total = sum(r["_s"] for r in sums)
+    half = total / 2.0
+    moving = 0.0
+    straddle = None
+    for r in sorted(sums, key=lambda r: r["_b"]):
+        if moving + r["_s"] > half:
+            straddle = r["_b"]
+            break
+        moving += r["_s"]
+    if straddle is None:  # all mass <= half (degenerate): last bucket
+        straddle = max(r["_b"] for r in sums)
+    w = Window.orderBy("_k").rowsBetween(Window.unboundedPreceding, 0)
+    in_bucket = (
+        bucketed.filter(F.col("_b") == straddle)
+        .withColumn("_cum", F.sum("_w").over(w) + F.lit(moving))
+        # value of the last row BEFORE the cumulative sum crosses half:
+        # rows with running sum <= half are "before"; take the last one
+        .filter(F.col("_cum") <= F.lit(half))
+        .orderBy(F.col("_k").desc())
+        .limit(1)
+        .collect()
+    )
+    if not in_bucket:
+        # the straddling bucket's FIRST row crosses half: the reference
+        # returns the value accumulated so far, i.e. the previous
+        # bucket's last row (None when the very first row crosses)
+        prev = (
+            bucketed.filter(F.col("_b") < straddle)
+            .orderBy(F.col("_k").desc())
+            .limit(1)
+            .collect()
+        )
+        return prev[0]["_v"] if prev else None
+    return in_bucket[0]["_v"]
+
+
+def agg_median_weighted(
+    visible: DataFrame,
+    family: str,
+    qualifier,
+    weight_qualifier,
+    *,
+    interpreter: str = "long",
+    prefix_len: int = 3,
+):
+    """AggregationClient.median with the optional weight column
+    (AggregationClient.java:808-811 `weighted = true`): value and
+    weight live in two qualifiers of the same family, matched by row.
+    """
+    v = visible.filter(
+        (F.col("family") == family) & (F.col("qualifier") == qualifier)
+    ).select("row", _typed("value", interpreter).alias("_val"))
+    wq = visible.filter(
+        (F.col("family") == family) & (F.col("qualifier") == weight_qualifier)
+    ).select("row", _typed("value", interpreter).alias("_wgt"))
+    joined = v.join(wq, "row")
+    return median_mass_midpoint(
+        joined, F.col("_val"), F.col("_wgt"), F.col("row"),
+        prefix_len=prefix_len,
+    )

@@ -142,3 +142,85 @@ def test_sync_diff_finds_exact_perturbations(spark, li_cells):
     repaired = sync_repair(src, tgt)
     assert sync_diff(src, repaired).count() == 0
     assert diff_buckets(src, repaired).count() == 0
+
+
+def test_median_mass_midpoint_by_hand(spark):
+    """The reference's key-ordered median walk (AggregationClient.java
+    :796-869): return the value of the last row BEFORE the cumulative
+    weight exceeds half the total."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.operators.aggregations import median_mass_midpoint
+
+    df = spark.createDataFrame(
+        [("k01", 10, 1.0), ("k02", 20, 2.0), ("k03", 30, 3.0),
+         ("k04", 40, 4.0)],
+        "k string, v long, w double",
+    )
+    # total 10, half 5: cum 1, 3, then 6 > 5 -> last value before = 20
+    got = median_mass_midpoint(
+        df, F.col("v"), F.col("w"), F.col("k"), prefix_len=3
+    )
+    assert got == 20
+
+    # unweighted reference form: weight IS the value
+    vals = spark.createDataFrame(
+        [("k1", 1), ("k2", 2), ("k3", 3), ("k4", 4)], "k string, v long"
+    )
+    got = median_mass_midpoint(
+        vals, F.col("v"), F.col("v"), F.col("k"), prefix_len=2
+    )
+    assert got == 2
+
+    # first row already crosses half -> reference returns null
+    first = spark.createDataFrame(
+        [("k1", 7, 10.0), ("k2", 8, 1.0)], "k string, v long, w double"
+    )
+    assert (
+        median_mass_midpoint(first, F.col("v"), F.col("w"), F.col("k"))
+        is None
+    )
+
+
+def test_median_mass_midpoint_bucket_carry(spark):
+    """Phase-1 bucket boundaries must not change the answer: the
+    straddling bucket's first row can cross half, in which case the
+    previous bucket's LAST row is the answer (the carry-in path)."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.operators.aggregations import median_mass_midpoint
+
+    df = spark.createDataFrame(
+        [("a1", 100, 1.0), ("a2", 200, 1.0), ("b1", 300, 4.0)],
+        "k string, v long, w double",
+    )
+    # total 6, half 3: a-bucket sums 2 (moving), b1 crosses -> a2's value
+    got = median_mass_midpoint(
+        df, F.col("v"), F.col("w"), F.col("k"), prefix_len=1
+    )
+    assert got == 200
+    # and with one bucket per row the walk is identical
+    got = median_mass_midpoint(
+        df, F.col("v"), F.col("w"), F.col("k"), prefix_len=2
+    )
+    assert got == 200
+
+
+def test_agg_median_weighted_over_cellframe(spark):
+    """AggregationClient.median's two-qualifier weighted form over a
+    resolved CellFrame: value in one qualifier, weight in another,
+    matched by row."""
+    from hbase_spark.operators.aggregations import agg_median_weighted
+
+    rows = []
+    weights = {1: 1, 2: 2, 3: 3, 4: 4}
+    for i, w in weights.items():
+        rows.append((f"r{i}", "f", "val", 1, 4, str(i * 10), i))
+        rows.append((f"r{i}", "f", "wgt", 1, 4, str(w), i))
+    visible = spark.createDataFrame(
+        rows,
+        "row string, family string, qualifier string, ts long, "
+        "type int, value string, seq long",
+    )
+    got = agg_median_weighted(visible, "f", "val", "wgt")
+    assert got == 20
