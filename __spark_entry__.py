@@ -4196,6 +4196,71 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _dsir_arm(spark, sf):
+    """DSIR importance weights (Xie et al. 2023; functions/lm.py
+    hashed_ngram_counts + dsir_weights): target = the lang='en' slice,
+    raw = the whole corpus, unigram+bigram features hashed into 10k
+    buckets via the PORTABLE md5 scheme so the DuckDB twin replays the
+    identical bucket collisions.  value = feature count : 4-decimal
+    importance log-weight — training counts, both totals, the
+    smoothing, and the per-doc sum are all hash-checked."""
+    from hbase_spark.functions.lm import dsir_weights, hashed_ngram_counts
+
+    docs = load_table(spark, sf, "documents")
+    kw = dict(n=2, buckets=10_000, portable=True)
+    target = hashed_ngram_counts(docs.filter(F.col("lang") == "en"), **kw)
+    raw = hashed_ngram_counts(docs, **kw)
+    w = dsir_weights(docs, target, raw, **kw)
+    return w.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("n_features").cast("string"),
+            F.coalesce(_dec4(F.round("weight", 4)), F.lit("null")),
+        ).alias("value"),
+    )
+
+
+_DSIR_GRAMS = (
+    "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END)"
+)
+_DSIR_BUCKET = (
+    "CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 10000"
+)
+
+_DSIR_SQL = f"""
+WITH d AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+tg AS (
+  SELECT {_DSIR_BUCKET} AS bucket, count(*) AS ct FROM (
+    SELECT unnest({_DSIR_GRAMS}) AS g FROM d WHERE lang = 'en')
+  GROUP BY 1),
+rw AS (
+  SELECT {_DSIR_BUCKET} AS bucket, count(*) AS cr FROM (
+    SELECT unnest({_DSIR_GRAMS}) AS g FROM d)
+  GROUP BY 1),
+st AS (SELECT (SELECT sum(ct) FROM tg) AS nt,
+              (SELECT sum(cr) FROM rw) AS nr),
+f AS (
+  SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM (
+    SELECT doc_id, unnest({_DSIR_GRAMS}) AS g FROM d)),
+j AS (
+  SELECT doc_id,
+         ln(coalesce(ct, 0) + 1.0) - ln(nt + 10000.0)
+         - ln(coalesce(cr, 0) + 1.0) + ln(nr + 10000.0) AS lw
+  FROM f LEFT JOIN tg USING (bucket) LEFT JOIN rw USING (bucket)
+  CROSS JOIN st),
+agg AS (
+  SELECT doc_id, count(*) AS nf, sum(lw) AS w FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(nf, 0) AS VARCHAR) || ':' ||
+       coalesce(CAST(CAST(round(w, 4) AS DECIMAL(18,4)) AS VARCHAR),
+                'null') AS value
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _nb_arm(spark, sf):
     """Multinomial Naive Bayes (functions/lm.py — the GPT-3/CC-Net
     'quality classifier' slot): trained on the even-id half with lang
@@ -4421,6 +4486,7 @@ _register_suite(
      ("gopher_rules", _gopher_arm),
      ("lm_ppl", _lm_ppl_arm),
      ("lm_backoff", _lm_backoff_arm),
+     ("dsir", _dsir_arm),
      ("nb_lang", _nb_arm),
      ("bm25", _bm25_arm),
      ("exact_substr", _exact_substr_arm)],
@@ -4447,6 +4513,7 @@ _register_suite(
      ("gopher_rules", _gopher_sql()),
      ("lm_ppl", _LM_PPL_SQL),
      ("lm_backoff", _LM_BACKOFF_SQL),
+     ("dsir", _DSIR_SQL),
      ("nb_lang", _NB_SQL),
      ("bm25", _bm25_sql()),
      ("exact_substr", _EXACT_SUBSTR_SQL)],

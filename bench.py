@@ -57,6 +57,7 @@ EXTENDED = [
     "doc_exact_substr",        # ExactSubstr duplicated-run removal
     "embedding_semantic_decon",  # eval-set embedding decontamination
     "doc_lm_backoff",          # stupid-backoff trigram LM scoring
+    "doc_dsir",                # DSIR importance weights
 ]
 
 
@@ -81,6 +82,7 @@ def headline_queries() -> dict:
         "embedding_semantic_decon", entrymod._semantic_decon_arm
     )
     queries.setdefault("doc_lm_backoff", entrymod._lm_backoff_arm)
+    queries.setdefault("doc_dsir", entrymod._dsir_arm)
     return queries
 
 

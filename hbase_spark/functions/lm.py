@@ -39,7 +39,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import _ascii_tokens
@@ -404,16 +404,32 @@ class NgramLM:
     stats: DataFrame
 
 
-def _gram_hashes(toks: Column, k: int) -> Column:
-    """Array of xxhash64 over every k-token window of ``toks``
+def _gram_strings(toks: Column, k: int) -> Column:
+    """Array of every k-token window of ``toks`` as "w1 .. wk" strings
     (empty when the doc is shorter than k)."""
     return F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
-    ).otherwise(F.array().cast("array<long>"))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_hashes(toks: Column, k: int) -> Column:
+    """Array of xxhash64 over every k-token window of ``toks``."""
+    return F.transform(_gram_strings(toks, k), lambda g: F.xxhash64(g))
+
+
+def _bucket(gram: Column, buckets: int, portable: bool) -> Column:
+    """Feature bucket of a gram string: xxhash64 (fast, JVM-only) or
+    the portable md5 scheme every SQL oracle can replay (same
+    conversion as stratified_sample / RandomRowFilter)."""
+    if portable:
+        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(gram)
+    return F.pmod(h, F.lit(buckets)).cast("long")
 
 
 def train_ngram_lm(
@@ -578,3 +594,160 @@ def lm_score_backoff(
         (-F.col("_sum_logs") / F.col("n_scored")).alias("avg_logs"),
     )
     return out.withColumn("score_ppl", F.exp("avg_logs"))
+
+
+# --------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# --------------------------------------------------------------------
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    buckets: int = 10_000,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """DSIR's feature extractor: word n-grams (unigrams AND bigrams for
+    n=2, matching the paper's unigram+bigram bag) hashed into
+    ``buckets`` buckets; returns (bucket, c) counts.  One tokenize
+    pass, one hash-agg; the "model" is at most ``buckets`` rows.
+    ``portable=True`` buckets by the md5 scheme (slower; engine-
+    portable — use it when a SQL twin must replay the weights).
+    """
+    base = docs.select(_ascii_tokens(text_col).alias("_t"))
+    grams = base.select(
+        F.explode(
+            F.concat(
+                *[_gram_strings(F.col("_t"), k) for k in range(1, n + 1)]
+            )
+        ).alias("_g")
+    )
+    return grams.groupBy(
+        _bucket(F.col("_g"), buckets, portable).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("c"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    *,
+    n: int = 2,
+    buckets: int = 10_000,
+    add_k: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document importance log-weight
+    ``sum_f log p_target(f) - log p_raw(f)`` over the doc's hashed
+    n-gram feature occurrences, with add-k smoothing over the bucket
+    space — "Data Selection for Language Models via Importance
+    Resampling" (Xie et al., 2023).  Select by weight (deterministic
+    top-fraction) or resample with seeded Gumbel noise on top of it.
+
+    Output: (id, n_features, weight).  Scale shape: both count frames
+    are <= ``buckets`` rows (broadcast-able); the doc side is a map
+    stage + two broadcast joins + one hash-agg; totals ride as 1-row
+    broadcasts.  Docs with no features get weight NULL.
+    """
+    base = docs.select(F.col(id_col), _ascii_tokens(text_col).alias("_t"))
+    feats = base.select(
+        id_col,
+        F.explode(
+            F.concat(
+                *[_gram_strings(F.col("_t"), k) for k in range(1, n + 1)]
+            )
+        ).alias("_g"),
+    ).select(id_col, _bucket(F.col("_g"), buckets, portable).alias("bucket"))
+    t_tot = target_counts.agg(F.sum("c").cast("double").alias("_nt"))
+    r_tot = raw_counts.agg(F.sum("c").cast("double").alias("_nr"))
+    k = float(add_k)
+    b = float(buckets)
+    joined = (
+        feats.join(
+            F.broadcast(target_counts.withColumnRenamed("c", "_ct")),
+            "bucket",
+            "left",
+        )
+        .join(
+            F.broadcast(raw_counts.withColumnRenamed("c", "_cr")),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    logw = (
+        F.log(F.coalesce("_ct", F.lit(0)) + F.lit(k))
+        - F.log(F.col("_nt") + F.lit(k * b))
+        - F.log(F.coalesce("_cr", F.lit(0)) + F.lit(k))
+        + F.log(F.col("_nr") + F.lit(k * b))
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_features"),
+        F.sum(logw).alias("weight"),
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+        "weight",
+    )
+
+
+def dsir_sample(
+    weighted: DataFrame,
+    *,
+    fraction: float,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    seed: int = 42,
+    gumbel: bool = True,
+) -> DataFrame:
+    """Select ~``fraction`` of documents by importance weight.  With
+    ``gumbel=True`` (the paper's sampling-without-replacement view):
+    rank by ``weight + Gumbel(seed, id)`` where the noise is a
+    DETERMINISTIC function of (seed, id) — md5-bucket uniform through
+    the inverse-Gumbel transform — so the realized sample is stable
+    under repartitioning and reproducible on any engine; with
+    ``gumbel=False`` a pure top-fraction by weight (ties to smaller
+    id).  NULL-weight docs (no features) never selected.
+
+    The rank threshold uses percent_rank over the weight ordering —
+    one window over (weight, id); at extreme scale swap for an
+    approx-quantile cutoff, the same trade as perplexity_bucket.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":{seed}")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    # clamp away from 0/1 so the double log stays finite
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    key = (
+        F.col(weight_col) + (-F.log(-F.log(u)))
+        if gumbel
+        else F.col(weight_col)
+    )
+    w = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    ranked = (
+        weighted.filter(F.col(weight_col).isNotNull())
+        .withColumn("_key", key)
+        .withColumn("_pr", F.percent_rank().over(w))
+    )
+    return ranked.filter(F.col("_pr") < F.lit(float(fraction))).drop(
+        "_key", "_pr"
+    )

@@ -319,3 +319,61 @@ def test_train_ngram_lm_validates_n(spark):
 
     with pytest.raises(ValueError):
         train_ngram_lm(_docs(spark, [(0, "a b")]), n=0)
+
+
+# ------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_identity_and_direction(spark):
+    from hbase_spark.functions.lm import dsir_weights, hashed_ngram_counts
+
+    docs = _docs(
+        spark,
+        [(0, "good text about science"), (1, "spam spam buy now"),
+         (2, "")],
+    )
+    target = hashed_ngram_counts(docs.filter("doc_id = 0"))
+    raw = hashed_ngram_counts(docs)
+    w = {r["doc_id"]: r for r in dsir_weights(docs, target, raw).collect()}
+    # n_features = unigrams + bigrams
+    assert w[0]["n_features"] == 4 + 3
+    assert w[2]["n_features"] == 0 and w[2]["weight"] is None
+    # the target-like doc out-weighs the spam doc
+    assert w[0]["weight"] > w[1]["weight"]
+
+    # target == raw -> every feature's log-ratio cancels exactly
+    same = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(docs, raw, raw).collect()
+        if r["weight"] is not None
+    }
+    assert all(v == 0.0 for v in same.values())
+
+    # portable md5 bucketing computes the same counts per scheme
+    p = hashed_ngram_counts(docs, portable=True)
+    assert p.agg({"c": "sum"}).first()[0] == raw.agg({"c": "sum"}).first()[0]
+
+
+def test_dsir_sample_deterministic_and_top_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_spark.functions.lm import dsir_sample
+
+    weighted = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)] + [(100, None)],
+        "doc_id long, weight double",
+    )
+    a = {r["doc_id"] for r in dsir_sample(weighted, fraction=0.2).collect()}
+    b = {r["doc_id"] for r in dsir_sample(weighted, fraction=0.2).collect()}
+    assert a == b and 0 < len(a) <= 30
+    assert 100 not in a  # NULL weight never selected
+
+    # gumbel=False: pure top-fraction by weight
+    top = dsir_sample(weighted, fraction=0.1, gumbel=False)
+    got = {r["doc_id"]: r["weight"] for r in top.collect()}
+    assert all(v == 9.0 for v in got.values())
+
+    # a different seed draws a different (still deterministic) sample
+    c = {r["doc_id"] for r in
+         dsir_sample(weighted, fraction=0.2, seed=7).collect()}
+    assert c != a
