@@ -245,6 +245,11 @@ def median_mass_midpoint(
     straddling bucket only (one bounded partition) and walks it with
     a cumulative-sum window.  No full-table sort, no unbounded
     collect.
+
+    Choose ``prefix_len`` so the prefixes actually split the keyspace
+    (padded numeric keys: the first digits that vary); if every key
+    shares the prefix the algorithm stays correct but phase 2
+    degenerates to a single sorted partition of the whole input.
     """
     rows = df.select(
         order.cast("string").alias("_k"),

@@ -82,7 +82,16 @@ def stream_curate_warc(
     records = stream_warc(
         spark, crawl_dir, max_files_per_trigger=max_files_per_trigger
     )
-    docs = warc_documents(records, with_date=True)
+    # a record without a (parseable) WARC-Date must not feed a NULL
+    # event time into the watermark, and epoch 0 is no better — Spark's
+    # INITIAL watermark is epoch 0, so an epoch-0 row is already "late"
+    # and silently dropped.  The standard fallback for missing event
+    # time is arrival time (the micro-batch timestamp): always inside
+    # the horizon, so the record ingests and dedups on first sight.
+    docs = warc_documents(records, with_date=True).withColumn(
+        "warc_ts",
+        F.coalesce("warc_ts", F.unix_millis(F.current_timestamp())),
+    )
     deduped = stream_url_dedup(
         docs,
         url_col="source",

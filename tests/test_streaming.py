@@ -581,3 +581,37 @@ def test_stream_curate_warc_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == len(rows)
+
+
+def test_stream_curate_warc_handles_missing_date(spark, tmp_path):
+    """A record without a parseable WARC-Date must not feed a NULL
+    event time into the watermark — it ingests with epoch-0 time."""
+    from hbase_spark.sources.warc import encode_warc
+    from hbase_spark.streaming.ingest import stream_curate_warc
+
+    good = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+        + "the of and that"
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "a.warc").write_bytes(
+        encode_warc(
+            [
+                {
+                    "warc_type": "response",
+                    "record_id": "<urn:uuid:nd>",
+                    "target_uri": "https://ex.com/undated",
+                    "content_type": "text/plain",
+                    "content": good.encode(),
+                }
+            ]
+        )
+    )
+    q = stream_curate_warc(
+        spark, str(crawl), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 1
+    assert out.first()["source"] == "https://ex.com/undated"
