@@ -141,12 +141,22 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    shards: int = 1,
 ) -> DataFrame:
     """Top-``k`` BM25 hits per query: (query_id, doc_id, rank, score),
     rank tie-broken deterministically by doc id.  The per-query
     partition count is ¦queries¦ — the window ranks each query's
     matched postings only (docs sharing no term never enter), so the
     sort input is the matched set, not the corpus.
+
+    A stop-word-ish query term can still match most of the corpus; for
+    that case pass ``shards > 1``: a first window takes the top-k
+    within each (query, doc-hash shard) — partitions of 1/shards the
+    matched set — and the final per-query window ranks at most
+    ``shards * k`` survivors.  Results are identical to the
+    single-stage form (the global top-k is contained in the union of
+    per-shard top-ks); the default stays 1 because two windows cost
+    an extra shuffle the common selective query never needs.
     """
     spark = docs.sparkSession
     # The postings frame feeds both the score join and the df agg —
@@ -166,9 +176,17 @@ def bm25_topk(
         k1=k1,
         b=b,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
+    order = (F.col("score").desc(), F.col(id_col).asc())
+    if shards > 1:
+        ws = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("_sr", F.row_number().over(ws))
+            .filter(F.col("_sr") <= k)
+            .drop("_sr")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

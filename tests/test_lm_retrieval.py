@@ -377,3 +377,21 @@ def test_dsir_sample_deterministic_and_top_weighted(spark):
     c = {r["doc_id"] for r in
          dsir_sample(weighted, fraction=0.2, seed=7).collect()}
     assert c != a
+
+
+def test_bm25_sharded_topk_equals_single_stage(spark):
+    """shards>1 (the stop-word scale path) returns exactly the
+    single-stage result — the global top-k is contained in the union
+    of per-shard top-ks."""
+    docs = _docs(
+        spark,
+        [(i, f"common tok{i % 13} other{i % 5}") for i in range(200)],
+    )
+    qs = [(1, "common"), (2, "tok3 other1")]
+    one = bm25_topk(docs, qs, k=7)
+    sharded = bm25_topk(docs, qs, k=7, shards=8)
+    a = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 10))
+         for r in one.collect()}
+    b = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 10))
+         for r in sharded.collect()}
+    assert a == b and len(a) > 0
