@@ -77,8 +77,11 @@ def shingle_arrays(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(_id, _g) — per-doc shingle ARRAY with zero shuffle.
+    """(_id, _g[, *extra_cols]) — per-doc shingle ARRAY with zero
+    shuffle; ``extra_cols`` pass through untouched (e.g. an event-time
+    column for the streaming twin).
 
     Two projection stages so the token split is materialized once as a
     real column before the gram transform reads it (inlining the split
@@ -93,7 +96,9 @@ def shingle_arrays(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
-    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("_t"), *extra_cols
+    )
     grams = F.when(
         F.size("_t") >= n,
         F.transform(
@@ -101,7 +106,7 @@ def shingle_arrays(
             lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", F.col("_t"))))
-    return base.select("_id", grams.alias("_g"))
+    return base.select("_id", grams.alias("_g"), *extra_cols)
 
 
 def shingle_frame(

@@ -103,3 +103,133 @@ def stream_url_dedup(
         .dropDuplicatesWithinWatermark(["_uh"])
         .drop("_event_time", "_uh")
     )
+
+
+def stream_minhash_candidates(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    cap: int = 1024,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 24 * 3_600_000,
+) -> DataFrame:
+    """Streaming MinHash near-dup detection — the batch
+    ``minhash_candidates`` banding as an ingest-time operator: a new
+    document becomes a candidate pair with EVERY earlier document that
+    shares any LSH band bucket within the state horizon.  This is the
+    near-dup twin of ``stream_dedup`` (exact) and ``stream_url_dedup``
+    (URL): what a continuously-fed crawl actually wants, since batch
+    near-dedup over the full corpus can't run per-arrival.
+
+    Signatures and band buckets are computed MAP-SIDE with the exact
+    expressions the batch path uses (``minhash_signature`` + the
+    ``xxhash64(band, slots...)`` bucket hash), so stream and batch
+    agree on what "same bucket" means — the stream==batch law is
+    pytest-pinned.  State per bucket is a capped long-id list (first
+    ``cap`` arrivals; later members still PAIR with the stored ones
+    but stop being stored — the same truncation contract as the batch
+    ``_capped_groups`` default), evicted ``state_ttl_ms`` after the
+    bucket's latest event time once the watermark passes (event-time
+    timeout).  Output: (a, b) candidate id pairs, a < b, distinct per
+    micro-batch per bucket; the same pair can re-emit from another
+    band's bucket — downstream exact-Jaccard verification (join the
+    doc store, ``minhash_pairs``-style) naturally dedups.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hbase_spark.functions.dedup import minhash_signature, shingle_arrays
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = shingle_arrays(
+        stream, id_col=id_col, text_col=text_col, n=shingle_n,
+        extra_cols=(ts_col,),
+    ).select(
+        "_id",
+        F.timestamp_millis(F.col(ts_col)).alias("_event_time"),
+        minhash_signature(F.col("_g"), num_hashes).alias("_sig"),
+    )
+    banded = sigs.select(
+        "_id",
+        "_event_time",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at(F.col("_sig"), b * r + j + 1)
+                            for j in range(r)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    )
+
+    out_schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("ids", ArrayType(LongType()))]
+    )
+    ttl = int(state_ttl_ms)
+
+    def _fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = list(state.get[0]) if state.exists else []
+        frames = [p for p in pdfs]
+        batch = (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(columns=["_id", "_event_time"])
+        )
+        new = sorted(set(int(x) for x in batch["_id"]) - set(seen))
+        pairs = set()
+        for x in new:
+            for s in seen:
+                pairs.add((min(x, s), max(x, s)))
+        for i, x in enumerate(new):
+            for y in new[i + 1:]:
+                pairs.add((x, y))
+        room = cap - len(seen)
+        if room > 0:
+            seen = seen + new[:room]
+        state.update((seen,))
+        if len(batch):
+            latest = int(batch["_event_time"].max().timestamp() * 1000)
+            state.setTimeoutTimestamp(latest + ttl)
+        if pairs:
+            ordered = sorted(pairs)
+            yield pd.DataFrame(
+                {"a": [p[0] for p in ordered], "b": [p[1] for p in ordered]}
+            )
+
+    return (
+        banded.withWatermark("_event_time", watermark)
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            _fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -615,3 +615,68 @@ def test_stream_curate_warc_handles_missing_date(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 1
     assert out.first()["source"] == "https://ex.com/undated"
+
+
+def test_stream_minhash_candidates_equals_batch_banding(spark, dirs):
+    """Streaming MinHash near-dup (streaming/dedup.py
+    stream_minhash_candidates): over an availableNow run the emitted
+    candidate-pair SET equals batch minhash_candidates on the same
+    docs — including pairs whose members arrived in DIFFERENT
+    micro-batches (the bucket state carries the earlier member)."""
+    from hbase_spark.functions.dedup import minhash_candidates
+    from hbase_spark.streaming.dedup import stream_minhash_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away into the deep dark forest tonight"
+    )
+    rows1 = [
+        (1, base, 1_700_000_000_000),
+        (2, base + " extra", 1_700_000_001_000),
+        (3, "completely different words about spark shuffles and joins",
+         1_700_000_002_000),
+    ]
+    rows2 = [
+        (4, base + " again", 1_700_000_003_000),  # pairs with 1 and 2
+        (5, "completely different words about spark shuffles and joins!",
+         1_700_000_004_000),                       # pairs with 3
+    ]
+    schema = "doc_id long, text string, ts long"
+    log = dirs["log"]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(log)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(log)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(log)
+    )
+    q = (
+        stream_minhash_candidates(stream, bands=16, num_hashes=64)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mh_cands")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.a, r.b)
+        for r in spark.sql("SELECT DISTINCT a, b FROM mh_cands").collect()
+    }
+
+    docs = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(docs, bands=16, num_hashes=64).collect()
+    }
+    assert got == want
+    # the near-dup structure itself: the base-text clones all pair up,
+    # the different doc pairs only with its own near-clone
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert (3, 5) in got
+    assert not any({a, b} & {1, 2, 4} and {a, b} & {3, 5} for a, b in got)
