@@ -751,3 +751,77 @@ def dsir_sample(
     return ranked.filter(F.col("_pr") < F.lit(float(fraction))).drop(
         "_key", "_pr"
     )
+
+
+def lm_score_routed(
+    docs: DataFrame,
+    lms: dict[str, BigramLM],
+    *,
+    lang_col: str = "lang",
+    default: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language LM routing — the full CC-Net arrangement (one LM
+    per language, each document scored by ITS language's model):
+    filter + score per language, union the slices, each row tagged
+    with ``lm_lang``.  Documents whose language has no LM score with
+    ``lms[default]`` when given and are dropped otherwise.
+
+    The union has one branch per LM — a handful — and each branch is
+    the plain lm_score plan over its language's slice; Spark runs the
+    branches independently, so this costs the same as scoring each
+    slice separately, with no shuffle added by the union.
+    """
+    if not lms:
+        raise ValueError("lms must contain at least one language model")
+    if default is not None and default not in lms:
+        raise ValueError("default must name a key of lms")
+    parts = []
+    langs = sorted(lms)
+    for lang in langs:
+        part = lm_score(
+            docs.filter(F.col(lang_col) == lang),
+            lms[lang],
+            id_col=id_col,
+            text_col=text_col,
+        ).withColumn("lm_lang", F.lit(lang))
+        parts.append(part)
+    if default is not None:
+        rest = docs.filter(
+            ~F.col(lang_col).isin(langs) | F.col(lang_col).isNull()
+        )
+        parts.append(
+            lm_score(
+                rest, lms[default], id_col=id_col, text_col=text_col
+            ).withColumn("lm_lang", F.lit(default))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def perplexity_thresholds(
+    scored: DataFrame,
+    *,
+    col: str = "log_ppl",
+    probs: tuple[float, float] = (1 / 3, 2 / 3),
+    accuracy: int = 10_000,
+) -> tuple[float, float]:
+    """The CC-Net head/tail cut points: percentiles of a REFERENCE
+    scored distribution (the paper buckets each language at its own
+    33/66 perplexity percentiles).  Returns (head, tail) floats for
+    ``perplexity_bucket``.  Uses percentile_approx — a fixed-size,
+    map-side-combinable sketch; the cut points land within 1/accuracy
+    of the exact quantile, which is noise relative to the bucket
+    semantics (the paper's thresholds are themselves heuristic).
+    """
+    lo, hi = probs
+    if not 0 < lo < hi < 1:
+        raise ValueError("probs must satisfy 0 < lo < hi < 1")
+    row = scored.filter(F.col(col).isNotNull()).agg(
+        F.percentile_approx(col, F.lit(float(lo)), F.lit(accuracy)).alias("_l"),
+        F.percentile_approx(col, F.lit(float(hi)), F.lit(accuracy)).alias("_h"),
+    ).first()
+    return float(row["_l"]), float(row["_h"])

@@ -395,3 +395,59 @@ def test_bm25_sharded_topk_equals_single_stage(spark):
     b = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 10))
          for r in sharded.collect()}
     assert a == b and len(a) > 0
+
+
+def test_lm_score_routed_per_language(spark):
+    """CC-Net routing: each doc is scored by ITS language's LM, so an
+    in-distribution doc scores near-zero log_ppl under its own model
+    while the cross-scored form would not; unknown languages go to the
+    default or drop."""
+    from hbase_spark.functions.lm import lm_score_routed
+
+    en = _docs(spark, [(0, "aa bb aa bb aa bb")])
+    de = _docs(spark, [(1, "xx yy xx yy xx yy")])
+    lms = {"en": train_bigram_lm(en), "de": train_bigram_lm(de)}
+    docs = spark.createDataFrame(
+        [(10, "aa bb aa", "en"), (11, "xx yy xx", "de"),
+         (12, "aa bb", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_score_routed(docs, lms, default="en").collect()
+    }
+    assert out[10]["lm_lang"] == "en" and out[11]["lm_lang"] == "de"
+    assert out[12]["lm_lang"] == "en"  # unknown lang -> default
+    # each in-distribution doc has zero OOV under its own model
+    assert out[10]["n_oov_bigrams"] == 0
+    assert out[11]["n_oov_bigrams"] == 0
+    # without a default, the unknown-language doc is dropped
+    dropped = lm_score_routed(docs, lms)
+    assert {r["doc_id"] for r in dropped.collect()} == {10, 11}
+    with pytest.raises(ValueError):
+        lm_score_routed(docs, lms, default="zz")
+    with pytest.raises(ValueError):
+        lm_score_routed(docs, {})
+
+
+def test_perplexity_thresholds_percentiles(spark):
+    from hbase_spark.functions.lm import (
+        perplexity_bucket,
+        perplexity_thresholds,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(100, None)],
+        "doc_id long, log_ppl double",
+    )
+    head, tail = perplexity_thresholds(scored)
+    assert 30 <= head <= 36 and 63 <= tail <= 69
+    b = perplexity_bucket(scored, head=head, tail=tail)
+    counts = {r["ppl_bucket"]: r["count"]
+              for r in b.groupBy("ppl_bucket").count().collect()}
+    # roughly thirds, with the NULL row bucketed tail
+    assert abs(counts["head"] - 33) <= 4
+    assert abs(counts["middle"] - 33) <= 4
+    assert abs(counts["tail"] - 34) <= 5
+    with pytest.raises(ValueError):
+        perplexity_thresholds(scored, probs=(0.7, 0.3))
