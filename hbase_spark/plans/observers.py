@@ -139,8 +139,20 @@ class ObservedTable:
             unfiltered = self.table.scan(
                 _replace(spec, filter=None, limit=None)
             )
+            # Diff against the filter-KEPT set pre-limit, not the
+            # final (possibly limit-truncated) output: the reference
+            # hook fires only for rows the FILTER excluded, so rows
+            # the filter kept but the limit cut must not reach it —
+            # otherwise audits overcount and a rescue hook could
+            # resurrect limit-truncated rows, breaking the limit
+            # contract.
+            kept = (
+                out
+                if spec.limit is None
+                else self.table.scan(_replace(spec, limit=None))
+            )
             dropped = unfiltered.join(
-                out.select("row").distinct(), "row", "left_anti"
+                kept.select("row").distinct(), "row", "left_anti"
             )
             for ob in self.observers:
                 if ob.post_scanner_filter_row:

@@ -193,13 +193,30 @@ def warc_documents(
         F.length(text).alias("n_chars"),
     ]
     if with_date:
-        cols.append(
-            F.unix_millis(
-                F.to_timestamp(
-                    F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
-                )
-            ).alias("warc_ts")
+        # try_to_timestamp, not to_timestamp: under Spark 4's ANSI
+        # default a present-but-unparseable WARC-Date would throw and
+        # kill the stream; NULL instead flows to the ingest pipeline's
+        # arrival-time fallback.  WARC 1.0 dates are second-precision;
+        # WARC 1.1 allows fractional seconds (up to nanos) — cover
+        # both, plus a trailing-junk-tolerant final form.
+        parsed = F.coalesce(
+            F.try_to_timestamp(
+                F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            ),
+            F.try_to_timestamp(
+                F.col("warc_date"),
+                F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            ),
+            F.try_to_timestamp(
+                F.regexp_extract(
+                    F.col("warc_date"),
+                    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})",
+                    1,
+                ),
+                F.lit("yyyy-MM-dd'T'HH:mm:ss"),
+            ),
         )
+        cols.append(F.unix_millis(parsed).alias("warc_ts"))
     return (
         warc.filter(F.col("warc_type").isin("response", "conversion"))
         .select(*cols)

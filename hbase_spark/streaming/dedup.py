@@ -158,11 +158,13 @@ def stream_minhash_candidates(
         extra_cols=(ts_col,),
     ).select(
         "_id",
+        F.col(ts_col).cast("long").alias("_ts_ms"),
         F.timestamp_millis(F.col(ts_col)).alias("_event_time"),
         minhash_signature(F.col("_g"), num_hashes).alias("_sig"),
     )
     banded = sigs.select(
         "_id",
+        "_ts_ms",
         "_event_time",
         F.explode(
             F.array(
@@ -199,7 +201,7 @@ def stream_minhash_candidates(
         batch = (
             pd.concat(frames)
             if frames
-            else pd.DataFrame(columns=["_id", "_event_time"])
+            else pd.DataFrame(columns=["_id", "_ts_ms"])
         )
         new = sorted(set(int(x) for x in batch["_id"]) - set(seen))
         pairs = set()
@@ -214,7 +216,13 @@ def stream_minhash_candidates(
             seen = seen + new[:room]
         state.update((seen,))
         if len(batch):
-            latest = int(batch["_event_time"].max().timestamp() * 1000)
+            # the raw epoch-millis column, NOT the converted
+            # _event_time: Arrow hands timestamps over as
+            # session-timezone-naive, and pandas' .timestamp() would
+            # re-interpret them as UTC — shifting the timeout by the
+            # zone offset under any non-UTC session timezone (and a
+            # negative shift can land below the watermark and raise).
+            latest = int(batch["_ts_ms"].max())
             state.setTimeoutTimestamp(latest + ttl)
         if pairs:
             ordered = sorted(pairs)

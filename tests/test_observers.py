@@ -422,6 +422,23 @@ def test_scanner_lifecycle_hooks_audit_and_rescue(spark):
     assert "filtered_rows" not in audit2
     assert audit2["opened"] == 1
 
+    # filter + limit: the hook sees only FILTER-dropped rows — rows
+    # the filter kept but the limit cut must not reach it (the
+    # reference hook fires per filter-excluded row), so the audit
+    # counts 1 (r3) not 2, and a rescue targeting the limit-cut row
+    # (r2) resurrects nothing — the limit contract holds.
+    audit3 = {}
+    spec_lim = Scan(filter=F.col("value") < "8", limit=1)  # keeps r1
+    ot3 = ObservedTable(t, [scan_auditing_observer(audit3)])
+    got3 = {r.row for r in ot3.scan(spec_lim).collect()}
+    assert got3 == {"r1"}
+    assert audit3["filtered_rows"] == 1  # r3 only
+    ot4 = ObservedTable(t, [row_rescue_observer(F.col("row") == "r2")])
+    assert {r.row for r in ot4.scan(spec_lim).collect()} == {"r1"}
+    # while a genuinely filter-dropped row still rescues
+    ot5 = ObservedTable(t, [row_rescue_observer(F.col("row") == "r3")])
+    assert {r.row for r in ot5.scan(spec_lim).collect()} == {"r1", "r3"}
+
 
 def test_exists_hooks_short_circuit_and_rewrite(spark):
     from hbase_spark.plans.observers import Observer

@@ -1727,6 +1727,35 @@ def test_warc_ingestion_through_spark(spark, tmp_path):
     assert st[got["http://ex.org/3"].doc_id].n_dup_grams == 0
 
 
+def test_warc_documents_date_parsing(spark, tmp_path):
+    """warc_documents(with_date=True) must parse WARC 1.0
+    second-precision dates, WARC 1.1 fractional-second dates, and
+    yield NULL (not an ANSI throw) for malformed dates so the ingest
+    pipeline's arrival-time fallback can take over."""
+    from hbase_spark.sources.warc import encode_warc, read_warc, warc_documents
+
+    def resp(i, date):
+        return {
+            "warc_type": "response", "record_id": f"<urn:uuid:{i}>",
+            "target_uri": f"http://ex.org/{i}", "warc_date": date,
+            "content": b"some body text",
+        }
+
+    (tmp_path / "d.warc").write_bytes(encode_warc([
+        resp(1, "2023-01-01T12:00:00Z"),          # WARC 1.0
+        resp(2, "2023-01-01T12:00:00.123Z"),      # WARC 1.1 millis
+        resp(3, "2023-01-01T12:00:00.123456789Z"),  # WARC 1.1 nanos
+        resp(4, "not-a-date"),                    # malformed -> NULL
+    ]))
+    docs = warc_documents(read_warc(spark, str(tmp_path)), with_date=True)
+    got = {r.source: r.warc_ts for r in docs.collect()}
+    base = 1672574400000  # 2023-01-01T12:00:00Z in epoch millis
+    assert got["http://ex.org/1"] == base
+    assert got["http://ex.org/2"] == base + 123
+    assert got["http://ex.org/3"] == base  # truncated to seconds
+    assert got["http://ex.org/4"] is None
+
+
 def test_semantic_dedup(spark):
     """SemDeDup: within-cluster cosine dups drop to one representative
     (smallest id); near-but-below-threshold and unrelated vectors are

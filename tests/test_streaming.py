@@ -680,3 +680,56 @@ def test_stream_minhash_candidates_equals_batch_banding(spark, dirs):
     assert (1, 2) in got and (1, 4) in got and (2, 4) in got
     assert (3, 5) in got
     assert not any({a, b} & {1, 2, 4} and {a, b} & {3, 5} for a, b in got)
+
+
+def test_stream_minhash_state_timeout_non_utc_timezone(spark, dirs):
+    """The state timeout must come from the RAW epoch millis, not a
+    pandas conversion of the session-tz-naive event time: under a
+    non-UTC session timezone the naive->UTC reinterpretation shifts
+    the timeout by the zone offset, and with a short TTL a negative
+    shift lands BELOW the watermark — setTimeoutTimestamp raises and
+    the query dies.  Pin the fix by running with a UTC-5 zone and a
+    1s TTL: the query must complete and still emit the cross-batch
+    pair."""
+    from hbase_spark.streaming.dedup import stream_minhash_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away into the deep dark forest tonight"
+    )
+    schema = "doc_id long, text string, ts long"
+    log = dirs["log"]
+    spark.createDataFrame(
+        [(1, base, 1_700_000_000_000)], schema
+    ).coalesce(1).write.mode("append").parquet(log)
+    spark.createDataFrame(
+        [(2, base + " extra", 1_700_000_001_000)], schema
+    ).coalesce(1).write.mode("append").parquet(log)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(log)
+        )
+        q = (
+            stream_minhash_candidates(
+                stream, bands=16, num_hashes=64,
+                watermark="1 second", state_ttl_ms=1_000,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mh_tz")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.a, r.b)
+            for r in spark.sql("SELECT DISTINCT a, b FROM mh_tz").collect()
+        }
+        assert (1, 2) in got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
