@@ -4203,14 +4203,29 @@ def _dsir_arm(spark, sf):
     buckets via the PORTABLE md5 scheme so the DuckDB twin replays the
     identical bucket collisions.  value = feature count : 4-decimal
     importance log-weight — training counts, both totals, the
-    smoothing, and the per-doc sum are all hash-checked."""
-    from hbase_spark.functions.lm import dsir_weights, hashed_ngram_counts
+    smoothing, and the per-doc sum are all hash-checked.
+
+    One tokenize+md5 pass: the (doc_id, lang, bucket) feature frame is
+    checkpointed and all three DSIR inputs (target counts, raw counts,
+    per-doc weight sum) derive from it — the naive form tokenizes the
+    corpus three times, and the portable md5 bucket is the expensive
+    part of the whole chain."""
+    from hbase_spark.functions.lm import (
+        dsir_weights,
+        hashed_ngram_counts,
+        hashed_ngram_features,
+    )
 
     docs = load_table(spark, sf, "documents")
     kw = dict(n=2, buckets=10_000, portable=True)
-    target = hashed_ngram_counts(docs.filter(F.col("lang") == "en"), **kw)
-    raw = hashed_ngram_counts(docs, **kw)
-    w = dsir_weights(docs, target, raw, **kw)
+    feats = hashed_ngram_features(
+        docs, extra_cols=("lang",), **kw
+    ).localCheckpoint(eager=False)
+    target = hashed_ngram_counts(
+        docs, features=feats.filter(F.col("lang") == "en"), **kw
+    )
+    raw = hashed_ngram_counts(docs, features=feats, **kw)
+    w = dsir_weights(docs, target, raw, features=feats, **kw)
     return w.select(
         "doc_id",
         F.concat_ws(

@@ -813,16 +813,27 @@ def semantic_dedup(
     """
     from hbase_spark.functions.similarity import cosine, ivf_centroids
 
+    n = None
     if nlist == "auto":
-        nlist = max(16, -(-vecs.count() // 256))
+        n = vecs.count()
+        nlist = max(16, -(-n // 256))
     if centroids is None:
+        # share the auto-nlist count with the centroid sampler — one
+        # count job, not two identical ones over the same scan
         centroids = ivf_centroids(
-            vecs, vec_col=vec_col, id_col=id_col, nlist=nlist
+            vecs, vec_col=vec_col, id_col=id_col, nlist=nlist, n=n
         )
+    # The assignment feeds FOUR consumers (bucket pairs, both sides of
+    # the candidate-vector fetch, the final keep join); checkpointing
+    # materializes the Arrow-batched matmul + upstream scan once
+    # instead of four times.  Same lifecycle pattern as the fused
+    # minhash path; the paper's pipeline materializes cluster
+    # assignments too — (id, vec, list_id) is corpus-sized but spills
+    # (MEMORY_AND_DISK), never OOMs.
     assigned = _assign_clusters_arrow(
         vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         centroids,
-    )
+    ).localCheckpoint(eager=False)
     pairs = _bucket_pairs(
         assigned, "list_id", cap=cap, on_overflow=on_overflow
     )

@@ -601,6 +601,40 @@ def lm_score_backoff(
 # --------------------------------------------------------------------
 
 
+def hashed_ngram_features(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """DSIR's per-occurrence feature frame: one row per hashed n-gram
+    occurrence — (id, [extra passthrough cols,] bucket).  The single
+    tokenize+hash pass every DSIR input derives from: raw counts are
+    ``groupBy(bucket).count()``, target counts the same over a label
+    slice (pass the label through ``extra_cols``), and the per-doc
+    weight sum groups by id.  Checkpoint it when feeding all three —
+    the paper's pipeline materializes hashed features once too, and
+    (id, bucket) rows are about the size of the tokens themselves."""
+    base = docs.select(
+        F.col(id_col), *extra_cols, _ascii_tokens(text_col).alias("_t")
+    )
+    return base.select(
+        id_col,
+        *extra_cols,
+        F.explode(
+            F.concat(
+                *[_gram_strings(F.col("_t"), k) for k in range(1, n + 1)]
+            )
+        ).alias("_g"),
+    ).select(
+        id_col, *extra_cols, _bucket(F.col("_g"), buckets, portable).alias("bucket")
+    )
+
+
 def hashed_ngram_counts(
     docs: DataFrame,
     *,
@@ -608,6 +642,7 @@ def hashed_ngram_counts(
     buckets: int = 10_000,
     text_col: str = "text",
     portable: bool = False,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR's feature extractor: word n-grams (unigrams AND bigrams for
     n=2, matching the paper's unigram+bigram bag) hashed into
@@ -615,18 +650,21 @@ def hashed_ngram_counts(
     pass, one hash-agg; the "model" is at most ``buckets`` rows.
     ``portable=True`` buckets by the md5 scheme (slower; engine-
     portable — use it when a SQL twin must replay the weights).
+    Pass a precomputed ``hashed_ngram_features`` frame (``features``)
+    to skip re-tokenizing — only its ``bucket`` column is read.
     """
-    base = docs.select(_ascii_tokens(text_col).alias("_t"))
-    grams = base.select(
-        F.explode(
-            F.concat(
-                *[_gram_strings(F.col("_t"), k) for k in range(1, n + 1)]
-            )
-        ).alias("_g")
+    if features is None:
+        base = docs.select(_ascii_tokens(text_col).alias("_t"))
+        features = base.select(
+            F.explode(
+                F.concat(
+                    *[_gram_strings(F.col("_t"), k) for k in range(1, n + 1)]
+                )
+            ).alias("_g")
+        ).select(_bucket(F.col("_g"), buckets, portable).alias("bucket"))
+    return features.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("c")
     )
-    return grams.groupBy(
-        _bucket(F.col("_g"), buckets, portable).alias("bucket")
-    ).agg(F.count("*").cast("long").alias("c"))
 
 
 def dsir_weights(
@@ -640,6 +678,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance log-weight
     ``sum_f log p_target(f) - log p_raw(f)`` over the doc's hashed
@@ -651,17 +690,23 @@ def dsir_weights(
     Output: (id, n_features, weight).  Scale shape: both count frames
     are <= ``buckets`` rows (broadcast-able); the doc side is a map
     stage + two broadcast joins + one hash-agg; totals ride as 1-row
-    broadcasts.  Docs with no features get weight NULL.
+    broadcasts.  Docs with no features get weight NULL.  Pass a
+    precomputed ``hashed_ngram_features`` frame (``features``) to skip
+    re-tokenizing — with a checkpointed feature frame the whole DSIR
+    chain tokenizes the corpus ONCE instead of three times.
     """
-    base = docs.select(F.col(id_col), _ascii_tokens(text_col).alias("_t"))
-    feats = base.select(
-        id_col,
-        F.explode(
-            F.concat(
-                *[_gram_strings(F.col("_t"), k) for k in range(1, n + 1)]
-            )
-        ).alias("_g"),
-    ).select(id_col, _bucket(F.col("_g"), buckets, portable).alias("bucket"))
+    if features is not None:
+        feats = features.select(id_col, "bucket")
+    else:
+        base = docs.select(F.col(id_col), _ascii_tokens(text_col).alias("_t"))
+        feats = base.select(
+            id_col,
+            F.explode(
+                F.concat(
+                    *[_gram_strings(F.col("_t"), k) for k in range(1, n + 1)]
+                )
+            ).alias("_g"),
+        ).select(id_col, _bucket(F.col("_g"), buckets, portable).alias("bucket"))
     t_tot = target_counts.agg(F.sum("c").cast("double").alias("_nt"))
     r_tot = raw_counts.agg(F.sum("c").cast("double").alias("_nr"))
     k = float(add_k)

@@ -184,13 +184,16 @@ def ann_topk(
 # ------------------------------------------------------------ IVF-style
 
 def ivf_centroids(
-    vecs: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id", nlist: int = 16
+    vecs: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id",
+    nlist: int = 16, n: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Coarse centroids: deterministic hash-spread corpus sample — a
     k-means refinement can replace this without changing the probe
     path.  Only ~nlist rows ever reach the driver (a full-corpus
-    collect would be the classic non-distributed mistake)."""
-    n = vecs.count()
+    collect would be the classic non-distributed mistake).  Pass ``n``
+    when the caller already counted the corpus to skip the count job."""
+    if n is None:
+        n = vecs.count()
     step = max(n // nlist, 1)
     picked = (
         vecs.select(id_col, vec_col)

@@ -354,6 +354,40 @@ def test_dsir_weights_identity_and_direction(spark):
     assert p.agg({"c": "sum"}).first()[0] == raw.agg({"c": "sum"}).first()[0]
 
 
+def test_dsir_shared_feature_frame_equals_naive(spark):
+    """The single-pass path (hashed_ngram_features feeding counts AND
+    weights) must produce bit-identical weights to the three-pass
+    naive form — it is the same math over the same buckets, tokenized
+    once."""
+    from hbase_spark.functions.lm import (
+        dsir_weights,
+        hashed_ngram_counts,
+        hashed_ngram_features,
+    )
+
+    docs = _docs(
+        spark,
+        [(0, "good text about science"), (1, "spam spam buy now"),
+         (2, ""), (3, "science text with more words here")],
+    ).withColumn("lang", (F.col("doc_id") % 2 == 0).cast("string"))
+
+    naive_t = hashed_ngram_counts(docs.filter("lang = 'true'"))
+    naive_r = hashed_ngram_counts(docs)
+    naive = {
+        r["doc_id"]: (r["n_features"], r["weight"])
+        for r in dsir_weights(docs, naive_t, naive_r).collect()
+    }
+
+    feats = hashed_ngram_features(docs, extra_cols=("lang",))
+    t = hashed_ngram_counts(docs, features=feats.filter("lang = 'true'"))
+    rw = hashed_ngram_counts(docs, features=feats)
+    shared = {
+        r["doc_id"]: (r["n_features"], r["weight"])
+        for r in dsir_weights(docs, t, rw, features=feats).collect()
+    }
+    assert shared == naive
+
+
 def test_dsir_sample_deterministic_and_top_weighted(spark):
     from pyspark.sql import functions as F
 
