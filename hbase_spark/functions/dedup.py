@@ -753,7 +753,7 @@ def embedding_near_dups(
     Pass ``dim=`` (the embedding dimensionality) to keep the plan
     fully lazy; when omitted, a single-row ``first()`` discovers it,
     which costs one extra driver job before the plan launches."""
-    from hbase_spark.functions.similarity import cosine, hyperplane_sig
+    from hbase_spark.functions.similarity import dot, hyperplane_sig, norm
 
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
@@ -762,12 +762,25 @@ def embedding_near_dups(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
     )
     pairs = _bucket_pairs(s, "_sig", cap=cap, on_overflow=on_overflow)
-    va = s.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = s.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    # norms once per side row, not per pair (interpreted higher-order
+    # eval); the dot keeps its summation order — bit-identical cosine
+    va = s.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        norm(F.col("_v")).alias("_na"),
+    )
+    vb = s.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        norm(F.col("_v")).alias("_nb"),
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -811,7 +824,7 @@ def semantic_dedup(
     (n x 256 / 2) instead of quadratic.  A fixed nlist stops scaling:
     cluster membership grows with the corpus until it trips the cap.
     """
-    from hbase_spark.functions.similarity import cosine, ivf_centroids
+    from hbase_spark.functions.similarity import ivf_centroids
 
     n = None
     if nlist == "auto":
@@ -837,13 +850,29 @@ def semantic_dedup(
     pairs = _bucket_pairs(
         assigned, "list_id", cap=cap, on_overflow=on_overflow
     )
-    va = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    from hbase_spark.functions.similarity import dot, norm
+
+    # norms hoisted to once per SIDE row (the interpreted higher-order
+    # eval is the cost); the per-pair dot keeps its summation order so
+    # the cosine is bit-identical to cosine(_va, _vb)
+    va = assigned.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        norm(F.col("_v")).alias("_na"),
+    )
+    vb = assigned.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        norm(F.col("_v")).alias("_nb"),
+    )
     dups = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos")
+            "id_a",
+            "id_b",
+            (dot(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
     )

@@ -287,11 +287,24 @@ def semantic_decontaminate(
     For eval sets too large to broadcast, pre-bucket with ann_index
     and reuse this over each probe bucket.
     """
-    ev = eval_vecs.select(F.col(vec_col).alias("_ev"))
+    # Hoist both norms out of the pair loop: higher-order functions
+    # evaluate interpreted, so computing norm(corpus vec) per EVAL row
+    # (and norm(eval vec) per CORPUS row) triples the per-pair work.
+    # Each side's norm is computed once per row before the cross join;
+    # the per-pair dot keeps its summation order, so the cosine values
+    # are bit-identical to the naive form.
+    ev = eval_vecs.select(
+        F.col(vec_col).alias("_ev"), norm(F.col(vec_col)).alias("_en")
+    )
     scored = (
         corpus.select(id_col, vec_col)
+        .withColumn("_cn", norm(F.col(vec_col)))
         .crossJoin(F.broadcast(ev))
-        .select(id_col, cosine(F.col(vec_col), F.col("_ev")).alias("_c"))
+        .select(
+            id_col,
+            (dot(F.col(vec_col), F.col("_ev"))
+             / (F.col("_cn") * F.col("_en"))).alias("_c"),
+        )
         .groupBy(id_col)
         .agg(F.max("_c").alias("max_eval_cos"))
     )
