@@ -4236,6 +4236,43 @@ def _dsir_arm(spark, sf):
     )
 
 
+def _shuffle_arm(spark, sf):
+    """Seeded deterministic global shuffle (functions/text.py
+    seeded_shuffle) — the epoch-order step of a training export: every
+    doc gets (shard, pos) from the portable md5 permutation, so the
+    full permutation (shard assignment AND within-shard order) is
+    hash-checked against the oracle replaying the same md5 walk.
+    value = shard:pos."""
+    from hbase_spark.functions.text import seeded_shuffle
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    out = seeded_shuffle(docs, seed=7, shards=16)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("shard").cast("string"), F.col("pos").cast("string")
+        ).alias("value"),
+    )
+
+
+_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS hx
+  FROM documents),
+s AS (
+  SELECT doc_id, hx,
+         CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16 AS shard
+  FROM h),
+r AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+           AS pos
+  FROM s)
+SELECT doc_id, CAST(shard AS VARCHAR) || ':' || CAST(pos AS VARCHAR) AS value
+FROM r
+"""
+
+
 _DSIR_GRAMS = (
     "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
     "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
@@ -4504,7 +4541,8 @@ _register_suite(
      ("dsir", _dsir_arm),
      ("nb_lang", _nb_arm),
      ("bm25", _bm25_arm),
-     ("exact_substr", _exact_substr_arm)],
+     ("exact_substr", _exact_substr_arm),
+     ("shuffle_shards", _shuffle_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4531,7 +4569,8 @@ _register_suite(
      ("dsir", _DSIR_SQL),
      ("nb_lang", _NB_SQL),
      ("bm25", _bm25_sql()),
-     ("exact_substr", _EXACT_SUBSTR_SQL)],
+     ("exact_substr", _EXACT_SUBSTR_SQL),
+     ("shuffle_shards", _SHUFFLE_SQL)],
     ["doc_id", "value"],
 )
 
@@ -4698,6 +4737,49 @@ SELECT c.vec_id, round(max(list_cosine_similarity(v, e)), 6) AS score
 FROM c CROSS JOIN ev GROUP BY c.vec_id
 """
 
+def _batch_topk_arm(spark, sf):
+    """Batch retrieval evaluation (functions/similarity.py
+    cosine_topk_batch): three corpus vectors (ids 3, 17, 31) rank the
+    whole corpus in ONE job via the broadcast query frame + two-stage
+    sharded top-k; the full ranking surface is hash-checked through
+    the composite key qid*1e10 + rank*1e8 + vec_id (so query, rank,
+    hit, and 6-decimal score all pin)."""
+    from hbase_spark.functions.similarity import cosine_topk_batch
+
+    vecs = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in vecs.filter(F.col("vec_id").isin(3, 17, 31)).collect()
+    ]
+    out = cosine_topk_batch(vecs, qs, k=10, shards=4)
+    return out.select(
+        (F.col("query_id") * F.lit(10_000_000_000)
+         + F.col("rank").cast("long") * F.lit(100_000_000)
+         + F.col("vec_id")).alias("vec_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_BATCH_TOPK_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id IN (3, 17, 31)),
+s AS (SELECT q.qid, v.vec_id, list_cosine_similarity(v.e, q.qv) AS c
+      FROM v CROSS JOIN q),
+r AS (SELECT qid, vec_id, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+               AS rk
+      FROM s)
+SELECT qid * 10000000000 + rk * 100000000 + vec_id AS vec_id,
+       round(c, 6) AS score
+FROM r WHERE rk <= 10
+"""
+
+
 _register_suite(
     "embedding_ann_suite",
     [("exact_pandas", q_embedding_cosine_topk_pandas),
@@ -4706,12 +4788,14 @@ _register_suite(
      ("ivf_recall", _recall_gated(q_embedding_cosine_topk, _ivf_arm,
                                   _ANN_TAU, "IVF ANN")),
      ("semdedup_clones", _semdedup_arm),
-     ("semantic_decon", _semantic_decon_arm)],
+     ("semantic_decon", _semantic_decon_arm),
+     ("batch_topk", _batch_topk_arm)],
     [("exact_pandas", _EXACT_TOPK_SQL),
      ("ann_recall", _EXACT_TOPK_SQL),
      ("ivf_recall", _EXACT_TOPK_SQL),
      ("semdedup_clones", _SEMDEDUP_SQL),
-     ("semantic_decon", _SEMANTIC_DECON_SQL)],
+     ("semantic_decon", _SEMANTIC_DECON_SQL),
+     ("batch_topk", _BATCH_TOPK_SQL)],
     ["vec_id", "score"],
 )
 

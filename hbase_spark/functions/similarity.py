@@ -107,6 +107,72 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    vecs: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shards: int = 1,
+) -> DataFrame:
+    """Exact top-``k`` by cosine for a BATCH of query vectors — the
+    retrieval-evaluation shape (rank every eval query against the
+    corpus in one job) that per-query ``cosine_topk`` loops would turn
+    into ¦queries¦ driver round-trips.  Output:
+    (query_id, id, rank, score), rank tie-broken by ascending id.
+
+    Scale shape: the query batch rides as a broadcast frame with its
+    norms precomputed, so scoring is one map-side cross join against
+    the corpus scan — corpus vectors never shuffle; only the
+    (query_id, id, score) triples enter the ranking exchange.  A
+    single-stage rank puts each query's whole score column in ONE
+    partition; pass ``shards > 1`` for the two-stage form (per-shard
+    top-k, then top-k of the shards * k survivors) — identical
+    results, the same trade documented on ``bm25_topk``.
+    """
+    from pyspark.sql import Window
+
+    spark = vecs.sparkSession
+    qrows = [
+        (int(qid), [float(x) for x in qv],
+         math.sqrt(sum(float(x) ** 2 for x in qv)) or 1.0)
+        for qid, qv in queries
+    ]
+    q = spark.createDataFrame(
+        qrows, "query_id long, _qv array<double>, _qn double"
+    )
+    scored = (
+        vecs.select(
+            F.col(id_col), F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_cn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            id_col,
+            (dot(F.col("_v"), F.col("_qv"))
+             / (F.col("_cn") * F.col("_qn"))).alias("score"),
+        )
+    )
+    order = (F.col("score").desc(), F.col(id_col).asc())
+    if shards > 1:
+        ws = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("_sr", F.row_number().over(ws))
+            .filter(F.col("_sr") <= k)
+            .drop("_sr")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )
+
+
 # ------------------------------------------------------ hyperplane LSH
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:

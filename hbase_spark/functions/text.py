@@ -727,6 +727,44 @@ def pack_chunks(
     ).withColumnRenamed("_shard", "shard")
 
 
+def seeded_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle for training export — the
+    epoch-order step after chunk/pack: every row gets (shard, pos),
+    a seeded permutation that is stable under repartitioning,
+    reproducible across runs and engines, and different per seed (pass
+    the epoch number for epoch-varied order).  Write
+    ``partitionBy("shard")`` sorted by ``pos`` and the trainer reads
+    shard files in pos order to consume the whole permutation.
+
+    Shard and order both derive from the portable md5 scheme of
+    ``stratified_sample``: sort key = md5(id ':' seed) hex, shard =
+    first 32 bits mod ``shards``.  ``pos`` is the hash-order rank
+    WITHIN the shard — one row_number window per shard, so the sort
+    parallelizes ``shards``-wide instead of serializing on a global
+    ordering (the reason this is not one big orderBy); a uniform hash
+    balances shard sizes to ±O(sqrt(n/shards)).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(shards)
+    ).cast("int")
+    d = df.withColumn("_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return d.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("_h")
+
+
 def duplicate_ngram_stats(
     docs: DataFrame,
     *,

@@ -278,6 +278,63 @@ def test_cosine_topk_self_retrieval(vecs):
     assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
 
 
+def test_cosine_topk_batch_matches_per_query(vecs):
+    """Batch retrieval == the per-query loop, and the two-stage
+    sharded form == the single-stage form (the global top-k is
+    contained in the union of per-shard top-ks)."""
+    from hbase_spark.functions.similarity import cosine_topk_batch
+
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in vecs.orderBy("vec_id").limit(3).collect()
+    ]
+    batch = cosine_topk_batch(vecs, qs, k=5)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.score, 9))
+        for r in batch.collect()
+    }
+    for qid, qv in qs:
+        per = cosine_topk(vecs, qv, k=5).collect()
+        for rank, row in enumerate(per, start=1):
+            assert got[(qid, rank)] == (row.vec_id, round(row.score, 9))
+    sharded = {
+        (r.query_id, r.rank): (r.vec_id, round(r.score, 9))
+        for r in cosine_topk_batch(vecs, qs, k=5, shards=4).collect()
+    }
+    assert sharded == got
+
+
+def test_seeded_shuffle_permutation_laws(spark):
+    """seeded_shuffle: (shard, pos) is a permutation — pos is dense
+    0..n_s-1 within each shard, every row appears once, the result is
+    identical across runs and repartitionings, and a different seed
+    produces a different order."""
+    from hbase_spark.functions.text import seeded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = seeded_shuffle(df, seed=1, shards=8)
+    rows = out.collect()
+    assert len(rows) == 500 and len({r.doc_id for r in rows}) == 500
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # deterministic + repartition-stable
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in seeded_shuffle(df.repartition(13), seed=1, shards=8).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    # a different seed permutes differently
+    other = {
+        (r.doc_id, r.shard, r.pos)
+        for r in seeded_shuffle(df, seed=2, shards=8).collect()
+    }
+    assert other != again
+
+
 def test_ann_matches_brute_force_top1(vecs):
     target = vecs.orderBy("vec_id").limit(5).collect()[3]
     q = list(target.embedding)
