@@ -58,6 +58,8 @@ EXTENDED = [
     "embedding_semantic_decon",  # eval-set embedding decontamination
     "doc_lm_backoff",          # stupid-backoff trigram LM scoring
     "doc_dsir",                # DSIR importance weights
+    "doc_shuffle_shards",      # seeded deterministic epoch shuffle
+    "embedding_batch_topk",    # batched multi-query cosine top-k
 ]
 
 
@@ -83,6 +85,8 @@ def headline_queries() -> dict:
     )
     queries.setdefault("doc_lm_backoff", entrymod._lm_backoff_arm)
     queries.setdefault("doc_dsir", entrymod._dsir_arm)
+    queries.setdefault("doc_shuffle_shards", entrymod._shuffle_arm)
+    queries.setdefault("embedding_batch_topk", entrymod._batch_topk_arm)
     return queries
 
 
