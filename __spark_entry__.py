@@ -4236,6 +4236,109 @@ def _dsir_arm(spark, sf):
     )
 
 
+_C4_BASE = (
+    "first sentence here. second sentence there. third one too.\n"
+    "a question appears now? yes it does!"
+)
+_C4_VARIANTS = [
+    _C4_BASE,                                                    # all-pass
+    _C4_BASE + "\nthis line has a { brace inside it.",           # braces
+    _C4_BASE + "\nlorem ipsum dolor sit amet friends.",          # lorem
+    _C4_BASE + "\nplease buy badstuff right now online.",        # bad word
+    "one single sentence lives here.",                           # < 5 sents
+    _C4_BASE + "\nplease enable javascript to view content.",    # js line
+    _C4_BASE + "\nthis line has no ending punct",                # punct line
+    _C4_BASE + "\ntwo words.",                                   # short line
+]
+
+
+def _c4_arm(spark, sf):
+    """C4 cleaning battery (functions/text.py c4_clean, Raffel et al.
+    2020 §2.2): 8 deterministic variants — all-pass, one per page rule
+    (braces / lorem ipsum / bad word / min sentences) and one per
+    line-retention leg (javascript / no terminal punct / < 3 words).
+    value = the three integer audit counts, the 4 rule bits + keep,
+    and md5 of the line-cleaned text — so both the line filter and
+    every page rule hash-check."""
+    from hbase_spark.functions.text import c4_clean
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    text = F.lit(_C4_VARIANTS[0])
+    for i, v in enumerate(_C4_VARIANTS[1:], start=1):
+        text = F.when(F.pmod("doc_id", F.lit(8)) == i, F.lit(v)).otherwise(text)
+    out = c4_clean(docs.withColumn("text", text), bad_words=("badstuff",))
+    bits = F.concat(
+        *[
+            F.col(k).cast("int").cast("string")
+            for k in ("min_sentences_ok", "no_braces", "no_lorem_ipsum",
+                      "no_bad_words", "keep")
+        ]
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("n_lines").cast("string"),
+            F.col("n_lines_kept").cast("string"),
+            F.col("n_sentences").cast("string"),
+            bits,
+            F.md5("c4_text"),
+        ).alias("value"),
+    )
+
+
+def _c4_sql():
+    def lit(s):
+        return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+    cases = " ".join(
+        f"WHEN {i} THEN {lit(v)}" for i, v in enumerate(_C4_VARIANTS)
+    )
+    rules = {
+        "min_sentences_ok": "n_sent >= 5",
+        "no_braces": "NOT contains(lo, '{') AND NOT contains(lo, '}')",
+        "no_lorem_ipsum": "NOT contains(lo, 'lorem ipsum')",
+        "no_bad_words": (
+            "NOT list_contains("
+            "regexp_split_to_array(lo, '[^a-z0-9]+'), 'badstuff')"
+        ),
+    }
+    bits = " || ".join(
+        f"CAST(CAST(({v}) AS INT) AS VARCHAR)" for v in rules.values()
+    )
+    keep = " AND ".join(f"({v})" for v in rules.values())
+    return f"""
+WITH t AS (
+  SELECT doc_id, CASE doc_id % 8 {cases} END AS text FROM documents),
+l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS ls
+  FROM t),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x ->
+           regexp_matches(rtrim(x), '[.!?"]$')
+           AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+           AND NOT contains(lower(x), 'javascript')) AS ks
+  FROM l),
+c AS (
+  SELECT doc_id, len(ls) AS n_lines, len(ks) AS n_kept,
+         array_to_string(ks, chr(10)) AS clean
+  FROM k),
+m AS (
+  SELECT doc_id, n_lines, n_kept, clean, lower(clean) AS lo,
+         len(regexp_extract_all(clean, '[.!?]')) AS n_sent
+  FROM c)
+SELECT doc_id,
+       CAST(n_lines AS VARCHAR) || ':' || CAST(n_kept AS VARCHAR) || ':'
+       || CAST(n_sent AS VARCHAR) || ':'
+       || {bits} || CAST(CAST(({keep}) AS INT) AS VARCHAR)
+       || ':' || md5(clean) AS value
+FROM m
+"""
+
+
 def _shuffle_arm(spark, sf):
     """Seeded deterministic global shuffle (functions/text.py
     seeded_shuffle) — the epoch-order step of a training export: every
@@ -4542,7 +4645,8 @@ _register_suite(
      ("nb_lang", _nb_arm),
      ("bm25", _bm25_arm),
      ("exact_substr", _exact_substr_arm),
-     ("shuffle_shards", _shuffle_arm)],
+     ("shuffle_shards", _shuffle_arm),
+     ("c4_rules", _c4_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4570,7 +4674,8 @@ _register_suite(
      ("nb_lang", _NB_SQL),
      ("bm25", _bm25_sql()),
      ("exact_substr", _EXACT_SUBSTR_SQL),
-     ("shuffle_shards", _SHUFFLE_SQL)],
+     ("shuffle_shards", _SHUFFLE_SQL),
+     ("c4_rules", _c4_sql())],
     ["doc_id", "value"],
 )
 

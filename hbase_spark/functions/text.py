@@ -317,6 +317,76 @@ def gopher_filter(
     return out.withColumn("keep", keep)
 
 
+def c4_clean(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    bad_words: tuple = (),
+    min_sentences: int = 5,
+    out_col: str = "c4_text",
+) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2 — the other
+    canonical web-filter set next to ``gopher_rules``): line-level
+    retention then page-level drops.
+
+    Lines are KEPT only when they end in a terminal punctuation mark
+    (period / exclamation / question mark / end quote), contain at
+    least 3 words, and do not mention "javascript" (the paper's
+    enable-JS boilerplate rule).  Pages are then flagged when the
+    cleaned text has fewer than ``min_sentences`` sentences, contains
+    a curly bracket (code), the phrase "lorem ipsum" (placeholder
+    text), or any word from ``bad_words`` (plug the standard blocklist
+    at deployment; the default ships empty).  The paper's remaining
+    step — drop all but one occurrence of any three-sentence span —
+    is corpus-level, not per-page: run ``paragraph_dedup`` /
+    ``remove_duplicated_substrings`` after this.
+
+    Output: input + ``out_col`` (the line-cleaned text) + integer
+    audit columns (n_lines, n_lines_kept, n_sentences) + per-rule
+    booleans + ``keep``.  All rules are integer counts or substring
+    tests on regex classes common to Java and RE2 — hash-checkable
+    against a SQL twin.  One line split, single map stage, no shuffle.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 3)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    low = F.lower(clean)
+    bad = F.lit(False)
+    for w in bad_words:
+        bad = bad | F.array_contains(
+            F.split(low, r"[^a-z0-9]+"), w.lower()
+        )
+    out = (
+        docs.withColumn("_lines", lines)
+        .withColumn(out_col, clean)
+        .select(
+            "*",
+            F.size("_lines").cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_lines_kept"),
+            n_sent.cast("long").alias("n_sentences"),
+            (n_sent >= min_sentences).alias("min_sentences_ok"),
+            (~low.contains("{") & ~low.contains("}")).alias("no_braces"),
+            (~low.contains("lorem ipsum")).alias("no_lorem_ipsum"),
+            (~bad).alias("no_bad_words"),
+        )
+        .drop("_lines")
+    )
+    return out.withColumn(
+        "keep",
+        F.col("min_sentences_ok")
+        & F.col("no_braces")
+        & F.col("no_lorem_ipsum")
+        & F.col("no_bad_words"),
+    )
+
+
 def contamination(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -2039,6 +2039,48 @@ def test_gopher_rules_isolated_violations(spark):
         assert all(r[c] for c in rule_cols if c != bad), r
 
 
+def test_c4_clean_line_filter_and_page_rules(spark):
+    """C4 (Raffel et al. 2020 §2.2): the line filter keeps only
+    terminal-punct, >=3-word, non-javascript lines; each page rule
+    trips on exactly the violation built for it."""
+    from hbase_spark.functions.text import c4_clean
+
+    good = (
+        "first sentence here. second sentence there. third one too.\n"
+        "a question appears now? yes it does!"
+    )
+    rows = [
+        (0, good),
+        (1, good + "\nthis line has a { brace inside it."),
+        (2, good + "\nlorem ipsum dolor sit amet friends."),
+        (3, good + "\nplease buy badstuff right now online."),
+        (4, "one single sentence lives here."),
+        (5, good + "\nplease enable javascript to view content."),
+        (6, good + "\nthis line has no ending punct"),
+        (7, good + "\ntwo words."),
+    ]
+    out = {
+        r.doc_id: r
+        for r in c4_clean(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            bad_words=("badstuff",),
+        ).collect()
+    }
+    assert out[0].keep and out[0].c4_text == good
+    assert out[0].n_lines == 2 == out[0].n_lines_kept
+    assert out[0].n_sentences == 5
+    failing = {1: "no_braces", 2: "no_lorem_ipsum", 3: "no_bad_words",
+               4: "min_sentences_ok"}
+    rule_cols = list(failing.values())
+    for i, bad in failing.items():
+        assert not out[i].keep and not out[i][bad]
+        assert all(out[i][c] for c in rule_cols if c != bad)
+    # line-retention legs: the offending line drops, the page keeps
+    for i in (5, 6, 7):
+        assert out[i].n_lines == 3 and out[i].n_lines_kept == 2
+        assert out[i].c4_text == good and out[i].keep
+
+
 def test_image_curation_pipeline_end_to_end(spark, tmp_path):
     """The full multimodal curation chain, every stage real: decode ->
     dHash near-dup pairs -> transitive clusters -> keep representatives
