@@ -795,6 +795,7 @@ def semantic_dedup(
     cap: int = _BUCKET_CAP,
     on_overflow: str = "truncate",
     centroids: list | None = None,
+    verify: str = "pandas",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023 — "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): coarse-
@@ -823,6 +824,19 @@ def semantic_dedup(
     under the skew cap at any scale, with candidate pairs linear in n
     (n x 256 / 2) instead of quadratic.  A fixed nlist stops scaling:
     cluster membership grows with the corpus until it trips the cap.
+
+    ``verify='pandas'`` (default) computes each cluster's cosine
+    matrix as ONE normalized matmul in an applyInPandas group — the
+    paper's per-cluster shape.  Every vector crosses the wire once
+    (one linear shuffle to its cluster); the candidate-PAIR join form
+    re-shuffles both sides' vector payloads ~cluster_size times per
+    vector and its interpreted per-pair dot was the whole pass's
+    bottleneck (measured 4.5x slower at 16x the sf0.1 volume).
+    ``verify='expr'`` keeps that pure-Catalyst pair form for SQL-twin
+    bit-exactness (numpy pairwise summation can differ in the last
+    ulp).  Cluster assignment itself is the paper's O(n * nlist)
+    matmul — with auto-nlist that is O(n^2/256); at extreme scale cap
+    nlist or assign hierarchically.
     """
     from hbase_spark.functions.similarity import ivf_centroids
 
@@ -847,44 +861,60 @@ def semantic_dedup(
         vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         centroids,
     ).localCheckpoint(eager=False)
-    pairs = _bucket_pairs(
-        assigned, "list_id", cap=cap, on_overflow=on_overflow
-    )
     from hbase_spark.functions.similarity import dot, norm
 
-    # norms hoisted to once per SIDE row (the interpreted higher-order
-    # eval is the cost); the per-pair dot keeps its summation order so
-    # the cosine is bit-identical to cosine(_va, _vb)
-    va = assigned.select(
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("_va"),
-        norm(F.col("_v")).alias("_na"),
-    )
-    vb = assigned.select(
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        norm(F.col("_v")).alias("_nb"),
-    )
-    dups = (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (dot(F.col("_va"), F.col("_vb"))
-             / (F.col("_na") * F.col("_nb"))).alias("_cos"),
+    if verify == "pandas":
+        # the paper's actual within-cluster shape: each vector travels
+        # to its cluster ONCE (one linear shuffle), and the cluster's
+        # cosine matrix is one normalized matmul per group — the
+        # pairs-join form re-shuffles BOTH side's vector payloads per
+        # candidate pair (~cluster_size copies of every vector)
+        rep = _cluster_reps_arrow(
+            assigned, threshold=threshold, cap=cap, on_overflow=on_overflow
         )
-        .filter(F.col("_cos") >= threshold)
-    )
-    rep = (
-        dups.groupBy(F.col("id_b").alias("_id"))
-        .agg(F.min(F.struct("id_a", "_cos")).alias("_m"))
-        .select(
-            "_id",
-            F.col("_m.id_a").alias("dup_of"),
-            F.col("_m._cos").alias("score"),
+    else:
+        # pure-Catalyst pair verify: bit-exact against a sequential-
+        # fold SQL twin.  Norms hoisted to once per SIDE row (the
+        # interpreted higher-order eval is the cost); the per-pair dot
+        # keeps its summation order so the cosine is bit-identical to
+        # cosine(_va, _vb)
+        pairs = _bucket_pairs(
+            assigned, "list_id", cap=cap, on_overflow=on_overflow
         )
-    )
+        joined = (
+            pairs.join(
+                assigned.select(
+                    F.col("_id").alias("id_a"),
+                    F.col("_v").alias("_va"),
+                    norm(F.col("_v")).alias("_na"),
+                ),
+                "id_a",
+            )
+            .join(
+                assigned.select(
+                    F.col("_id").alias("id_b"),
+                    F.col("_v").alias("_vb"),
+                    norm(F.col("_v")).alias("_nb"),
+                ),
+                "id_b",
+            )
+        )
+        cos = dot(F.col("_va"), F.col("_vb")) / (
+            F.col("_na") * F.col("_nb")
+        )
+        dups = (
+            joined.select("id_a", "id_b", cos.alias("_cos"))
+            .filter(F.col("_cos") >= threshold)
+        )
+        rep = (
+            dups.groupBy(F.col("id_b").alias("_id"))
+            .agg(F.min(F.struct("id_a", "_cos")).alias("_m"))
+            .select(
+                "_id",
+                F.col("_m.id_a").alias("dup_of"),
+                F.col("_m._cos").alias("score"),
+            )
+        )
     return (
         assigned.select("_id", "list_id")
         .join(rep, "_id", "left")
@@ -896,6 +926,74 @@ def semantic_dedup(
             "score",
         )
     )
+
+
+def _cluster_reps_arrow(
+    assigned: DataFrame, *, threshold: float, cap: int, on_overflow: str
+) -> DataFrame:
+    """Within-cluster duplicate representatives — the paper's actual
+    per-cluster shape: group (_id, _v) by list_id (each vector crosses
+    the wire ONCE), compute the cluster's cosine matrix as a single
+    normalized matmul, and emit (member, dup_of, score) for every
+    member whose cosine to some smaller-id member reaches the
+    threshold (dup_of = the SMALLEST such id, the greedy by-id rule).
+
+    The skew cap mirrors ``_capped_groups``: a cluster beyond ``cap``
+    members raises under ``on_overflow='error'`` or keeps the sorted
+    capped prefix — a cluster is one task, so the cap bounds both the
+    matmul (cap^2 doubles) and the task's memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    c = int(cap)
+    err = on_overflow == "error"
+    empty = {
+        "_id": pd.Series([], dtype="int64"),
+        "dup_of": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+    }
+
+    def _fn(key, pdf):
+        if len(pdf) > c:
+            if err:
+                raise ValueError(f"LSH bucket over skew cap {c}: {key[0]}")
+            pdf = pdf.sort_values("_id").head(c)
+        else:
+            pdf = pdf.sort_values("_id")
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        ids = pdf["_id"].to_numpy()
+        V = np.asarray(pdf["_v"].tolist(), dtype="float64")
+        Vn = V / np.maximum(
+            np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+        )
+        S = Vn @ Vn.T
+        hits = np.triu(S >= thr, k=1)  # i < j only (ids ascending)
+        has = hits.any(axis=0)
+        if not has.any():
+            return pd.DataFrame(empty)
+        first = hits.argmax(axis=0)  # first True = smallest id_a
+        js = np.nonzero(has)[0]
+        return pd.DataFrame(
+            {
+                "_id": ids[js],
+                "dup_of": ids[first[js]],
+                "score": S[first[js], js],
+            }
+        )
+
+    return assigned.groupBy("list_id").applyInPandas(_fn, schema)
 
 
 def _assign_clusters_arrow(vecs: DataFrame, centroids: list) -> DataFrame:

@@ -1813,6 +1813,36 @@ def test_warc_documents_date_parsing(spark, tmp_path):
     assert got["http://ex.org/4"] is None
 
 
+def test_semantic_dedup_verify_paths_agree(spark, vecs):
+    """The cluster-matrix verify (one matmul per cluster, the scale
+    default) and the Catalyst pair verify pick the same drops, the
+    same representatives, and cosines equal to float tolerance."""
+    from hbase_spark.functions.dedup import semantic_dedup
+
+    clones = vecs.orderBy("vec_id").limit(8).withColumn(
+        "vec_id", F.col("vec_id") + 500_000
+    )
+    corpus = vecs.unionByName(clones)
+    a = {
+        r.vec_id: (r.keep, r.dup_of, None if r.score is None
+                   else round(r.score, 9))
+        for r in semantic_dedup(corpus, threshold=0.999, nlist=4).collect()
+    }
+    b = {
+        r.vec_id: (r.keep, r.dup_of, None if r.score is None
+                   else round(r.score, 9))
+        for r in semantic_dedup(
+            corpus, threshold=0.999, nlist=4, verify="expr"
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][:2] == b[k][:2], (k, a[k], b[k])
+        if a[k][2] is not None:
+            assert a[k][2] == pytest.approx(b[k][2], abs=1e-9)
+    assert sum(1 for v in a.values() if not v[0]) == 8  # the clones drop
+
+
 def test_semantic_dedup(spark):
     """SemDeDup: within-cluster cosine dups drop to one representative
     (smallest id); near-but-below-threshold and unrelated vectors are
