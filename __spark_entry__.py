@@ -4236,6 +4236,94 @@ def _dsir_arm(spark, sf):
     )
 
 
+def _domain_arm(spark, sf):
+    """Registered-domain pipeline (functions/text.py
+    registered_domain + domain_stats + domain_filter): five synthetic
+    host shapes — multi-part public suffix, www-prefixed .com, a
+    two-label host behind a port, an IPv4 literal, and a second
+    subdomain of the SAME .co.uk site (must collapse with the first) —
+    grouped into per-domain (n_docs, n_chars) stats and flagged
+    against a blocklist.  value = domain:n_docs:n_chars:keep — the
+    eTLD+1 extraction, the aggregation, and the blocklist join all
+    hash-check."""
+    from hbase_spark.functions.text import (
+        domain_filter,
+        domain_stats,
+        registered_domain,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    m = F.pmod("doc_id", F.lit(5))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://blog.example.co.uk/p/"),
+                                F.col("doc_id").cast("string")))
+        .when(m == 1, F.concat(F.lit("https://www.example.com/a/"),
+                               F.col("doc_id").cast("string")))
+        .when(m == 2, F.lit("http://sub.site.org:80/x"))
+        .when(m == 3, F.lit("http://192.168.0.1/y"))
+        .otherwise(F.concat(F.lit("https://news.example.co.uk/q/"),
+                            F.col("doc_id").cast("string")))
+    )
+    d = docs.withColumn("url", url)
+    stats = domain_stats(d)
+    flagged = domain_filter(d, ("example.co.uk",), keep_col="_keep")
+    out = flagged.withColumn("domain", registered_domain("url")).join(
+        F.broadcast(stats), "domain"
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("domain"),
+            F.col("n_docs").cast("string"),
+            F.col("n_chars").cast("string"),
+            F.col("_keep").cast("int").cast("string"),
+        ).alias("value"),
+    )
+
+
+_DOMAIN_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://blog.example.co.uk/p/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN 'https://www.example.com/a/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'http://sub.site.org:80/x'
+           WHEN 3 THEN 'http://192.168.0.1/y'
+           ELSE 'https://news.example.co.uk/q/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, text,
+         lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1)) AS host
+  FROM d),
+r AS (
+  SELECT doc_id, text, host,
+         string_split(host, '.') AS p,
+         len(string_split(host, '.')) AS n
+  FROM h),
+dom AS (
+  SELECT doc_id, text,
+         CASE
+           WHEN regexp_matches(host, '^[0-9.]+$') OR n <= 2 THEN host
+           WHEN p[n-1] || '.' || p[n] IN ('co.uk') THEN
+             p[n-2] || '.' || p[n-1] || '.' || p[n]
+           ELSE p[n-1] || '.' || p[n]
+         END AS domain
+  FROM r),
+s AS (
+  SELECT domain, count(*) AS n_docs, sum(length(text)) AS n_chars
+  FROM dom GROUP BY domain)
+SELECT dom.doc_id,
+       dom.domain || ':' || CAST(s.n_docs AS VARCHAR) || ':'
+       || CAST(s.n_chars AS VARCHAR) || ':'
+       || CAST(CAST(dom.domain <> 'example.co.uk' AS INT) AS VARCHAR)
+         AS value
+FROM dom JOIN s USING (domain)
+"""
+
+
 _C4_BASE = (
     "first sentence here. second sentence there. third one too.\n"
     "a question appears now? yes it does!"
@@ -4646,7 +4734,8 @@ _register_suite(
      ("bm25", _bm25_arm),
      ("exact_substr", _exact_substr_arm),
      ("shuffle_shards", _shuffle_arm),
-     ("c4_rules", _c4_arm)],
+     ("c4_rules", _c4_arm),
+     ("domain_stats", _domain_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4675,7 +4764,8 @@ _register_suite(
      ("bm25", _bm25_sql()),
      ("exact_substr", _EXACT_SUBSTR_SQL),
      ("shuffle_shards", _SHUFFLE_SQL),
-     ("c4_rules", _c4_sql())],
+     ("c4_rules", _c4_sql()),
+     ("domain_stats", _DOMAIN_SQL)],
     ["doc_id", "value"],
 )
 

@@ -665,6 +665,93 @@ def url_host(col) -> Column:
     return F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)", 1))
 
 
+#: common two-label public suffixes for registered_domain — the
+#: high-traffic subset of the Public Suffix List; swap in the full PSL
+#: as a broadcast lookup at deployment (same expression seam).
+MULTI_PART_TLDS = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "com.sg", "com.tr", "co.za", "com.ar", "com.hk",
+)
+
+
+def registered_domain(col) -> Column:
+    """eTLD+1 of a URL — the per-SITE grouping key (url_host keeps
+    subdomains apart; blocklists, politeness budgets, and domain
+    mixture weights all want blog.example.co.uk == example.co.uk).
+    Last two host labels, or three when the last two are a known
+    two-label public suffix (MULTI_PART_TLDS); bare hosts and IPv4
+    literals pass through whole.  Pure codegen'd string expressions."""
+    host = url_host(col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(host.rlike(r"^[0-9.]+$") | (n <= 2), host)
+        .when(last2.isin(*MULTI_PART_TLDS), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_stats(
+    docs: DataFrame, *, url_col: str = "url", text_col: str | None = "text"
+) -> DataFrame:
+    """Per-registered-domain corpus profile — (domain, n_docs
+    [, n_chars]) — the audit table behind domain blocklists, crawl
+    politeness, and per-domain mixture weights.  One map stage + one
+    map-side-combinable hash-agg; text never shuffles (chars are
+    counted before the exchange)."""
+    d = docs.select(
+        registered_domain(url_col).alias("domain"),
+        *([F.length(text_col).alias("_nc")] if text_col else []),
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    if text_col:
+        aggs.append(F.sum("_nc").cast("long").alias("n_chars"))
+    return d.groupBy("domain").agg(*aggs)
+
+
+def domain_filter(
+    docs: DataFrame,
+    blocklist,
+    *,
+    url_col: str = "url",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Drop (or with ``keep_col=``, flag) documents whose registered
+    domain is blocklisted — the opt-out / quality-blocklist pass every
+    crawl pipeline runs first.  ``blocklist`` is an iterable of
+    domains or a 1-column DataFrame; either way it broadcasts and the
+    corpus is one scan stage (isin for a literal list, broadcast
+    left-anti / left join for a frame)."""
+    dom = registered_domain(url_col)
+    if isinstance(blocklist, DataFrame):
+        bl = F.broadcast(
+            blocklist.select(
+                F.lower(F.col(blocklist.columns[0])).alias("_bad")
+            ).distinct()
+        )
+        tagged = docs.withColumn("_dom", dom).join(
+            bl, F.col("_dom") == F.col("_bad"), "left"
+        )
+        if keep_col:
+            return tagged.withColumn(
+                keep_col, F.col("_bad").isNull()
+            ).drop("_dom", "_bad")
+        return tagged.filter(F.col("_bad").isNull()).drop("_dom", "_bad")
+    bad = [d.lower() for d in blocklist]
+    keep = ~dom.isin(*bad) if bad else F.lit(True)
+    if keep_col:
+        return docs.withColumn(keep_col, keep)
+    return docs.filter(keep)
+
+
 def url_dedup(
     docs: DataFrame,
     *,

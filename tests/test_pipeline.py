@@ -2069,6 +2069,53 @@ def test_gopher_rules_isolated_violations(spark):
         assert all(r[c] for c in rule_cols if c != bad), r
 
 
+def test_registered_domain_and_blocklist(spark):
+    """registered_domain collapses subdomains to eTLD+1 (multi-part
+    public suffixes included), passes IPv4 and bare hosts through;
+    domain_stats groups per site; domain_filter drops or flags."""
+    from hbase_spark.functions.text import (
+        domain_filter,
+        domain_stats,
+        registered_domain,
+    )
+
+    rows = [
+        (0, "https://blog.example.co.uk/p/1", "aaaa"),
+        (1, "https://news.example.co.uk/q", "bb"),
+        (2, "https://www.example.com/a", "c"),
+        (3, "http://sub.site.org:8080/x", "dd"),
+        (4, "http://192.168.0.1/y", "e"),
+        (5, "http://localhost/z", "f"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    doms = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id", registered_domain("url").alias("d")
+        ).collect()
+    }
+    assert doms[0] == "example.co.uk" == doms[1]
+    assert doms[2] == "example.com"
+    assert doms[3] == "site.org"
+    assert doms[4] == "192.168.0.1"
+    assert doms[5] == "localhost"
+    stats = {r.domain: (r.n_docs, r.n_chars)
+             for r in domain_stats(df).collect()}
+    assert stats["example.co.uk"] == (2, 6)
+    assert stats["site.org"] == (1, 2)
+    kept = {r.doc_id for r in domain_filter(df, ("example.co.uk",)).collect()}
+    assert kept == {2, 3, 4, 5}
+    # frame-shaped blocklist + flag mode
+    bl = spark.createDataFrame([("EXAMPLE.com",)], ["domain"])
+    flagged = {
+        r.doc_id: r.ok
+        for r in domain_filter(df, bl, keep_col="ok").collect()
+    }
+    assert flagged[2] is False and all(
+        flagged[i] for i in (0, 1, 3, 4, 5)
+    )
+
+
 def test_c4_clean_line_filter_and_page_rules(spark):
     """C4 (Raffel et al. 2020 §2.2): the line filter keeps only
     terminal-punct, >=3-word, non-javascript lines; each page rule
