@@ -2835,11 +2835,52 @@ def q_multimodal_decode(spark, sf):
         .alias("media_id"),
         "width", "height", F.round("mean_luma", 6).alias("mean_luma"),
     )
+    # EXIF arm: REAL APP1 parse + strip (functions/exif.py) — the
+    # image-PII pass.  Tagged payloads surface (orientation, has_gps,
+    # lat); the same payloads re-parsed AFTER strip_image_metadata
+    # must come back GPS-free, proving the redaction through the seam.
+    from hbase_spark.functions.exif import encode_exif, insert_app1
+    from hbase_spark.functions.multimodal import (
+        exif_features,
+        strip_image_metadata,
+    )
+
+    def _exif_payload(i):
+        return insert_app1(
+            encode_jpeg(_px(i), quality_q=1),
+            encode_exif(make="ACME", orientation=(i % 8) + 1,
+                        lat=10.0 + i, lon=-(20.0 + i)),
+        )
+
+    exif_media = spark.createDataFrame(
+        [(90_000 + i, "image", _exif_payload(i), None) for i in range(5)],
+        MEDIA_SCHEMA,
+    )
+    exif = exif_features(exif_media).select(
+        "media_id",
+        F.col("orientation").alias("width"),
+        F.col("has_gps").cast("int").alias("height"),
+        F.round("lat", 6).alias("mean_luma"),
+    )
+    stripped = strip_image_metadata(exif_media)
+    s_frame = stripped.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    post = exif_features(s_frame).select(
+        (F.col("media_id") + 5_000).alias("media_id"),
+        F.col("orientation").alias("width"),
+        F.col("has_gps").cast("int").alias("height"),
+        F.col("lat").alias("mean_luma"),
+    )
     return (
         feats.unionByName(frames).unionByName(real)
         .unionByName(compressed).unionByName(audio)
         .unionByName(g711).unionByName(flac).unionByName(gif)
-        .unionByName(avi).unionByName(mp4)
+        .unionByName(avi).unionByName(mp4).unionByName(exif)
+        .unionByName(post)
     )
 
 

@@ -785,6 +785,100 @@ def decode_images(
     )
 
 
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("datetime_original", T.StringType(), True),
+        T.StructField("has_gps", T.BooleanType(), True),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("lon", T.DoubleType(), True),
+    ]
+)
+
+STRIPPED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("segments_removed", T.IntegerType(), False),
+    ]
+)
+
+
+def exif_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
+    """Per-image EXIF audit columns (functions/exif.py parse_exif) —
+    the image-side ``pii_stats``: camera make/model, orientation,
+    capture time, and GPS as signed decimal degrees (``has_gps`` is
+    the PII flag a curation pipeline filters or routes to stripping).
+    Header-only parse per payload (no entropy decode), Arrow-batched;
+    ``on_error`` follows the shared corrupt-media policy ('raise' /
+    'skip' / 'tag' is unnecessary here — absent EXIF is a row of
+    nulls, not an error)."""
+    from hbase_spark.functions.exif import parse_exif
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"bad on_error {on_error!r}")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EXIF_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x = parse_exif(bytes(p)) or {}
+                except Exception:  # noqa: BLE001 — policy-driven
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append(
+                    (
+                        m, x.get("make"), x.get("model"),
+                        x.get("orientation"), x.get("datetime_original"),
+                        x.get("lat") is not None and x.get("lon") is not None,
+                        x.get("lat"), x.get("lon"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols).astype("object")
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_parse, EXIF_SCHEMA)
+    )
+
+
+def strip_image_metadata(
+    media: DataFrame, *, keep_app0: bool = True
+) -> DataFrame:
+    """Rewrite JPEG payloads with every APP1..APP15/COM segment
+    removed (functions/exif.py strip_metadata) — the image-side
+    ``redact_pii``.  Entropy-coded data copies verbatim, so decoded
+    pixels are byte-identical (pytest-pinned); ``segments_removed``
+    quantifies the redaction per image the way pii_total does for
+    text."""
+    from hbase_spark.functions.exif import strip_metadata
+
+    def _strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "segments_removed": []}
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                clean, n = strip_metadata(bytes(p), keep_app0=keep_app0)
+                out["media_id"].append(m)
+                out["payload"].append(clean)
+                out["segments_removed"].append(n)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_strip, STRIPPED_SCHEMA)
+    )
+
+
 def encode_bmp(pixels) -> bytes:
     """Minimal uncompressed 24-bpp BMP encoder (fixture builder for the
     decode path; also usable as a real re-encode sink after resize).

@@ -769,6 +769,67 @@ def test_multimodal_real_jpeg_decode(spark):
     assert abs(r.mean_luma - luma(img).mean() / 255.0) < 0.01
 
 
+def test_exif_parse_strip_roundtrip(spark):
+    """EXIF (functions/exif.py): encode->parse roundtrips both byte
+    orders; strip removes APPn/COM without touching pixels; the Spark
+    seams surface the PII audit columns and the cleaned payloads."""
+    import numpy as np
+
+    from hbase_spark.functions.exif import (
+        encode_exif,
+        insert_app1,
+        parse_exif,
+        strip_metadata,
+    )
+    from hbase_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from hbase_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        exif_features,
+        strip_image_metadata,
+    )
+
+    img = np.full((8, 8, 3), 120, np.uint8)
+    plain = encode_jpeg(img, quality_q=1)
+    for endian in (b"II", b"MM"):
+        app1 = encode_exif(
+            make="ACME", model="Cam 9", orientation=6,
+            datetime_original="2023:01:01 12:00:00",
+            lat=37.7749, lon=-122.4194, endian=endian,
+        )
+        tagged = insert_app1(plain, app1)
+        x = parse_exif(tagged)
+        assert (x["make"], x["model"], x["orientation"]) == ("ACME", "Cam 9", 6)
+        assert x["datetime_original"] == "2023:01:01 12:00:00"
+        assert x["lat"] == pytest.approx(37.7749, abs=1e-4)
+        assert x["lon"] == pytest.approx(-122.4194, abs=1e-4)
+        # stripping removes the block, leaves pixels byte-identical
+        clean, n = strip_metadata(tagged)
+        assert n == 1 and parse_exif(clean) is None
+        assert np.array_equal(decode_jpeg(clean), decode_jpeg(tagged))
+    assert parse_exif(plain) is None
+    assert strip_metadata(plain) == (plain, 0)
+
+    tagged = insert_app1(plain, encode_exif(make="ACME", lat=1.5, lon=2.5))
+    nogps = insert_app1(plain, encode_exif(make="Other"))
+    media = spark.createDataFrame(
+        [(1, "image", tagged, None), (2, "image", nogps, None),
+         (3, "image", plain, None)],
+        MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in exif_features(media).collect()}
+    assert feats[1].make == "ACME" and feats[1].has_gps
+    assert feats[1].lat == pytest.approx(1.5, abs=1e-4)
+    assert feats[2].make == "Other" and not feats[2].has_gps
+    assert feats[3].make is None and not feats[3].has_gps
+    stripped = {r.media_id: r for r in strip_image_metadata(media).collect()}
+    assert stripped[1].segments_removed == 1
+    assert stripped[3].segments_removed == 0
+    assert parse_exif(bytes(stripped[1].payload)) is None
+    assert np.array_equal(
+        decode_jpeg(bytes(stripped[1].payload)), decode_jpeg(tagged)
+    )
+
+
 def test_jpeg_codec_property_roundtrip():
     """Property test: encode->decode roundtrip stays within the
     quantization error bound across shapes, content classes and both
