@@ -343,6 +343,30 @@ def test_ann_matches_brute_force_top1(vecs):
     assert ann[0].vec_id == target.vec_id
 
 
+def test_kmeans_refine_recovers_true_centers(spark):
+    """Lloyd refinement: starting from two poorly-placed seeds over
+    two tight direction-separated blobs, two iterations land each
+    centroid on its blob's mean direction, empty clusters keep their
+    previous centroid, and the result is deterministic."""
+    from hbase_spark.functions.similarity import kmeans_refine
+
+    rows = []
+    for i in range(40):  # blob A ~ +x, blob B ~ +y (cosine-separated)
+        rows.append((i, [10.0, float(i % 5) * 0.1, 0.0]))
+        rows.append((100 + i, [float(i % 5) * 0.1, 10.0, 0.0]))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    seeds = [(0, [5.0, 4.0, 0.0]), (1, [4.0, 5.0, 0.0]),
+             (2, [0.0, 0.0, 1.0])]  # third seed attracts nothing
+    out = dict(kmeans_refine(vecs, seeds, iters=2))
+    assert out[0][0] > 5 * out[0][1]  # centroid 0 -> +x blob mean
+    assert out[1][1] > 5 * out[1][0]  # centroid 1 -> +y blob mean
+    assert out[2] == [0.0, 0.0, 1.0]  # dead cluster keeps its seed
+    again = dict(kmeans_refine(vecs, seeds, iters=2))
+    assert again == out
+
+
 def test_ivf_topk(vecs):
     target = vecs.orderBy("vec_id").first()
     q = list(target.embedding)
