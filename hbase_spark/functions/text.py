@@ -922,6 +922,33 @@ def seeded_shuffle(
     ).drop("_h")
 
 
+def export_shuffled(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shards: int = 64,
+) -> None:
+    """The training-export last mile: ``seeded_shuffle`` then write —
+    one parquet file per shard directory, rows physically in ``pos``
+    order, so a trainer streaming shard files front-to-back consumes
+    the exact seeded permutation.  ``repartition(shards, "shard")``
+    puts each shard's rows in one task (one file per shard dir even
+    when shards hash-collide into a partition);
+    ``sortWithinPartitions`` orders them before the writer sees them.
+    Re-running with the same seed reproduces the bytes; a new epoch is
+    a new seed."""
+    out = seeded_shuffle(df, id_col=id_col, seed=seed, shards=shards)
+    (
+        out.repartition(shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def duplicate_ngram_stats(
     docs: DataFrame,
     *,

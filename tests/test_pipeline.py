@@ -335,6 +335,36 @@ def test_seeded_shuffle_permutation_laws(spark):
     assert other != again
 
 
+def test_export_shuffled_shard_files_in_pos_order(spark, tmp_path):
+    """export_shuffled writes one file per shard dir with rows
+    physically in pos order — the byte layout a trainer streams."""
+    import glob
+
+    from hbase_spark.functions.text import export_shuffled, seeded_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = str(tmp_path / "shards")
+    export_shuffled(df, out, seed=3, shards=4)
+    want = {
+        (r.shard, r.pos): r.doc_id
+        for r in seeded_shuffle(df, seed=3, shards=4).collect()
+    }
+    total = 0
+    for s in range(4):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1  # one file per shard dir
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT doc_id, pos FROM read_parquet('{files[0]}')"
+        ).fetchall()  # physical file order
+        assert [p for _, p in rows] == list(range(len(rows)))
+        for d, p in rows:
+            assert want[(s, p)] == d
+        total += len(rows)
+    assert total == 300
+
+
 def test_ann_matches_brute_force_top1(vecs):
     target = vecs.orderBy("vec_id").limit(5).collect()[3]
     q = list(target.embedding)
