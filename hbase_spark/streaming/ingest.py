@@ -26,32 +26,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def curate_documents(docs: DataFrame, *, min_tokens: int = 0) -> DataFrame:
+def curate_documents(
+    docs: DataFrame, *, min_tokens: int = 0, ruleset: str = "gopher"
+) -> DataFrame:
     """The batch curation transform shared by the streaming pipeline
     and any backfill job (stream/batch parity by construction — the
-    same plan fragment runs in both): Gopher rule bits + keep flag,
-    language ID, token count, and fingerprint columns appended to the
-    documents frame; rows below ``min_tokens`` or failing the Gopher
-    gate are dropped."""
+    same plan fragment runs in both): quality-rule keep flag, language
+    ID, token count, and fingerprint columns appended to the documents
+    frame; rows below ``min_tokens`` or failing the quality gate are
+    dropped.  ``ruleset`` picks the gate: 'gopher' (Rae et al. 2021),
+    'c4' (Raffel et al. 2020 — also line-cleans the text), or 'both'
+    (C4 line cleaning, then both page gates must pass)."""
     from hbase_spark.functions.text import (
+        c4_clean,
         fingerprint,
         gopher_rules,
         lang_id,
         token_count,
     )
 
-    rules = gopher_rules("text")
+    if ruleset not in ("gopher", "c4", "both"):
+        raise ValueError(f"bad ruleset {ruleset!r}")
+    out = docs
     keep = None
-    for c in rules.values():
-        keep = c if keep is None else (keep & c)
+    if ruleset in ("c4", "both"):
+        out = c4_clean(out, out_col="text").withColumnRenamed(
+            "keep", "_c4_keep"
+        )
+        keep = F.col("_c4_keep")
+    if ruleset in ("gopher", "both"):
+        rules = gopher_rules("text")
+        g = None
+        for c in rules.values():
+            g = c if g is None else (g & c)
+        keep = g if keep is None else (keep & g)
     out = (
-        docs.withColumn("lang_pred", lang_id("text"))
+        out.withColumn("lang_pred", lang_id("text"))
         .withColumn("n_tokens", token_count("text"))
         .withColumn("fp", fingerprint("text"))
-        .withColumn("gopher_keep", keep)
+        .withColumn("quality_keep", keep)
+        .withColumn("gopher_keep", keep)  # back-compat alias
     )
+    if "_c4_keep" in out.columns:
+        out = out.drop("_c4_keep")
     return out.filter(
-        F.col("gopher_keep") & (F.col("n_tokens") >= F.lit(min_tokens))
+        F.col("quality_keep") & (F.col("n_tokens") >= F.lit(min_tokens))
     )
 
 

@@ -583,6 +583,33 @@ def test_stream_curate_warc_end_to_end(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == len(rows)
 
 
+def test_curate_documents_rulesets(spark):
+    """curate_documents(ruleset=): 'c4' line-cleans and gates on the
+    C4 page rules, 'both' requires both gates; the gopher default is
+    unchanged (back-compat gopher_keep alias included)."""
+    import pytest
+
+    from hbase_spark.streaming.ingest import curate_documents
+
+    gopher_ok = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa. " * 6
+        + "the of and that went there today. yes it did! truly so.\n"
+        + "please enable javascript to view content."
+    )
+    rows = [(1, gopher_ok), (2, gopher_ok + "\nlorem ipsum dolor sit x.")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    c4 = {r.doc_id: r for r in
+          curate_documents(docs, ruleset="c4").collect()}
+    assert set(c4) == {1}  # lorem ipsum page dropped
+    assert "javascript" not in c4[1].text  # line-cleaned
+    assert c4[1].quality_keep and c4[1].gopher_keep
+    both = {r.doc_id for r in
+            curate_documents(docs, ruleset="both").collect()}
+    assert both == {1}
+    with pytest.raises(ValueError):
+        curate_documents(docs, ruleset="bogus")
+
+
 def test_stream_curate_warc_handles_missing_date(spark, tmp_path):
     """A record without a parseable WARC-Date must not feed a NULL
     event time into the watermark — it ingests with epoch-0 time."""
