@@ -665,6 +665,67 @@ def url_host(col) -> Column:
     return F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)", 1))
 
 
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """The dual of ``contamination``: per EVAL item, how many training
+    documents share at least one distinct word-``n``-gram with it —
+    the report that tells you WHICH benchmark items are compromised
+    (and should be excluded from evaluation) rather than which
+    training docs to drop.  Output: (eval id, n_hit_docs,
+    n_hit_grams) for every eval row.
+
+    Scale shape: the training side reduces to distinct (doc, gram
+    hash) pairs — one tokenize pass, grams travel as xxhash64; the
+    eval side is benchmark-sized and its (eval id, gram hash) frame
+    broadcasts into the join, so the exchange carries hashes only and
+    the training text never shuffles.
+    """
+    ev = eval_docs.select(
+        F.col(eval_id_col).alias("_eid"), _ascii_tokens(text_col).alias("_t")
+    ).select(
+        "_eid",
+        F.explode(
+            F.array_distinct(_word_ngrams(F.col("_t"), n))
+        ).alias("_g"),
+    ).select("_eid", F.xxhash64("_g").alias("_gh")).distinct()
+    tr = docs.select(
+        F.col(id_col).alias("_tid"), _ascii_tokens(text_col).alias("_t")
+    ).select(
+        "_tid",
+        F.explode(
+            F.array_distinct(_word_ngrams(F.col("_t"), n))
+        ).alias("_g"),
+    ).select("_tid", F.xxhash64("_g").alias("_gh"))
+    hits = (
+        tr.join(F.broadcast(ev), "_gh")
+        .groupBy("_eid")
+        .agg(
+            F.countDistinct("_tid").cast("long").alias("n_hit_docs"),
+            F.countDistinct("_gh").cast("long").alias("n_hit_grams"),
+        )
+    )
+    return (
+        eval_docs.select(F.col(eval_id_col).alias("_eid"))
+        .join(hits, "_eid", "left")
+        .select(
+            F.col("_eid").alias(eval_id_col),
+            F.coalesce("n_hit_docs", F.lit(0).cast("long")).alias(
+                "n_hit_docs"
+            ),
+            F.coalesce("n_hit_grams", F.lit(0).cast("long")).alias(
+                "n_hit_grams"
+            ),
+        )
+    )
+
+
 #: common two-label public suffixes for registered_domain — the
 #: high-traffic subset of the Public Suffix List; swap in the full PSL
 #: as a broadcast lookup at deployment (same expression seam).

@@ -1035,6 +1035,31 @@ def test_contamination_counts_shared_ngrams(spark):
     assert len(got) == 3
 
 
+def test_contamination_report_per_eval_item(spark):
+    """The dual report: per eval item, how many training docs (and
+    distinct grams) hit it — clean eval rows appear with zeros."""
+    from hbase_spark.functions.text import contamination_report
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (200, "totally clean benchmark item with fresh words")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "alpha beta gamma delta epsilon extra tail"),
+         (3, "completely unrelated text goes right here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hit_docs, r.n_hit_grams)
+        for r in contamination_report(tr, ev, n=5).collect()
+    }
+    # eval 100: doc 1 shares 2 grams, doc 2 shares 1 -> 2 docs, 2 grams
+    assert got[100] == (2, 2)
+    assert got[200] == (0, 0)
+
+
 def test_stratified_sample_deterministic_and_rate_scoped(spark):
     from hbase_spark.functions.text import stratified_sample
 
