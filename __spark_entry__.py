@@ -4277,6 +4277,58 @@ def _dsir_arm(spark, sf):
     )
 
 
+def _fim_arm(spark, sf):
+    """Fill-in-the-middle (functions/text.py fim_transform, Bavarian
+    et al. 2022): seeded per-doc apply decision + two seeded character
+    split points -> the PSM arrangement.  value = applied bit :
+    md5(fim_text), so the exact transformed string the trainer would
+    see is hash-checked (the DuckDB twin replays the same three md5
+    draws and substring arithmetic)."""
+    from hbase_spark.functions.text import fim_transform
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = fim_transform(docs, rate=0.5, seed=7)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("fim_applied").cast("int").cast("string"),
+            F.md5("fim_text"),
+        ).alias("value"),
+    )
+
+
+_FIM_SQL = """
+WITH r AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7:apply'),
+               1, 8)) AS BIGINT) % 1000000 AS a,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7:u'),
+               1, 8)) AS BIGINT) % 1000000 AS du,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7:v'),
+               1, 8)) AS BIGINT) % 1000000 AS dv
+  FROM documents),
+s AS (
+  SELECT doc_id, text, n,
+         (a < 500000 AND n >= 2) AS applied,
+         least(du % (n + 1), dv % (n + 1)) AS lo,
+         greatest(du % (n + 1), dv % (n + 1)) AS hi
+  FROM r),
+f AS (
+  SELECT doc_id, applied,
+         CASE WHEN applied THEN
+           '<|fim_prefix|>' || substr(text, 1, lo)
+           || '<|fim_suffix|>' || substr(text, hi + 1, n - hi)
+           || '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
+         ELSE text END AS fim_text
+  FROM s)
+SELECT doc_id,
+       CAST(CAST(applied AS INT) AS VARCHAR) || ':' || md5(fim_text)
+         AS value
+FROM f
+"""
+
+
 def _domain_arm(spark, sf):
     """Registered-domain pipeline (functions/text.py
     registered_domain + domain_stats + domain_filter): five synthetic
@@ -4776,7 +4828,8 @@ _register_suite(
      ("exact_substr", _exact_substr_arm),
      ("shuffle_shards", _shuffle_arm),
      ("c4_rules", _c4_arm),
-     ("domain_stats", _domain_arm)],
+     ("domain_stats", _domain_arm),
+     ("fim", _fim_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4806,7 +4859,8 @@ _register_suite(
      ("exact_substr", _EXACT_SUBSTR_SQL),
      ("shuffle_shards", _SHUFFLE_SQL),
      ("c4_rules", _c4_sql()),
-     ("domain_stats", _DOMAIN_SQL)],
+     ("domain_stats", _DOMAIN_SQL),
+     ("fim", _FIM_SQL)],
     ["doc_id", "value"],
 )
 

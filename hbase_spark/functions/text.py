@@ -983,6 +983,71 @@ def seeded_shuffle(
     ).drop("_h")
 
 
+def fim_transform(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.5,
+    seed: int = 42,
+    pre: str = "<|fim_prefix|>",
+    suf: str = "<|fim_suffix|>",
+    mid: str = "<|fim_middle|>",
+    out_col: str = "fim_text",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022 —
+    "Efficient Training of Language Models to Fill in the Middle"):
+    with deterministic probability ``rate`` per document, split the
+    text at two seeded character positions and emit the PSM
+    arrangement ``prefix-sentinel + prefix + suffix-sentinel + suffix
+    + middle-sentinel + middle``; other documents pass through
+    unchanged.  Adds ``out_col`` and a boolean ``fim_applied``.
+
+    Everything derives from the portable md5 scheme of
+    ``stratified_sample`` (three independent draws: apply?, split u,
+    split v), so the realized transform is stable under
+    repartitioning, reproducible per (id, seed), and replayable by a
+    SQL twin — the transformation the trainer sees is hash-checkable
+    end to end.  Pure string expressions in one map stage; no
+    shuffle, no RNG state.
+    """
+
+    def draw(tag: str) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(f":{seed}:{tag}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(1_000_000),
+        )
+
+    t = F.col(text_col)
+    n = F.length(t)
+    apply_ = (draw("apply") < F.lit(int(rate * 1_000_000))) & (n >= 2)
+    # split points in [0, n]: u = draw mod (n+1), v likewise; order them
+    u = F.pmod(draw("u"), n + 1)
+    v = F.pmod(draw("v"), n + 1)
+    lo, hi = F.least(u, v), F.greatest(u, v)
+    fim = F.concat(
+        F.lit(pre), F.substring(t, F.lit(1), lo),
+        F.lit(suf), F.substring(t, hi + 1, n - hi),
+        F.lit(mid), F.substring(t, lo + 1, hi - lo),
+    )
+    return docs.withColumn(
+        "fim_applied", apply_
+    ).withColumn(out_col, F.when(apply_, fim).otherwise(t))
+
+
 def export_shuffled(
     df: DataFrame,
     path: str,

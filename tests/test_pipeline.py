@@ -335,6 +335,37 @@ def test_seeded_shuffle_permutation_laws(spark):
     assert other != again
 
 
+def test_fim_transform_reconstruction_law(spark):
+    """FIM (Bavarian et al. 2022): reordering the PSM pieces back to
+    prefix+middle+suffix reproduces the original text exactly; the
+    apply decision and split points are deterministic per (id, seed);
+    rate=0 passes everything through."""
+    from hbase_spark.functions.text import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body with some longer text to split {i}")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in fim_transform(docs, rate=1.0, seed=5).collect()}
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert all(r.fim_applied for r in out.values())
+    for i, r in out.items():
+        assert r.fim_text.startswith("<|fim_prefix|>")
+        body = r.fim_text[len("<|fim_prefix|>"):]
+        prefix, rest = body.split("<|fim_suffix|>", 1)
+        suffix, middle = rest.split("<|fim_middle|>", 1)
+        assert prefix + middle + suffix == orig[i]
+    again = {
+        r.doc_id: r.fim_text
+        for r in fim_transform(docs, rate=1.0, seed=5).collect()
+    }
+    assert again == {i: r.fim_text for i, r in out.items()}
+    noop = fim_transform(docs, rate=0.0, seed=5).collect()
+    assert all(not r.fim_applied and r.fim_text == orig[r.doc_id]
+               for r in noop)
+
+
 def test_export_shuffled_shard_files_in_pos_order(spark, tmp_path):
     """export_shuffled writes one file per shard dir with rows
     physically in pos order — the byte layout a trainer streams."""
