@@ -61,6 +61,7 @@ EXTENDED = [
     "doc_shuffle_shards",      # seeded deterministic epoch shuffle
     "embedding_batch_topk",    # batched multi-query cosine top-k
     "doc_c4_rules",            # C4 line+page cleaning battery
+    "doc_fim",                 # fill-in-the-middle transformation
 ]
 
 
@@ -89,6 +90,7 @@ def headline_queries() -> dict:
     queries.setdefault("doc_shuffle_shards", entrymod._shuffle_arm)
     queries.setdefault("embedding_batch_topk", entrymod._batch_topk_arm)
     queries.setdefault("doc_c4_rules", entrymod._c4_arm)
+    queries.setdefault("doc_fim", entrymod._fim_arm)
     return queries
 
 
