@@ -948,23 +948,26 @@ def _cluster_reps_arrow(
 
     from pyspark.sql import types as T
 
+    # _id / dup_of inherit the caller's id type (string keys worked in
+    # the expression path and must keep working here)
+    id_type = assigned.schema["_id"].dataType
     schema = T.StructType(
         [
-            T.StructField("_id", T.LongType()),
-            T.StructField("dup_of", T.LongType()),
+            T.StructField("_id", id_type),
+            T.StructField("dup_of", id_type),
             T.StructField("score", T.DoubleType()),
         ]
     )
     thr = float(threshold)
     c = int(cap)
     err = on_overflow == "error"
-    empty = {
-        "_id": pd.Series([], dtype="int64"),
-        "dup_of": pd.Series([], dtype="int64"),
-        "score": pd.Series([], dtype="float64"),
-    }
 
     def _fn(key, pdf):
+        empty = {
+            "_id": pdf["_id"][:0],
+            "dup_of": pdf["_id"][:0],
+            "score": pd.Series([], dtype="float64"),
+        }
         if len(pdf) > c:
             if err:
                 raise ValueError(f"LSH bucket over skew cap {c}: {key[0]}")

@@ -193,16 +193,24 @@ def _read_ifd(tiff: bytes, off: int, e: str) -> dict:
 
 def _segments(jpeg: bytes):
     """Yield (marker, start, end) for every pre-SOS segment; the scan
-    stops at SOS (entropy-coded data follows, verbatim)."""
+    stops at SOS (entropy-coded data follows, verbatim).  T.81 allows
+    any number of 0xFF fill bytes before a marker — skip them (the
+    yielded span starts at the final 0xFF, so removing a span never
+    also removes the padding that may belong to the stream)."""
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     while pos + 4 <= len(jpeg):
         if jpeg[pos] != 0xFF:
             raise ValueError("EXIF: bad marker alignment in header")
+        while jpeg[pos + 1] == 0xFF and pos + 5 <= len(jpeg):
+            pos += 1  # fill byte
         m = jpeg[pos + 1]
         if m == 0xDA:  # SOS
             return
+        if m == 0x01 or 0xD0 <= m <= 0xD9:  # standalone markers
+            pos += 2
+            continue
         seglen = int.from_bytes(jpeg[pos + 2:pos + 4], "big")
         yield m, pos, pos + 2 + seglen
         pos = pos + 2 + seglen
@@ -253,16 +261,29 @@ def parse_exif(jpeg: bytes) -> dict | None:
     return out
 
 
-def strip_metadata(jpeg: bytes, *, keep_app0: bool = True) -> tuple[bytes, int]:
-    """Remove APP1..APP15 and COM segments (APP0/JFIF kept by
-    default); entropy-coded data copies verbatim.  Returns
-    (clean_bytes, segments_removed).  Decoders skip APPn, so the
-    decoded pixels are byte-identical before and after."""
+def strip_metadata(
+    jpeg: bytes,
+    *,
+    keep_app0: bool = True,
+    keep_markers: tuple = (0xE2, 0xEE),
+) -> tuple[bytes, int]:
+    """Remove metadata APPn and COM segments; entropy-coded data
+    copies verbatim.  Returns (clean_bytes, segments_removed).
+
+    By default APP0 (JFIF), APP2 (ICC profile), and APP14 (the Adobe
+    color-transform flag) are KEPT: they carry color interpretation,
+    not PII, and dropping APP14 makes decoders misread Adobe/YCCK
+    component layouts — which would break the pixels-unchanged
+    guarantee.  Everything else that is removed (APP1 EXIF/XMP, other
+    APPn, COM) is ignored by decoders, so decoded pixels are
+    byte-identical before and after.  Tighten or loosen with
+    ``keep_markers`` (full marker bytes, e.g. 0xE2 for APP2)."""
+    keep = set(keep_markers) | ({0xE0} if keep_app0 else set())
     drop_spans = []
     for m, s, t in _segments(jpeg):
-        removable = (0xE1 <= m <= 0xEF) or m == 0xFE or (
-            m == 0xE0 and not keep_app0
-        )
+        removable = (
+            (0xE0 <= m <= 0xEF) or m == 0xFE
+        ) and m not in keep
         if removable:
             drop_spans.append((s, t))
     if not drop_spans:

@@ -652,6 +652,10 @@ def hashed_ngram_counts(
     portable — use it when a SQL twin must replay the weights).
     Pass a precomputed ``hashed_ngram_features`` frame (``features``)
     to skip re-tokenizing — only its ``bucket`` column is read.
+    CONTRACT: the frame must have been built with the SAME
+    (n, buckets, portable) as this call — bucket ids carry no
+    self-description, so a mismatched frame yields silently wrong
+    counts (and downstream, wrong smoothing in dsir_weights).
     """
     if features is None:
         base = docs.select(_ascii_tokens(text_col).alias("_t"))
@@ -694,6 +698,10 @@ def dsir_weights(
     precomputed ``hashed_ngram_features`` frame (``features``) to skip
     re-tokenizing — with a checkpointed feature frame the whole DSIR
     chain tokenizes the corpus ONCE instead of three times.
+    CONTRACT: the frame, the count frames, and this call must all use
+    the SAME (n, buckets, portable) — the add-k smoothing divides by
+    k*buckets, so a features frame bucketed differently produces
+    silently skewed weights, not an error.
     """
     if features is not None:
         feats = features.select(id_col, "bucket")

@@ -850,21 +850,35 @@ def exif_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
 
 
 def strip_image_metadata(
-    media: DataFrame, *, keep_app0: bool = True
+    media: DataFrame, *, keep_app0: bool = True, on_error: str = "raise"
 ) -> DataFrame:
-    """Rewrite JPEG payloads with every APP1..APP15/COM segment
-    removed (functions/exif.py strip_metadata) — the image-side
-    ``redact_pii``.  Entropy-coded data copies verbatim, so decoded
-    pixels are byte-identical (pytest-pinned); ``segments_removed``
-    quantifies the redaction per image the way pii_total does for
-    text."""
+    """Rewrite JPEG payloads with metadata APPn/COM segments removed
+    (functions/exif.py strip_metadata; color-carrying APP0/APP2/APP14
+    kept) — the image-side ``redact_pii``.  Entropy-coded data copies
+    verbatim, so decoded pixels are byte-identical (pytest-pinned);
+    ``segments_removed`` quantifies the redaction per image the way
+    pii_total does for text.  ``on_error`` follows the shared
+    corrupt-media policy: 'raise' fails the task on a non-JPEG /
+    corrupt payload, 'skip' drops the row, 'keep' passes the payload
+    through untouched with segments_removed = -1 (the quarantine-
+    visible choice when downstream still wants the bytes)."""
     from hbase_spark.functions.exif import strip_metadata
+
+    if on_error not in ("raise", "skip", "keep"):
+        raise ValueError(f"bad on_error {on_error!r}")
 
     def _strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "payload": [], "segments_removed": []}
             for m, p in zip(pdf["media_id"], pdf["payload"]):
-                clean, n = strip_metadata(bytes(p), keep_app0=keep_app0)
+                try:
+                    clean, n = strip_metadata(bytes(p), keep_app0=keep_app0)
+                except Exception:  # noqa: BLE001 — policy-driven
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    clean, n = bytes(p), -1
                 out["media_id"].append(m)
                 out["payload"].append(clean)
                 out["segments_removed"].append(n)

@@ -142,6 +142,12 @@ def cosine_topk_batch(
     q = spark.createDataFrame(
         qrows, "query_id long, _qv array<double>, _qn double"
     )
+    # zero-norm guard: a 0/0 score is NaN, and NaN sorts ABOVE every
+    # real number in a descending order — an all-zero embedding (a
+    # failed upstream write) would falsely take rank 1 for every
+    # query.  Guarding the denominator to 1 scores such vectors 0,
+    # matching pandas_scores' den==0 rule.
+    den = F.col("_cn") * F.col("_qn")
     scored = (
         vecs.select(
             F.col(id_col), F.col(vec_col).alias("_v"),
@@ -152,7 +158,7 @@ def cosine_topk_batch(
             "query_id",
             id_col,
             (dot(F.col("_v"), F.col("_qv"))
-             / (F.col("_cn") * F.col("_qn"))).alias("score"),
+             / F.when(den == 0.0, F.lit(1.0)).otherwise(den)).alias("score"),
         )
     )
     order = (F.col("score").desc(), F.col(id_col).asc())

@@ -10,6 +10,8 @@ at 100 TB they are a single map stage with no shuffle.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -360,9 +362,14 @@ def c4_clean(
     low = F.lower(clean)
     bad = F.lit(False)
     for w in bad_words:
-        bad = bad | F.array_contains(
-            F.split(low, r"[^a-z0-9]+"), w.lower()
-        )
+        w = w.lower()
+        if _re.fullmatch(r"[a-z0-9]+", w):
+            # single token: exact word match over the token split
+            bad = bad | F.array_contains(F.split(low, r"[^a-z0-9]+"), w)
+        else:
+            # phrases / hyphenated entries (most of the real C4 list):
+            # a token split can never contain them — substring match
+            bad = bad | low.contains(w)
     out = (
         docs.withColumn("_lines", lines)
         .withColumn(out_col, clean)
@@ -445,6 +452,22 @@ def contamination(
     )
 
 
+def _md5_draw(col: Column, salt: str, mod: int = 1_000_000) -> Column:
+    """First 32 bits of md5(col || salt) mod ``mod`` — the portable
+    uniform draw every seeded operator shares (stratified/mixture
+    sampling, FIM, shuffle sharding).  One definition keeps the Spark
+    copies in lockstep; each operator's DuckDB twin replays the same
+    expression."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(mod),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],
@@ -463,18 +486,7 @@ def stratified_sample(
     languages, downsample boilerplate sources) as one scan-stage
     predicate — no shuffle, no RNG state.
     """
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(1_000_000),
-    )
+    bucket = _md5_draw(F.col(id_col), str(seed))
     rate = F.lit(int(default_rate * 1_000_000))
     for g, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == g, int(r * 1_000_000)).otherwise(rate)
@@ -555,18 +567,7 @@ def mixture_sample(
     under repartitioning and reproducible on any SQL engine.  Plan
     shape: one scan stage with an explode — copies materialize as rows
     with ``epoch_col`` = 0..copies-1, no shuffle, no RNG state."""
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(1_000_000),
-    )
+    bucket = _md5_draw(F.col(id_col), str(seed))
     whole = F.lit(int(default_weight))
     frac = F.lit(int((default_weight % 1) * 1_000_000))
     for g, w in sorted(weights.items()):
@@ -1013,23 +1014,7 @@ def fim_transform(
     """
 
     def draw(tag: str) -> Column:
-        return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col(id_col).cast("string"),
-                            F.lit(f":{seed}:{tag}"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(1_000_000),
-        )
+        return _md5_draw(F.col(id_col), f":{seed}:{tag}")
 
     t = F.col(text_col)
     n = F.length(t)

@@ -198,22 +198,31 @@ def warc_documents(
         # kill the stream; NULL instead flows to the ingest pipeline's
         # arrival-time fallback.  WARC 1.0 dates are second-precision;
         # WARC 1.1 allows fractional seconds (up to nanos) — cover
-        # both, plus a trailing-junk-tolerant final form.
+        # both, plus a trailing-junk-tolerant final form.  The 'X'
+        # pattern letter parses the trailing Z as a UTC OFFSET (an
+        # instant), not a literal — a 'Z'-literal pattern would parse
+        # the UTC wall time in the session timezone and shift warc_ts
+        # by the zone offset under any non-UTC session (the same
+        # session-tz bug class as the streaming state timeout); the
+        # offset-less fallback re-appends Z for the same reason.
         parsed = F.coalesce(
             F.try_to_timestamp(
-                F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+                F.col("warc_date"), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
             ),
             F.try_to_timestamp(
                 F.col("warc_date"),
-                F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+                F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSX"),
             ),
             F.try_to_timestamp(
-                F.regexp_extract(
-                    F.col("warc_date"),
-                    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})",
-                    1,
+                F.concat(
+                    F.regexp_extract(
+                        F.col("warc_date"),
+                        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})",
+                        1,
+                    ),
+                    F.lit("Z"),
                 ),
-                F.lit("yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit("yyyy-MM-dd'T'HH:mm:ssX"),
             ),
         )
         cols.append(F.unix_millis(parsed).alias("warc_ts"))

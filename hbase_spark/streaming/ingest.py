@@ -36,7 +36,14 @@ def curate_documents(
     frame; rows below ``min_tokens`` or failing the quality gate are
     dropped.  ``ruleset`` picks the gate: 'gopher' (Rae et al. 2021),
     'c4' (Raffel et al. 2020 — also line-cleans the text), or 'both'
-    (C4 line cleaning, then both page gates must pass)."""
+    (C4 line cleaning, then both page gates must pass).  The keep
+    verdict is always ``quality_keep``; the legacy ``gopher_keep``
+    name is emitted only when the Gopher rules were actually
+    evaluated ('gopher'/'both') so the column never carries a
+    different rule set's decision.  Note the C4 rulesets add C4's
+    audit columns (n_lines, rule bits, ...) — the output schema is a
+    function of the ruleset, so don't switch rulesets mid-checkpoint
+    against an existing parquet sink."""
     from hbase_spark.functions.text import (
         c4_clean,
         fingerprint,
@@ -65,8 +72,10 @@ def curate_documents(
         .withColumn("n_tokens", token_count("text"))
         .withColumn("fp", fingerprint("text"))
         .withColumn("quality_keep", keep)
-        .withColumn("gopher_keep", keep)  # back-compat alias
     )
+    if ruleset in ("gopher", "both"):
+        # back-compat alias — only when Gopher actually gated
+        out = out.withColumn("gopher_keep", F.col("quality_keep"))
     if "_c4_keep" in out.columns:
         out = out.drop("_c4_keep")
     return out.filter(

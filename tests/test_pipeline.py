@@ -303,6 +303,18 @@ def test_cosine_topk_batch_matches_per_query(vecs):
     }
     assert sharded == got
 
+    # a zero vector scores 0 (not NaN, which would falsely take rank 1
+    # in the descending order)
+    dim = len(qs[0][1])
+    base = vecs.select("vec_id", "embedding")
+    with_zero = base.unionByName(
+        vecs.sparkSession.createDataFrame(
+            [(999_999, [0.0] * dim)], base.schema
+        )
+    )
+    top = cosine_topk_batch(with_zero, qs[:1], k=3).collect()
+    assert all(r.vec_id != 999_999 for r in top)
+
 
 def test_seeded_shuffle_permutation_laws(spark):
     """seeded_shuffle: (shard, pos) is a permutation — pos is dense
@@ -913,6 +925,34 @@ def test_exif_parse_strip_roundtrip(spark):
     assert np.array_equal(
         decode_jpeg(bytes(stripped[1].payload)), decode_jpeg(tagged)
     )
+
+    # T.81 fill bytes before a marker are legal — parse and strip both
+    # handle an extra 0xFF of padding before the APP1 segment
+    padded = tagged[:2] + b"\xff" + tagged[2:]
+    assert parse_exif(padded)["make"] == "ACME"
+    clean_p, n_p = strip_metadata(padded)
+    assert n_p == 1 and parse_exif(clean_p) is None
+
+    # color-carrying APP2 (ICC) survives the strip by default
+    app2 = b"\xff\xe2" + (17).to_bytes(2, "big") + b"ICC_PROFILE\x00abc"
+    with_icc = insert_app1(plain, app2)
+    keep_icc, n_icc = strip_metadata(insert_app1(with_icc, encode_exif(
+        make="ACME")))
+    assert n_icc == 1 and b"ICC_PROFILE" in keep_icc
+
+    # corrupt-payload policy on the strip seam: raise / skip / keep
+    bad_media = spark.createDataFrame(
+        [(1, "image", tagged, None), (2, "image", b"not a jpeg", None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="SOI"):
+        strip_image_metadata(bad_media).collect()
+    skipped = strip_image_metadata(bad_media, on_error="skip").collect()
+    assert [r.media_id for r in skipped] == [1]
+    kept = {r.media_id: r for r in
+            strip_image_metadata(bad_media, on_error="keep").collect()}
+    assert kept[2].segments_removed == -1
+    assert bytes(kept[2].payload) == b"not a jpeg"
 
 
 def test_jpeg_codec_property_roundtrip():
@@ -1983,6 +2023,19 @@ def test_warc_documents_date_parsing(spark, tmp_path):
     assert got["http://ex.org/3"] == base  # truncated to seconds
     assert got["http://ex.org/4"] is None
 
+    # the Z must parse as a UTC OFFSET, not a pattern literal: under a
+    # non-UTC session timezone the instant is unchanged (a literal-Z
+    # pattern would shift it by the zone offset)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        tz_got = {r.source: r.warc_ts for r in warc_documents(
+            read_warc(spark, str(tmp_path)), with_date=True
+        ).collect()}
+        assert tz_got == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
 
 def test_semantic_dedup_verify_paths_agree(spark, vecs):
     """The cluster-matrix verify (one matmul per cluster, the scale
@@ -2012,6 +2065,25 @@ def test_semantic_dedup_verify_paths_agree(spark, vecs):
         if a[k][2] is not None:
             assert a[k][2] == pytest.approx(b[k][2], abs=1e-9)
     assert sum(1 for v in a.values() if not v[0]) == 8  # the clones drop
+
+
+def test_semantic_dedup_string_ids(spark):
+    """The cluster-matrix verify must keep the expression path's id
+    genericity: string keys work, clones drop to the lexicographically
+    smallest representative."""
+    from hbase_spark.functions.dedup import semantic_dedup
+
+    rows = [
+        ("a", [1.0, 0.0]), ("b", [1.0, 0.0]),  # clones
+        ("c", [0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in
+           semantic_dedup(vecs, threshold=0.999, nlist=2).collect()}
+    assert not out["b"].keep and out["b"].dup_of == "a"
+    assert out["a"].keep and out["c"].keep
 
 
 def test_semantic_dedup(spark):
@@ -2327,6 +2399,22 @@ def test_c4_clean_line_filter_and_page_rules(spark):
     for i in (5, 6, 7):
         assert out[i].n_lines == 3 and out[i].n_lines_kept == 2
         assert out[i].c4_text == good and out[i].keep
+
+    # phrase / hyphenated blocklist entries match as substrings (a
+    # token split can never contain them — the real C4 list is mostly
+    # phrases); unrelated docs stay clean
+    ph = {
+        r.doc_id: r.no_bad_words
+        for r in c4_clean(
+            spark.createDataFrame(
+                [(0, good), (1, good + "\nsome bad stuff appears here."),
+                 (2, good + "\na bad-word lurks right here.")],
+                ["doc_id", "text"],
+            ),
+            bad_words=("bad stuff", "BAD-WORD"),
+        ).collect()
+    }
+    assert ph == {0: True, 1: False, 2: False}
 
 
 def test_image_curation_pipeline_end_to_end(spark, tmp_path):

@@ -598,11 +598,14 @@ def test_curate_documents_rulesets(spark):
     )
     rows = [(1, gopher_ok), (2, gopher_ok + "\nlorem ipsum dolor sit x.")]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    c4 = {r.doc_id: r for r in
-          curate_documents(docs, ruleset="c4").collect()}
+    c4df = curate_documents(docs, ruleset="c4")
+    c4 = {r.doc_id: r for r in c4df.collect()}
     assert set(c4) == {1}  # lorem ipsum page dropped
     assert "javascript" not in c4[1].text  # line-cleaned
-    assert c4[1].quality_keep and c4[1].gopher_keep
+    assert c4[1].quality_keep
+    # gopher_keep only exists when Gopher rules actually gated
+    assert "gopher_keep" not in c4df.columns
+    assert "gopher_keep" in curate_documents(docs, ruleset="both").columns
     both = {r.doc_id for r in
             curate_documents(docs, ruleset="both").collect()}
     assert both == {1}
