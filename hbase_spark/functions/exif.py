@@ -100,7 +100,7 @@ def encode_exif(
     if datetime_original is not None:
         exif_entries.append((_TAG_DATETIME_ORIGINAL, 2, datetime_original))
     gps_entries = []
-    if lat is not None and lon is not None:
+    if lat is not None or lon is not None:
         def dms(v):
             v = abs(v)
             d = int(v)
@@ -108,12 +108,18 @@ def encode_exif(
             s = round(((v - d) * 60 - m) * 60 * 10_000)
             return [(d, 1), (m, 1), (s, 10_000)]
 
-        gps_entries = [
-            (_GPS_LAT_REF, 2, "N" if lat >= 0 else "S"),
-            (_GPS_LAT, 5, dms(lat)),
-            (_GPS_LON_REF, 2, "E" if lon >= 0 else "W"),
-            (_GPS_LON, 5, dms(lon)),
-        ]
+        # Partial fixes are valid EXIF (and the reason has_gps flags on
+        # either coordinate) — emit whichever coordinates were given.
+        if lat is not None:
+            gps_entries += [
+                (_GPS_LAT_REF, 2, "N" if lat >= 0 else "S"),
+                (_GPS_LAT, 5, dms(lat)),
+            ]
+        if lon is not None:
+            gps_entries += [
+                (_GPS_LON_REF, 2, "E" if lon >= 0 else "W"),
+                (_GPS_LON, 5, dms(lon)),
+            ]
     e = "<" if endian == b"II" else ">"
 
     # lay out: header(8) | IFD0+data | [Exif IFD+data] | [GPS IFD+data]
@@ -212,6 +218,12 @@ def _segments(jpeg: bytes):
             pos += 2
             continue
         seglen = int.from_bytes(jpeg[pos + 2:pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > len(jpeg):
+            # Truncation raises here so strip_metadata shares the same
+            # corrupt-payload contract parse_exif enforces via _read_ifd
+            # bounds checks — a declared length past EOF must not be
+            # silently treated as "segment removed".
+            raise ValueError("EXIF: segment length runs past end of payload")
         yield m, pos, pos + 2 + seglen
         pos = pos + 2 + seglen
 

@@ -836,7 +836,10 @@ def exif_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
                     (
                         m, x.get("make"), x.get("model"),
                         x.get("orientation"), x.get("datetime_original"),
-                        x.get("lat") is not None and x.get("lon") is not None,
+                        # Either coordinate alone is already a PII leak
+                        # (a lat with a corrupt lon ref still places the
+                        # subject on a line) — flag on OR, not AND.
+                        x.get("lat") is not None or x.get("lon") is not None,
                         x.get("lat"), x.get("lon"),
                     )
                 )

@@ -57,8 +57,16 @@ def curate_documents(
     out = docs
     keep = None
     if ruleset in ("c4", "both"):
-        out = c4_clean(out, out_col="text").withColumnRenamed(
-            "keep", "_c4_keep"
+        # Clean into a temp column, then swap: with out_col='text' the
+        # audit expressions (n_sentences, page-rule bits) would resolve
+        # against the already-cleaned text — correct today only because
+        # the line filter is idempotent, and silently skewed the moment
+        # a non-idempotent line rule lands.
+        out = (
+            c4_clean(out, out_col="_c4_text")
+            .withColumnRenamed("keep", "_c4_keep")
+            .drop("text")
+            .withColumnRenamed("_c4_text", "text")
         )
         keep = F.col("_c4_keep")
     if ruleset in ("gopher", "both"):

@@ -940,6 +940,25 @@ def test_exif_parse_strip_roundtrip(spark):
         make="ACME")))
     assert n_icc == 1 and b"ICC_PROFILE" in keep_icc
 
+    # a partial GPS fix (lat only) is still PII — has_gps flags on
+    # either coordinate, so redaction routing can't leak the lat
+    lat_only = insert_app1(plain, encode_exif(make="Solo", lat=10.25))
+    solo = spark.createDataFrame(
+        [(9, "image", lat_only, None)], MEDIA_SCHEMA
+    )
+    f9 = exif_features(solo).collect()[0]
+    assert f9.has_gps and f9.lat == pytest.approx(10.25, abs=1e-4)
+    assert f9.lon is None
+
+    # a declared segment length past EOF raises on BOTH seams — strip
+    # shares parse's truncation contract instead of silently returning
+    # the remainder as "clean"
+    truncated = tagged[: len(tagged) - (len(plain) - 2) - 4]
+    with pytest.raises(ValueError, match="past end"):
+        strip_metadata(truncated)
+    with pytest.raises(ValueError, match="past end"):
+        parse_exif(truncated)
+
     # corrupt-payload policy on the strip seam: raise / skip / keep
     bad_media = spark.createDataFrame(
         [(1, "image", tagged, None), (2, "image", b"not a jpeg", None)],
