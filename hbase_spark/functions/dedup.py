@@ -834,9 +834,15 @@ def semantic_dedup(
     bottleneck (measured 4.5x slower at 16x the sf0.1 volume).
     ``verify='expr'`` keeps that pure-Catalyst pair form for SQL-twin
     bit-exactness (numpy pairwise summation can differ in the last
-    ulp).  Cluster assignment itself is the paper's O(n * nlist)
-    matmul — with auto-nlist that is O(n^2/256); at extreme scale cap
-    nlist or assign hierarchically.
+    ulp).  Cluster assignment is the paper's nearest-centroid argmax,
+    but computed through a two-level coarse quantizer once nlist
+    reaches 128 (see ``_assign_clusters_arrow``): ~sqrt(nlist)
+    super-centroids route each vector to one super-cluster, then an
+    exact argmax over that super-cluster's children — O(n * sqrt(k))
+    instead of the flat O(n * k), so auto-nlist (k ~ n/256) no longer
+    carries an O(n^2/256) assignment term.  The centroid model itself
+    (nlist x dim floats, one executor-side broadcast) is the only
+    thing that grows with k.
     """
     from hbase_spark.functions.similarity import ivf_centroids
 
@@ -999,7 +1005,49 @@ def _cluster_reps_arrow(
     return assigned.groupBy("list_id").applyInPandas(_fn, schema)
 
 
-def _assign_clusters_arrow(vecs: DataFrame, centroids: list) -> DataFrame:
+# Auto-switch to the two-level quantizer from this nlist up: at 128
+# centroids the split (~11 supers + ~12 children) already does ~5x
+# fewer flops per vector, and the per-batch numpy group loop is
+# amortized over whole Arrow batches.  Below it, flat wins on
+# simplicity and the cost difference is noise.
+_TWO_LEVEL_NLIST = 128
+
+
+def _super_centroids(Cn, nsuper: int, *, iters: int = 4):
+    """Driver-side spherical k-means over the (normalized) centroid
+    matrix itself: nsuper super-centroids plus each super-cluster's
+    child index list.  Deterministic by construction — strided init
+    over the centroid order, argmax ties to the first index — so the
+    two-level assignment below is as reproducible as the flat one.
+    Cost is O(nlist * nsuper * iters) numpy flops on the driver
+    (~1e9 at nlist 64k / nsuper 256), bounded by model size, never by
+    the corpus."""
+    import numpy as np
+
+    init = np.unique(
+        np.linspace(0, len(Cn) - 1, nsuper).round().astype("int64")
+    )
+    S = Cn[init]
+    a = (Cn @ S.T).argmax(axis=1)
+    for _ in range(int(iters)):
+        newS = np.empty_like(S)
+        for j in range(len(S)):
+            m = a == j
+            newS[j] = Cn[m].mean(axis=0) if m.any() else S[j]
+        S = newS / np.maximum(
+            np.linalg.norm(newS, axis=1, keepdims=True), 1e-12
+        )
+        a = (Cn @ S.T).argmax(axis=1)
+    children = [np.nonzero(a == j)[0] for j in range(len(S))]
+    # a dead super-cluster (no children) must not be argmax-eligible —
+    # a vector routed there would have no child to pick
+    live = [j for j, ch in enumerate(children) if len(ch)]
+    return S[live], [children[j] for j in live]
+
+
+def _assign_clusters_arrow(
+    vecs: DataFrame, centroids: list, *, two_level: bool | None = None
+) -> DataFrame:
     """Nearest-centroid assignment as ONE numpy matmul per Arrow batch
     — input (_id, _v), output adds ``list_id``.
 
@@ -1007,10 +1055,24 @@ def _assign_clusters_arrow(vecs: DataFrame, centroids: list) -> DataFrame:
     array-of-structs max, which is fine for a probe-time nprobe
     ranking but quadratic in expression size for dedup-scale nlist
     (64 centroids x 64 dims = thousands of expression nodes per row);
-    here the centroid matrix rides the task closure and each batch is
-    a (rows x dim) @ (dim x nlist) product.  Ties (identical vectors)
-    break to the first max index — deterministic, so clones always
-    co-assign."""
+    here the centroid matrix ships once per executor as a Spark
+    broadcast and each batch is a (rows x dim) @ (dim x nlist)
+    product.  Ties (identical vectors) break to the first max index —
+    deterministic, so clones always co-assign.
+
+    ``two_level`` (default: auto at nlist >= 128) switches to the
+    hierarchical coarse quantizer the IVF literature uses (inverted
+    multi-index family): ~sqrt(nlist) super-centroids first, then an
+    exact argmax over only the winning super-cluster's children.
+    Per-vector cost drops from O(nlist) to O(sqrt(nlist) +
+    max_child_count) — with auto-nlist (k ~ n/256) that turns the
+    paper-faithful assignment from O(n^2/256) into O(n^1.5/16), the
+    difference between SemDeDup finishing and not at 100 TB.  The
+    two-level argmax is the standard IVF approximation: a borderline
+    vector may land in the runner-up coarse cluster, which is within
+    SemDeDup's own approximate-clustering contract (the cluster set
+    is already a sampled k-means); identical vectors still always
+    co-assign, so clone recall is unaffected."""
     import numpy as np
     import pandas as pd
 
@@ -1019,6 +1081,19 @@ def _assign_clusters_arrow(vecs: DataFrame, centroids: list) -> DataFrame:
     C = np.asarray([c for _, c in centroids], dtype="float64")
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     ids = np.asarray([i for i, _ in centroids])
+    if two_level is None:
+        two_level = len(Cn) >= _TWO_LEVEL_NLIST
+    if two_level:
+        nsuper = max(2, int(round(len(Cn) ** 0.5)))
+        Sn, children = _super_centroids(Cn, nsuper)
+    else:
+        Sn, children = None, None
+
+    # the model can be hundreds of MB at real (nlist x dim) — ship it
+    # once per executor, not once per task in the closure
+    bc = vecs.sparkSession.sparkContext.broadcast(
+        (ids, Cn, Sn, children)
+    )
 
     schema = T.StructType(
         list(vecs.schema.fields)
@@ -1026,15 +1101,23 @@ def _assign_clusters_arrow(vecs: DataFrame, centroids: list) -> DataFrame:
     )
 
     def _assign(batches):
+        ids_, Cn_, Sn_, children_ = bc.value
         for pdf in batches:
             if len(pdf):
                 V = np.asarray(pdf["_v"].to_list(), dtype="float64")
                 Vn = V / np.maximum(
                     np.linalg.norm(V, axis=1, keepdims=True), 1e-12
                 )
-                pdf = pdf.assign(
-                    list_id=ids[(Vn @ Cn.T).argmax(axis=1)].astype("int32")
-                )
+                if Sn_ is None:
+                    best = (Vn @ Cn_.T).argmax(axis=1)
+                else:
+                    sup = (Vn @ Sn_.T).argmax(axis=1)
+                    best = np.empty(len(Vn), dtype="int64")
+                    for s in np.unique(sup):
+                        m = sup == s
+                        ch = children_[s]
+                        best[m] = ch[(Vn[m] @ Cn_[ch].T).argmax(axis=1)]
+                pdf = pdf.assign(list_id=ids_[best].astype("int32"))
             else:
                 pdf = pdf.assign(list_id=pd.Series([], dtype="int32"))
             yield pdf
