@@ -77,19 +77,49 @@ def train_bpe(
     *,
     num_merges: int = 50,
     text_col: str = "text",
+    batch: int = 8,
+    _stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merge rules.  Each round: weighted pair
     counts over the current segmentation of the distinct-word frame,
-    deterministic argmax (count desc, pair asc), apply the merge.  The
-    distinct-word frame is cached and re-derived per round via the
-    JVM-side fold — no Python in the loop body besides the 1-row
-    collect."""
+    then up to ``batch`` merges applied in ONE chained fold +
+    checkpoint.  No Python in the loop body besides one bounded
+    collect (at most ``8 * batch`` candidate rows per round).
+
+    ``batch=1`` is the exact sequential algorithm (Sennrich et al.:
+    deterministic argmax — count desc, pair asc — one merge per
+    round).  ``batch > 1`` (the scale default) is the standard
+    batched-BPE trick: from the round's top candidates, greedily take
+    pairs — in the same deterministic order — whose symbols are
+    disjoint from every pair already taken this round (including the
+    concatenations they create).  Disjointness makes each taken
+    pair's count invariant under its round-mates' merges, so every
+    applied rule was a true argmax among the pairs it could not have
+    interacted with.  The learned merge LIST can differ from the
+    batch=1 list (sequential BPE re-ranks after every merge; batched
+    re-ranks after every round) but is deterministic for a given
+    ``batch``, and every consumer downstream (segment / encode /
+    detokenize) is correct for ANY merge list — the roundtrip law is
+    pinned per list, not per training schedule.
+
+    Why batching is the 100 TB posture: a real 32k-merge vocabulary at
+    batch=1 is 32k sequential Spark rounds (one agg job + one
+    checkpoint each) — a driver-side bottleneck by construction.  At
+    batch=8 the same vocabulary is ~4k rounds, and the per-round work
+    is unchanged (the pair-count agg dominates; k nested folds in one
+    projection cost what one fold costs, a single pass over the
+    distinct-word frame).  ``_stats``, when given, receives
+    {'rounds': r} for tests that pin the round count."""
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     words = word_counts(docs, text_col=text_col).select(
         _char_syms(F.col("word")).alias("syms"), "count"
     )
     words = words.localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        k = min(batch, num_merges - len(merges))
         pairs = words.select(
             "count",
             F.explode(
@@ -105,17 +135,31 @@ def train_bpe(
         top = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("count").alias("n"))
+            .filter(F.col("n") >= 2)
             .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
+            .limit(max(8 * k, 8))
             .collect()
         )
-        if not top or top[0]["n"] < 2:
+        if not top:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        words = words.select(
-            _fold_merge(F.col("syms"), a, b).alias("syms"), "count"
-        ).localCheckpoint()
+        rounds += 1
+        chosen: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(chosen) >= k:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used or (a + b) in used:
+                continue
+            chosen.append((a, b))
+            used.update((a, b, a + b))
+        expr: Column = F.col("syms")
+        for a, b in chosen:
+            expr = _fold_merge(expr, a, b)
+        merges.extend(chosen)
+        words = words.select(expr.alias("syms"), "count").localCheckpoint()
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return merges
 
 
