@@ -16,13 +16,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
-# Deliberately small and public-knowledge (top function words).
+# Deliberately small and public-knowledge (top function words).  The
+# post-r6 additions (pt/nl/pl/tr) favor DISTINCTIVE function words over
+# raw frequency — 'a'/'de'/'is' style collisions with English and the
+# original five would make short-doc argmax ties routing noise.
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
     "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
     "it": ["il", "la", "che", "di", "e", "un", "una", "per", "con", "sono"],
+    "pt": ["não", "uma", "para", "com", "mais", "como", "dos", "das", "ele", "você"],
+    "nl": ["het", "een", "niet", "ook", "maar", "voor", "zijn", "wordt", "naar", "heeft"],
+    "pl": ["się", "nie", "jest", "aby", "tylko", "przez", "jak", "ale", "tego", "bardzo"],
+    "tr": ["bir", "için", "çok", "daha", "gibi", "ama", "değil", "olarak", "sonra", "kadar"],
+}
+
+# Unicode-script routing for languages a Latin marker table can never
+# see (CJK has no word separators; Cyrillic/Arabic/Indic words never
+# intersect an ASCII marker list).  Keys are the lang code, values the
+# Java regex script class (the DuckDB/RE2 twin spells it \p{Name}).
+# Han is handled separately: kana present -> 'ja', else 'zh'.
+_SCRIPT_CLASSES = {
+    "ru": "IsCyrillic",
+    "ar": "IsArabic",
+    "hi": "IsDevanagari",
+    "ko": "IsHangul",
+    "el": "IsGreek",
+    "he": "IsHebrew",
+    "th": "IsThai",
 }
 
 _WORD_SPLIT = r"[^\p{L}\p{N}]+"  # unicode letters/digits
@@ -66,15 +88,54 @@ def lang_scores(col: str | Column = "text") -> Column:
 
 
 def lang_id(col: str | Column = "text", default: str = "unknown") -> Column:
-    """Argmax language by marker-hit score; 'unknown' when nothing hits
-    (e.g. non-Latin scripts not in the marker table)."""
-    toks = tokens(col)
+    """Two-stage language ID, still one codegen map stage per row:
+
+    1. **Script vote** — per-script letter counts via Unicode script
+       regex classes.  When one script family covers the MAJORITY of
+       the text's letters (2 * count > total letters), classify by
+       script: Cyrillic->ru, Arabic->ar, Devanagari->hi, Hangul->ko,
+       Greek->el, Hebrew->he, Thai->th, and CJK by the kana rule
+       (any Hiragana/Katakana -> ja, else Han -> zh).  This is what a
+       marker table can never do: CJK has no word separators to
+       tokenize on, and non-Latin words never intersect an ASCII
+       marker list — pre-r7 such text silently routed to 'unknown'.
+    2. **Marker argmax** — otherwise the classic distinct-marker-hit
+       argmax over the Latin-script tables (ties break to the
+       lexicographically larger code, the array_max struct order);
+       'unknown' when nothing hits.
+
+    Mirrored expression-for-expression by the DuckDB oracle (the
+    in-window `doc_language_id` hash checks the whole decision
+    surface, planted non-Latin docs included)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
     scored = []
     for lang, markers in _LANG_MARKERS.items():
         hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
         scored.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
     top = F.array_max(F.array(*scored))
-    return F.when(top["score"] > 0, top["lang"]).otherwise(F.lit(default))
+
+    letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    kana = F.regexp_count(c, F.lit(r"[\p{IsHiragana}\p{IsKatakana}]"))
+    han = F.regexp_count(c, F.lit(r"\p{IsHan}"))
+    script_scored = [
+        F.struct(
+            (han + kana).alias("score"),
+            F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh")).alias("lang"),
+        )
+    ]
+    for lang, cls in _SCRIPT_CLASSES.items():
+        cnt = F.regexp_count(c, F.lit("\\p{" + cls + "}"))
+        script_scored.append(
+            F.struct(cnt.alias("score"), F.lit(lang).alias("lang"))
+        )
+    top_script = F.array_max(F.array(*script_scored))
+
+    return (
+        F.when(top_script["score"] * 2 > letters, top_script["lang"])
+        .when(top["score"] > 0, top["lang"])
+        .otherwise(F.lit(default))
+    )
 
 
 def quality_features(col: str | Column = "text") -> dict[str, Column]:
@@ -360,16 +421,25 @@ def c4_clean(
     clean = F.array_join(kept, "\n")
     n_sent = F.regexp_count(clean, F.lit("[.!?]"))
     low = F.lower(clean)
+    # The real C4 blocklist is ~2k entries — one boolean node per entry
+    # would build a 2k-node OR tree per row (janino blows past the 64KB
+    # method limit long before that).  Instead the whole list costs two
+    # expression nodes regardless of size: single-token entries become
+    # ONE set-membership probe per token (Catalyst rewrites a large
+    # `isin` to INSET, a hash-set lookup), and phrase/hyphenated
+    # entries fold into ONE \Q..\E alternation regex (regex find ==
+    # the substring-match semantics a token split can never express).
+    singles = sorted(
+        {w.lower() for w in bad_words if _re.fullmatch(r"[a-z0-9]+", w.lower())}
+    )
+    phrases = sorted({w.lower() for w in bad_words} - set(singles))
     bad = F.lit(False)
-    for w in bad_words:
-        w = w.lower()
-        if _re.fullmatch(r"[a-z0-9]+", w):
-            # single token: exact word match over the token split
-            bad = bad | F.array_contains(F.split(low, r"[^a-z0-9]+"), w)
-        else:
-            # phrases / hyphenated entries (most of the real C4 list):
-            # a token split can never contain them — substring match
-            bad = bad | low.contains(w)
+    if singles:
+        toks = F.split(low, r"[^a-z0-9]+")
+        bad = bad | F.exists(toks, lambda t: t.isin(singles))
+    if phrases:
+        pat = "|".join("\\Q" + p + "\\E" for p in phrases)
+        bad = bad | low.rlike(pat)
     out = (
         docs.withColumn("_lines", lines)
         .withColumn(out_col, clean)
