@@ -92,31 +92,46 @@ def evaluate(expr: str | None, auths) -> bool:
 
 
 def visible(
-    cells: DataFrame, auths, label_col: str = "labels"
+    cells: DataFrame,
+    auths,
+    label_col: str = "labels",
+    *,
+    max_policies: int = 65536,
 ) -> DataFrame:
     """Filter a CellFrame to the cells the auth set may see.
 
-    The DISTINCT label expressions are evaluated on the EXECUTORS (one
-    Python call per distinct expression — policy cardinality, never per
-    cell) and the cell stream joins against the admitted set.  Nothing
-    is collected to the driver, so even a pathological data-derived
-    label column cannot OOM it: the distinct set stays distributed and
-    AQE picks broadcast vs shuffle for the probe."""
+    Label expressions are POLICIES, not data: their cardinality is the
+    ACL surface, not the cell count.  So the distinct expressions are
+    collected (bounded by ``max_policies`` — the capped-contract rule
+    every skew-sensitive operator here follows), each is evaluated
+    ONCE on the driver with the shared parser, and the admitted set
+    becomes a single codegen set-membership probe over the cell
+    stream.  No Python function runs on any executor and no join
+    enters the plan — the per-cell cost is one hash probe inside
+    whole-stage codegen (pre-r7 this was the repo's last row-path
+    ``F.udf``, an executor Python round-trip per distinct label).
+
+    A data-derived label column with more than ``max_policies``
+    distinct expressions raises instead of silently collecting an
+    unbounded set — raise the cap explicitly if your ACL surface
+    really is that wide (the driver evaluation itself is microseconds
+    per expression)."""
     auth_set = frozenset(auths)
-    ev = F.udf(lambda e: evaluate(e, auth_set), "boolean")
-    admitted = (
+    lbl = (
         cells.select(F.col(label_col).alias("_lbl"))
         .filter(F.col("_lbl").isNotNull() & (F.col("_lbl") != ""))
         .distinct()
-        .filter(ev("_lbl"))
-        .withColumn("_vis_ok", F.lit(True))
+        .limit(max_policies + 1)
+        .collect()
     )
+    if len(lbl) > max_policies:
+        raise ValueError(
+            f"more than max_policies={max_policies} distinct visibility "
+            "expressions — the label column looks data-derived; raise "
+            "max_policies if the ACL surface is genuinely this wide"
+        )
+    admitted = [r["_lbl"] for r in lbl if evaluate(r["_lbl"], auth_set)]
     is_public = F.col(label_col).isNull() | (F.col(label_col) == "")
-    marked = cells.join(
-        admitted, cells[label_col] == admitted["_lbl"], "left"
-    )
-    return (
-        marked.filter(is_public | F.col("_vis_ok"))
-        .drop("_lbl", "_vis_ok")
-        .select(*cells.columns)
-    )
+    if not admitted:
+        return cells.filter(is_public)
+    return cells.filter(is_public | F.col(label_col).isin(admitted))
