@@ -45,31 +45,58 @@ def agg_table(
 
     max/min/sum/count/avg/std: AggregateImplementation.java:84,143,201,
     260,325,401.  median (:483 — the reference needs a two-phase
-    weighted-median scan) is exact via percentile() by default; pass
-    ``exact_median=False`` for percentile_approx — at 100 TB the exact
-    percentile buffers every value per group, while the approx sketch
-    is fixed-size and map-side combinable, so approx is the scale
-    default and exact the verification path.
+    weighted-median scan) is exact by DEFAULT and bounded by default:
+
+    - **ungrouped** (the endpoint shape): the reference's two-phase
+      protocol via ``median_two_phase`` — phase-1 stats are shared
+      with the endpoint aggregate row, so the median costs one extra
+      bounded scan and NO plan ever holds an unbounded percentile
+      buffer.  The result row is assembled client-side, exactly like
+      AggregationClient's partial merge (this makes the ungrouped
+      call eager — it was always consumed eagerly).
+    - **grouped** ``exact_median=True``: ``percentile()`` per group —
+      the buffer is bounded by the LARGEST GROUP, fine for real group
+      cardinalities; at web scale prefer ``exact_median=False``.
+    - ``exact_median=False``: ``percentile_approx`` everywhere — a
+      fixed-size, map-side-combinable sketch (the 1e-4 quantile error
+      path when even per-group buffering is too much).
     """
     v = _typed("value", interpreter)
     cells = visible.filter(
         (F.col("family") == family) & (F.col("qualifier") == qualifier)
     )
-    pct = "percentile" if exact_median else "percentile_approx"
-    aggs = [
+    base_aggs = [
         F.max(v).alias("max"),
         F.min(v).alias("min"),
         F.sum(v).alias("sum"),
         F.count(v).alias("count"),
         F.avg(v).alias("avg"),
         F.stddev_pop(v).alias("std"),
-        F.expr(f"{pct}(cast(value as {_INTERPRETERS[interpreter]}), 0.5)").alias(
-            "median"
-        ),
     ]
-    if group_by:
-        return cells.groupBy(*group_by).agg(*aggs)
-    return cells.agg(*aggs)
+    typed_sql = f"cast(value as {_INTERPRETERS[interpreter]})"
+    if group_by or not exact_median:
+        pct = "percentile" if exact_median else "percentile_approx"
+        aggs = base_aggs + [
+            F.expr(f"{pct}({typed_sql}, 0.5)").alias("median")
+        ]
+        if group_by:
+            return cells.groupBy(*group_by).agg(*aggs)
+        return cells.agg(*aggs)
+    # ungrouped exact: two-phase protocol, stats shared with the
+    # endpoint row — the default plan is bounded at any row count
+    agg_df = cells.agg(*base_aggs)
+    row = agg_df.first()
+    med = (
+        None
+        if not row["count"]
+        else median_two_phase(
+            cells, v, stats=(row["count"], row["min"], row["max"])
+        )
+    )
+    spark = visible.sparkSession
+    return spark.createDataFrame([row], agg_df.schema).withColumn(
+        "median", F.lit(None if med is None else float(med)).cast("double")
+    )
 
 
 def _single(visible, family, qualifier, interpreter, expr_fn):
