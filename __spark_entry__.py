@@ -1258,30 +1258,52 @@ def q_doc_token_stats(spark, sf):
     )
 
 
-@_q(
-    "doc_language_id",
-    """WITH toks AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+def _lang_pred_sql(source: str = "documents") -> str:
+    """DuckDB twin of functions/text.py lang_id, GENERATED from the
+    same _LANG_MARKERS/_SCRIPT_CLASSES tables the Spark expression is
+    built from — extending the language set cannot desync the oracle.
+    Mirrors the exact decision surface: script majority vote first
+    (2 * top_script > letters; Han/kana -> ja/zh), then the
+    distinct-marker-hit argmax (struct max == lang-desc tie-break),
+    else 'unknown'."""
+    from hbase_spark.functions.text import _LANG_MARKERS, _SCRIPT_CLASSES
+
+    marker_structs = ",\n            ".join(
+        "struct_pack(s := len(list_distinct(list_intersect(t, ["
+        + ", ".join("'" + w + "'" for w in ws)
+        + "]))), l := '" + lang + "')"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    kana = "len(regexp_extract_all(text, '[\\p{Hiragana}\\p{Katakana}]'))"
+    han = "len(regexp_extract_all(text, '\\p{Han}'))"
+    script_structs = [
+        "struct_pack(s := " + han + " + " + kana + ", "
+        "l := CASE WHEN " + kana + " > 0 THEN 'ja' ELSE 'zh' END)"
+    ] + [
+        "struct_pack(s := len(regexp_extract_all(text, '\\p{"
+        + cls.removeprefix("Is")
+        + "}')), l := '" + lang + "')"
+        for lang, cls in _SCRIPT_CLASSES.items()
+    ]
+    return f"""WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
                            x -> x <> '') AS t
-        FROM documents),
+        FROM {source}),
     scores AS (
         SELECT doc_id,
-            len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','it','that','for']))) AS s_en,
-            len(list_distinct(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','zu','auf']))) AS s_de,
-            len(list_distinct(list_intersect(t, ['le','la','les','et','est','un','une','des','que','pour']))) AS s_fr,
-            len(list_distinct(list_intersect(t, ['el','la','los','las','y','es','un','una','que','por']))) AS s_es,
-            len(list_distinct(list_intersect(t, ['il','la','che','di','e','un','una','per','con','sono']))) AS s_it
+            list_max([{marker_structs}]) AS tm,
+            list_max([{", ".join(script_structs)}]) AS ts,
+            len(regexp_extract_all(text, '\\p{{L}}')) AS n_letters
         FROM toks)
     SELECT doc_id,
-           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'unknown'
-                WHEN s_it >= s_en AND s_it >= s_de AND s_it >= s_fr AND s_it > s_es THEN 'it'
-                WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr > s_es AND s_fr > s_it THEN 'fr'
-                WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_it THEN 'es'
-                WHEN s_de >= s_en AND s_de > s_fr AND s_de > s_es AND s_de > s_it THEN 'de'
-                ELSE 'en' END AS lang_pred
-    FROM scores""",
-)
+           CASE WHEN 2 * ts.s > n_letters THEN ts.l
+                WHEN tm.s > 0 THEN tm.l
+                ELSE 'unknown' END AS lang_pred
+    FROM scores"""
+
+
+@_q("doc_language_id", _lang_pred_sql())
 def q_doc_language_id(spark, sf):
     """Marker-word language ID (argmax with lang-desc tie-break,
     mirrored exactly in the oracle CASE)."""
@@ -2260,10 +2282,18 @@ def q_filter_list_or_scvf(spark, sf):
 
 @_q(
     "admin_shell_roundtrip",
-    f"""WITH cells AS ({_ORDERS_CELLS_SQL})
-    SELECT rk, qualifier, value FROM cells
-    WHERE rk >= lpad('3000', 12, '0') AND rk < lpad('3200', 12, '0')
-      AND qualifier IN ('o_orderstatus')""",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    r AS (
+      SELECT rk, qualifier, value FROM cells
+      WHERE rk >= lpad('3000', 12, '0') AND rk < lpad('3200', 12, '0')
+        AND qualifier IN ('o_orderstatus')),
+    g AS (
+      SELECT rk, qualifier, value FROM cells
+      WHERE rk >= lpad('600', 12, '0') AND rk < lpad('900', 12, '0')
+        AND qualifier IN ('o_orderstatus'))
+    SELECT 'shell' AS arm, * FROM r
+    UNION ALL SELECT 'geom_split' AS arm, * FROM g
+    UNION ALL SELECT 'geom_merge' AS arm, * FROM g""",
 )
 def q_admin_shell_roundtrip(spark, sf):
     """Admin catalog + shell DSL (client/Admin.java createTable/
@@ -2291,13 +2321,42 @@ def q_admin_shell_roundtrip(spark, sf):
     adm.enable_table("orders_cells")
     adm.clone_snapshot("pit", "orders_clone")
     t = adm.table("orders_clone")
-    out = shell_scan(
-        t,
+    kw = dict(
         STARTROW="3000".zfill(12),
         STOPROW="3200".zfill(12),
         COLUMNS=["o:o_orderstatus"],
     )
-    return _rk(out, "qualifier", "value")
+    out = shell_scan(t, **kw)
+
+    # geometry arm (round-6 verdict item 8): split the restored table
+    # at a key INSIDE the scanned range, scan (the range now prunes to
+    # the two daughters), merge the daughters back, scan again — both
+    # row sets must equal the plain range scan bit-for-bit, which is
+    # exactly the O(one-region) rewrite invariant split/merge promise
+    # (Admin.split_region / merge_region rewrite ONLY the touched
+    # region files; every other region file is untouched).  The range
+    # and split point sit inside the FIRST 1500 order keys so every
+    # driver SF (0.001 up) has data on both sides of the split.
+    gkw = dict(
+        STARTROW="600".zfill(12),
+        STOPROW="900".zfill(12),
+        COLUMNS=["o:o_orderstatus"],
+    )
+    adm.split_region("orders_cells", "700".zfill(12))
+    g_split = shell_scan(adm.table("orders_cells"), **gkw)
+    adm.merge_region("orders_cells", "620".zfill(12), "720".zfill(12))
+    g_merge = shell_scan(adm.table("orders_cells"), **gkw)
+
+    def tag(df, arm):
+        return _rk(df, "qualifier", "value").select(
+            F.lit(arm).alias("arm"), "*"
+        )
+
+    return (
+        tag(out, "shell")
+        .unionByName(tag(g_split, "geom_split"))
+        .unionByName(tag(g_merge, "geom_merge"))
+    )
 
 
 @_q(
@@ -2326,27 +2385,14 @@ def q_multi_table_union_scan(spark, sf):
 
 @_q(
     "training_corpus_pipeline",
-    f"""WITH toks AS (
-        SELECT doc_id, text,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS t
+    f"""WITH lang AS ({_lang_pred_sql()}),
+    t AS (
+        SELECT doc_id, text, len({_TOKS_SQL}) AS n_tokens
         FROM documents),
-    scores AS (
-        SELECT doc_id, text, len(t) AS n_tokens,
-            len(list_distinct(list_intersect(t, ['the','and','of','to','a','in','is','it','that','for']))) AS s_en,
-            len(list_distinct(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','zu','auf']))) AS s_de,
-            len(list_distinct(list_intersect(t, ['le','la','les','et','est','un','une','des','que','pour']))) AS s_fr,
-            len(list_distinct(list_intersect(t, ['el','la','los','las','y','es','un','una','que','por']))) AS s_es,
-            len(list_distinct(list_intersect(t, ['il','la','che','di','e','un','una','per','con','sono']))) AS s_it
-        FROM toks),
     english AS (
-        SELECT doc_id, text, n_tokens FROM scores
-        WHERE greatest(s_en, s_de, s_fr, s_es, s_it) > 0
-          AND NOT (s_it >= s_en AND s_it >= s_de AND s_it >= s_fr AND s_it > s_es)
-          AND NOT (s_fr >= s_en AND s_fr >= s_de AND s_fr > s_es AND s_fr > s_it)
-          AND NOT (s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_it)
-          AND NOT (s_de >= s_en AND s_de > s_fr AND s_de > s_es AND s_de > s_it)
-          AND n_tokens >= 5)
+        SELECT t.doc_id, t.text, t.n_tokens
+        FROM t JOIN lang ON t.doc_id = lang.doc_id
+        WHERE lang.lang_pred = 'en' AND t.n_tokens >= 5)
     SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens
     FROM english GROUP BY {_NORM_SQL}""",
 )
@@ -3369,9 +3415,44 @@ def _tok_arm(spark, sf):
     )
 
 
+# Planted docs covering every language route the corpus itself cannot
+# exercise (the synthetic documents are Latin-script English-ish):
+# one per script family (incl. the Han/kana ja-vs-zh disambiguation and
+# a half-and-half doc where NO script holds a majority), one per new
+# Latin marker table.  Shared verbatim by the Spark arm and the DuckDB
+# oracle, so the whole decision surface is hash-checked.
+_LANG_PLANTS = [
+    (900001, "привет мир это тестовый документ на русском языке"),
+    (900002, "这是一个中文测试文档没有空格也没有假名"),
+    (900003, "これは日本語のテストドキュメントです漢字と仮名"),
+    (900004, "이것은 한국어 테스트 문서입니다"),
+    (900005, "هذه وثيقة اختبار باللغة العربية"),
+    (900006, "यह हिंदी में एक परीक्षण दस्तावेज़ है"),
+    (900007, "αυτό είναι ένα ελληνικό δοκιμαστικό έγγραφο"),
+    (900008, "זהו מסמך בדיקה בעברית"),
+    (900009, "นี่คือเอกสารทดสอบภาษาไทย"),
+    (900010, "não é uma frase para você com mais palavras como dos das ele"),
+    (900011, "het is een niet zo lange tekst maar ook voor zijn wordt naar heeft"),
+    (900012, "się nie jest aby tylko przez jak ale tego bardzo"),
+    (900013, "bir metin için çok daha gibi ama değil olarak sonra kadar"),
+    (900014, "hello world привет мир"),  # no script majority -> marker path -> unknown
+]
+
+_LANG_PLANTS_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{t}')" for i, t in _LANG_PLANTS)
+    + ") v(doc_id, text)) planted"
+)
+
+
 def _lang_arm(spark, sf):
-    return q_doc_language_id(spark, sf).select(
-        "doc_id", F.col("lang_pred").alias("value")
+    from hbase_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(_LANG_PLANTS, "doc_id long, text string")
+    return docs.unionByName(plants).select(
+        "doc_id", lang_id("text").alias("value")
     )
 
 
@@ -4837,7 +4918,8 @@ _register_suite(
       "CAST(n_chars_actual AS VARCHAR) AS value "
       f"FROM ({_ORACLES['doc_token_stats']})"),
      ("lang_id",
-      f"SELECT doc_id, lang_pred AS value FROM ({_ORACLES['doc_language_id']})"),
+      "SELECT doc_id, lang_pred AS value FROM ("
+      + _lang_pred_sql(_LANG_PLANTS_SQL) + ")"),
      ("stream_dedup_twin", _STREAM_DEDUP_TWIN_SQL),
      ("repetition", _REPETITION_SQL),
      ("decontaminate", _DECONTAMINATE_SQL),
