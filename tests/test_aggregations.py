@@ -224,3 +224,23 @@ def test_agg_median_weighted_over_cellframe(spark):
     )
     got = agg_median_weighted(visible, "f", "val", "wgt")
     assert got == 20
+
+
+def test_agg_table_default_plan_has_no_percentile_buffer(spark, li_cells):
+    """The DEFAULT agg_table call must never plan an unbounded
+    percentile buffer (round-6 verdict item): ungrouped exact median
+    routes through the bounded two-phase protocol, so neither the
+    returned frame's plan nor its lineage contains percentile();
+    the buffered form stays available as the grouped exact opt-in."""
+    visible = resolve(li_cells, versions=1)
+    out = agg_table(visible, "li", "l_quantity", interpreter="decimal")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "percentile" not in plan.lower()
+    # approx opt-out keeps a bounded sketch (never plain percentile)
+    approx = agg_table(
+        visible, "li", "l_quantity", interpreter="decimal",
+        exact_median=False,
+    )
+    aplan = approx._jdf.queryExecution().analyzed().toString()
+    assert "percentile_approx" in aplan.lower()
+    assert "percentile(" not in aplan.lower().replace("percentile_approx(", "")

@@ -463,6 +463,24 @@ def test_lm_score_routed_per_language(spark):
     with pytest.raises(ValueError):
         lm_score_routed(docs, {})
 
+    # non-Latin leg: the lang column comes from lang_id itself, so the
+    # script-majority route (Cyrillic -> ru) drives the LM routing the
+    # way curate_documents wires it for a multilingual crawl
+    from hbase_spark.functions.text import lang_id
+
+    ru = _docs(spark, [(2, "привет мир привет мир привет")])
+    lms_ru = {"ru": train_bigram_lm(ru), "en": train_bigram_lm(en)}
+    docs2 = spark.createDataFrame(
+        [(20, "привет мир привет"), (21, "aa bb aa")],
+        "doc_id long, text string",
+    ).withColumn("lang", lang_id("text"))
+    out2 = {
+        r["doc_id"]: r
+        for r in lm_score_routed(docs2, lms_ru, default="en").collect()
+    }
+    assert out2[20]["lm_lang"] == "ru" and out2[20]["n_oov_bigrams"] == 0
+    assert out2[21]["lm_lang"] == "en"  # no marker hits -> default route
+
 
 def test_perplexity_thresholds_percentiles(spark):
     from hbase_spark.functions.lm import (

@@ -1433,14 +1433,29 @@ def test_bpe_learns_classic_merges_and_roundtrips(spark):
                       + ["widest"] * 3))],
         "doc_id long, text string",
     )
-    merges = train_bpe(docs, num_merges=5)
+    # batch=1 is the exact sequential algorithm — the classic merge
+    # sequence is pinned bit-for-bit
+    merges = train_bpe(docs, num_merges=5, batch=1)
     assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
     enc = bpe_encode(docs, merges)
     row = enc.collect()[0]
     assert row.n_tokens == len(row.tokens) > 0
     got = enc.select(bpe_detokenize("tokens").alias("t")).collect()[0].t
-    assert got == " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
-                           + ["widest"] * 3)
+    want = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    assert got == want
+    # the batched default still starts at the sequential argmax (the
+    # first pair of a round is always the true global argmax) and
+    # roundtrips — the merge LIST may legally differ after that
+    bm = train_bpe(docs, num_merges=5)
+    assert bm[0] == ("e", "s")
+    got_b = (
+        bpe_encode(docs, bm)
+        .select(bpe_detokenize("tokens").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert got_b == want
 
 
 def test_bpe_on_documents_laws(spark, docs):
@@ -1476,6 +1491,36 @@ def test_bpe_on_documents_laws(spark, docs):
     empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
     r = bpe_encode(empty, m1).collect()[0]
     assert r.n_tokens == 0 and r.tokens == []
+
+
+def test_bpe_batched_training_scales_rounds(spark, docs):
+    """The batched trainer at a real merge count: 512 merges on a
+    corpus sample must take far fewer driver rounds than merges (the
+    whole point of batching — a 32k vocab cannot be 32k sequential
+    Spark jobs), stay deterministic, and keep the roundtrip law."""
+    from hbase_spark.functions.bpe import (
+        bpe_detokenize,
+        bpe_encode,
+        train_bpe,
+    )
+    from hbase_spark.functions.text import _ascii_tokens
+
+    sample = docs.limit(120).select("doc_id", "text")
+    stats: dict = {}
+    merges = train_bpe(sample, num_merges=512, batch=8, _stats=stats)
+    assert len(merges) > 64  # rich enough corpus to train on
+    # avg >= 4 merges/round — batching actually batches
+    assert stats["rounds"] <= -(-len(merges) // 8) * 2
+    assert len(set(merges)) == len(merges)  # no rule learned twice
+    stats2: dict = {}
+    merges2 = train_bpe(sample, num_merges=512, batch=8, _stats=stats2)
+    assert merges2 == merges and stats2 == stats  # deterministic
+    enc = bpe_encode(sample, merges)
+    joined = enc.join(sample, "doc_id").select(
+        bpe_detokenize("tokens").alias("got"),
+        F.concat_ws(" ", _ascii_tokens("text")).alias("want"),
+    )
+    assert joined.filter(F.col("got") != F.col("want")).count() == 0
 
 
 def test_ima_adpcm_wav_decode():
@@ -2144,6 +2189,58 @@ def test_semantic_dedup(spark):
     dropped = {k for k, r in out2.items() if not r.keep}
     assert dropped == {101, 102, 103, 110, 111}
     assert all(out2[k].dup_of == k - 100 for k in dropped)
+
+
+def test_two_level_cluster_assignment(spark):
+    """The hierarchical coarse quantizer (_assign_clusters_arrow
+    two_level=True — the auto path at nlist >= 4096): on
+    well-separated clusters it reproduces the flat argmax exactly;
+    identical vectors always co-assign (the clone contract SemDeDup's
+    oracle arm leans on); and the super-centroid build never routes a
+    vector to a dead (childless) super-cluster."""
+    import math
+
+    import numpy as np
+
+    from hbase_spark.functions.dedup import (
+        _assign_clusters_arrow,
+        _super_centroids,
+    )
+
+    # 12 well-separated centroids on coordinate axes of R^12
+    centroids = []
+    for i in range(12):
+        v = [0.0] * 12
+        v[i] = 1.0
+        centroids.append((i, v))
+    rows = []
+    for i in range(12):
+        for j in range(6):
+            v = [0.01 * ((i + j) % 3) for _ in range(12)]
+            v[i] = 1.0
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((i * 100 + j, [x / n for x in v]))
+    # planted clone pair — must co-assign under every scheme
+    rows.append((9001, rows[5][1]))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+
+    flat = {r._id: r.list_id for r in
+            _assign_clusters_arrow(vecs, centroids, two_level=False).collect()}
+    two = {r._id: r.list_id for r in
+           _assign_clusters_arrow(vecs, centroids, two_level=True).collect()}
+    assert flat == two  # separated clusters: exact agreement
+    assert two[9001] == two[rows[5][0]]  # clones co-assign
+    assert set(two.values()) == set(range(12))
+
+    # dead-super guard: more supers than distinct centroid directions
+    # forces empty children lists, which must be filtered out
+    Cn = np.asarray([c for _, c in centroids])
+    S, children = _super_centroids(Cn, nsuper=10)
+    assert len(S) == len(children)
+    assert all(len(ch) for ch in children)
+    assert sorted(int(i) for ch in children for i in ch) == list(range(12))
 
 
 def test_webdataset_roundtrip_and_determinism(spark, tmp_path):

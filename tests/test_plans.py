@@ -465,3 +465,74 @@ def test_bm25_broadcasts_query_terms_and_windows_matched_set_only(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
+
+
+def test_c4_bad_words_plan_is_list_size_invariant(spark):
+    """c4_clean at real blocklist scale: a 1,000-entry bad_words list
+    must compile to a constant number of expression nodes (one INSET
+    token probe + one alternation regex), never a per-entry boolean
+    chain — a ~2k-node OR tree per row is a janino/codegen fallback
+    waiting to happen.  Guard: the executed plan mentions each
+    mechanism once-ish and its size does not scale with the list."""
+    from hbase_spark.functions.text import c4_clean
+
+    words = tuple(f"badword{i}" for i in range(900)) + tuple(
+        f"bad phrase {i}" for i in range(100)
+    )
+    docs = spark.createDataFrame(
+        [(1, "A clean sentence that is long enough to keep here.\n" * 6),
+         (2, "This line mentions badword7 so it must be flagged now.\n" * 6),
+         (3, "Sadly a bad phrase 42 appears in this very long line.\n" * 6)],
+        ["doc_id", "text"],
+    )
+    out = c4_clean(docs, bad_words=words)
+    got = {r.doc_id: r.no_bad_words for r in out.collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+    plan = plan_of(out)
+    # the small list keeps >10 singles so both plans are past Spark's
+    # In->InSet conversion threshold — comparing like with like
+    small = plan_of(c4_clean(
+        docs,
+        bad_words=tuple(f"badword{i}" for i in range(12))
+        + ("bad phrase 42", "bad phrase 43"),
+    ))
+    # node-count invariance: the 1,000-entry plan has exactly as many
+    # set probes / regex nodes / OR nodes as the 2-entry plan — growth
+    # would mean a per-entry expression chain is back
+    for marker in ("INSET", "RLIKE", " OR ", "array_contains", "exists"):
+        assert plan.count(marker) == small.count(marker), (
+            marker, plan.count(marker), small.count(marker)
+        )
+    assert plan.count("INSET") >= 1  # the big list really is a set probe
+
+
+def test_visibility_plan_is_pure_codegen_set_probe(spark):
+    """visible(): the admitted-expression filter is one codegen set
+    probe — no executor Python (BatchEvalPython) and no join in the
+    plan (round-6 verdict item 7); the policy cap raises on a
+    data-derived label column instead of collecting it."""
+    from hbase_spark.functions.visibility import visible
+
+    rows = [
+        (str(i).zfill(4), "f", "q", 1, 4, f"v{i}",
+         ["secret & ops", "ops", "", None][i % 4])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(
+        rows, "row string, family string, qualifier string, "
+        "ts long, type int, value string, labels string"
+    )
+    out = visible(df, {"secret", "ops"})
+    assert out.count() == 64  # all four label shapes admitted
+    out2 = visible(df, {"ops"})
+    assert out2.count() == 48  # the secret&ops quarter drops
+    plan = plan_of(out2)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    with pytest.raises(ValueError, match="max_policies"):
+        visible(
+            df.withColumn("labels", F.concat(F.lit("l"), F.col("row"))),
+            {"ops"},
+            max_policies=16,
+        )
