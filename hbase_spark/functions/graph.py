@@ -145,24 +145,21 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # One star pair per fixpoint signature.  Checking every OTHER round
+    # (two pairs per signature) was measured in round 7 and REJECTED:
+    # a star pair costs two shuffle aggregations + a join while the
+    # signature is one 1-row aggregate over the already-checkpointed
+    # edges, so overshooting convergence by a pair costs far more than
+    # the signature it saves (doc_cc_clusters at sf0.1: 3.9s -> ~5.8s
+    # batched).  Driver latency only dominates below bench scale.
     sig = _signature(e)
-    converged = False
-    for _ in range(0, max_rounds, 2):
-        # Two alternating star rounds per fixpoint check: the signature
-        # is a driver round-trip (a 1-row job), and a converged edge
-        # set is a FIXPOINT of both star operators — running one extra
-        # pair past convergence returns the identical star forest — so
-        # checking every other round halves the driver-latency share of
-        # the loop (the dominant cost at low data volumes) without
-        # changing the result or the O(log^2 n) round bound.
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nxt = _signature(e)
         if nxt == sig:
-            converged = True
             break
         sig = nxt
-    if not converged:
+    else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )

@@ -106,36 +106,67 @@ def lang_id(col: str | Column = "text", default: str = "unknown") -> Column:
 
     Mirrored expression-for-expression by the DuckDB oracle (the
     in-window `doc_language_id` hash checks the whole decision
-    surface, planted non-Latin docs included)."""
+    surface, planted non-Latin docs included).
+
+    Expression-shape notes (all measured on the sf0.1 corpus):
+
+    - The marker split deliberately has NO empty-string filter: a
+      higher-order lambda anywhere in the tree knocks the WHOLE
+      projection out of whole-stage codegen into interpreted eval
+      (~4x), and '' can never match a marker, so the filter was pure
+      cost.
+    - Each per-script count appears EXACTLY ONCE behind a
+      short-circuiting ``non_ascii & ...`` conjunction.  Any reuse
+      (e.g. the classic ``when(cond(x), value(x))`` with x appearing
+      twice) gets hoisted by codegen subexpression elimination and
+      evaluated EAGERLY — which un-gates the regex scans and made an
+      ASCII corpus pay the full multi-script cost.
+    - The marker argmax folds the default in as a sentinel entry
+      (score 0) so the winning struct is referenced once; this needs
+      ``default`` to sort above every marker lang code, which holds
+      for 'unknown' — other defaults take the two-reference form.
+    - A pure-ASCII doc therefore costs: one char-class rlike + one
+      tokenize + 9 array-intersects.  The script regexes never run.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
+    toks_raw = F.split(F.lower(c), _WORD_SPLIT)  # '' never matches a marker
     scored = []
     for lang, markers in _LANG_MARKERS.items():
-        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        hits = F.size(
+            F.array_intersect(toks_raw, F.array(*[F.lit(m) for m in markers]))
+        )
         scored.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
-    top = F.array_max(F.array(*scored))
+    if all(lang < default for lang in _LANG_MARKERS):
+        sentinel = F.struct(
+            F.lit(0).alias("score"), F.lit(default).alias("lang")
+        )
+        marker_pick = F.array_max(F.array(*scored, sentinel))["lang"]
+    else:
+        top = F.array_max(F.array(*scored))
+        marker_pick = F.when(top["score"] > 0, top["lang"]).otherwise(
+            F.lit(default)
+        )
 
-    letters = F.regexp_count(c, F.lit(r"\p{L}"))
-    kana = F.regexp_count(c, F.lit(r"[\p{IsHiragana}\p{IsKatakana}]"))
+    non_ascii = c.rlike(r"[^\x00-\x7F]")
+    letters_g = F.when(non_ascii, F.regexp_count(c, F.lit(r"\p{L}")))
+    kana_g = F.when(
+        non_ascii, F.regexp_count(c, F.lit(r"[\p{IsHiragana}\p{IsKatakana}]"))
+    )
     han = F.regexp_count(c, F.lit(r"\p{IsHan}"))
-    script_scored = [
-        F.struct(
-            (han + kana).alias("score"),
-            F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh")).alias("lang"),
+    # one vote per script family: the family's lang code when it holds
+    # the letter majority, else NULL; at most one vote can be non-null
+    # (two disjoint scripts cannot both exceed half the letters), so
+    # array_max just surfaces it
+    votes = [
+        F.when(
+            non_ascii & ((han + kana_g) * 2 > letters_g),
+            F.when(kana_g > 0, F.lit("ja")).otherwise(F.lit("zh")),
         )
     ]
     for lang, cls in _SCRIPT_CLASSES.items():
         cnt = F.regexp_count(c, F.lit("\\p{" + cls + "}"))
-        script_scored.append(
-            F.struct(cnt.alias("score"), F.lit(lang).alias("lang"))
-        )
-    top_script = F.array_max(F.array(*script_scored))
-
-    return (
-        F.when(top_script["score"] * 2 > letters, top_script["lang"])
-        .when(top["score"] > 0, top["lang"])
-        .otherwise(F.lit(default))
-    )
+        votes.append(F.when(non_ascii & (cnt * 2 > letters_g), F.lit(lang)))
+    return F.coalesce(F.array_max(F.array(*votes)), marker_pick)
 
 
 def quality_features(col: str | Column = "text") -> dict[str, Column]:
