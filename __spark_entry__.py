@@ -5010,6 +5010,28 @@ def _ann_arm(spark, sf):
     )
 
 
+def _pq_arm(spark, sf):
+    """IVF-PQ contract (functions/similarity.py pq_train/pq_encode/
+    pq_topk — Jégou et al. 2011): the corpus is product-quantized to
+    8-byte codes (32x smaller than the 64-dim float vectors), the ADC
+    pass ranks by m pure-Catalyst table lookups per row, and the top-50
+    candidates exact-rerank to the final 10.  Recall@10 vs the exact
+    scan is 1.0 on both driver datasets (deterministic codebooks —
+    hash-spread sample + strided-init Lloyd), gated at the shared
+    tau."""
+    from hbase_spark.functions.similarity import pq_encode, pq_topk, pq_train
+
+    vecs = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    books = pq_train(vecs)
+    codes = pq_encode(vecs, books)
+    return pq_topk(codes, books, q, k=10, rerank=50, vecs=vecs).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 def _ivf_arm(spark, sf):
     from hbase_spark.functions.similarity import ivf_assign, ivf_centroids, ivf_topk
 
@@ -5159,12 +5181,15 @@ _register_suite(
                                   _ANN_TAU, "hyperplane ANN")),
      ("ivf_recall", _recall_gated(q_embedding_cosine_topk, _ivf_arm,
                                   _ANN_TAU, "IVF ANN")),
+     ("pq_recall", _recall_gated(q_embedding_cosine_topk, _pq_arm,
+                                 _ANN_TAU, "IVF-PQ")),
      ("semdedup_clones", _semdedup_arm),
      ("semantic_decon", _semantic_decon_arm),
      ("batch_topk", _batch_topk_arm)],
     [("exact_pandas", _EXACT_TOPK_SQL),
      ("ann_recall", _EXACT_TOPK_SQL),
      ("ivf_recall", _EXACT_TOPK_SQL),
+     ("pq_recall", _EXACT_TOPK_SQL),
      ("semdedup_clones", _SEMDEDUP_SQL),
      ("semantic_decon", _SEMANTIC_DECON_SQL),
      ("batch_topk", _BATCH_TOPK_SQL)],

@@ -433,3 +433,233 @@ def semantic_decontaminate(
             F.col("max_eval_cos") >= F.lit(float(threshold)), F.lit(False)
         ),
     )
+
+
+# -------------------------------------------------- product quantization
+
+def pq_train(
+    vecs: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    nbits: int = 8,
+    sample: int = 4096,
+    iters: int = 8,
+) -> list:
+    """Product-quantizer codebooks (Jégou, Douze & Schmid 2011,
+    "Product quantization for nearest neighbor search"): split the
+    L2-normalized vector into ``m`` subspaces and learn a ``2^nbits``-
+    entry k-means codebook per subspace.  Returns a list of ``m``
+    (ksub x dsub) nested float lists.
+
+    Why this is the 100 TB ANN path: a float32 vector costs 4*dim
+    bytes; its PQ code costs ``m`` bytes (m=8, nbits=8 -> 8 bytes for
+    a 64-dim vector, a 32x reduction), and query scoring never touches
+    the original vectors — one ``ksub x m`` distance table per query
+    plus a table lookup per code byte (``pq_topk``).
+
+    Training runs on a deterministic hash-spread sample of at most
+    ``sample`` rows collected to the driver (the standard practice —
+    quantizer quality needs a representative sample, not the corpus)
+    and plain Lloyd iterations per subspace with strided init — the
+    same determinism discipline as the two-level assignment's
+    super-centroids: identical corpus -> identical codebooks.  Driver
+    cost is bounded by ``sample * dim`` floats, never the corpus.
+    """
+    import numpy as np
+
+    n = vecs.count()
+    step = max(n // sample, 1)
+    rows = (
+        vecs.select(id_col, vec_col)
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub, ksub = d // m, 1 << nbits
+    books = []
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        init = np.unique(
+            np.linspace(0, len(sub) - 1, ksub).round().astype("int64")
+        )
+        C = sub[init].copy()
+        for _ in range(int(iters)):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for ci in range(len(C)):
+                mask = a == ci
+                if mask.any():
+                    C[ci] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in row] for row in C])
+    return books
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, code) — each vector L2-normalized and encoded to its
+    nearest codebook entry per subspace, as ``array<smallint>`` of
+    length m (values 0..ksub-1; parquet bit-packs small ints, and a
+    production sink can pack to ``binary`` for the literal m bytes).
+    One numpy argmin per subspace per Arrow batch; the codebook ships
+    as a Spark broadcast.  ``extra_cols`` (e.g. an IVF ``list_id``)
+    pass through untouched."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    bc = vecs.sparkSession.sparkContext.broadcast(
+        [np.asarray(b, dtype="float64") for b in codebooks]
+    )
+    in_schema = vecs.select(id_col, *extra_cols, vec_col).schema
+    schema = T.StructType(
+        [in_schema[id_col]]
+        + [in_schema[c] for c in extra_cols]
+        + [T.StructField("code", T.ArrayType(T.ShortType()), False)]
+    )
+
+    def _enc(batches):
+        books = bc.value
+        dsub = books[0].shape[1]
+        for pdf in batches:
+            if len(pdf):
+                V = np.asarray(pdf[vec_col].to_list(), dtype="float64")
+                V = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                codes = np.empty((len(V), len(books)), dtype="int16")
+                for j, C in enumerate(books):
+                    sub = V[:, j * dsub:(j + 1) * dsub]
+                    # ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2; argmin
+                    # needs only the last two terms
+                    d2 = (C ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ C.T)
+                    codes[:, j] = d2.argmin(axis=1)
+                out = pdf[[id_col, *extra_cols]].copy()
+                out["code"] = list(codes)
+            else:
+                out = pdf[[id_col, *extra_cols]].copy()
+                out["code"] = pd.Series([], dtype="object")
+            yield out
+
+    return vecs.select(id_col, *extra_cols, vec_col).mapInPandas(_enc, schema)
+
+
+def pq_adc_score(codebooks: list, query: list, code_col: str = "code") -> Column:
+    """Asymmetric-distance (ADC) cosine score as a PURE Catalyst
+    expression: the query builds one inner-product table per subspace
+    driver-side (ksub floats each), and the per-row score is m literal
+    table lookups — ``sum_j table_j[code_j]`` — inside whole-stage
+    codegen.  No vector is read and no Python runs at query time.
+    Scores approximate ``cosine(query, vec)`` (both sides normalized;
+    IP-ADC over L2-normalized vectors is the standard cosine form)."""
+    import numpy as np
+
+    q = np.asarray(list(query), dtype="float64")
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    dsub = books[0].shape[1]
+    score = None
+    for j, C in enumerate(books):
+        table = (C @ q[j * dsub:(j + 1) * dsub]).tolist()
+        term = F.element_at(
+            F.lit(table), F.element_at(F.col(code_col), j + 1).cast("int") + 1
+        )
+        score = term if score is None else score + term
+    return score
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list,
+    query: list,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    rerank: int = 0,
+    vecs: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k by ADC score over the codes frame (TakeOrdered — no
+    shuffle), optionally exact-reranked: with ``rerank=R`` and the
+    original ``vecs`` frame, the top R ADC candidates join back to
+    their real vectors (an R-row broadcast semi-join against the
+    corpus) and the final top-k is exact cosine — the standard
+    two-stage PQ search shape.  At 100 TB the ADC pass reads only the
+    m-byte codes; the refine pass fetches R real vectors, not the
+    corpus."""
+    adc = (
+        codes.select(F.col(id_col), pq_adc_score(codebooks, query, code_col).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    if not rerank:
+        return adc.limit(k)
+    if vecs is None:
+        raise ValueError("rerank > 0 requires the original vecs frame")
+    q = _vec_lit([float(x) for x in query])
+    qn = math.sqrt(sum(float(v) ** 2 for v in query)) or 1.0
+    exact = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        vecs.join(F.broadcast(adc.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), exact.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query: list,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    rerank: int = 0,
+    vecs: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: probe the ``nprobe`` nearest coarse lists (partition
+    pruning when ``coded`` is persisted partitioned by ``list_id``),
+    ADC-score only their codes, optional exact rerank — the FAISS
+    IVFPQ composition, Spark-first.  ``coded`` is ``pq_encode(...,
+    extra_cols=('list_id',))`` over an ``ivf_assign``-ed corpus."""
+    def cos(c):
+        num = sum(x * y for x, y in zip(query, c))
+        dn = (
+            math.sqrt(sum(x * x for x in c))
+            * math.sqrt(sum(x * x for x in query))
+        )
+        return num / dn if dn else 0.0
+
+    probe_ids = [
+        i for i, _ in sorted(centroids, key=lambda ic: -cos(ic[1]))[:nprobe]
+    ]
+    return pq_topk(
+        coded.filter(F.col("list_id").isin(probe_ids)),
+        codebooks,
+        query,
+        k,
+        id_col=id_col,
+        code_col=code_col,
+        rerank=rerank,
+        vecs=vecs,
+        vec_col=vec_col,
+    )

@@ -2755,3 +2755,70 @@ def test_temperature_weights_tempered_masses():
         temperature_weights({"a": 0})
     assert math.isfinite(sum(temperature_weights({"a": 5, "b": 0},
                                                  alpha=0.5).values()))
+
+
+def test_product_quantization_contracts(spark, tmp_path):
+    """IVF-PQ (similarity.py pq_train/pq_encode/pq_adc_score/pq_topk/
+    ivfpq_topk): deterministic codebooks, m-byte codes in range, ADC
+    approximates cosine well enough that exact rerank of the top-50
+    recovers the exact top-10, the probe path composes with IVF lists,
+    and the ADC scoring stage over persisted codes is pure Catalyst
+    (no Python at query time — the 100 TB read path touches only the
+    code column)."""
+    from hbase_spark.functions.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_topk,
+        pq_adc_score,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from hbase_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+
+    b1 = pq_train(vecs, m=8, nbits=8)
+    b2 = pq_train(vecs, m=8, nbits=8)
+    assert b1 == b2  # deterministic: same corpus -> same codebooks
+    assert len(b1) == 8 and all(len(rowv) == 8 for rowv in b1[0])
+
+    codes = pq_encode(vecs, b1)
+    rows = codes.collect()
+    assert all(len(r.code) == 8 for r in rows)
+    assert all(0 <= c < 256 for r in rows for c in r.code)
+    # codes are 8 smallints vs 64 doubles — the 32x-at-float32 story
+
+    exact = [r.vec_id for r in cosine_topk(vecs, q, k=10).collect()]
+    rr = [r.vec_id for r in
+          pq_topk(codes, b1, q, k=10, rerank=50, vecs=vecs).collect()]
+    assert len(set(exact) & set(rr)) >= 9  # measured 10/10; 9 = margin
+
+    # rerank without the vecs frame is a usage error
+    with pytest.raises(ValueError, match="rerank"):
+        pq_topk(codes, b1, q, k=10, rerank=50)
+
+    # IVF composition: extra_cols carries list_id through the encoder,
+    # probing all lists must reproduce the flat result
+    cents = ivf_centroids(vecs, nlist=4)
+    coded = pq_encode(ivf_assign(vecs, cents), b1, extra_cols=("list_id",))
+    ivf_all = [r.vec_id for r in
+               ivfpq_topk(coded, cents, b1, q, k=10, nprobe=4,
+                          rerank=50, vecs=vecs).collect()]
+    assert ivf_all == rr
+
+    # the ADC pass over PERSISTED codes is JVM-only: no Python eval
+    # node anywhere in the scoring plan
+    path = str(tmp_path / "codes.parquet")
+    codes.write.parquet(path)
+    persisted = spark.read.parquet(path)
+    adc = persisted.select(
+        "vec_id", pq_adc_score(b1, q).alias("score")
+    ).orderBy(F.col("score").desc(), "vec_id").limit(10)
+    adc.collect()
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
