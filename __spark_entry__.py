@@ -4885,6 +4885,35 @@ FROM documents d LEFT JOIN rb USING (doc_id)
 """
 
 
+# Public byte-level BPE merge list for the apply-path contract: real
+# deployments load a published tokenizer's merges; the contract being
+# hash-checked — detok(encode(x)) == x byte-for-byte, ids == rank
+# vocabulary — holds for ANY list, so a small deterministic one keeps
+# the arm fast.  Ġ/Ċ are the GPT-2 remaps of space/newline.
+_BBPE_MERGES = [
+    ("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"), ("h", "e"), ("i", "n"),
+    ("a", "n"), ("an", "d"), ("e", "r"), ("o", "u"), ("Ġ", "a"),
+    ("r", "e"), ("o", "n"), ("Ġa", "nd"), ("in", "g"), ("e", "s"),
+]
+
+
+def _bbpe_arm(spark, sf):
+    """Byte-level BPE apply contract (functions/bpe.py bbpe_encode /
+    bbpe_detokenize — the GPT-2 published algorithm): encoding under a
+    pretrained merge list is LOSSLESS, so decode(encode(text)) must
+    reproduce every document byte-for-byte; the oracle is the text
+    itself, making the whole pretokenize -> min-rank merge ->
+    broadcast-join -> reassemble -> JVM detranslate pipeline
+    hash-checkable with zero tolerance."""
+    from hbase_spark.functions.bpe import bbpe_detokenize, bbpe_encode
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    enc = bbpe_encode(docs, _BBPE_MERGES)
+    return enc.select(
+        "doc_id", bbpe_detokenize("tokens").alias("value")
+    )
+
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
@@ -4910,7 +4939,8 @@ _register_suite(
      ("shuffle_shards", _shuffle_arm),
      ("c4_rules", _c4_arm),
      ("domain_stats", _domain_arm),
-     ("fim", _fim_arm)],
+     ("fim", _fim_arm),
+     ("bbpe_roundtrip", _bbpe_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4942,7 +4972,8 @@ _register_suite(
      ("shuffle_shards", _SHUFFLE_SQL),
      ("c4_rules", _c4_sql()),
      ("domain_stats", _DOMAIN_SQL),
-     ("fim", _FIM_SQL)],
+     ("fim", _FIM_SQL),
+     ("bbpe_roundtrip", "SELECT doc_id, text AS value FROM documents")],
     ["doc_id", "value"],
 )
 

@@ -249,3 +249,164 @@ def bpe_detokenize(tokens: str | Column) -> Column:
             F.concat_ws("", c), "\\Q" + END + "\\E", " "
         )
     )
+
+
+# ------------------------------------------------- byte-level BPE (apply)
+
+# GPT-2's printable remap of the 256 byte values (Radford et al. 2019,
+# public `bytes_to_unicode`): printable latin stays itself, everything
+# else shifts to U+0100+.  Makes every byte a visible character so
+# merges operate on plain strings.
+def bytes_to_unicode() -> dict[int, str]:
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+# the two 256-char alignment strings F.translate needs to undo the
+# remap JVM-side (position i of _FROM maps to position i of _TO)
+_FROM = "".join(_B2U[b] for b in range(256))
+_TO = "".join(chr(b) for b in range(256))
+
+# GPT-2's pretokenizer (public); Java regex supports the lookahead
+_GPT2_SPLIT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+def _bbpe_segment(pretok: str, ranks: dict) -> list[str]:
+    """The canonical byte-level BPE apply (GPT-2 `bpe()`): map the
+    pretoken's UTF-8 bytes to printable units, then repeatedly merge
+    the lowest-rank adjacent pair until none is mergeable.  Unlike the
+    trainer's one-pass-per-rule fold, the min-rank loop re-examines
+    pairs a merge just created — the published apply semantics."""
+    parts = [_B2U[b] for b in pretok.encode("utf-8")]
+    while len(parts) > 1:
+        best, at = None, -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, at = r, i
+        if best is None:
+            break
+        parts[at:at + 2] = [parts[at] + parts[at + 1]]
+    return parts
+
+
+def bbpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """token -> id, derived the way every byte-level BPE release does:
+    the 256 byte units in remap order, then one entry per merge in
+    rank order (vocab files are exactly this, so ids line up with the
+    published tokenizer when the merge list does)."""
+    vocab = {_B2U[b]: i for i, b in enumerate(range(256))}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bbpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, tokens, ids, n_tokens) under a PRETRAINED byte-level BPE —
+    the apply path (a training pipeline usually APPLIES a published
+    tokenizer; ``train_bpe`` is for building one).  Lossless on any
+    input: every byte has a unit, so unknown words cannot exist and
+    ``bbpe_detokenize(bbpe_encode(x)) == x`` byte-for-byte — the law
+    the oracle arm hash-checks.
+
+    Plan shape (same discipline as ``bpe_encode``): the GPT-2
+    pretokenizer regex splits JVM-side, only DISTINCT pretokens cross
+    into Python for the min-rank merge loop (Zipf-bounded, Arrow-
+    batched), a broadcast join maps occurrences, and per-document
+    streams reassemble with a JVM sort+flatten.  Ids come from the
+    derived rank vocabulary (``bbpe_vocab``)."""
+    mg = list(merges)
+    ranks = {tuple(p): i for i, p in enumerate(mg)}
+    vocab = bbpe_vocab(mg)
+
+    occurrences = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_GPT2_SPLIT), 0)
+        ).alias("pos", "pretok"),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg(col: pd.Series) -> pd.Series:
+        return col.map(lambda w: _bbpe_segment(w, ranks))
+
+    piece_vocab = occurrences.select("pretok").distinct().select(
+        "pretok", seg("pretok").alias("toks")
+    )
+    joined = occurrences.join(F.broadcast(piece_vocab), "pretok")
+    assembled = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                lambda s: s["toks"],
+            )
+        ).alias("tokens")
+    )
+    # token -> id lookup as a broadcast join against the derived vocab
+    # (a map literal would be ~50k expression nodes at real vocab size)
+    spark = docs.sparkSession
+    vocab_df = spark.createDataFrame(
+        list(vocab.items()), "token string, token_id int"
+    )
+    with_ids = (
+        assembled.select(id_col, F.posexplode("tokens").alias("tpos", "token"))
+        .join(F.broadcast(vocab_df), "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tpos", "token", "token_id"))
+            ).alias("_s")
+        )
+        .select(
+            id_col,
+            F.transform("_s", lambda s: s["token"]).alias("tokens"),
+            F.transform("_s", lambda s: s["token_id"]).alias("ids"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(with_ids, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+            F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+            F.coalesce(F.size("tokens"), F.lit(0)).alias("n_tokens"),
+        )
+    )
+
+
+def bbpe_detokenize(tokens: str | Column) -> Column:
+    """Byte-exact inverse, fully JVM-side: concatenate the token
+    units, translate each remapped character back to its byte via the
+    256-char alignment strings, reinterpret as latin-1 bytes, decode
+    UTF-8.  ``bbpe_detokenize(bbpe_encode(x)) == x`` for EVERY string
+    (byte-level BPE has no unknown token and loses nothing)."""
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.decode(
+        F.encode(
+            F.translate(F.concat_ws("", c), _FROM, _TO), "ISO-8859-1"
+        ),
+        "UTF-8",
+    )

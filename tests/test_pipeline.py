@@ -2822,3 +2822,49 @@ def test_product_quantization_contracts(spark, tmp_path):
     adc.collect()
     plan = adc._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
+
+
+def test_byte_level_bpe_apply(spark):
+    """Byte-level BPE apply path (functions/bpe.py bbpe_*, the GPT-2
+    published algorithm): the byte remap is a bijection, segmentation
+    follows the MIN-RANK loop (re-examining pairs a merge creates —
+    not the trainer's one-pass fold), ids line up with the rank
+    vocabulary, and decode(encode(x)) is byte-exact for every input
+    including unicode, emoji, tabs/newlines and trailing spaces."""
+    from hbase_spark.functions.bpe import (
+        _bbpe_segment,
+        bbpe_detokenize,
+        bbpe_encode,
+        bbpe_vocab,
+        bytes_to_unicode,
+    )
+
+    m = bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+
+    # min-rank semantics: with ranks {(a,b):0, (x,ab):1}, merging (a,b)
+    # CREATES the (x,ab) pair and the loop must then apply it — the
+    # trainer's sequential fold would stop at [x, ab]
+    ranks = {("a", "b"): 0, ("x", "ab"): 1}
+    assert _bbpe_segment("xab", ranks) == ["xab"]
+
+    merges = [("Ġ", "t"), ("Ġt", "h"), ("h", "e"), ("i", "n"), ("a", "n")]
+    vocab = bbpe_vocab(merges)
+    assert len(vocab) == 256 + len(merges)
+    assert vocab["Ġt"] == 256 + 0 and vocab["an"] == 256 + 4
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"),
+         (2, "привет мир — emoji 😀, tabs\tand\nnewlines  double  spaces"),
+         (3, ""), (4, "trailing spaces   "), (5, "{code} & <tags>!")],
+        "doc_id long, text string",
+    )
+    enc = bbpe_encode(docs, merges)
+    out = {r.doc_id: r for r in enc.join(docs, "doc_id").select(
+        "doc_id", bbpe_detokenize("tokens").alias("got"),
+        "text", "tokens", "ids", "n_tokens").collect()}
+    for i, r in out.items():
+        assert r.got == r.text, (i, r.got, r.text)  # byte-exact roundtrip
+        assert r.n_tokens == len(r.tokens) == len(r.ids)
+        assert r.ids == [vocab[t] for t in r.tokens]  # rank-vocab ids
+    assert out[3].tokens == []
