@@ -62,6 +62,8 @@ EXTENDED = [
     "embedding_batch_topk",    # batched multi-query cosine top-k
     "doc_c4_rules",            # C4 line+page cleaning battery
     "doc_fim",                 # fill-in-the-middle transformation
+    "embedding_pq_topk",       # IVF-PQ: ADC scan over codes + rerank
+    "doc_bbpe_roundtrip",      # byte-level BPE apply + detokenize
 ]
 
 
@@ -91,6 +93,8 @@ def headline_queries() -> dict:
     queries.setdefault("embedding_batch_topk", entrymod._batch_topk_arm)
     queries.setdefault("doc_c4_rules", entrymod._c4_arm)
     queries.setdefault("doc_fim", entrymod._fim_arm)
+    queries.setdefault("embedding_pq_topk", entrymod._pq_arm)
+    queries.setdefault("doc_bbpe_roundtrip", entrymod._bbpe_arm)
     return queries
 
 
