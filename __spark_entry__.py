@@ -4914,6 +4914,69 @@ def _bbpe_arm(spark, sf):
     )
 
 
+def _pack_seq_arm(spark, sf):
+    """Tensor-export contract (functions/text.py pack_token_sequences
+    — the tokenize -> pack -> export last hop): documents become
+    codepoint id arrays (+eos 0), concatenate in the portable seeded
+    md5 order, and slice into fixed 32-token training rows.  The
+    DuckDB twin replays the identical stream assembly (same md5
+    shard/order scheme as the shuffle arm, a cumulative-offset window,
+    an ordinality unnest and a gpos-ordered list agg), so every packed
+    row's exact content — ids, order, boundaries, dropped tail — is
+    hash-checked."""
+    from hbase_spark.functions.text import pack_token_sequences
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    chars = F.filter(
+        F.split(F.substring("text", 1, 40), ""), lambda x: x != ""
+    )
+    enc = docs.select(
+        "doc_id", F.transform(chars, lambda x: F.ascii(x)).alias("ids")
+    )
+    out = pack_token_sequences(
+        enc, seq_len=32, shards=8, seed=7, eos_id=0, drop_last=True
+    )
+    # numeric key so the suite union keeps one doc_id type across arms
+    return out.select(
+        (F.col("shard").cast("long") * 1_000_000 + F.col("seq_id")).alias("doc_id"),
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",").alias("value"),
+    )
+
+
+_PACK_SEQ_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(split(substr(text, 1, 40), ''), x -> x <> '') AS cs
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         list_append(list_transform(cs, x -> unicode(x)), 0) AS ids
+  FROM d),
+h AS (
+  SELECT doc_id, ids, md5(CAST(doc_id AS VARCHAR) || ':7') AS hx FROM e),
+s AS (
+  SELECT doc_id, ids, hx,
+         CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS shard
+  FROM h),
+o AS (
+  SELECT shard, ids,
+         sum(len(ids)) OVER (
+           PARTITION BY shard ORDER BY hx, doc_id
+           ROWS UNBOUNDED PRECEDING) - len(ids) AS off
+  FROM s),
+t AS (
+  SELECT shard, off + r.i - 1 AS gpos, ids[r.i] AS tok
+  FROM o, UNNEST(range(1, len(ids) + 1)) AS r(i)),
+p AS (
+  SELECT shard, CAST(floor(gpos / 32) AS INT) AS seq_id,
+         list(tok ORDER BY gpos) AS ids, count(*) AS n
+  FROM t GROUP BY 1, 2)
+SELECT shard * 1000000 + seq_id AS doc_id,
+       array_to_string(ids, ',') AS value
+FROM p WHERE n = 32
+"""
+
+
 _register_suite(
     "doc_text_suite",
     [("fingerprint", _fp_arm), ("token_stats", _tok_arm), ("lang_id", _lang_arm),
@@ -4940,7 +5003,8 @@ _register_suite(
      ("c4_rules", _c4_arm),
      ("domain_stats", _domain_arm),
      ("fim", _fim_arm),
-     ("bbpe_roundtrip", _bbpe_arm)],
+     ("bbpe_roundtrip", _bbpe_arm),
+     ("pack_sequences", _pack_seq_arm)],
     [("fingerprint",
       f"SELECT doc_id, fp AS value FROM ({_ORACLES['doc_fingerprint']})"),
      ("token_stats",
@@ -4973,7 +5037,8 @@ _register_suite(
      ("c4_rules", _c4_sql()),
      ("domain_stats", _DOMAIN_SQL),
      ("fim", _FIM_SQL),
-     ("bbpe_roundtrip", "SELECT doc_id, text AS value FROM documents")],
+     ("bbpe_roundtrip", "SELECT doc_id, text AS value FROM documents"),
+     ("pack_sequences", _PACK_SEQ_SQL)],
     ["doc_id", "value"],
 )
 

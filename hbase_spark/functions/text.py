@@ -1349,3 +1349,91 @@ def temperature_weights(
         k: (tempered[k] / z) * budget / n[k] if n[k] > 0 else 0.0
         for k in n
     }
+
+
+def pack_token_sequences(
+    enc: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    seq_len: int = 2048,
+    eos_id: int | None = None,
+    pad_id: int = 0,
+    drop_last: bool = True,
+    shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize the trainer's actual input: concatenate tokenized
+    documents (causal-LM style — sequences cross document boundaries,
+    the standard GPT packing) in a seeded deterministic order and
+    slice the stream into fixed ``seq_len`` rows of token ids.  This
+    is the last hop of tokenize -> pack -> shuffle -> export: the
+    output rows are tensor-shaped.
+
+    Output: (shard, seq_id, ids array<int> of length seq_len,
+    n_tokens) — write ``partitionBy("shard")`` sorted by ``seq_id``
+    and the loader streams shards independently.
+
+    Plan shape: document order and shard assignment reuse the portable
+    md5 scheme of ``seeded_shuffle`` (same corpus + seed -> identical
+    packs on any engine); one doc-level window computes each doc's
+    running token offset within its shard (doc-count rows, cheap);
+    then ONE posexplode turns docs into (global_pos, id) and ONE
+    hash aggregation keyed by (shard, seq_id) reassembles sorted
+    fixed-length rows.  The token-level explode+shuffle is the
+    unavoidable transpose from document rows to training rows and is
+    strictly linear, partitioned ``shards``-wide; nothing global
+    orders the corpus.  ``eos_id`` (when given) is appended to every
+    document before packing — the usual document separator.
+    ``drop_last`` drops each shard's trailing partial sequence (the
+    trainer default); ``drop_last=False`` pads it with ``pad_id``.
+    """
+    from pyspark.sql import Window
+
+    ids = F.col(ids_col)
+    if eos_id is not None:
+        ids = F.concat(ids, F.array(F.lit(int(eos_id))))
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(shards)
+    ).cast("int")
+    d = enc.select(
+        F.col(id_col).alias("_id"), ids.alias("_ids"), h.alias("_h"),
+        shard.alias("shard"),
+    ).filter(F.size("_ids") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_off", F.sum(F.size("_ids")).over(w) - F.size("_ids"))
+    tok = d.select(
+        "shard",
+        F.posexplode("_ids").alias("_p", "_tok"),
+        (F.col("_off") + F.col("_p")).alias("_gpos"),
+    )
+    packed = (
+        tok.groupBy(
+            "shard",
+            F.floor(F.col("_gpos") / F.lit(seq_len)).cast("int").alias("seq_id"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.pmod("_gpos", F.lit(seq_len)).alias("_i"), "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ).alias("ids")
+        )
+    )
+    full = F.size("ids") == seq_len
+    if drop_last:
+        out = packed.filter(full)
+    else:
+        pad = F.array_repeat(F.lit(int(pad_id)), seq_len - F.size("ids"))
+        out = packed.withColumn(
+            "ids", F.when(full, F.col("ids")).otherwise(F.concat("ids", pad))
+        )
+    return out.select(
+        "shard", "seq_id", "ids", F.size("ids").alias("n_tokens")
+    )

@@ -2868,3 +2868,68 @@ def test_byte_level_bpe_apply(spark):
         assert r.n_tokens == len(r.tokens) == len(r.ids)
         assert r.ids == [vocab[t] for t in r.tokens]  # rank-vocab ids
     assert out[3].tokens == []
+
+
+def test_pack_token_sequences_laws(spark):
+    """pack_token_sequences (text.py): the tensor-shaped export hop.
+    Laws: per shard, the packed rows (in seq_id order) concatenate to
+    exactly the shard's documents' ids (+eos) in the seeded md5 order,
+    truncated at the last full sequence; every kept row is seq_len
+    long; drop_last=False pads the tail with pad_id; the whole thing
+    is deterministic and composes with bbpe_encode end-to-end."""
+    import hashlib
+
+    from hbase_spark.functions.bpe import bbpe_encode
+    from hbase_spark.functions.text import pack_token_sequences
+
+    rows = [(i, list(range(i * 100, i * 100 + 5 + (i % 7)))) for i in range(40)]
+    enc = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    seq_len, shards, seed, eos = 16, 4, 7, 99999
+    out = pack_token_sequences(
+        enc, seq_len=seq_len, shards=shards, seed=seed, eos_id=eos
+    ).collect()
+    assert all(r.n_tokens == seq_len == len(r.ids) for r in out)
+
+    # reference stream per shard, straight from the definition
+    def shard_and_key(i):
+        h = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+        return int(h[:8], 16) % shards, h
+
+    streams = {s: [] for s in range(shards)}
+    for i, ids in sorted(rows, key=lambda r: (shard_and_key(r[0])[1], r[0])):
+        s = shard_and_key(i)[0]
+        streams[s].extend(ids + [eos])
+    for s in range(shards):
+        want = streams[s]
+        got = [t for r in sorted((r for r in out if r.shard == s),
+                                 key=lambda r: r.seq_id) for t in r.ids]
+        assert got == want[: len(want) - len(want) % seq_len], s
+
+    # padded form keeps the tail
+    padded = pack_token_sequences(
+        enc, seq_len=seq_len, shards=shards, seed=seed, eos_id=eos,
+        drop_last=False, pad_id=-1,
+    ).collect()
+    assert all(len(r.ids) == seq_len for r in padded)
+    total = sum(len(ids) + 1 for _, ids in rows)
+    kept = sum(r.ids.count(-1) == 0 and seq_len or
+               (seq_len - r.ids.count(-1)) for r in padded)
+    assert kept == total  # nothing lost when padding
+
+    # determinism + end-to-end with the byte-level tokenizer
+    out2 = pack_token_sequences(
+        enc, seq_len=seq_len, shards=shards, seed=seed, eos_id=eos
+    ).collect()
+    assert sorted(map(tuple, ((r.shard, r.seq_id, tuple(r.ids)) for r in out))) \
+        == sorted(map(tuple, ((r.shard, r.seq_id, tuple(r.ids)) for r in out2)))
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "pack me into sequences please"),
+         (3, "and me too")],
+        "doc_id long, text string",
+    )
+    coded = bbpe_encode(docs, [("Ġ", "t"), ("h", "e")])
+    seqs = pack_token_sequences(
+        coded, seq_len=8, shards=2, seed=1, drop_last=False, pad_id=0
+    ).collect()
+    assert seqs and all(len(r.ids) == 8 for r in seqs)
