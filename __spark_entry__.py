@@ -3436,6 +3436,11 @@ _LANG_PLANTS = [
     (900012, "się nie jest aby tylko przez jak ale tego bardzo"),
     (900013, "bir metin için çok daha gibi ama değil olarak sonra kadar"),
     (900014, "hello world привет мир"),  # no script majority -> marker path -> unknown
+    # TWO scripts can both pass the majority test (marks/digits count
+    # toward the script class but not the \p{L} denominator): the
+    # winner must be the (count, lang) struct max in BOTH engines —
+    # Hebrew (8 letters) beats mark-heavy Thai (7 incl. marks/digits)
+    (900015, "אבגדהוזח กัิ่้๑๒"),
 ]
 
 _LANG_PLANTS_SQL = (

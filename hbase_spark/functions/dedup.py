@@ -1090,7 +1090,11 @@ def _assign_clusters_arrow(
         Sn, children = None, None
 
     # the model can be hundreds of MB at real (nlist x dim) — ship it
-    # once per executor, not once per task in the closure
+    # once per executor, not once per task in the closure.  Lifetime:
+    # the Broadcast handle lives only in this UDF's closure, so when
+    # the returned frame is dropped the handle becomes unreachable and
+    # Spark's ContextCleaner reclaims the blocks — per-frame, not
+    # session-lifetime, retention.
     bc = vecs.sparkSession.sparkContext.broadcast(
         (ids, Cn, Sn, children)
     )

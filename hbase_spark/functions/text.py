@@ -152,21 +152,38 @@ def lang_id(col: str | Column = "text", default: str = "unknown") -> Column:
     kana_g = F.when(
         non_ascii, F.regexp_count(c, F.lit(r"[\p{IsHiragana}\p{IsKatakana}]"))
     )
-    han = F.regexp_count(c, F.lit(r"\p{IsHan}"))
-    # one vote per script family: the family's lang code when it holds
-    # the letter majority, else NULL; at most one vote can be non-null
-    # (two disjoint scripts cannot both exceed half the letters), so
-    # array_max just surfaces it
+    han_g = F.when(non_ascii, F.regexp_count(c, F.lit(r"\p{IsHan}")))
+    # One (count, lang) struct vote per qualifying script family.
+    # TWO scripts can both pass the majority test on the same doc —
+    # script classes count combining marks and script digits that the
+    # \p{L} denominator excludes (e.g. Hebrew letters next to
+    # mark-heavy Thai) — so the winner must be the max by (count,
+    # lang), which is exactly the struct max the DuckDB twin computes
+    # over all scripts: the global count max qualifies whenever any
+    # script does (2*smaller > letters implies 2*larger > letters),
+    # so max-over-qualifying == the oracle's qualify-the-global-max.
+    # Every regex count is a gated hoisted subexpression (cnt_g shape):
+    # referenced twice, CSE evaluates it ONCE, and the internal
+    # when(non_ascii, ...) keeps ASCII rows regex-free.
+    cjk_g = han_g + kana_g
     votes = [
         F.when(
-            non_ascii & ((han + kana_g) * 2 > letters_g),
-            F.when(kana_g > 0, F.lit("ja")).otherwise(F.lit("zh")),
+            cjk_g * 2 > letters_g,
+            F.struct(
+                cjk_g.alias("s"),
+                F.when(kana_g > 0, F.lit("ja")).otherwise(F.lit("zh")).alias("l"),
+            ),
         )
     ]
     for lang, cls in _SCRIPT_CLASSES.items():
-        cnt = F.regexp_count(c, F.lit("\\p{" + cls + "}"))
-        votes.append(F.when(non_ascii & (cnt * 2 > letters_g), F.lit(lang)))
-    return F.coalesce(F.array_max(F.array(*votes)), marker_pick)
+        cnt_g = F.when(non_ascii, F.regexp_count(c, F.lit("\\p{" + cls + "}")))
+        votes.append(
+            F.when(
+                cnt_g * 2 > letters_g,
+                F.struct(cnt_g.alias("s"), F.lit(lang).alias("l")),
+            )
+        )
+    return F.coalesce(F.array_max(F.array(*votes))["l"], marker_pick)
 
 
 def quality_features(col: str | Column = "text") -> dict[str, Column]:
@@ -469,8 +486,13 @@ def c4_clean(
         toks = F.split(low, r"[^a-z0-9]+")
         bad = bad | F.exists(toks, lambda t: t.isin(singles))
     if phrases:
-        pat = "|".join("\\Q" + p + "\\E" for p in phrases)
-        bad = bad | low.rlike(pat)
+        # a literal \E inside an entry would terminate the quoting and
+        # turn the remainder into live regex — re-open the quote around
+        # an escaped backslash-E (the canonical \Q..\E injection fix)
+        def q(p):
+            return "\\Q" + p.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+        bad = bad | low.rlike("|".join(q(p) for p in phrases))
     out = (
         docs.withColumn("_lines", lines)
         .withColumn(out_col, clean)

@@ -99,8 +99,15 @@ def agg_table(
     )
 
 
-def _single(visible, family, qualifier, interpreter, expr_fn):
-    row = agg_table(visible, family, qualifier, interpreter=interpreter).collect()[0]
+def _single(visible, family, qualifier, interpreter, expr_fn,
+            exact_median: bool = False):
+    # the scalar helpers read ONE field — don't pay the eager two-phase
+    # exact-median scans for a value the caller discards; agg_median
+    # opts back in explicitly
+    row = agg_table(
+        visible, family, qualifier, interpreter=interpreter,
+        exact_median=exact_median,
+    ).collect()[0]
     return expr_fn(row)
 
 
@@ -130,8 +137,13 @@ def agg_std(visible, family, qualifier, interpreter="long"):
 
 
 def agg_median(visible, family, qualifier, interpreter="long"):
-    """AggregationClient.median — AggregationClient.java:778,796."""
-    return _single(visible, family, qualifier, interpreter, lambda r: r["median"])
+    """AggregationClient.median — AggregationClient.java:778,796.
+    Exact via the bounded two-phase protocol (the one scalar helper
+    that actually consumes the median field)."""
+    return _single(
+        visible, family, qualifier, interpreter,
+        lambda r: r["median"], exact_median=True,
+    )
 
 
 def median_two_phase(

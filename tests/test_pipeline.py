@@ -2193,7 +2193,7 @@ def test_semantic_dedup(spark):
 
 def test_two_level_cluster_assignment(spark):
     """The hierarchical coarse quantizer (_assign_clusters_arrow
-    two_level=True — the auto path at nlist >= 4096): on
+    two_level=True — the auto path at nlist >= _TWO_LEVEL_NLIST=128): on
     well-separated clusters it reproduces the flat argmax exactly;
     identical vectors always co-assign (the clone contract SemDeDup's
     oracle arm leans on); and the super-centroid build never routes a

@@ -506,6 +506,21 @@ def test_c4_bad_words_plan_is_list_size_invariant(spark):
         )
     assert plan.count("INSET") >= 1  # the big list really is a set probe
 
+    # \Q..\E injection: a phrase containing a literal \E must stay a
+    # literal (match exactly itself), not terminate the quote and turn
+    # the tail into live regex
+    inj = c4_clean(
+        spark.createDataFrame(
+            [(1, "plain long enough line ends with period here okay.\n" * 6),
+             (2, ("contains a" + "\\E" + "b+c literally in this line.\n") * 6),
+             (3, "contains abbbc which only live regex would flag.\n" * 6)],
+            ["doc_id", "text"],
+        ),
+        bad_words=("a\\Eb+c",),
+    )
+    got_inj = {r.doc_id: r.no_bad_words for r in inj.collect()}
+    assert got_inj == {1: True, 2: False, 3: True}
+
 
 def test_visibility_plan_is_pure_codegen_set_probe(spark):
     """visible(): the admitted-expression filter is one codegen set
