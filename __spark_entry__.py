@@ -3946,40 +3946,33 @@ def _gopher_arm(spark, sf):
     return out.select("doc_id", F.concat(*bits).alias("value"))
 
 
-def _gopher_sql():
-    def lit(s):
-        return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+# DuckDB twins of the Gopher rule set, shared by the variant oracle
+# and the curation-report oracle so the two can never desync.
+_GOPHER_SQL_RULES = {
+    "word_count_ok": "n >= 50 AND n <= 100000",
+    "mean_word_len_ok": "3 * n <= chars AND chars <= 10 * n",
+    "symbol_ratio_ok": "10 * symbols <= n",
+    "bullet_ratio_ok": "10 * bullets <= 9 * n_lines",
+    "ellipsis_ratio_ok": "10 * ellipses <= 3 * n_lines",
+    "alpha_ratio_ok": "5 * alpha >= 4 * n",
+    "stop_words_ok": "stops >= 2",
+}
+_GOPHER_KEEP_SQL = " AND ".join(f"({v})" for v in _GOPHER_SQL_RULES.values())
 
-    cases = " ".join(
-        f"WHEN {i} THEN {lit(v)}" for i, v in enumerate(_GOPHER_VARIANTS)
-    )
+
+def _gopher_metrics_sql(source: str) -> str:
+    """The k/m CTE pair computing every Gopher rule input over
+    ``source`` (which must expose doc_id, text)."""
     stops = ", ".join(f"'{w}'" for w in
                       ("the", "be", "to", "of", "and", "that", "have", "with"))
-    rules = {
-        "word_count_ok": "n >= 50 AND n <= 100000",
-        "mean_word_len_ok": "3 * n <= chars AND chars <= 10 * n",
-        "symbol_ratio_ok": "10 * symbols <= n",
-        "bullet_ratio_ok": "10 * bullets <= 9 * n_lines",
-        "ellipsis_ratio_ok": "10 * ellipses <= 3 * n_lines",
-        "alpha_ratio_ok": "5 * alpha >= 4 * n",
-        "stop_words_ok": "stops >= 2",
-    }
-    bit = " || ".join(
-        f"CAST(CAST(({rules[k]}) AS INT) AS VARCHAR)"
-        for k in _GOPHER_RULE_ORDER
-    )
-    keep = " AND ".join(f"({v})" for v in rules.values())
-    return f"""
-WITH t AS (
-  SELECT doc_id, CASE doc_id % 8 {cases} END AS text FROM documents),
-k AS (
+    return f"""k AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS toks,
          list_filter(string_split(text, chr(10)),
                      l -> trim(l) <> '') AS lines,
          text
-  FROM t),
+  FROM {source}),
 m AS (
   SELECT doc_id,
          len(toks) AS n,
@@ -3994,8 +3987,25 @@ m AS (
            AS ellipses,
          len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
          len(list_intersect(list_distinct(toks), [{stops}])) AS stops
-  FROM k)
-SELECT doc_id, {bit} || CAST(CAST(({keep}) AS INT) AS VARCHAR) AS value
+  FROM k)"""
+
+
+def _gopher_sql():
+    def lit(s):
+        return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+    cases = " ".join(
+        f"WHEN {i} THEN {lit(v)}" for i, v in enumerate(_GOPHER_VARIANTS)
+    )
+    bit = " || ".join(
+        f"CAST(CAST(({_GOPHER_SQL_RULES[k]}) AS INT) AS VARCHAR)"
+        for k in _GOPHER_RULE_ORDER
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, CASE doc_id % 8 {cases} END AS text FROM documents),
+{_gopher_metrics_sql('t')}
+SELECT doc_id, {bit} || CAST(CAST(({_GOPHER_KEEP_SQL}) AS INT) AS VARCHAR) AS value
 FROM m
 """
 
@@ -5403,7 +5413,53 @@ def q_agg_weighted_median(spark, sf):
     return spark.createDataFrame([(int(got),)], "median bigint")
 
 
+@_q(
+    "doc_curation_report",
+    None,  # oracle assigned below — needs _lang_pred_sql, defined above
+)
+def q_doc_curation_report(spark, sf):
+    """One-call pre-training corpus audit (functions/text.py
+    curation_report): per predicted language — document/token/char
+    volumes, Gopher quality-gate pass count, exact-duplicate-adjusted
+    unique count.  The DuckDB twin recomputes every per-doc signal
+    (the generated lang_pred expression, the unicode token count, the
+    shared Gopher rule SQL, the md5 of the normalized text) and the
+    same per-language rollup, so the whole audit surface is
+    hash-checked."""
+    from hbase_spark.functions.text import curation_report
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return curation_report(docs)
+
+
+_ORACLES["doc_curation_report"] = f"""
+WITH lang AS ({_lang_pred_sql()}),
+{_gopher_metrics_sql('documents')},
+base AS (
+  SELECT d.doc_id,
+         l.lang_pred AS lang,
+         ({_GOPHER_KEEP_SQL}) AS keep,
+         len(list_filter(
+             regexp_split_to_array(lower(d.text), '[^\\p{{L}}\\p{{N}}]+'),
+             x -> x <> '')) AS nt,
+         length(d.text) AS nc,
+         md5(trim(regexp_replace(regexp_replace(lower(d.text),
+             '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS nh
+  FROM documents d
+  JOIN lang l ON d.doc_id = l.doc_id
+  JOIN m ON d.doc_id = m.doc_id)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(CAST(keep AS INT)) AS BIGINT) AS n_quality_pass,
+       count(DISTINCT nh) AS n_unique_docs
+FROM base GROUP BY lang
+"""
+
+
 _TAIL = [
+    "doc_curation_report",
     "agg_weighted_median",
     "stream_replication_merge",
     "backup_restore_pit",

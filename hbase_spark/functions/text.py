@@ -1459,3 +1459,41 @@ def pack_token_sequences(
     return out.select(
         "shard", "seq_id", "ids", F.size("ids").alias("n_tokens")
     )
+
+
+def curation_report(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The one-call pre-training corpus audit: per predicted language,
+    document / token / character volumes, the Gopher quality-gate pass
+    count, and the exact-duplicate-adjusted unique count — the summary
+    a data engineer reads before spending GPU-hours on a corpus (and
+    the input to mixture/temperature weighting decisions).
+
+    Output: (lang, n_docs, n_tokens, n_chars, n_quality_pass,
+    n_unique_docs), one row per language.
+
+    Scale shape: one map stage computes every per-doc signal (lang_id,
+    unicode token count, Gopher booleans, an md5 content key of the
+    normalized text), then ONE hash aggregation keyed by language;
+    the distinct-count shuffles 16-byte content keys, never text.
+    Output cardinality = languages, so the result is driver-safe at
+    any corpus size."""
+    from functools import reduce
+    from operator import and_
+
+    keep = reduce(and_, gopher_rules(text_col).values())
+    d = docs.select(
+        lang_id(text_col).alias("lang"),
+        token_count(text_col).cast("long").alias("_nt"),
+        F.length(text_col).cast("long").alias("_nc"),
+        keep.alias("_keep"),
+        F.md5(normalize_text(text_col)).alias("_nh"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.sum(F.col("_keep").cast("long")).alias("n_quality_pass"),
+        F.count_distinct("_nh").alias("n_unique_docs"),
+    )
