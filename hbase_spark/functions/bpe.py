@@ -348,42 +348,34 @@ def bbpe_encode(
         ).alias("pos", "pretok"),
     )
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def seg(col: pd.Series) -> pd.Series:
-        return col.map(lambda w: _bbpe_segment(w, ranks))
+    # tokens AND ids come out of ONE segmentation pass: the rank
+    # vocabulary is driver-known, so the id lookup costs a dict get in
+    # the same Arrow batch — the earlier explode-the-tokens-again +
+    # vocab-join form re-shuffled the corpus token stream a second
+    # time and measured super-linear at 16x volume
+    @F.pandas_udf("tokens array<string>, ids array<int>")
+    def seg(col: pd.Series) -> pd.DataFrame:
+        toks = col.map(lambda w: _bbpe_segment(w, ranks))
+        return pd.DataFrame(
+            {
+                "tokens": toks,
+                "ids": toks.map(lambda ts: [vocab[t] for t in ts]),
+            }
+        )
 
     piece_vocab = occurrences.select("pretok").distinct().select(
-        "pretok", seg("pretok").alias("toks")
-    )
+        "pretok", seg("pretok").alias("_st")
+    ).select("pretok", F.col("_st.tokens").alias("toks"),
+             F.col("_st.ids").alias("tids"))
     joined = occurrences.join(F.broadcast(piece_vocab), "pretok")
-    assembled = joined.groupBy(id_col).agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "toks"))),
-                lambda s: s["toks"],
-            )
-        ).alias("tokens")
-    )
-    # token -> id lookup as a broadcast join against the derived vocab
-    # (a map literal would be ~50k expression nodes at real vocab size)
-    spark = docs.sparkSession
-    vocab_df = spark.createDataFrame(
-        list(vocab.items()), "token string, token_id int"
-    )
-    with_ids = (
-        assembled.select(id_col, F.posexplode("tokens").alias("tpos", "token"))
-        .join(F.broadcast(vocab_df), "token")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("tpos", "token", "token_id"))
-            ).alias("_s")
-        )
-        .select(
-            id_col,
-            F.transform("_s", lambda s: s["token"]).alias("tokens"),
-            F.transform("_s", lambda s: s["token_id"]).alias("ids"),
-        )
+    with_ids = joined.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "toks", "tids"))
+        ).alias("_s")
+    ).select(
+        id_col,
+        F.flatten(F.transform("_s", lambda s: s["toks"])).alias("tokens"),
+        F.flatten(F.transform("_s", lambda s: s["tids"])).alias("ids"),
     )
     return (
         docs.select(id_col)

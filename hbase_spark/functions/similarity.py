@@ -492,7 +492,10 @@ def pq_train(
         )
         C = sub[init].copy()
         for _ in range(int(iters)):
-            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # expanded-form distances (||c||^2 - 2<x,c>; ||x||^2 is
+            # argmin-invariant): one (sample x ksub) matrix per iter
+            # instead of a (sample x ksub x dsub) tensor
+            d2 = (C ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ C.T)
             a = d2.argmin(axis=1)
             for ci in range(len(C)):
                 mask = a == ci
