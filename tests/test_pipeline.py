@@ -2933,3 +2933,29 @@ def test_pack_token_sequences_laws(spark):
         coded, seq_len=8, shards=2, seed=1, drop_last=False, pad_id=0
     ).collect()
     assert seqs and all(len(r.ids) == 8 for r in seqs)
+
+
+def test_bbpe_segment_roundtrip_property():
+    """Property law (driver-side, no Spark needed): for ANY unicode
+    string and ANY merge list over its byte units, joining the
+    segments and reversing the byte remap reproduces the input
+    byte-for-byte — the invariant the Spark bbpe arm hash-checks on
+    the corpus, here fuzzed over adversarial inputs (surrogpairs,
+    control bytes, long runs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_spark.functions.bpe import _U2B, _bbpe_segment
+
+    merges = [("Ġ", "t"), ("h", "e"), ("e", "r"), ("he", "r"),
+              ("ĠĠ", "ĠĠ"), ("Ċ", "Ċ")]
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=80))
+    def law(s):
+        parts = _bbpe_segment(s, ranks)
+        back = bytes(_U2B[ch] for tok in parts for ch in tok)
+        assert back.decode("utf-8") == s
+
+    law()

@@ -551,3 +551,21 @@ def test_visibility_plan_is_pure_codegen_set_probe(spark):
             {"ops"},
             max_policies=16,
         )
+
+
+def test_pack_token_sequences_plan_has_no_global_sort(spark):
+    """pack_token_sequences: the export transpose must stay sharded —
+    no global range sort anywhere (one hash exchange for the doc-level
+    offset window, one for the (shard, seq_id) reassembly agg), and
+    the token-level exchange carries shard/seq keys plus int tokens,
+    never text."""
+    from hbase_spark.functions.text import pack_token_sequences
+
+    enc = spark.createDataFrame(
+        [(i, list(range(i, i + 7))) for i in range(200)],
+        "doc_id long, ids array<int>",
+    )
+    out = pack_token_sequences(enc, seq_len=16, shards=8, seed=3)
+    plan = plan_of(out)
+    assert "rangepartitioning" not in plan.lower()  # no global orderBy
+    assert plan.count("Exchange hashpartitioning") <= 2
