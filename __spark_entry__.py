@@ -3645,9 +3645,12 @@ FROM documents WHERE doc_id % 25 = 0
 
 def _pii_injected(docs):
     """Deterministic PII injection (the corpus is synthetic and
-    PII-free): an email, a phone and an IPv4 derived from doc_id are
-    appended, so detection counts and the redacted text are exact,
-    portable expectations on both engines."""
+    PII-free): an email, a phone, an IPv4 and TWO card-shaped numbers
+    — one Luhn-valid, one with a failing check digit — are appended,
+    so detection counts (incl. the Luhn gate: exactly one of the two
+    cards may count) and the redacted text (BOTH cards redact — shape-
+    based by design) are exact, portable expectations on both
+    engines."""
     return docs.withColumn(
         "text",
         F.concat(
@@ -3659,7 +3662,7 @@ def _pii_injected(docs):
             F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
             F.lit(" from 10."),
             F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
-            F.lit(".0.1"),
+            F.lit(".0.1 card 4532 0151 1283 0366 not 1234 5678 9012 3456"),
         ),
     )
 
@@ -3699,13 +3702,32 @@ def _pii_sql():
         " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
         " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
         " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+        " || ' card 4532 0151 1283 0366 not 1234 5678 9012 3456'"
     )
+    luhn = (
+        "len(list_filter(regexp_extract_all(text, '{pat}'), m -> ("
+        "list_sum(list_transform(range(1, len(list_reverse("
+        "list_filter(split(m, ''), x -> x BETWEEN '0' AND '9'))) + 1),"
+        " i -> CASE WHEN i % 2 = 1"
+        " THEN list_reverse(list_filter(split(m, ''), x -> x BETWEEN '0' AND '9'))[i]::INT"
+        " ELSE CASE WHEN 2 * list_reverse(list_filter(split(m, ''), x -> x BETWEEN '0' AND '9'))[i]::INT > 9"
+        " THEN 2 * list_reverse(list_filter(split(m, ''), x -> x BETWEEN '0' AND '9'))[i]::INT - 9"
+        " ELSE 2 * list_reverse(list_filter(split(m, ''), x -> x BETWEEN '0' AND '9'))[i]::INT END END))"
+        " % 10 = 0)))"
+    ).format(pat=P["credit_card"])
+
+    def cnt(t):
+        if t == "credit_card":
+            return f"CAST(({luhn}) AS VARCHAR)"
+        return f"CAST(len(regexp_extract_all(text, '{P[t]}')) AS VARCHAR)"
+
     counts = " || ':' || ".join(
-        f"CAST(len(regexp_extract_all(text, '{P[t]}')) AS VARCHAR)"
-        for t in ("email", "ipv4", "phone", "ssn", "credit_card")
+        cnt(t) for t in ("email", "ipv4", "phone", "ssn", "credit_card")
     )
     total = " + ".join(
-        f"len(regexp_extract_all(text, '{P[t]}'))" for t in P
+        (luhn if t == "credit_card"
+         else f"len(regexp_extract_all(text, '{P[t]}'))")
+        for t in P
     )
     red = "text"
     for t in P:  # same order as redact_pii

@@ -626,22 +626,58 @@ PII_PATTERNS = {
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "credit_card": r"\b[0-9]{4}(?: [0-9]{4}){3}\b",
+    "credit_card": r"\b[0-9]{4}(?:[ -][0-9]{4}){3}\b",
 }
+
+
+def luhn_valid(digits: str | Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812 — the public card-number check
+    digit) as a pure Column expression over a digit string: from the
+    RIGHT, double every second digit (minus 9 past 9), the total must
+    be divisible by 10.  Non-digit characters are ignored, so a
+    card-shaped match can be passed as-is."""
+    c = F.col(digits) if isinstance(digits, str) else digits
+    ds = F.reverse(
+        F.filter(F.split(c, ""), lambda x: x.rlike("[0-9]"))
+    )
+    contrib = F.transform(
+        ds,
+        lambda d, i: F.when(i % 2 == 0, d.cast("int")).otherwise(
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(
+                d.cast("int") * 2
+            )
+        ),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    return (F.size(ds) > 0) & (total % 10 == 0)
 
 
 def pii_stats(
     docs: DataFrame, *, text_col: str = "text",
     types: list[str] | None = None,
+    validate_luhn: bool = True,
 ) -> DataFrame:
     """Per-document PII match counts — the detection half of the
-    standard pre-training redaction pass.  Pure ``regexp_count``
-    column expressions: one scan stage, JVM-side, no shuffle, no
-    Python.  Returns the input plus one ``pii_<type>`` long column per
-    requested type and a ``pii_total``."""
+    standard pre-training redaction pass.  Pure column expressions:
+    one scan stage, no shuffle, no Python.  Returns the input plus one
+    ``pii_<type>`` long column per requested type and a ``pii_total``.
+
+    ``credit_card`` counts only Luhn-VALID card-shaped matches
+    (``validate_luhn=False`` restores the raw shape count): a 16-digit
+    number with a failing check digit is an order id or a timestamp,
+    not a card, and counting it would overstate the corpus's PII
+    surface.  ``redact_pii`` deliberately stays shape-based — redaction
+    errs toward removing anything card-LIKE."""
     types = list(PII_PATTERNS) if types is None else types
     out = docs
     for t in types:
+        if t == "credit_card" and validate_luhn:
+            matches = F.regexp_extract_all(
+                F.col(text_col), F.lit(PII_PATTERNS[t]), 0
+            )
+            cnt = F.size(F.filter(matches, lambda m: luhn_valid(m)))
+            out = out.withColumn(f"pii_{t}", cnt.cast("int"))
+            continue
         out = out.withColumn(
             f"pii_{t}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[t]))
         )

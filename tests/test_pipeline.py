@@ -2959,3 +2959,28 @@ def test_bbpe_segment_roundtrip_property():
         assert back.decode("utf-8") == s
 
     law()
+
+
+def test_pii_credit_card_luhn_validation(spark):
+    """pii_stats counts only Luhn-valid card-shaped matches by default
+    (a 16-digit number with a failing check digit is an order id, not
+    a card); validate_luhn=False restores the raw shape count;
+    redact_pii stays shape-based and removes both."""
+    from hbase_spark.functions.text import luhn_valid, pii_stats, redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "pay 4532 0151 1283 0366 or 4111-1111-1111-1111 "
+             "but not 1234 5678 9012 3456 nor order 9999 8888 7777 6666")],
+        "doc_id long, text string",
+    )
+    r = pii_stats(docs).collect()[0]
+    assert r.pii_credit_card == 2  # the two valid ones (space + hyphen)
+    raw = pii_stats(docs, validate_luhn=False).collect()[0]
+    assert raw.pii_credit_card == 4  # every card-shaped match
+    red = redact_pii(docs).collect()[0].text
+    assert red.count("[CREDIT_CARD]") == 4  # redaction errs toward removal
+
+    lv = spark.createDataFrame(
+        [("4532 0151 1283 0366",), ("1234 5678 9012 3456",), ("",)], ["s"]
+    ).select(luhn_valid("s").alias("v")).collect()
+    assert [r.v for r in lv] == [True, False, False]
