@@ -110,11 +110,24 @@ def train_bpe(
     projection cost what one fold costs, a single pass over the
     distinct-word frame).  ``_stats``, when given, receives
     {'rounds': r} for tests that pin the round count."""
-    if batch < 1:
-        raise ValueError(f"batch must be >= 1, got {batch}")
     words = word_counts(docs, text_col=text_col).select(
         _char_syms(F.col("word")).alias("syms"), "count"
     )
+    return _train_merges(words, num_merges, batch, _stats)
+
+
+def _train_merges(
+    words: DataFrame,
+    num_merges: int,
+    batch: int,
+    _stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """The alphabet-agnostic batched merge-learning loop over a
+    (syms array<string>, count) frame — shared by the classic
+    word-level trainer (char units + </w>) and the byte-level trainer
+    (remapped byte units, no marker)."""
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     words = words.localCheckpoint()
     merges: list[tuple[str, str]] = []
     rounds = 0
@@ -402,3 +415,51 @@ def bbpe_detokenize(tokens: str | Column) -> Column:
         ),
         "UTF-8",
     )
+
+
+def train_bbpe(
+    docs: DataFrame,
+    *,
+    num_merges: int = 50,
+    text_col: str = "text",
+    batch: int = 8,
+    _stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Train a BYTE-LEVEL BPE (the GPT-2 arrangement end-to-end: train
+    here, apply with ``bbpe_encode``): pretokenize with the published
+    regex, remap each pretoken's UTF-8 bytes to the printable units —
+    entirely JVM-side via encode/decode + the 256-char translate
+    alignment — and run the shared batched merge loop over the
+    (units, count) frame.  No end-of-word marker: byte-level BPE keeps
+    the leading-space convention (Ġ) instead, so merges learned here
+    feed ``bbpe_encode``/``bbpe_vocab`` directly and the roundtrip law
+    holds for the trained list like any other.
+
+    Caveat shared with the apply path: training uses one left-to-right
+    fold per rule within a round while apply uses the canonical
+    min-rank loop — the same train/apply asymmetry the original
+    Sennrich code has; segmentations agree except on freshly-created
+    lower-rank pairs, which only shifts WHICH merges are learned, not
+    any consumer's correctness."""
+    pretoks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_GPT2_SPLIT), 0)
+        ).alias("pretok")
+    )
+    counts = pretoks.groupBy("pretok").agg(F.count("*").alias("count"))
+    # UTF-8 bytes -> printable units, JVM-side: reinterpret the utf-8
+    # bytes as latin-1 chars (one char per byte), then translate each
+    # byte-char to its remap unit via the 256-char alignment strings
+    units = F.filter(
+        F.split(
+            F.translate(
+                F.decode(F.encode(F.col("pretok"), "UTF-8"), "ISO-8859-1"),
+                _TO,
+                _FROM,
+            ),
+            "",
+        ),
+        lambda ch: ch != "",
+    )
+    words = counts.select(units.alias("syms"), "count")
+    return _train_merges(words, num_merges, batch, _stats)

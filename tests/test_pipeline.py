@@ -2984,3 +2984,31 @@ def test_pii_credit_card_luhn_validation(spark):
         [("4532 0151 1283 0366",), ("1234 5678 9012 3456",), ("",)], ["s"]
     ).select(luhn_valid("s").alias("v")).collect()
     assert [r.v for r in lv] == [True, False, False]
+
+
+def test_train_bbpe_end_to_end(spark, docs):
+    """Byte-level BPE TRAINER (bpe.py train_bbpe — the GPT-2
+    arrangement's training half): deterministic, learns space-prefixed
+    (Ġ) merges from the published pretokenization, compresses, and its
+    merge list feeds the apply path with the lossless roundtrip law
+    intact on every doc."""
+    from hbase_spark.functions.bpe import (
+        bbpe_detokenize,
+        bbpe_encode,
+        train_bbpe,
+    )
+
+    sample = docs.limit(60).select("doc_id", "text")
+    m1 = train_bbpe(sample, num_merges=40)
+    m2 = train_bbpe(sample, num_merges=40)
+    assert m1 == m2 and len(m1) == 40
+    assert any(a.startswith("Ġ") for a, _ in m1)  # leading-space units
+
+    enc = bbpe_encode(sample, m1)
+    joined = enc.join(sample, "doc_id").select(
+        bbpe_detokenize("tokens").alias("got"), "text", "n_tokens"
+    )
+    assert joined.filter(F.col("got") != F.col("text")).count() == 0
+    n_unit = bbpe_encode(sample, []).agg(F.sum("n_tokens")).first()[0]
+    n_bpe = enc.agg(F.sum("n_tokens")).first()[0]
+    assert n_bpe < n_unit  # merges actually compress
