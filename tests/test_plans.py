@@ -569,3 +569,44 @@ def test_pack_token_sequences_plan_has_no_global_sort(spark):
     plan = plan_of(out)
     assert "rangepartitioning" not in plan.lower()  # no global orderBy
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ivfpq_probe_prunes_persisted_partitions(spark, tmp_path):
+    """The IVF-PQ probe over a PERSISTED index layout: codes written
+    partitionBy(list_id) let the nprobe filter prune at the directory
+    level — the plan's partition filters carry the probe list and the
+    scan touches only those directories.  This is the at-scale shape:
+    the ADC pass reads nprobe/nlist of the m-byte codes, nothing
+    else."""
+    from hbase_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from hbase_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+    books = pq_train(vecs, m=8, nbits=4)
+    cents = ivf_centroids(vecs, nlist=8)
+    coded = pq_encode(ivf_assign(vecs, cents), books, extra_cols=("list_id",))
+    path = str(tmp_path / "pq_index")
+    coded.write.partitionBy("list_id").parquet(path)
+
+    persisted = spark.read.parquet(path)
+    out = ivfpq_topk(persisted, cents, books, q, k=5, nprobe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the probe list reaches the partition filter (pruned scan), and
+    # the scan reads ONLY id + code columns — vectors never load
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1) and m.group(1).strip() != ""
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "embedding" not in rs.group(1)
