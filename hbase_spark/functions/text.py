@@ -115,12 +115,13 @@ def lang_id(col: str | Column = "text", default: str = "unknown") -> Column:
       projection out of whole-stage codegen into interpreted eval
       (~4x), and '' can never match a marker, so the filter was pure
       cost.
-    - Each per-script count appears EXACTLY ONCE behind a
-      short-circuiting ``non_ascii & ...`` conjunction.  Any reuse
-      (e.g. the classic ``when(cond(x), value(x))`` with x appearing
-      twice) gets hoisted by codegen subexpression elimination and
-      evaluated EAGERLY — which un-gates the regex scans and made an
-      ASCII corpus pay the full multi-script cost.
+    - Each per-script regex count is wrapped as a GATED subexpression
+      (``when(non_ascii, regexp_count(...))``) and then freely
+      referenced: codegen CSE hoists the wrapper once and the gate
+      travels WITH it, so ASCII rows never run the regex.  What must
+      never appear is a BARE count referenced twice — CSE would hoist
+      the naked regex and evaluate it eagerly for every row (the
+      measured 4x ASCII regression of the first cut).
     - The marker argmax folds the default in as a sentinel entry
       (score 0) so the winning struct is referenced once; this needs
       ``default`` to sort above every marker lang code, which holds
@@ -486,9 +487,10 @@ def c4_clean(
         toks = F.split(low, r"[^a-z0-9]+")
         bad = bad | F.exists(toks, lambda t: t.isin(singles))
     if phrases:
-        # a literal \E inside an entry would terminate the quoting and
-        # turn the remainder into live regex — re-open the quote around
-        # an escaped backslash-E (the canonical \Q..\E injection fix)
+        # \Q..\E injection note: the w.lower() above already makes a
+        # literal \E impossible (E lowercases to e), so this re-quote
+        # guard is defense-in-depth for any future non-lowercased path,
+        # not a live fix — the real protection is the lowering.
         def q(p):
             return "\\Q" + p.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
@@ -638,7 +640,7 @@ def luhn_valid(digits: str | Column) -> Column:
     card-shaped match can be passed as-is."""
     c = F.col(digits) if isinstance(digits, str) else digits
     ds = F.reverse(
-        F.filter(F.split(c, ""), lambda x: x.rlike("[0-9]"))
+        F.filter(F.split(c, ""), lambda x: x.between("0", "9"))
     )
     contrib = F.transform(
         ds,
@@ -1498,7 +1500,7 @@ def pack_token_sequences(
 
 
 def curation_report(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, *, text_col: str = "text"
 ) -> DataFrame:
     """The one-call pre-training corpus audit: per predicted language,
     document / token / character volumes, the Gopher quality-gate pass

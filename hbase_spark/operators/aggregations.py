@@ -39,7 +39,7 @@ def agg_table(
     *,
     interpreter: str = "long",
     group_by: list[str] | None = None,
-    exact_median: bool = True,
+    exact_median: bool | None = True,
 ) -> DataFrame:
     """All endpoint aggregates in one pass over a resolved CellFrame.
 
@@ -60,6 +60,8 @@ def agg_table(
     - ``exact_median=False``: ``percentile_approx`` everywhere — a
       fixed-size, map-side-combinable sketch (the 1e-4 quantile error
       path when even per-group buffering is too much).
+    - ``exact_median=None``: no median column at all — the free path
+      for callers that only read the other aggregates.
     """
     v = _typed("value", interpreter)
     cells = visible.filter(
@@ -74,6 +76,10 @@ def agg_table(
         F.stddev_pop(v).alias("std"),
     ]
     typed_sql = f"cast(value as {_INTERPRETERS[interpreter]})"
+    if exact_median is None:
+        if group_by:
+            return cells.groupBy(*group_by).agg(*base_aggs)
+        return cells.agg(*base_aggs)
     if group_by or not exact_median:
         pct = "percentile" if exact_median else "percentile_approx"
         aggs = base_aggs + [
@@ -100,10 +106,10 @@ def agg_table(
 
 
 def _single(visible, family, qualifier, interpreter, expr_fn,
-            exact_median: bool = False):
-    # the scalar helpers read ONE field — don't pay the eager two-phase
-    # exact-median scans for a value the caller discards; agg_median
-    # opts back in explicitly
+            exact_median: bool | None = None):
+    # the scalar helpers read ONE field — skip the median column
+    # entirely rather than paying even an approx sketch for a value
+    # the caller discards; agg_median opts back in explicitly
     row = agg_table(
         visible, family, qualifier, interpreter=interpreter,
         exact_median=exact_median,
