@@ -3012,3 +3012,67 @@ def test_train_bbpe_end_to_end(spark, docs):
     n_unit = bbpe_encode(sample, []).agg(F.sum("n_tokens")).first()[0]
     n_bpe = enc.agg(F.sum("n_tokens")).first()[0]
     assert n_bpe < n_unit  # merges actually compress
+
+
+def test_training_pipeline_end_to_end(spark, docs, tmp_path):
+    """Capstone composition: the full batch training-data pipeline —
+    audit -> quality gate -> exact dedup -> near-dup dedup -> byte-BPE
+    tokenize -> fixed-length packing -> sharded parquet export — runs
+    as one lazy composition and lands tensor-shaped rows with the
+    conservation laws intact.  Every stage is individually
+    oracle-checked elsewhere; this pins that they COMPOSE (schemas,
+    column contracts, determinism through seven operators)."""
+    from hbase_spark.functions.bpe import bbpe_encode, train_bbpe
+    from hbase_spark.functions.dedup import exact_dedup, minhash_dedup
+    from hbase_spark.functions.text import (
+        curation_report,
+        pack_token_sequences,
+        token_count,
+    )
+
+    corpus = docs.limit(120).select("doc_id", "text")
+    # clone a slice so both dedup stages have real work
+    clones = corpus.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = corpus.unionByName(clones)
+
+    audit = {r.lang: r for r in curation_report(corpus).collect()}
+    assert sum(r.n_docs for r in audit.values()) == 140
+    assert any(r.n_unique_docs < r.n_docs for r in audit.values())
+
+    # minimum-length gate (the synthetic corpus fails the full Gopher
+    # battery by design — curation_report above already audits it)
+    gated = corpus.filter(token_count("text") >= 20)
+    deduped = exact_dedup(gated)
+    assert deduped.count() <= gated.count()
+    near = minhash_dedup(deduped)
+    n_docs = near.count()
+    assert 0 < n_docs <= deduped.count()
+
+    merges = train_bbpe(near, num_merges=24)
+    enc = bbpe_encode(near, merges)
+    total_tokens = enc.agg(F.sum("n_tokens")).first()[0]
+
+    seqs = pack_token_sequences(
+        enc, seq_len=64, shards=4, seed=11, eos_id=0, drop_last=False
+    )
+    out_dir = str(tmp_path / "train_export")
+    seqs.write.partitionBy("shard").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    rows = back.collect()
+    assert all(len(r.ids) == 64 for r in rows)
+    # token conservation: every (doc tokens + one eos per doc) lands in
+    # the export; padding fills only the per-shard tails
+    exported = sum(64 - r.ids[::-1].index(0) if 0 in r.ids and r.ids[-1] == 0
+                   else 64 for r in rows)
+    n_pad = sum(r.ids.count(0) for r in rows) - n_docs  # eos are 0 too
+    assert sum(len(r.ids) for r in rows) - n_pad == total_tokens + n_docs
+
+    # rerunning the whole chain reproduces the export bit-for-bit
+    seqs2 = pack_token_sequences(
+        bbpe_encode(near, train_bbpe(near, num_merges=24)),
+        seq_len=64, shards=4, seed=11, eos_id=0, drop_last=False,
+    ).collect()
+    assert sorted((r.shard, r.seq_id, tuple(r.ids)) for r in rows) == \
+        sorted((r.shard, r.seq_id, tuple(r.ids)) for r in seqs2)
