@@ -195,14 +195,37 @@ def _segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
 def bpe_segment_words(
     words: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
-    """(word, tokens) for a distinct-word frame — Arrow-batched."""
-    mg = list(merges)
+    """(word, tokens) for a distinct-word frame — Arrow-batched.
+
+    The merge list ships as ONE executor broadcast (a published
+    tokenizer is ~50k rules — several MB that must not be
+    re-serialized into every task closure)."""
+    bc = words.sparkSession.sparkContext.broadcast(list(merges))
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def seg(col: pd.Series) -> pd.Series:
+        mg = bc.value
         return col.map(lambda w: _segment(w, mg))
 
     return words.select("word", seg("word").alias("tokens"))
+
+
+def _vocab_join_side(vocab: DataFrame, broadcast_vocab: bool | None):
+    """The occurrence<->vocab join side under the scale contract.
+
+    ``None`` (default) attaches NO hint: the distinct-pretoken frame's
+    cardinality is corpus-dependent (Heaps'-law sublinear, but 100 TB
+    of web text — base64 junk, URLs, unicode noise — reaches 1e8-1e9
+    distinct pretokens), so a forced ``F.broadcast`` either OOMs the
+    driver or trips the broadcast size cap exactly when it matters.
+    AQE sees the ACTUAL post-distinct shuffle size at runtime and
+    converts the join to broadcast-hash when the vocab is small — the
+    common case costs the same as the old forced hint, and the
+    pathological case degrades to a shuffle join instead of failing.
+    ``True``/``False`` force/forbid the hint for callers that know
+    their vocab (e.g. a fixed published tokenizer's closed piece set).
+    """
+    return F.broadcast(vocab) if broadcast_vocab else vocab
 
 
 def bpe_encode(
@@ -211,14 +234,16 @@ def bpe_encode(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """(id, tokens, n_tokens) per document.
 
     Plan: tokenize (map), explode word occurrences with positions,
-    broadcast-join the once-segmented distinct-word frame, then
-    reassemble the per-document stream JVM-side (sort_array over
-    (pos, tokens) structs + flatten).  The corpus text itself is
-    never sent to Python."""
+    join the once-segmented distinct-word frame (AQE picks broadcast
+    vs shuffle from the vocab's ACTUAL size — see ``_vocab_join_side``
+    for the 100 TB rationale), then reassemble the per-document stream
+    JVM-side (sort_array over (pos, tokens) structs + flatten).  The
+    corpus text itself is never sent to Python."""
     occurrences = docs.select(
         F.col(id_col),
         F.posexplode(_words(text_col)).alias("pos", "word"),
@@ -226,7 +251,9 @@ def bpe_encode(
     vocab = bpe_segment_words(
         occurrences.select("word").distinct(), merges
     )
-    joined = occurrences.join(F.broadcast(vocab), "word")
+    joined = occurrences.join(
+        _vocab_join_side(vocab, broadcast_vocab), "word"
+    )
     assembled = joined.groupBy(id_col).agg(
         F.flatten(
             F.transform(
@@ -336,6 +363,7 @@ def bbpe_encode(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """(id, tokens, ids, n_tokens) under a PRETRAINED byte-level BPE —
     the apply path (a training pipeline usually APPLIES a published
@@ -347,12 +375,16 @@ def bbpe_encode(
     Plan shape (same discipline as ``bpe_encode``): the GPT-2
     pretokenizer regex splits JVM-side, only DISTINCT pretokens cross
     into Python for the min-rank merge loop (Zipf-bounded, Arrow-
-    batched), a broadcast join maps occurrences, and per-document
-    streams reassemble with a JVM sort+flatten.  Ids come from the
-    derived rank vocabulary (``bbpe_vocab``)."""
+    batched), the occurrence join is AQE-decided (see
+    ``_vocab_join_side``), and per-document streams reassemble with a
+    JVM sort+flatten.  Ids come from the derived rank vocabulary
+    (``bbpe_vocab``)."""
     mg = list(merges)
-    ranks = {tuple(p): i for i, p in enumerate(mg)}
-    vocab = bbpe_vocab(mg)
+    # ranks + vocab for a published tokenizer are ~50k entries each
+    # (several MB) — ship once per executor, not per task closure
+    bc = docs.sparkSession.sparkContext.broadcast(
+        ({tuple(p): i for i, p in enumerate(mg)}, bbpe_vocab(mg))
+    )
 
     occurrences = docs.select(
         F.col(id_col),
@@ -368,6 +400,7 @@ def bbpe_encode(
     # time and measured super-linear at 16x volume
     @F.pandas_udf("tokens array<string>, ids array<int>")
     def seg(col: pd.Series) -> pd.DataFrame:
+        ranks, vocab = bc.value
         toks = col.map(lambda w: _bbpe_segment(w, ranks))
         return pd.DataFrame(
             {
@@ -380,7 +413,9 @@ def bbpe_encode(
         "pretok", seg("pretok").alias("_st")
     ).select("pretok", F.col("_st.tokens").alias("toks"),
              F.col("_st.ids").alias("tids"))
-    joined = occurrences.join(F.broadcast(piece_vocab), "pretok")
+    joined = occurrences.join(
+        _vocab_join_side(piece_vocab, broadcast_vocab), "pretok"
+    )
     with_ids = joined.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("pos", "toks", "tids"))

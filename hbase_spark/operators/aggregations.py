@@ -54,12 +54,19 @@ def agg_table(
       buffer.  The result row is assembled client-side, exactly like
       AggregationClient's partial merge (this makes the ungrouped
       call eager — it was always consumed eagerly).
-    - **grouped** ``exact_median=True``: ``percentile()`` per group —
-      the buffer is bounded by the LARGEST GROUP, fine for real group
-      cardinalities; at web scale prefer ``exact_median=False``.
+    - **grouped** ``exact_median=True``: the SAME two-phase protocol
+      generalized per group (``grouped_median_two_phase``) — phase-1
+      stats come from one grouped agg, histogram-narrowing rounds are
+      themselves distributed (hash-agg + cumulative window; no
+      per-group driver loop, so any group cardinality works), and the
+      final per-group rank selection runs over narrowed candidates
+      with a spillable window sort.  No plan holds an unbounded
+      in-memory ``percentile()`` buffer, so a skewed group cannot OOM
+      an executor; groups under ``final_cap`` rows skip narrowing
+      entirely.  Like the ungrouped default this makes the call eager.
     - ``exact_median=False``: ``percentile_approx`` everywhere — a
       fixed-size, map-side-combinable sketch (the 1e-4 quantile error
-      path when even per-group buffering is too much).
+      path when even per-group candidate sorting is too much).
     - ``exact_median=None``: no median column at all — the free path
       for callers that only read the other aggregates.
     """
@@ -80,14 +87,18 @@ def agg_table(
         if group_by:
             return cells.groupBy(*group_by).agg(*base_aggs)
         return cells.agg(*base_aggs)
-    if group_by or not exact_median:
-        pct = "percentile" if exact_median else "percentile_approx"
+    if not exact_median:
         aggs = base_aggs + [
-            F.expr(f"{pct}({typed_sql}, 0.5)").alias("median")
+            F.expr(f"percentile_approx({typed_sql}, 0.5)").alias("median")
         ]
         if group_by:
             return cells.groupBy(*group_by).agg(*aggs)
         return cells.agg(*aggs)
+    if group_by:
+        base = cells.groupBy(*group_by).agg(*base_aggs)
+        med = grouped_median_two_phase(cells, v, group_by)
+        # all-null-value groups carry count 0 in base and no median row
+        return base.join(med, group_by, "left")
     # ungrouped exact: two-phase protocol, stats shared with the
     # endpoint row — the default plan is bounded at any row count
     agg_df = cells.agg(*base_aggs)
@@ -249,6 +260,148 @@ def median_two_phase(
     t = cand.orderBy("_v").limit(k2).tail(1 if k1 == k2 else 2)
     lo_v, hi_v = t[0]._v, t[-1]._v
     return (lo_v + hi_v) / 2
+
+
+def grouped_median_two_phase(
+    df: DataFrame,
+    value: Column,
+    group_by: list[str],
+    *,
+    buckets: int = 4096,
+    final_cap: int = 1_000_000,
+) -> DataFrame:
+    """``median_two_phase`` generalized per group, every phase itself
+    distributed — no per-group driver work, so it holds for BOTH axes
+    of scale (many groups AND one huge skewed group):
+
+    1. one grouped agg for per-group (count, min, max) → a per-group
+       state frame carrying the candidate range and the 1-indexed
+       middle ranks (k1, k2);
+    2. while ANY group still has more than ``final_cap`` candidates
+       (the driver checks one boolean per round; rounds are
+       log_buckets-bounded — 1e12-row groups need 2): bucket the
+       active groups' candidate values ((group, bucket) hash-agg,
+       map-side combinable), take a per-group cumulative count with
+       one window over the <= ``buckets``-row-per-group histogram,
+       and derive the straddling bucket span, rank offsets, and new
+       range in ONE agg — the same stall guard as the ungrouped
+       version freezes groups whose tie runs stop shrinking;
+    3. final per-group rank selection: candidates re-scoped by each
+       group's final range, ``row_number`` over (group, value) picks
+       the middle rank(s), one avg merges them.  The window's sort is
+       external/spillable and its input is ``final_cap``-bounded per
+       group, so — unlike ``percentile()``'s in-memory buffer, the
+       construct this replaces — a skewed group cannot OOM an
+       executor.
+
+    Returns one (group_by..., median double) row per group with a
+    non-null value; interpolation convention matches ``percentile``
+    and DuckDB's ``median`` (mean of the two middle values).
+    """
+    gb = list(group_by)
+    # NOT checkpointed: each round re-scans the (group, value)
+    # projection — the reference's protocol is also scan-per-phase,
+    # and pinning a corpus-sized projection in the block manager
+    # would trade the OOM this function removes for another
+    vals = df.select(*gb, value.alias("_v")).filter(F.col("_v").isNotNull())
+    dv = F.col("_v").cast("double")
+    st = (
+        vals.groupBy(*gb)
+        .agg(
+            F.count("*").alias("_cn"),
+            F.min(dv).alias("_lo"),
+            F.max(dv).alias("_hi"),
+        )
+        .select(
+            *gb, "_cn", "_lo", "_hi",
+            F.expr("(_cn + 1) div 2").alias("_k1"),
+            F.expr("(_cn + 2) div 2").alias("_k2"),
+            F.lit(0).alias("_stall"),
+        )
+        .localCheckpoint()
+    )
+    active = (
+        (F.col("_cn") > final_cap)
+        & (F.col("_hi") > F.col("_lo"))
+        & (F.col("_stall") < 2)
+        # double-precision underflow: all-but-tied values
+        & ((F.col("_hi") - F.col("_lo")) / buckets > 0.0)
+    )
+    while not st.filter(active).isEmpty():
+        act = st.filter(active).withColumn(
+            "_w", (F.col("_hi") - F.col("_lo")) / buckets
+        )
+        j = vals.join(act, gb).filter(dv.between(F.col("_lo"), F.col("_hi")))
+        bidx = F.least(
+            F.floor((dv - F.col("_lo")) / F.col("_w")), F.lit(buckets - 1)
+        ).cast("int")
+        # state cols are functionally dependent on the group keys, so
+        # grouping by them just carries the state through the agg
+        carry = [*gb, "_cn", "_lo", "_hi", "_k1", "_k2", "_stall", "_w"]
+        hist = j.groupBy(*carry, bidx.alias("_b")).agg(
+            F.count("*").alias("_c")
+        )
+        cum = F.sum("_c").over(Window.partitionBy(*gb).orderBy("_b"))
+        hw = hist.withColumn("_cum", cum)
+        # _cum is monotone in _b, so: rows below the k1-straddling
+        # bucket are exactly those with _cum < k1 (their max _cum is
+        # the rank offset), and min-over-when picks each straddler
+        s = hw.groupBy(*carry).agg(
+            F.coalesce(
+                F.max(F.when(F.col("_cum") < F.col("_k1"), F.col("_cum"))),
+                F.lit(0),
+            ).alias("_below"),
+            F.min(
+                F.when(F.col("_cum") >= F.col("_k1"), F.col("_b"))
+            ).alias("_b1"),
+            F.min(
+                F.when(F.col("_cum") >= F.col("_k2"), F.col("_b"))
+            ).alias("_b2"),
+            F.min(
+                F.when(F.col("_cum") >= F.col("_k2"), F.col("_cum"))
+            ).alias("_cum2"),
+        )
+        advanced = s.select(
+            *gb,
+            (F.col("_cum2") - F.col("_below")).alias("_cn_new"),
+            (F.col("_lo") + F.col("_b1") * F.col("_w")).alias("_lo_new"),
+            F.least(
+                F.col("_hi"),
+                F.col("_lo") + (F.col("_b2") + 1) * F.col("_w"),
+            ).alias("_hi_new"),
+            (F.col("_k1") - F.col("_below")).alias("_k1_new"),
+            (F.col("_k2") - F.col("_below")).alias("_k2_new"),
+            F.when(F.col("_cum2") - F.col("_below") >= F.col("_cn"),
+                   F.col("_stall") + 1)
+            .otherwise(F.lit(0))
+            .alias("_stall_new"),
+        ).select(
+            *gb,
+            F.col("_cn_new").alias("_cn"),
+            F.col("_lo_new").alias("_lo"),
+            F.col("_hi_new").alias("_hi"),
+            F.col("_k1_new").alias("_k1"),
+            F.col("_k2_new").alias("_k2"),
+            F.col("_stall_new").alias("_stall"),
+        )
+        st = (
+            st.filter(~active)
+            .unionByName(advanced)
+            .localCheckpoint()
+        )
+    # final: per-group middle ranks over the narrowed candidates.  The
+    # range re-scope is lower-exact / upper-superset of the iterated
+    # bucket filters (bucket b1 starts exactly at the new lo; values
+    # at the open upper edge can only rank ABOVE k2), so the k-th
+    # smallest selection is unchanged.
+    cand = vals.join(st, gb).filter(dv.between(F.col("_lo"), F.col("_hi")))
+    rn = F.row_number().over(Window.partitionBy(*gb).orderBy("_v"))
+    return (
+        cand.withColumn("_rn", rn)
+        .filter((F.col("_rn") == F.col("_k1")) | (F.col("_rn") == F.col("_k2")))
+        .groupBy(*gb)
+        .agg(F.avg(dv).alias("median"))
+    )
 
 
 def row_count(visible: DataFrame) -> int:

@@ -231,7 +231,8 @@ def test_agg_table_default_plan_has_no_percentile_buffer(spark, li_cells):
     percentile buffer (round-6 verdict item): ungrouped exact median
     routes through the bounded two-phase protocol, so neither the
     returned frame's plan nor its lineage contains percentile();
-    the buffered form stays available as the grouped exact opt-in."""
+    since round 8 the grouped default is bounded too (see the grouped
+    plan guard below)."""
     visible = resolve(li_cells, versions=1)
     out = agg_table(visible, "li", "l_quantity", interpreter="decimal")
     plan = out._jdf.queryExecution().analyzed().toString()
@@ -244,3 +245,95 @@ def test_agg_table_default_plan_has_no_percentile_buffer(spark, li_cells):
     aplan = approx._jdf.queryExecution().analyzed().toString()
     assert "percentile_approx" in aplan.lower()
     assert "percentile(" not in aplan.lower().replace("percentile_approx(", "")
+
+
+def test_grouped_median_two_phase_matches_percentile(spark, sf_dir, li_cells):
+    """The grouped bounded median (round-7 verdict item 2) must equal
+    the unbounded per-group percentile() it replaces — both with the
+    scale defaults (no narrowing round at test volume) and with
+    final_cap forced low enough that every group takes multiple
+    histogram rounds."""
+    from hbase_spark.operators.aggregations import grouped_median_two_phase
+
+    visible = resolve(li_cells, versions=1).filter(
+        (F.col("family") == "li") & (F.col("qualifier") == "l_quantity")
+    )
+    # group by last hex digit of the row key: ~16 groups, mixed sizes
+    g = visible.withColumn("grp", F.substring("row", 16, 1))
+    v = F.col("value").cast("decimal(18,2)").cast("decimal(38,10)")
+    exp = {
+        r["grp"]: r["m"]
+        for r in g.groupBy("grp")
+        .agg(F.expr("percentile(cast(value as double), 0.5)").alias("m"))
+        .collect()
+    }
+    for kwargs in ({}, {"buckets": 16, "final_cap": 20}):
+        got = {
+            r["grp"]: r["median"]
+            for r in grouped_median_two_phase(g, v, ["grp"], **kwargs).collect()
+        }
+        assert got.keys() == exp.keys()
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k]), (k, kwargs)
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [("a", 1.0)],
+        [("a", 1.0), ("a", 2.0), ("b", 7.0)],
+        [("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)],
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 100.0), ("a", 100.0),
+         ("b", -4.5), ("b", 0.0), ("b", 0.0), ("b", 7.25)],
+    ],
+)
+def test_grouped_median_two_phase_small_lists(spark, vals):
+    from hbase_spark.operators.aggregations import grouped_median_two_phase
+
+    df = spark.createDataFrame(vals, "g string, value double")
+    exp = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    got = {
+        r["g"]: r["median"]
+        for r in grouped_median_two_phase(
+            df, F.col("value"), ["g"], buckets=4, final_cap=1
+        ).collect()
+    }
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+
+
+def test_agg_table_grouped_default_plan_has_no_percentile_buffer(
+    spark, li_cells
+):
+    """Round-7 verdict item 2: the grouped DEFAULT must not plan an
+    unbounded percentile() buffer either — the median column comes
+    from the two-phase frame (window rank selection over bounded
+    candidates), and a grouped result row still carries all the
+    endpoint aggregates plus the exact median."""
+    visible = resolve(li_cells, versions=1)
+    g = visible.withColumn("grp", F.substring("row", 16, 1))
+    out = agg_table(
+        g, "li", "l_quantity", interpreter="decimal", group_by=["grp"]
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "percentile" not in plan.lower()
+    rows = {r["grp"]: r for r in out.collect()}
+    pct = {
+        r["grp"]: r["m"]
+        for r in resolve(li_cells, versions=1)
+        .withColumn("grp", F.substring("row", 16, 1))
+        .filter((F.col("family") == "li") & (F.col("qualifier") == "l_quantity"))
+        .groupBy("grp")
+        .agg(F.expr("percentile(cast(value as double), 0.5)").alias("m"))
+        .collect()
+    }
+    assert rows.keys() == pct.keys()
+    for k, r in rows.items():
+        assert r["median"] == pytest.approx(pct[k])
+        assert r["count"] > 0 and r["max"] is not None

@@ -610,3 +610,31 @@ def test_ivfpq_probe_prunes_persisted_partitions(spark, tmp_path):
     assert m and "list_id" in m.group(1) and m.group(1).strip() != ""
     rs = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert rs and "embedding" not in rs.group(1)
+
+
+def test_bpe_vocab_join_is_aqe_decided_not_forced(spark):
+    """The occurrence<->vocab join in both BPE apply paths must carry
+    NO forced broadcast hint: the distinct-pretoken frame's
+    cardinality is corpus-dependent (1e8-1e9 on real web text) and a
+    forced hint OOMs the driver / trips the broadcast cap exactly at
+    scale.  AQE still converts to broadcast-hash at runtime when the
+    vocab is actually small — assert both halves: hint-free logical
+    plan, broadcast-chosen final plan on a small vocab.  The explicit
+    ``broadcast_vocab=True`` override keeps the hint for closed piece
+    sets."""
+    from hbase_spark.functions.bpe import bbpe_encode, bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=4)
+
+    for enc in (bpe_encode, bbpe_encode):
+        out = enc(docs, merges)
+        lp = _logical_plan_of(out)
+        assert "ResolvedHint" not in lp and "strategy=broadcast" not in lp
+        assert "BroadcastHashJoin" in plan_of(out)  # AQE chose it anyway
+        forced = enc(docs, merges, broadcast_vocab=True)
+        # the optimizer consumes the hint onto the Join node
+        assert "strategy=broadcast" in _logical_plan_of(forced)
