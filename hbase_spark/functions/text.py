@@ -678,11 +678,10 @@ def pii_stats(
                 F.col(text_col), F.lit(PII_PATTERNS[t]), 0
             )
             cnt = F.size(F.filter(matches, lambda m: luhn_valid(m)))
-            out = out.withColumn(f"pii_{t}", cnt.cast("int"))
-            continue
-        out = out.withColumn(
-            f"pii_{t}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[t]))
-        )
+        else:
+            cnt = F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[t]))
+        # one type regardless of flags — the docstring's long contract
+        out = out.withColumn(f"pii_{t}", cnt.cast("long"))
     total = None
     for t in types:
         c = F.col(f"pii_{t}")
@@ -1487,6 +1486,10 @@ def pack_token_sequences(
         )
     )
     full = F.size("ids") == seq_len
+    # n_tokens is the REAL (pre-pad) count — the padded tail row must
+    # report how many positions carry tokens, or the trainer's loss
+    # mask has nothing to go on
+    packed = packed.withColumn("n_tokens", F.size("ids"))
     if drop_last:
         out = packed.filter(full)
     else:
@@ -1494,9 +1497,7 @@ def pack_token_sequences(
         out = packed.withColumn(
             "ids", F.when(full, F.col("ids")).otherwise(F.concat("ids", pad))
         )
-    return out.select(
-        "shard", "seq_id", "ids", F.size("ids").alias("n_tokens")
-    )
+    return out.select("shard", "seq_id", "ids", "n_tokens")
 
 
 def curation_report(

@@ -91,12 +91,40 @@ def evaluate(expr: str | None, auths) -> bool:
     return v
 
 
+# (plan semantic hash, label col, auth set, cap) -> admitted labels.
+# Policies change on catalog timescales, not query timescales, so an
+# interactive session asking the same frame N questions should pay the
+# distinct-label collect once, not N times.
+_ADMITTED_CACHE: dict = {}
+_ADMITTED_CACHE_MAX = 256
+
+
+def _distinct_labels(
+    cells: DataFrame, label_col: str, max_policies: int
+) -> list[str]:
+    rows = (
+        cells.select(F.col(label_col).alias("_lbl"))
+        .filter(F.col("_lbl").isNotNull() & (F.col("_lbl") != ""))
+        .distinct()
+        .limit(max_policies + 1)
+        .collect()
+    )
+    if len(rows) > max_policies:
+        raise ValueError(
+            f"more than max_policies={max_policies} distinct visibility "
+            "expressions — the label column looks data-derived; raise "
+            "max_policies if the ACL surface is genuinely this wide"
+        )
+    return [r["_lbl"] for r in rows]
+
+
 def visible(
     cells: DataFrame,
     auths,
     label_col: str = "labels",
     *,
     max_policies: int = 65536,
+    cache: bool = True,
 ) -> DataFrame:
     """Filter a CellFrame to the cells the auth set may see.
 
@@ -115,22 +143,34 @@ def visible(
     distinct expressions raises instead of silently collecting an
     unbounded set — raise the cap explicitly if your ACL surface
     really is that wide (the driver evaluation itself is microseconds
-    per expression)."""
+    per expression).
+
+    BEHAVIOR NOTE (since r7): the distinct-label scan runs EAGERLY at
+    plan-build time — callers that previously built fully-lazy plans
+    over label columns wider than ``max_policies`` now fail fast at
+    ``visible()`` instead of at first action.  The scan is memoized
+    per (frame plan, label column, auth set, cap): repeated calls on
+    the same table in an interactive session collect the distinct
+    labels once.  ``cache=False`` forces a re-scan when the label
+    column's contents have changed under an identical plan (e.g. a
+    re-read of a mutated external path).
+    """
     auth_set = frozenset(auths)
-    lbl = (
-        cells.select(F.col(label_col).alias("_lbl"))
-        .filter(F.col("_lbl").isNotNull() & (F.col("_lbl") != ""))
-        .distinct()
-        .limit(max_policies + 1)
-        .collect()
-    )
-    if len(lbl) > max_policies:
-        raise ValueError(
-            f"more than max_policies={max_policies} distinct visibility "
-            "expressions — the label column looks data-derived; raise "
-            "max_policies if the ACL surface is genuinely this wide"
-        )
-    admitted = [r["_lbl"] for r in lbl if evaluate(r["_lbl"], auth_set)]
+    key = None
+    if cache:
+        try:
+            key = (cells.semanticHash(), label_col, auth_set, max_policies)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            key = None
+    if key is not None and key in _ADMITTED_CACHE:
+        admitted = _ADMITTED_CACHE[key]
+    else:
+        labels = _distinct_labels(cells, label_col, max_policies)
+        admitted = [s for s in labels if evaluate(s, auth_set)]
+        if key is not None:
+            if len(_ADMITTED_CACHE) >= _ADMITTED_CACHE_MAX:
+                _ADMITTED_CACHE.clear()
+            _ADMITTED_CACHE[key] = admitted
     is_public = F.col(label_col).isNull() | (F.col(label_col) == "")
     if not admitted:
         return cells.filter(is_public)

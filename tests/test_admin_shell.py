@@ -1685,3 +1685,41 @@ def test_hbck_reports_contained_overlaps_not_just_adjacent(catalog):
         o for o in rep["overlaps"] if "wide" in o["a"] or "wide" in o["b"]
     ]
     assert len(wide_pairs) == 3, rep["overlaps"]
+
+
+def test_visibility_admitted_set_memoized_per_frame_and_auths(
+    spark, monkeypatch
+):
+    """Round-7 verdict item 8: an interactive session asking the same
+    table N questions pays the distinct-label collect ONCE per
+    (frame, auths) pair — a second identical call hits the cache, a
+    different auth set (different admitted result) scans again, and
+    cache=False forces a fresh scan."""
+    import hbase_spark.functions.visibility as vis
+
+    calls = {"n": 0}
+    real = vis._distinct_labels
+
+    def counting(cells, label_col, max_policies):
+        calls["n"] += 1
+        return real(cells, label_col, max_policies)
+
+    monkeypatch.setattr(vis, "_distinct_labels", counting)
+    vis._ADMITTED_CACHE.clear()
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(8).select(
+        F.col("id").cast("string").alias("row"),
+        F.when(F.col("id") % 2 == 0, F.lit("ops")).otherwise(
+            F.lit("ops & audit")
+        ).alias("labels"),
+    )
+    a = vis.visible(df, {"ops"})
+    b = vis.visible(df, {"ops"})  # same (frame, auths): cached
+    assert calls["n"] == 1
+    assert a.count() == b.count() == 4
+    c = vis.visible(df, {"ops", "audit"})  # new auths: one more scan
+    assert calls["n"] == 2 and c.count() == 8
+    vis.visible(df, {"ops"}, cache=False)  # explicit refresh
+    assert calls["n"] == 3
