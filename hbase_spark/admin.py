@@ -424,36 +424,69 @@ class Admin:
                 return "/" + region_file[len(pre):].lstrip("/")
         return region_file
 
-    def _rewrite_regions(self, name: str, drop_files: list[str], write_parts):
+    def _rewrite_regions(self, name: str, drop_files: list[str], write_parts,
+                         observers: list | None = None):
         """Shared split/merge machinery: new version dir = all current
         region files except ``drop_files`` (copied through), plus the
-        files produced by ``write_parts(new_root, family_subdir)``."""
+        files produced by ``write_parts(new_root, family_subdir)``.
+
+        ``observers`` with region-lifecycle hooks (RegionObserver.java
+        preClose :322 / postClose :331 / preOpen :112 / postOpen :120)
+        are notified as the rewritten regions retire and their
+        replacements appear: pre_close fires before the rewrite
+        starts, pre_open fires per new region file before the catalog
+        flips to the new version dir (the serve-handoff analog), and
+        the post hooks fire after the flip."""
         import glob
         import os
         import shutil
 
+        obs = observers or []
+        for f in drop_files:  # preClose: the region is about to retire
+            for ob in obs:
+                if getattr(ob, "pre_close", None):
+                    ob.pre_close(f)
         desc = self._read_desc(name)
         src_root = os.path.abspath(self._abs_data_dir(desc, name))
         v = desc.get("version", 0) + 1
         new_rel = f"{_table_path(name)}/cells-v{v}"
         new_root = f"{self.catalog_dir}/{new_rel}"
         dropped = {os.path.abspath(self._local_path(f)) for f in drop_files}
-        fam_dirs = set()
+        fam_dirs, carried = set(), set()
         for f in glob.glob(f"{src_root}/**/*.parquet", recursive=True):
             if os.path.abspath(f) in dropped:
                 fam_dirs.add(os.path.dirname(os.path.relpath(f, src_root)))
                 continue
-            dst = f"{new_root}/{os.path.relpath(f, src_root)}"
+            rel = os.path.relpath(f, src_root)
+            dst = f"{new_root}/{rel}"
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(f, dst)
+            carried.add(os.path.abspath(dst))
         if len(fam_dirs) != 1:
             raise ValueError(
                 f"regions to rewrite must sit in one family dir, got {fam_dirs}"
             )
         write_parts(new_root, fam_dirs.pop(), v)
+        opened = sorted(
+            f
+            for f in glob.glob(f"{new_root}/**/*.parquet", recursive=True)
+            if os.path.abspath(f) not in carried
+        )
+        for f in opened:  # preOpen: daughters exist, not yet serving
+            for ob in obs:
+                if getattr(ob, "pre_open", None):
+                    ob.pre_open(f)
         desc["version"] = v
         desc["data_dir"] = new_rel
-        self._write_desc(name, desc)
+        self._write_desc(name, desc)  # the catalog flip = the handoff
+        for f in opened:
+            for ob in obs:
+                if getattr(ob, "post_open", None):
+                    ob.post_open(f)
+        for f in drop_files:
+            for ob in obs:
+                if getattr(ob, "post_close", None):
+                    ob.post_close(f)
 
     def _write_region_file(self, df, new_root: str, fam_dir: str, fname: str):
         import glob
@@ -478,10 +511,12 @@ class Admin:
             shutil.move(parts[0], os.path.join(dst_dir, fname))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    def split_region(self, name: str, split_point) -> None:
+    def split_region(self, name: str, split_point, *,
+                     observers: list | None = None) -> None:
         """shell `split 't', 'splitkey'`: split the region containing
         ``split_point`` into two daughters at that key.  Honors the
-        split master switch (MasterSwitchType.SPLIT)."""
+        split master switch (MasterSwitchType.SPLIT).  ``observers``
+        receive the region-lifecycle hooks (see _rewrite_regions)."""
         self._require_switch("split")
         regions = self.list_regions(name).collect()
         target = next(
@@ -505,9 +540,11 @@ class Admin:
             self._write_region_file(hi, new_root, fam_dir, f"split-v{v}-b.parquet")
 
         with self._procedure("SPLIT_REGION", name):
-            self._rewrite_regions(name, [target.region_file], write_parts)
+            self._rewrite_regions(name, [target.region_file], write_parts,
+                                  observers=observers)
 
-    def truncate_region(self, name: str, row) -> None:
+    def truncate_region(self, name: str, row, *,
+                        observers: list | None = None) -> None:
         """shell `truncate_region 't', 'row'` (truncate_region.rb):
         delete all data of the single region containing ``row`` —
         the same immutable rewrite as split/merge, with the region's
@@ -521,9 +558,11 @@ class Admin:
             pass
 
         with self._procedure("TRUNCATE_REGION", name):
-            self._rewrite_regions(name, [target["region_file"]], write_parts)
+            self._rewrite_regions(name, [target["region_file"]], write_parts,
+                                  observers=observers)
 
-    def merge_region(self, name: str, row_a, row_b) -> None:
+    def merge_region(self, name: str, row_a, row_b, *,
+                     observers: list | None = None) -> None:
         """shell `merge_region`: merge the (distinct) regions containing
         ``row_a`` and ``row_b`` into one.  Like the reference's
         non-adjacent merge warning, adjacency is not required — the
@@ -543,7 +582,8 @@ class Admin:
             )
 
         with self._procedure("MERGE_TABLE_REGIONS", name):
-            self._rewrite_regions(name, files, write_parts)
+            self._rewrite_regions(name, files, write_parts,
+                                  observers=observers)
 
     def locate_region(self, name: str, row) -> dict:
         """shell `locate_region 't', 'row'`: the region whose range
@@ -1050,9 +1090,15 @@ class Admin:
                          table: str | None = None):
         """Most-specific throttle setting -> RateLimiter, or None.
 
-        Precedence mirrors QuotaCache: (user, table) > user > table."""
+        Precedence mirrors QuotaCache: (user, table) > user > table.
+        The `rpc_throttle` master switch (shell enable/disable_rpc_
+        throttle; Admin.switchRpcThrottle) gates ALL throttle
+        enforcement — disabled means no limiter, exactly the
+        reference's RegionServerRpcQuotaManager bypass."""
         from hbase_spark.quotas import limiter_from_setting
 
+        if not self.is_switch_enabled("rpc_throttle"):
+            return None
         th = self._read_quotas()["throttle"]
         for key in (
             f"u={user},t={table}" if user and table else None,
@@ -1274,16 +1320,12 @@ class Admin:
             if not peer["enabled"] or not scoped:
                 shipped[peer_id] = 0
                 continue
-            cfs_map = peer.get("table_cfs")
-            if cfs_map is not None and name not in cfs_map:
+            # full ReplicationPeerConfig scope resolution: replicate-all
+            # minus excludes, or the namespaces/table_cfs include set
+            fams = self._peer_scope(peer, name, scoped)
+            if not fams:
                 shipped[peer_id] = 0
                 continue
-            fams = scoped
-            if cfs_map is not None and cfs_map[name] is not None:
-                fams = [f for f in scoped if f in cfs_map[name]]
-                if not fams:
-                    shipped[peer_id] = 0
-                    continue
             bw = peer.get("bandwidth")
             tokens = None
             if bw:
@@ -1348,6 +1390,7 @@ class Admin:
         if kind not in (
             "split", "merge", "normalizer", "balancer", "snapshot_cleanup",
             "compaction", "catalogjanitor", "peer_modification",
+            "rpc_throttle", "cleaner_chore",
         ):
             raise ValueError(f"unknown switch {kind!r}")
         sw = self._read_switches()
@@ -2136,6 +2179,362 @@ class Admin:
         with open(path, "w") as fh:
             json.dump(manifest, fh)
         return {"manifest": path, "sealed": len(files)}
+
+    def wal_roll_all(self, log_dirs: list[str]) -> dict[str, dict]:
+        """shell `wal_roll_all` (wal_roll_all.rb / Admin.rollWALWriter
+        over every server): roll each mutation-log directory — the
+        per-server WAL analog is one log dir per ingest source."""
+        return {d: self.wal_roll(d) for d in log_dirs}
+
+    # -- peer replication scope (ReplicationPeerConfig.java:
+    # replicateAllUserTables / namespaces / excludeNamespaces /
+    # excludeTableCFsMap; shell set_peer_replicate_all,
+    # *_peer_namespaces, *_peer_exclude_namespaces,
+    # *_peer_exclude_tableCFs, update_peer_config).  The registry
+    # stores the same fields; ``_peer_scope`` resolves them to the
+    # family list a replicate_log ship actually covers, mirroring
+    # ReplicationUtils.contains. ---------------------------------------
+
+    def _update_peer(self, peer_id: str, mutate) -> None:
+        self._require_switch("peer_modification")
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        mutate(peers[peer_id])
+        self._write_json(self._peers_path(), peers)
+
+    def _peer_scope(self, peer: dict, name: str, scoped: list[str]):
+        """Families of ``name`` this peer replicates, given the table's
+        REPLICATION_SCOPE'd families (ReplicationUtils.contains)."""
+        ns = name.split(":", 1)[0] if ":" in name else "default"
+        rep_all = peer.get("replicate_all")
+        if rep_all is None:  # legacy default: table_cfs None = all
+            rep_all = (
+                peer.get("table_cfs") is None
+                and not peer.get("namespaces")
+            )
+        if rep_all:
+            if ns in (peer.get("exclude_namespaces") or []):
+                return []
+            ex = peer.get("exclude_table_cfs") or {}
+            if name in ex:
+                if ex[name] is None:
+                    return []
+                return [f for f in scoped if f not in ex[name]]
+            return scoped
+        if ns in (peer.get("namespaces") or []):
+            return scoped
+        cfs = peer.get("table_cfs") or {}
+        if name not in cfs:
+            return []
+        if cfs[name] is None:
+            return scoped
+        return [f for f in scoped if f in cfs[name]]
+
+    def set_peer_replicate_all(self, peer_id: str, flag: bool) -> None:
+        """shell `set_peer_replicate_all` — like the reference,
+        replicate-all conflicts with an explicit include scope and
+        not-replicate-all conflicts with an exclude scope
+        (ReplicationPeerConfigUtil checks the same)."""
+
+        def mutate(p):
+            if flag and (p.get("table_cfs") or p.get("namespaces")):
+                raise ValueError(
+                    "replicate_all=true conflicts with table_cfs/namespaces"
+                )
+            if not flag and (
+                p.get("exclude_table_cfs") or p.get("exclude_namespaces")
+            ):
+                raise ValueError(
+                    "replicate_all=false conflicts with exclude scope"
+                )
+            p["replicate_all"] = bool(flag)
+
+        self._update_peer(peer_id, mutate)
+
+    def _set_peer_list(self, peer_id: str, key: str, vals) -> None:
+        self._update_peer(
+            peer_id,
+            lambda p: p.__setitem__(
+                key, sorted(set(vals)) if vals is not None else None
+            ),
+        )
+
+    def _append_peer_list(self, peer_id: str, key: str, vals) -> None:
+        self._update_peer(
+            peer_id,
+            lambda p: p.__setitem__(
+                key, sorted(set(p.get(key) or []) | set(vals))
+            ),
+        )
+
+    def _remove_peer_list(self, peer_id: str, key: str, vals) -> None:
+        self._update_peer(
+            peer_id,
+            lambda p: p.__setitem__(
+                key, sorted(set(p.get(key) or []) - set(vals)) or None
+            ),
+        )
+
+    def set_peer_namespaces(self, peer_id: str, namespaces) -> None:
+        """shell `set_peer_namespaces`."""
+        self._set_peer_list(peer_id, "namespaces", namespaces)
+
+    def append_peer_namespaces(self, peer_id: str, namespaces) -> None:
+        """shell `append_peer_namespaces`."""
+        self._append_peer_list(peer_id, "namespaces", namespaces)
+
+    def remove_peer_namespaces(self, peer_id: str, namespaces) -> None:
+        """shell `remove_peer_namespaces`."""
+        self._remove_peer_list(peer_id, "namespaces", namespaces)
+
+    def set_peer_exclude_namespaces(self, peer_id: str, namespaces) -> None:
+        """shell `set_peer_exclude_namespaces`."""
+        self._set_peer_list(peer_id, "exclude_namespaces", namespaces)
+
+    def append_peer_exclude_namespaces(self, peer_id: str, namespaces) -> None:
+        """shell `append_peer_exclude_namespaces`."""
+        self._append_peer_list(peer_id, "exclude_namespaces", namespaces)
+
+    def remove_peer_exclude_namespaces(self, peer_id: str, namespaces) -> None:
+        """shell `remove_peer_exclude_namespaces`."""
+        self._remove_peer_list(peer_id, "exclude_namespaces", namespaces)
+
+    @staticmethod
+    def _merge_cfs(cur: dict, add: dict) -> dict:
+        for t, fams in add.items():
+            if t in cur and cur[t] is not None and fams is not None:
+                cur[t] = sorted(set(cur[t]) | set(fams))
+            else:
+                cur[t] = fams
+        return cur
+
+    @staticmethod
+    def _subtract_cfs(cur: dict, drop: dict):
+        for t, fams in drop.items():
+            if t not in cur:
+                continue
+            if fams is None or cur[t] is None:
+                del cur[t]
+            else:
+                left = sorted(set(cur[t]) - set(fams))
+                if left:
+                    cur[t] = left
+                else:
+                    del cur[t]
+        return cur or None
+
+    def set_peer_exclude_table_cfs(self, peer_id: str, table_cfs) -> None:
+        """shell `set_peer_exclude_tableCFs`."""
+        self._update_peer(
+            peer_id, lambda p: p.__setitem__("exclude_table_cfs", table_cfs)
+        )
+
+    def append_peer_exclude_table_cfs(self, peer_id: str, table_cfs) -> None:
+        """shell `append_peer_exclude_tableCFs`."""
+        self._update_peer(
+            peer_id,
+            lambda p: p.__setitem__(
+                "exclude_table_cfs",
+                self._merge_cfs(p.get("exclude_table_cfs") or {}, table_cfs),
+            ),
+        )
+
+    def remove_peer_exclude_table_cfs(self, peer_id: str, table_cfs) -> None:
+        """shell `remove_peer_exclude_tableCFs`."""
+        self._update_peer(
+            peer_id,
+            lambda p: p.__setitem__(
+                "exclude_table_cfs",
+                self._subtract_cfs(
+                    p.get("exclude_table_cfs") or {}, table_cfs
+                ),
+            ),
+        )
+
+    def update_peer_config(self, peer_id: str, **fields) -> dict:
+        """shell `update_peer_config` /
+        Admin.updateReplicationPeerConfig: merge the given config
+        fields (cluster_key, table_cfs, namespaces, exclude_*,
+        bandwidth, serial, replicate_all) into the peer; returns the
+        updated config."""
+        allowed = {
+            "cluster_key", "table_cfs", "namespaces",
+            "exclude_namespaces", "exclude_table_cfs", "bandwidth",
+            "serial", "replicate_all",
+        }
+        bad = set(fields) - allowed
+        if bad:
+            raise ValueError(f"unknown peer config fields {sorted(bad)}")
+        self._update_peer(peer_id, lambda p: p.update(fields))
+        return self.get_peer_config(peer_id)
+
+    # -- rsgroup refinements (rsgroup/RSGroupAdminClient.java;
+    # shell rename_rsgroup, *_namespaces_rsgroup,
+    # move_servers_tables_rsgroup, alter/show_rsgroup_config).
+    # Namespace membership lives on the group ("namespaces" list, the
+    # hbase.rsgroup.name namespace-config analog); group config is a
+    # free-form dict. -----------------------------------------------------
+
+    def rename_rsgroup(self, old: str, new: str) -> None:
+        """shell `rename_rsgroup` (RSGroupAdminClient.renameRSGroup)."""
+        groups = self._read_rsgroups()
+        if old == self._DEFAULT_RSGROUP or old not in groups:
+            raise ValueError(f"rsgroup {old!r} does not exist or is default")
+        if new == self._DEFAULT_RSGROUP or new in groups:
+            raise ValueError(f"rsgroup {new!r} already exists")
+        groups[new] = groups.pop(old)
+        self._write_json(self._rsgroups_path(), groups)
+
+    def move_namespaces_rsgroup(self, namespaces: list[str], target: str) -> None:
+        """shell `move_namespaces_rsgroup`: every table of the
+        namespace follows the group from now on."""
+        groups = self._read_rsgroups()
+        if target not in groups:
+            raise ValueError(f"rsgroup {target!r} does not exist")
+        for ns in namespaces:
+            self.describe_namespace(ns)  # raises if unknown
+            for g in groups.values():
+                g["namespaces"] = [
+                    n for n in g.get("namespaces", []) if n != ns
+                ]
+            groups[target].setdefault("namespaces", []).append(ns)
+        self._write_json(self._rsgroups_path(), groups)
+
+    def get_namespace_rsgroup(self, ns: str) -> str:
+        """shell `get_namespace_rsgroup`."""
+        for g, info in self._read_rsgroups().items():
+            if ns in info.get("namespaces", []):
+                return g
+        return self._DEFAULT_RSGROUP
+
+    def move_servers_tables_rsgroup(
+        self, servers: list[str], tables: list[str], target: str
+    ) -> None:
+        """shell `move_servers_tables_rsgroup` — one atomic reassign
+        of both (RSGroupAdminClient.moveServersAndTables)."""
+        self.move_servers_rsgroup(servers, target)
+        self.move_tables_rsgroup(tables, target)
+
+    def move_servers_namespaces_rsgroup(
+        self, servers: list[str], namespaces: list[str], target: str
+    ) -> None:
+        """shell `move_servers_namespaces_rsgroup`."""
+        self.move_servers_rsgroup(servers, target)
+        self.move_namespaces_rsgroup(namespaces, target)
+
+    def update_rsgroup_config(self, group: str, props: dict) -> dict:
+        """shell `alter_rsgroup_config` / `update_rsgroup_config`:
+        merge configuration keys onto the group (empty-string value
+        unsets, like the reference's METHOD => 'unset')."""
+        groups = self._read_rsgroups()
+        if group not in groups:
+            raise ValueError(f"rsgroup {group!r} does not exist")
+        cfg = groups[group].setdefault("config", {})
+        for k, v in props.items():
+            if v in ("", None):
+                cfg.pop(k, None)
+            else:
+                cfg[k] = v
+        self._write_json(self._rsgroups_path(), groups)
+        return dict(cfg)
+
+    def show_rsgroup_config(self, group: str) -> dict:
+        """shell `show_rsgroup_config`."""
+        groups = self._read_rsgroups()
+        if group == self._DEFAULT_RSGROUP:
+            return {}
+        if group not in groups:
+            raise ValueError(f"rsgroup {group!r} does not exist")
+        return dict(groups[group].get("config", {}))
+
+    # -- namespace alter / batch table ops / misc introspection ---------
+
+    def alter_namespace(self, ns: str, props: dict) -> dict:
+        """shell `alter_namespace` / Admin.modifyNamespace: merge
+        configuration properties onto the namespace descriptor
+        (METHOD => 'unset' = empty value, like the reference)."""
+        if ns == "default":
+            raise ValueError("cannot alter the default namespace")
+        desc = self.describe_namespace(ns)
+        cfg = desc.setdefault("config", {})
+        for k, v in props.items():
+            if v in ("", None):
+                cfg.pop(k, None)
+            else:
+                cfg[k] = v
+        self._write_json(
+            f"{self.catalog_dir}/{ns}/{_NAMESPACE_DESC}", desc
+        )
+        return desc
+
+    def _tables_matching(self, regex: str) -> list[str]:
+        import re as _re
+
+        pat = _re.compile(regex)
+        return [t for t in self.list_tables() if pat.search(t)]
+
+    def enable_all(self, regex: str) -> list[str]:
+        """shell `enable_all 'regex'` — returns the tables enabled."""
+        hit = [
+            t for t in self._tables_matching(regex)
+            if not self.is_table_enabled(t)
+        ]
+        for t in hit:
+            self.enable_table(t)
+        return hit
+
+    def disable_all(self, regex: str) -> list[str]:
+        """shell `disable_all 'regex'`."""
+        hit = [
+            t for t in self._tables_matching(regex)
+            if self.is_table_enabled(t)
+        ]
+        for t in hit:
+            self.disable_table(t)
+        return hit
+
+    def drop_all(self, regex: str) -> list[str]:
+        """shell `drop_all 'regex'` — drops (deletes) every DISABLED
+        table matching; like the reference, enabled matches raise."""
+        hit = self._tables_matching(regex)
+        enabled = [t for t in hit if self.is_table_enabled(t)]
+        if enabled:
+            raise ValueError(f"tables must be disabled first: {enabled}")
+        for t in hit:
+            self.delete_table(t)
+        return hit
+
+    def list_table_snapshots(self, table: str, regex: str = ".*") -> list[str]:
+        """shell `list_table_snapshots 't'[, 'regex']`."""
+        import re as _re
+
+        pat = _re.compile(regex)
+        out = []
+        for snap in self.list_snapshots():
+            man = self._read_json(self._snap_path(snap), f"snapshot {snap!r}")
+            if man.get("table") == table and pat.search(snap):
+                out.append(snap)
+        return out
+
+    def list_security_capabilities(self) -> list[str]:
+        """shell `list_security_capabilities`
+        (Admin.getSecurityCapabilities): the enforcement surfaces this
+        engine actually implements — the ACL registry (grant/revoke +
+        read checks) and cell visibility labels.  The two
+        authentication capabilities need an RPC layer; see the
+        COVERAGE scope-out."""
+        return ["AUTHORIZATION", "CELL_AUTHORIZATION", "CELL_VISIBILITY"]
+
+    def regioninfo(self, name: str, row) -> dict:
+        """shell `regioninfo` — the full region descriptor of the
+        region holding ``row`` (locate + size + file)."""
+        loc = self.locate_region(name, row)
+        sizes = {
+            r["region_file"]: r for r in self._region_sizes(name)
+        }
+        extra = sizes.get(loc["region_file"], {})
+        return {**loc, "data_bytes": extra.get("bytes", 0)}
 
     def zk_dump(self) -> dict:
         """shell `zk_dump`: the coordination-state dump — for a

@@ -65,6 +65,9 @@ class Observer:
     pre_append: Callable[[list], list] | None = None         # preAppend
     post_append: Callable[["Table"], "Table"] | None = None  # postAppend
     pre_check_and_mutate: Callable[[DataFrame], DataFrame] | None = None
+    # postCheckAndMutate (RegionObserver.java:1037) — sees (and may
+    # replace) the guarded-mutation RESULT table
+    post_check_and_mutate: Callable[["Table"], "Table"] | None = None
     pre_flush: Callable[[DataFrame], DataFrame] | None = None  # preFlush
     # lifecycle notifications + bulk-load interception
     # (RegionObserver.java: postFlush :163, postCompact :312,
@@ -108,6 +111,28 @@ class Observer:
     # Consumed by streaming.merge.wal_player(observers=...).
     pre_wal_restore: Callable[[DataFrame], DataFrame] | None = None
     post_wal_restore: Callable[[DataFrame], None] | None = None
+    # whole-replay bracket (RegionObserver.java: preReplayWALs :1401,
+    # postReplayWALs :1411) — fired ONCE around a wal_player replay,
+    # before/after the per-edit WALRestore hooks; pre may rewrite the
+    # raw edit stream (the reference's "about to replay these logs"
+    # interception), post is notified with the final replayed frame.
+    pre_replay_wals: Callable[[DataFrame], DataFrame] | None = None
+    post_replay_wals: Callable[[DataFrame], None] | None = None
+    # region lifecycle notifications (RegionObserver.java: preOpen
+    # :112, postOpen :120, preClose :322, postClose :331) — fired by
+    # Admin geometry rewrites (split/merge/truncate_region) as region
+    # files retire (close) and their replacements appear (open); the
+    # hook receives the region-file path, the region-identity analog.
+    pre_close: Callable[[str], None] | None = None
+    post_close: Callable[[str], None] | None = None
+    pre_open: Callable[[str], None] | None = None
+    post_open: Callable[[str], None] | None = None
+    # bulk-load per-file commit (RegionObserver.java:
+    # preCommitStoreFile :1449 — before each produced store file is
+    # moved into the layout, with (family, path) — postCommitStoreFile
+    # :1460 — after).  Consumed by observed_bulk_load.
+    pre_commit_store_file: Callable[[str, str], None] | None = None
+    post_commit_store_file: Callable[[str, str], None] | None = None
 
 
 @dataclass
@@ -245,6 +270,9 @@ class ObservedTable:
             if ob.pre_check_and_mutate:
                 mutations = ob.pre_check_and_mutate(mutations)
         t = self.table.check_and_mutate(mutations, **guard)
+        for ob in self.observers:
+            if ob.post_check_and_mutate:
+                t = ob.post_check_and_mutate(t)
         return ObservedTable(t, self.observers)
 
     def flush_cells(self) -> DataFrame:
@@ -335,13 +363,61 @@ def observed_bulk_load(
     rewrite or drop cells before the layout is written
     (RegionObserver.java:1438 — the SecureBulkLoadEndpoint pattern);
     postBulkLoadHFile observers are notified with the loaded frame
-    (:1472)."""
+    (:1472).
+
+    When any observer carries store-file COMMIT hooks
+    (preCommitStoreFile :1449 / postCommitStoreFile :1460), the load
+    runs the reference's stage-then-commit protocol: the layout is
+    written to a staging directory, and each produced store file is
+    moved into the final layout individually with the pre hook fired
+    before its move (receiving ``(family, src_path)``) and the post
+    hook after (``(family, committed_path)``) — exactly the
+    SecureBulkLoad per-file commit points."""
+    import glob
+    import os
+    import shutil
+
     from hbase_spark.sources.layout import write_table
 
     for ob in observers:
         if ob.pre_bulk_load:
             cells = ob.pre_bulk_load(cells)
-    write_table(cells, path, **layout_kw)
+    commit_hooked = any(
+        ob.pre_commit_store_file or ob.post_commit_store_file
+        for ob in observers
+    )
+    if not commit_hooked:
+        write_table(cells, path, **layout_kw)
+    else:
+        staging = path.rstrip("/") + ".__bulkload_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        write_table(cells, staging, **layout_kw)
+        shutil.rmtree(path, ignore_errors=True)
+        for src in sorted(glob.glob(f"{staging}/**/*", recursive=True)):
+            if not os.path.isfile(src):
+                continue
+            rel = os.path.relpath(src, staging)
+            dst = os.path.join(path, rel)
+            is_store_file = src.endswith(".parquet")
+            family = next(
+                (
+                    p.split("=", 1)[1]
+                    for p in rel.split(os.sep)
+                    if p.startswith("family=")
+                ),
+                "*",  # non-family-partitioned layout: one store per region
+            )
+            if is_store_file:
+                for ob in observers:
+                    if ob.pre_commit_store_file:
+                        ob.pre_commit_store_file(family, src)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            if is_store_file:
+                for ob in observers:
+                    if ob.post_commit_store_file:
+                        ob.post_commit_store_file(family, dst)
+        shutil.rmtree(staging, ignore_errors=True)
     for ob in observers:
         if ob.post_bulk_load:
             ob.post_bulk_load(cells)

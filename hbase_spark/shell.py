@@ -723,8 +723,11 @@ def shell_compaction_state(admin, name: str) -> dict:
 
 
 def shell_cleaner_chore_run(admin, **kw) -> dict:
-    """shell `cleaner_chore_run` (cleaner_chore_run.rb) — archive
+    """shell `cleaner_chore_run` (cleaner_chore_run.rb) — gated on the
+    cleaner_chore switch (cleaner_chore_switch.rb) — archive
     cleanup of unreferenced layout version dirs."""
+    if not admin.is_switch_enabled("cleaner_chore"):
+        raise RuntimeError("master switch 'cleaner_chore' is disabled")
     return admin.cleaner_chore(**kw)
 
 
@@ -890,3 +893,219 @@ def shell_peer_modification_enabled(admin) -> bool:
 def shell_truncate_region(admin, name: str, row) -> None:
     """shell `truncate_region 't', 'row'` (truncate_region.rb)."""
     admin.truncate_region(name, row)
+
+
+# -- round-8 breadth: peer replication scope, rsgroup refinements,
+# batch table ops, throttle switches, misc introspection (closing the
+# shell-coverage partial; each maps 1:1 to a <command>.rb) ---------------
+
+
+def shell_set_peer_replicate_all(admin, peer_id: str, flag: bool) -> None:
+    """shell `set_peer_replicate_all` (set_peer_replicate_all.rb)."""
+    admin.set_peer_replicate_all(peer_id, flag)
+
+
+def shell_set_peer_namespaces(admin, peer_id: str, namespaces) -> None:
+    """shell `set_peer_namespaces` (set_peer_namespaces.rb)."""
+    admin.set_peer_namespaces(peer_id, namespaces)
+
+
+def shell_append_peer_namespaces(admin, peer_id: str, namespaces) -> None:
+    """shell `append_peer_namespaces`."""
+    admin.append_peer_namespaces(peer_id, namespaces)
+
+
+def shell_remove_peer_namespaces(admin, peer_id: str, namespaces) -> None:
+    """shell `remove_peer_namespaces`."""
+    admin.remove_peer_namespaces(peer_id, namespaces)
+
+
+def shell_set_peer_exclude_namespaces(admin, peer_id: str, namespaces) -> None:
+    """shell `set_peer_exclude_namespaces`."""
+    admin.set_peer_exclude_namespaces(peer_id, namespaces)
+
+
+def shell_append_peer_exclude_namespaces(admin, peer_id, namespaces) -> None:
+    """shell `append_peer_exclude_namespaces`."""
+    admin.append_peer_exclude_namespaces(peer_id, namespaces)
+
+
+def shell_remove_peer_exclude_namespaces(admin, peer_id, namespaces) -> None:
+    """shell `remove_peer_exclude_namespaces`."""
+    admin.remove_peer_exclude_namespaces(peer_id, namespaces)
+
+
+def shell_set_peer_exclude_table_cfs(admin, peer_id: str, table_cfs) -> None:
+    """shell `set_peer_exclude_tableCFs`."""
+    admin.set_peer_exclude_table_cfs(peer_id, table_cfs)
+
+
+def shell_append_peer_exclude_table_cfs(admin, peer_id, table_cfs) -> None:
+    """shell `append_peer_exclude_tableCFs`."""
+    admin.append_peer_exclude_table_cfs(peer_id, table_cfs)
+
+
+def shell_remove_peer_exclude_table_cfs(admin, peer_id, table_cfs) -> None:
+    """shell `remove_peer_exclude_tableCFs`."""
+    admin.remove_peer_exclude_table_cfs(peer_id, table_cfs)
+
+
+def shell_update_peer_config(admin, peer_id: str, **fields) -> dict:
+    """shell `update_peer_config` (update_peer_config.rb)."""
+    return admin.update_peer_config(peer_id, **fields)
+
+
+def shell_rename_rsgroup(admin, old: str, new: str) -> None:
+    """shell `rename_rsgroup` (rename_rsgroup.rb)."""
+    admin.rename_rsgroup(old, new)
+
+
+def shell_move_namespaces_rsgroup(admin, namespaces, target: str) -> None:
+    """shell `move_namespaces_rsgroup`."""
+    admin.move_namespaces_rsgroup(namespaces, target)
+
+
+def shell_get_namespace_rsgroup(admin, ns: str) -> str:
+    """shell `get_namespace_rsgroup`."""
+    return admin.get_namespace_rsgroup(ns)
+
+
+def shell_move_servers_tables_rsgroup(admin, servers, tables, target) -> None:
+    """shell `move_servers_tables_rsgroup`."""
+    admin.move_servers_tables_rsgroup(servers, tables, target)
+
+
+def shell_move_servers_namespaces_rsgroup(
+    admin, servers, namespaces, target
+) -> None:
+    """shell `move_servers_namespaces_rsgroup`."""
+    admin.move_servers_namespaces_rsgroup(servers, namespaces, target)
+
+
+def shell_alter_rsgroup_config(admin, group: str, props: dict) -> dict:
+    """shell `alter_rsgroup_config` / `update_rsgroup_config`."""
+    return admin.update_rsgroup_config(group, props)
+
+
+shell_update_rsgroup_config = shell_alter_rsgroup_config
+
+
+def shell_show_rsgroup_config(admin, group: str) -> dict:
+    """shell `show_rsgroup_config`."""
+    return admin.show_rsgroup_config(group)
+
+
+def shell_alter_namespace(admin, ns: str, props: dict) -> dict:
+    """shell `alter_namespace` (alter_namespace.rb)."""
+    return admin.alter_namespace(ns, props)
+
+
+def shell_enable_all(admin, regex: str) -> list[str]:
+    """shell `enable_all 'regex'` (enable_all.rb)."""
+    return admin.enable_all(regex)
+
+
+def shell_disable_all(admin, regex: str) -> list[str]:
+    """shell `disable_all 'regex'` (disable_all.rb)."""
+    return admin.disable_all(regex)
+
+
+def shell_drop(admin, name: str) -> None:
+    """shell `drop 't'` (drop.rb) — delete a DISABLED table."""
+    if admin.is_table_enabled(name):
+        raise ValueError(f"table {name!r} must be disabled before drop")
+    admin.delete_table(name)
+
+
+def shell_drop_all(admin, regex: str) -> list[str]:
+    """shell `drop_all 'regex'` (drop_all.rb)."""
+    return admin.drop_all(regex)
+
+
+def shell_list_table_snapshots(admin, table: str, regex: str = ".*"):
+    """shell `list_table_snapshots` (list_table_snapshots.rb)."""
+    return admin.list_table_snapshots(table, regex)
+
+
+def shell_list_security_capabilities(admin) -> list[str]:
+    """shell `list_security_capabilities`."""
+    return admin.list_security_capabilities()
+
+
+def shell_regioninfo(admin, name: str, row) -> dict:
+    """shell `regioninfo` (regioninfo.rb)."""
+    return admin.regioninfo(name, row)
+
+
+def shell_wal_roll_all(admin, log_dirs: list[str]) -> dict:
+    """shell `wal_roll_all` (wal_roll_all.rb)."""
+    return admin.wal_roll_all(log_dirs)
+
+
+def shell_enable_rpc_throttle(admin) -> bool:
+    """shell `enable_rpc_throttle` — previous state
+    (Admin.switchRpcThrottle(true))."""
+    return admin.set_switch("rpc_throttle", True)
+
+
+def shell_disable_rpc_throttle(admin) -> bool:
+    """shell `disable_rpc_throttle` — previous state.  While disabled
+    every throttle_limiter lookup returns None, so quota throttles
+    stop being enforced (the reference's quota-manager bypass)."""
+    return admin.set_switch("rpc_throttle", False)
+
+
+def shell_rpc_throttle_enabled(admin) -> bool:
+    """shell `rpc_throttle_enabled`."""
+    return admin.is_switch_enabled("rpc_throttle")
+
+
+def shell_cleaner_chore_switch(admin, enabled: bool) -> bool:
+    """shell `cleaner_chore_switch` — previous state; gates
+    cleaner_chore_run like the catalogjanitor pair."""
+    return admin.set_switch("cleaner_chore", enabled)
+
+
+def shell_cleaner_chore_enabled(admin) -> bool:
+    """shell `cleaner_chore_enabled`."""
+    return admin.is_switch_enabled("cleaner_chore")
+
+
+def shell_set_visibility(
+    table,
+    expression: str,
+    *,
+    family: str | None = None,
+    qualifier=None,
+    row_prefix: str | None = None,
+    label_col: str = "labels",
+):
+    """shell `set_visibility 't', 'expr', {...criteria}`
+    (set_visibility.rb; VisibilityController's setCellVisibility write
+    path): stamp the visibility expression onto every existing cell
+    matching the criteria.  Returns a Table whose cell frame carries
+    the (new or updated) label column — one codegen'd conditional
+    projection, no shuffle.  The expression is validated with the
+    shared parser before any plan is built."""
+    from pyspark.sql import functions as F
+
+    from hbase_spark.functions.visibility import evaluate
+    from hbase_spark.table import Table
+
+    evaluate(expression, frozenset())  # syntax check (result unused)
+    cells = table.cells
+    match = F.lit(True)
+    if family is not None:
+        match = match & (F.col("family") == family)
+    if qualifier is not None:
+        match = match & (F.col("qualifier") == qualifier)
+    if row_prefix is not None:
+        match = match & F.col("row").startswith(row_prefix)
+    existing = (
+        F.col(label_col) if label_col in cells.columns
+        else F.lit(None).cast("string")
+    )
+    out = cells.withColumn(
+        label_col, F.when(match, F.lit(expression)).otherwise(existing)
+    )
+    return Table(out, table.families, table.now)

@@ -145,3 +145,97 @@ def stream_curate_warc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _codepoint_encode(docs: DataFrame, *, id_col: str, text_col: str,
+                      width: int = 40) -> DataFrame:
+    """Default toy encoder (the portable scheme the pack oracle arm
+    uses): first ``width`` characters become codepoint id arrays."""
+    chars = F.filter(
+        F.split(F.substring(text_col, 1, width), ""), lambda x: x != ""
+    )
+    return docs.select(
+        F.col(id_col),
+        F.transform(chars, lambda x: F.ascii(x)).alias("ids"),
+    )
+
+
+def stream_export_training(
+    spark: SparkSession,
+    docs_dir: str,
+    export_dir: str,
+    checkpoint: str,
+    *,
+    encode=None,
+    seq_len: int = 1024,
+    shards: int = 8,
+    seed: int = 0,
+    eos_id: int | None = None,
+    drop_last: bool = True,
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """The training-export hops (tokenize → ``pack_token_sequences`` →
+    ``seeded_shuffle``) running INSIDE the streaming ingest pipeline:
+    as curated documents land under ``docs_dir`` (the
+    ``stream_curate_warc`` sink), each micro-batch re-materializes the
+    packed, epoch-ordered export of the ACCUMULATED store under
+    ``export_dir`` (overwrite — the export is a whole-corpus
+    transpose, so it is refreshed, not appended).
+
+    The stream==batch law holds BYTE-EXACTLY here because both hops
+    order by the seeded md5 scheme: the export is a pure function of
+    the document SET — arrival order, micro-batch boundaries, and
+    partitioning cannot change a byte, so after the stream drains,
+    ``export_dir`` equals the batch export over the same corpus
+    (pinned by tests/test_streaming.py).  Packing is deliberately NOT
+    incremental per batch: a sequence may straddle documents from
+    different micro-batches, and only the corpus-complete transpose
+    assigns every token its deterministic (shard, seq, position).
+
+    ``encode``: callable docs_frame -> (id_col, ids array<int>) frame;
+    defaults to the portable codepoint toy encoder — swap in
+    ``functions.bpe.bbpe_encode`` for a real tokenizer.  Returns the
+    started availableNow query."""
+    from hbase_spark.functions.text import (
+        pack_token_sequences,
+        seeded_shuffle,
+    )
+
+    enc_fn = encode or (
+        lambda d: _codepoint_encode(d, id_col=id_col, text_col="text")
+    )
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def _export(batch: DataFrame, epoch_id: int) -> None:
+        full = spark.read.parquet(docs_dir)  # the accumulated store
+        packed = pack_token_sequences(
+            enc_fn(full), seq_len=seq_len, shards=shards, seed=seed,
+            eos_id=eos_id, drop_last=drop_last, id_col=id_col,
+        )
+        # epoch ordering over sequences: one scalar uid per sequence
+        # (pack's shard/seq_id pair), then the seeded permutation; the
+        # trainer reads shard files in pos order
+        uid = (F.col("shard").cast("long") * (1 << 32) + F.col("seq_id"))
+        ordered = seeded_shuffle(
+            packed.withColumn("seq_uid", uid).drop("shard"),
+            id_col="seq_uid", seed=seed, shards=shards,
+        )
+        (
+            ordered.repartition("shard")
+            .sortWithinPartitions("pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(export_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_export)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -140,20 +140,30 @@ def wal_player(
     append to a table (or bulk-write via sources.layout.write_table).
 
     ``observers``: RegionObserver WAL-replay hooks —
-    ``pre_wal_restore`` may rewrite the replayed edits before they are
-    handed to the caller, ``post_wal_restore`` is notified with the
-    final frame (RegionObserver.java:1395,1416; the reference fires
-    per WALEdit during region replay, the declarative twin is one
-    transform over the replayed frame)."""
+    ``pre_replay_wals`` brackets the WHOLE replay (RegionObserver.java
+    :1401 — "about to replay these logs"; may rewrite the raw edit
+    stream before any per-edit hook), ``pre_wal_restore`` may rewrite
+    the replayed edits before they are handed to the caller,
+    ``post_wal_restore`` is notified with the final frame, and
+    ``post_replay_wals`` closes the bracket (:1411).
+    (RegionObserver.java:1395,1416 for the per-edit pair; the
+    reference fires per WALEdit during region replay, the declarative
+    twin is one transform over the replayed frame)."""
     df = spark.read.schema(cell_schema(key_type, value_type)).parquet(log_dir)
     if time_range is not None:
         df = df.filter(_time_range_pred(time_range))
+    for ob in observers or []:
+        if getattr(ob, "pre_replay_wals", None):
+            df = ob.pre_replay_wals(df)
     for ob in observers or []:
         if getattr(ob, "pre_wal_restore", None):
             df = ob.pre_wal_restore(df)
     for ob in observers or []:
         if getattr(ob, "post_wal_restore", None):
             ob.post_wal_restore(df)
+    for ob in observers or []:
+        if getattr(ob, "post_replay_wals", None):
+            ob.post_replay_wals(df)
     return df
 
 

@@ -1723,3 +1723,262 @@ def test_visibility_admitted_set_memoized_per_frame_and_auths(
     assert calls["n"] == 2 and c.count() == 8
     vis.visible(df, {"ops"}, cache=False)  # explicit refresh
     assert calls["n"] == 3
+
+
+def test_region_lifecycle_hooks_fire_around_split_and_merge(catalog):
+    """RegionObserver region-lifecycle hooks (preOpen :112 / postOpen
+    :120 / preClose :322 / postClose :331) fire from the geometry
+    rewrites: the split's parent closes and two daughters open; the
+    merge closes both inputs and opens one — with pre_open always
+    BEFORE the catalog flips to the new layout version and the post
+    hooks after."""
+    from hbase_spark.plans.observers import Observer
+
+    catalog.create_table("lcy", ["f"])
+    t = catalog.table("lcy")
+    for i in range(20):
+        t = shell_put(t, f"r{i:03d}", "f:q", str(i), ts=1, seq=i)
+    catalog.flush("lcy", t, num_regions=2)
+
+    events: list[tuple[str, str]] = []
+
+    def note(kind):
+        return lambda path: events.append((kind, path))
+
+    ob = Observer(
+        pre_close=note("pre_close"), post_close=note("post_close"),
+        pre_open=note("pre_open"), post_open=note("post_open"),
+    )
+    catalog.split_region("lcy", "r005", observers=[ob])
+    kinds = [k for k, _ in events]
+    assert kinds.count("pre_close") == kinds.count("post_close") == 1
+    assert kinds.count("pre_open") == kinds.count("post_open") == 2
+    # ordering: close announced first; every pre_open precedes every
+    # post_open/post_close (the catalog flip separates them)
+    assert kinds[0] == "pre_close"
+    assert max(i for i, k in enumerate(kinds) if k == "pre_open") < min(
+        i for i, k in enumerate(kinds) if k.startswith("post_")
+    )
+    # daughters named by the split rewrite, parent retired
+    opened = {p for k, p in events if k == "post_open"}
+    assert len(opened) == 2 and all("split" in p for p in opened)
+
+    events.clear()
+    catalog.merge_region("lcy", "r000", "r010", observers=[ob])
+    kinds = [k for k, _ in events]
+    assert kinds.count("pre_close") == kinds.count("post_close") == 2
+    assert kinds.count("pre_open") == kinds.count("post_open") == 1
+    # data integrity after both observed rewrites
+    got = {r.row: r.value for r in catalog.table("lcy").snapshot().collect()}
+    assert got == {f"r{i:03d}": str(i) for i in range(20)}
+
+
+# -- round-8 shell breadth: peer scope, rsgroup refinements, batch ops --
+
+
+def test_peer_replication_scope_refinements(catalog):
+    """ReplicationPeerConfig's full scope surface (set_peer_replicate_
+    all / *_peer_namespaces / *_peer_exclude_namespaces /
+    *_peer_exclude_tableCFs / update_peer_config): registry round-trip
+    plus the ReplicationUtils.contains resolution _peer_scope feeds to
+    replicate_log."""
+    from hbase_spark.shell import (
+        shell_append_peer_exclude_table_cfs,
+        shell_append_peer_namespaces,
+        shell_remove_peer_exclude_table_cfs,
+        shell_remove_peer_namespaces,
+        shell_set_peer_exclude_namespaces,
+        shell_set_peer_replicate_all,
+        shell_update_peer_config,
+    )
+
+    catalog.add_peer("p1", "/tmp/na")
+    # default: replicate-all; excludes carve out of it
+    assert catalog._peer_scope({"enabled": True}, "t", ["f", "g"]) == ["f", "g"]
+    shell_set_peer_exclude_namespaces(catalog, "p1", ["secretns"])
+    p = catalog.get_peer_config("p1")
+    assert catalog._peer_scope(p, "secretns:t", ["f"]) == []
+    assert catalog._peer_scope(p, "t", ["f"]) == ["f"]
+    shell_append_peer_exclude_table_cfs(catalog, "p1", {"t": ["g"]})
+    p = catalog.get_peer_config("p1")
+    assert catalog._peer_scope(p, "t", ["f", "g"]) == ["f"]
+    shell_remove_peer_exclude_table_cfs(catalog, "p1", {"t": ["g"]})
+    p = catalog.get_peer_config("p1")
+    assert catalog._peer_scope(p, "t", ["f", "g"]) == ["f", "g"]
+    # replicate_all=false conflicts with a live exclude scope
+    with pytest.raises(ValueError):
+        shell_set_peer_replicate_all(catalog, "p1", False)
+    shell_set_peer_exclude_namespaces(catalog, "p1", None)
+    shell_set_peer_replicate_all(catalog, "p1", False)
+    # selective mode: namespaces include-list
+    shell_append_peer_namespaces(catalog, "p1", ["prod"])
+    p = catalog.get_peer_config("p1")
+    assert catalog._peer_scope(p, "prod:t", ["f"]) == ["f"]
+    assert catalog._peer_scope(p, "other", ["f"]) == []
+    shell_remove_peer_namespaces(catalog, "p1", ["prod"])
+    p = catalog.get_peer_config("p1")
+    assert catalog._peer_scope(p, "prod:t", ["f"]) == []
+    # and replicate_all=true conflicts with an include scope
+    shell_append_peer_namespaces(catalog, "p1", ["prod"])
+    with pytest.raises(ValueError):
+        shell_set_peer_replicate_all(catalog, "p1", True)
+    # update_peer_config merges arbitrary allowed fields
+    cfg = shell_update_peer_config(catalog, "p1", bandwidth=1024)
+    assert cfg["bandwidth"] == 1024 and cfg["namespaces"] == ["prod"]
+    with pytest.raises(ValueError):
+        shell_update_peer_config(catalog, "p1", bogus_field=1)
+
+
+def test_rsgroup_refinements_rename_namespaces_config(catalog):
+    from hbase_spark.shell import (
+        shell_alter_rsgroup_config,
+        shell_get_namespace_rsgroup,
+        shell_move_namespaces_rsgroup,
+        shell_move_servers_tables_rsgroup,
+        shell_rename_rsgroup,
+        shell_show_rsgroup_config,
+    )
+
+    catalog.add_rsgroup("batch")
+    catalog.create_namespace("etl")
+    shell_move_namespaces_rsgroup(catalog, ["etl"], "batch")
+    assert shell_get_namespace_rsgroup(catalog, "etl") == "batch"
+    assert shell_get_namespace_rsgroup(catalog, "nowhere") == "default"
+    cfg = shell_alter_rsgroup_config(catalog, "batch", {"k": "v", "x": "1"})
+    assert cfg == {"k": "v", "x": "1"}
+    cfg = shell_alter_rsgroup_config(catalog, "batch", {"x": ""})  # unset
+    assert shell_show_rsgroup_config(catalog, "batch") == {"k": "v"}
+    shell_rename_rsgroup(catalog, "batch", "nightly")
+    assert shell_get_namespace_rsgroup(catalog, "etl") == "nightly"
+    assert shell_show_rsgroup_config(catalog, "nightly") == {"k": "v"}
+    with pytest.raises(ValueError):
+        shell_rename_rsgroup(catalog, "missing", "z")
+    catalog.create_table("rg_t", ["f"])
+    shell_move_servers_tables_rsgroup(
+        catalog, ["s1:16020"], ["rg_t"], "nightly"
+    )
+    g = catalog.get_rsgroup("nightly")
+    assert "rg_t" in g["tables"] and "s1:16020" in g["servers"]
+
+
+def test_batch_table_ops_and_drop(catalog):
+    from hbase_spark.shell import (
+        shell_disable_all,
+        shell_drop,
+        shell_drop_all,
+        shell_enable_all,
+    )
+
+    for n in ("ba_one", "ba_two", "other"):
+        catalog.create_table(n, ["f"])
+    assert sorted(shell_disable_all(catalog, "^ba_")) == ["ba_one", "ba_two"]
+    assert not catalog.is_table_enabled("ba_one")
+    assert catalog.is_table_enabled("other")
+    assert shell_enable_all(catalog, "^ba_one$") == ["ba_one"]
+    with pytest.raises(ValueError):  # enabled tables block drop_all
+        shell_drop_all(catalog, "^ba_")
+    with pytest.raises(ValueError):  # drop requires disabled
+        shell_drop(catalog, "ba_one")
+    catalog.disable_table("ba_one")
+    shell_drop(catalog, "ba_one")
+    assert shell_drop_all(catalog, "^ba_") == ["ba_two"]
+    assert "ba_one" not in catalog.list_tables()
+    assert "ba_two" not in catalog.list_tables()
+
+
+def test_alter_namespace_and_table_snapshots_listing(catalog):
+    from hbase_spark.shell import (
+        shell_alter_namespace,
+        shell_list_table_snapshots,
+    )
+
+    catalog.create_namespace("cfg")
+    desc = shell_alter_namespace(catalog, "cfg", {"quota": "5", "tmp": "x"})
+    assert desc["config"] == {"quota": "5", "tmp": "x"}
+    desc = shell_alter_namespace(catalog, "cfg", {"tmp": ""})  # unset
+    assert catalog.describe_namespace("cfg")["config"] == {"quota": "5"}
+    with pytest.raises(ValueError):
+        shell_alter_namespace(catalog, "default", {"a": "b"})
+
+    catalog.create_table("snapt", ["f"])
+    t = shell_put(catalog.table("snapt"), "r", "f:q", "v", ts=1, seq=1)
+    catalog.flush("snapt", t)
+    catalog.snapshot("s_one", "snapt")
+    catalog.snapshot("s_two", "snapt")
+    catalog.create_table("snapu", ["f"])
+    t2 = shell_put(catalog.table("snapu"), "r", "f:q", "v", ts=1, seq=1)
+    catalog.flush("snapu", t2)
+    catalog.snapshot("u_one", "snapu")
+    assert sorted(shell_list_table_snapshots(catalog, "snapt")) == [
+        "s_one", "s_two",
+    ]
+    assert shell_list_table_snapshots(catalog, "snapt", "two$") == ["s_two"]
+
+
+def test_misc_introspection_regioninfo_walroll_capabilities(catalog, tmp_path):
+    from hbase_spark.shell import (
+        shell_cleaner_chore_enabled,
+        shell_cleaner_chore_run,
+        shell_cleaner_chore_switch,
+        shell_list_security_capabilities,
+        shell_regioninfo,
+        shell_wal_roll_all,
+    )
+
+    caps = shell_list_security_capabilities(catalog)
+    assert "CELL_VISIBILITY" in caps and "AUTHORIZATION" in caps
+
+    catalog.create_table("ri", ["f"])
+    t = catalog.table("ri")
+    for i in range(10):
+        t = shell_put(t, f"r{i:02d}", "f:q", str(i), ts=1, seq=i)
+    catalog.flush("ri", t, num_regions=2)
+    info = shell_regioninfo(catalog, "ri", "r05")
+    assert info["start_key"] <= "r05" <= info["end_key"]
+    assert info["data_bytes"] > 0
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for d in ("wala", "walb"):
+        (tmp_path / d).mkdir()
+        pq.write_table(
+            pa.table({"x": [1]}), str(tmp_path / d / "seg1.parquet")
+        )
+    rolled = shell_wal_roll_all(
+        catalog, [str(tmp_path / "wala"), str(tmp_path / "walb")]
+    )
+    assert all(v["sealed"] == 1 for v in rolled.values())
+
+    assert shell_cleaner_chore_enabled(catalog)
+    shell_cleaner_chore_switch(catalog, False)
+    with pytest.raises(RuntimeError):
+        shell_cleaner_chore_run(catalog)
+    shell_cleaner_chore_switch(catalog, True)
+    assert isinstance(shell_cleaner_chore_run(catalog, dry_run=True), dict)
+
+
+def test_set_visibility_stamps_matching_cells(catalog):
+    from hbase_spark.functions.visibility import visible
+    from hbase_spark.shell import shell_set_visibility
+
+    catalog.create_table("visx", ["f", "g"])
+    t = catalog.table("visx")
+    t = shell_put(t, "r1", "f:q", "a", ts=1, seq=1)
+    t = shell_put(t, "r2", "f:q", "b", ts=1, seq=2)
+    t = shell_put(t, "r2", "g:q", "c", ts=1, seq=3)
+    t2 = shell_set_visibility(t, "secret & ops", family="f", row_prefix="r2")
+    lbl = {
+        (r.row, r.family): r.labels
+        for r in t2.cells.select("row", "family", "labels").collect()
+    }
+    assert lbl[("r2", "f")] == "secret & ops"
+    assert lbl[("r1", "f")] is None and lbl[("r2", "g")] is None
+    # only readers holding BOTH labels see the stamped cell
+    seen = visible(t2.cells, {"secret", "ops"}, cache=False)
+    assert seen.count() == t2.cells.count()
+    blocked = visible(t2.cells, {"ops"}, cache=False)
+    rows = {(r.row, r.family) for r in blocked.select("row", "family").collect()}
+    assert ("r2", "f") not in rows and len(rows) == 2
+    with pytest.raises(ValueError):  # bad expression rejected up front
+        shell_set_visibility(t, "a & ( b")

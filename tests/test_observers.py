@@ -150,8 +150,22 @@ def test_check_and_mutate_guard_hook(spark):
             ("r2", "f", "a", 20, CellType.PUT, "blocked", 3),
         ],
     )
+    from hbase_spark.plans.observers import Observer
+
+    seen = {}
     ot = ObservedTable(
-        base(spark), [audit_guard_observer(F.col("value") == "blocked")]
+        base(spark),
+        [
+            audit_guard_observer(F.col("value") == "blocked"),
+            # postCheckAndMutate (RegionObserver.java:1037): notified
+            # with — and free to replace — the guarded result table
+            Observer(
+                post_check_and_mutate=lambda t: (
+                    seen.__setitem__("cells", t.cells.count()),
+                    t,
+                )[1]
+            ),
+        ],
     )
     ot = ot.check_and_mutate(
         muts, guard_family="f", guard_qualifier="a", op="=", value="1"
@@ -160,6 +174,7 @@ def test_check_and_mutate_guard_hook(spark):
     # r1 guard passed and mutation applied; r2's cell was vetoed by the
     # observer before the guard ever ran
     assert got == {"r1": "ok", "r2": "3"}
+    assert seen["cells"] == ot.table.cells.count()  # post hook saw the result
 
 
 def test_scan_policy_observer_drops_expired_at_flush_and_compact(spark):
@@ -486,3 +501,42 @@ def test_batch_mutate_hooks(spark):
     assert seen["n"] == 2
     assert "r9" in rows and "r8" not in rows  # frame 2 was dropped
     assert seen["post_rows"] == out.table.snapshot().count()
+
+
+def test_commit_store_file_hooks_stage_then_commit(spark, tmp_path):
+    """pre/postCommitStoreFile (RegionObserver.java:1449,1460): with
+    commit hooks present the bulk load stages the layout and moves
+    each store file individually — the pre hook sees every staged
+    (family, src) before its move, the post hook every committed
+    path, and the final layout reads back identical to an unhooked
+    load."""
+    import os
+
+    from hbase_spark.plans.observers import Observer, observed_bulk_load
+    from hbase_spark.sources.layout import read_table
+
+    cells = make_cells(
+        spark,
+        [(f"r{i}", fam, "a", 10, 4, f"v{i}", i)
+         for i in range(8) for fam in ("f", "g")],
+    )
+    committed: list[tuple[str, str]] = []
+    staged: list[tuple[str, str]] = []
+    ob = Observer(
+        pre_commit_store_file=lambda fam, p: staged.append((fam, p)),
+        post_commit_store_file=lambda fam, p: committed.append((fam, p)),
+    )
+    path = str(tmp_path / "hooked")
+    observed_bulk_load(cells, path, [ob], num_regions=2)
+    assert staged and len(staged) == len(committed)
+    # pre saw staging paths, post saw final-layout paths
+    assert all("__bulkload_staging" in p for _, p in staged)
+    assert all(p.startswith(path) and p.endswith(".parquet")
+               for _, p in committed)
+    assert {f for f, _ in committed} == {"f", "g"}  # per-family stores
+    assert not os.path.exists(path + ".__bulkload_staging")
+    plain = str(tmp_path / "plain")
+    observed_bulk_load(cells, plain, [], num_regions=2)
+    got = sorted(map(tuple, read_table(spark, path).collect()))
+    exp = sorted(map(tuple, read_table(spark, plain).collect()))
+    assert got == exp

@@ -207,3 +207,24 @@ def test_buffered_mutator_respects_write_throttle(spark, catalog):
     bm.mutate_put("n3", "f", "a", "v", ts=20, seq=203)
     t = bm.flush()
     assert t.get("n3").count() == 1
+
+
+def test_rpc_throttle_switch_bypasses_all_limiters(catalog):
+    """enable/disable_rpc_throttle (Admin.switchRpcThrottle): while the
+    switch is off every throttle_limiter lookup resolves to None — the
+    reference's quota-manager bypass — and re-enabling restores
+    enforcement."""
+    from hbase_spark.shell import (
+        shell_disable_rpc_throttle,
+        shell_enable_rpc_throttle,
+        shell_rpc_throttle_enabled,
+    )
+
+    catalog.set_throttle_quota(user="u", table="t", limit=5)
+    assert shell_rpc_throttle_enabled(catalog)
+    assert catalog.throttle_limiter(user="u", table="t").limit == 5
+    prev = shell_disable_rpc_throttle(catalog)
+    assert prev is True and not shell_rpc_throttle_enabled(catalog)
+    assert catalog.throttle_limiter(user="u", table="t") is None
+    shell_enable_rpc_throttle(catalog)
+    assert catalog.throttle_limiter(user="u", table="t").limit == 5

@@ -763,3 +763,107 @@ def test_stream_minhash_state_timeout_non_utc_timezone(spark, dirs):
         assert (1, 2) in got
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_replay_wals_bracket_hooks(spark, dirs):
+    """pre/postReplayWALs (RegionObserver.java:1401,1411) bracket the
+    WHOLE wal_player replay: pre_replay_wals rewrites the raw edit
+    stream BEFORE the per-edit pre_wal_restore hook sees it, and
+    post_replay_wals is notified after post_wal_restore."""
+    from hbase_spark.plans.observers import Observer
+
+    batches = _mutation_log(spark)
+    for b in batches:
+        spark.createDataFrame(b, schema=cell_schema()).coalesce(1).write.mode(
+            "append"
+        ).parquet(dirs["log"])
+    order: list[str] = []
+    ob = Observer(
+        pre_replay_wals=lambda df: (
+            order.append("pre_replay"),
+            df.withColumn("value", F.concat(F.lit("R:"), F.col("value"))),
+        )[1],
+        pre_wal_restore=lambda df: (
+            order.append("pre_restore"),
+            df.withColumn("value", F.concat(F.lit("E:"), F.col("value"))),
+        )[1],
+        post_wal_restore=lambda df: order.append("post_restore"),
+        post_replay_wals=lambda df: order.append("post_replay"),
+    )
+    replayed = wal_player(
+        spark, dirs["log"], time_range=(1001, 1003), observers=[ob]
+    )
+    assert order == ["pre_replay", "pre_restore", "post_restore", "post_replay"]
+    vals = [r.value for r in replayed.filter("value is not null").collect()]
+    # per-edit hook runs ON TOP of the replay-bracket rewrite
+    assert vals and all(v.startswith("E:R:") for v in vals)
+
+
+def test_stream_export_matches_batch_export(spark, tmp_path):
+    """Round-7 verdict item 7 — stream==batch for the training-export
+    hops: documents landing in two separate waves through the
+    streaming export produce BYTE-identical output to the batch
+    pack+shuffle over the same corpus, because both hops order by the
+    seeded md5 scheme (the export is a pure function of the document
+    set).  Also pins that the refresh re-materializes: after wave 2
+    the export covers both waves."""
+    from hbase_spark.functions.text import (
+        pack_token_sequences,
+        seeded_shuffle,
+    )
+    from hbase_spark.streaming.ingest import (
+        _codepoint_encode,
+        stream_export_training,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    export_dir = str(tmp_path / "export")
+    ckpt = str(tmp_path / "ckpt")
+
+    def wave(lo, hi):
+        spark.createDataFrame(
+            [(i, f"document number {i} with some repeated text {i % 7}")
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(docs_dir)
+
+    def read_export():
+        return sorted(
+            (r.shard, r.pos, tuple(r.ids), r.n_tokens)
+            for r in spark.read.parquet(export_dir).collect()
+        )
+
+    def batch_export(df):
+        packed = pack_token_sequences(
+            _codepoint_encode(df, id_col="doc_id", text_col="text"),
+            seq_len=16, shards=4, seed=3, eos_id=0, drop_last=True,
+        )
+        uid = F.col("shard").cast("long") * (1 << 32) + F.col("seq_id")
+        ordered = seeded_shuffle(
+            packed.withColumn("seq_uid", uid).drop("shard"),
+            id_col="seq_uid", seed=3, shards=4,
+        )
+        return sorted(
+            (r.shard, r.pos, tuple(r.ids), r.n_tokens)
+            for r in ordered.collect()
+        )
+
+    wave(0, 40)
+    q = stream_export_training(
+        spark, docs_dir, export_dir, ckpt,
+        seq_len=16, shards=4, seed=3, eos_id=0, drop_last=True,
+    )
+    q.awaitTermination()
+    first = read_export()
+    assert first == batch_export(spark.read.parquet(docs_dir))
+    assert first  # non-empty
+
+    wave(40, 70)  # second wave: the stream resumes from its checkpoint
+    q = stream_export_training(
+        spark, docs_dir, export_dir, ckpt,
+        seq_len=16, shards=4, seed=3, eos_id=0, drop_last=True,
+    )
+    q.awaitTermination()
+    both = read_export()
+    assert both == batch_export(spark.read.parquet(docs_dir))
+    assert len(both) > len(first)  # export was refreshed, not stale
