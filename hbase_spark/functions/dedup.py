@@ -271,6 +271,16 @@ def minhash_candidates(
 
 _BUCKET_CAP = 1024
 
+# Cap for the matmul (applyInPandas) cluster verify, where memory is
+# block-bounded (see _cluster_reps_arrow) and the real budget is FLOPS
+# per task: 65536^2 cosines ~ 4e9 flops, seconds of one core.  The
+# pair-JOIN paths keep _BUCKET_CAP — an exploded 65536-member bucket
+# is 2e9 pair rows, a different hazard entirely.  k-means cluster
+# sizes are skewed in practice (the 64x sweep measured clusters >4x
+# the auto-nlist 256-member target), so the verify cap must sit well
+# above the MEAN the clustering aims for.
+_CLUSTER_CAP = 65536
+
 
 def _bucket_pairs(
     banded: DataFrame,
@@ -474,8 +484,30 @@ def minhash_pairs(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    ha = per_doc.select(F.col("_id").alias("a"), F.col("_hs").alias("_hs_a"))
-    hb = per_doc.select(F.col("_id").alias("b"), F.col("_hs").alias("_hs_b"))
+    # Exact-Jaccard verify.  The hash-set frame joining into the
+    # candidate pairs is the scale-sensitive payload: the 64x sweep
+    # caught the unrestricted form going 9.4x-at-4x once the FULL
+    # per-doc set frame outgrew AQE's broadcast threshold (both joins
+    # fell back to SortMergeJoin and the pair-expanded wide rows were
+    # sorted with the payload riding along).  Restricting the fetch to
+    # docs that actually appear in a candidate pair — a skinny
+    # left-semi join, the same candidates-only discipline
+    # semantic_dedup's verify uses — keeps the broadcast viable for as
+    # long as the DUPLICATE-involved subset (not the corpus) fits, and
+    # shrinks both SMJ inputs when even that overflows.  (A
+    # groupBy-collect_list re-keying was measured 2.8x worse at 16x:
+    # the hash agg copies every set array an extra time.)
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_docs = pairs.select(
+        F.explode(F.array("a", "b")).alias("_id")
+    ).distinct()
+    # checkpointed: BOTH pair sides read this frame — without it the
+    # semi-join (which sorts the set payload by _id) runs twice
+    hsets = per_doc.join(cand_docs, "_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    ha = hsets.select(F.col("_id").alias("a"), F.col("_hs").alias("_hs_a"))
+    hb = hsets.select(F.col("_id").alias("b"), F.col("_hs").alias("_hs_b"))
     verified = pairs.join(ha, "a").join(hb, "b")
     jac = F.size(F.array_intersect("_hs_a", "_hs_b")) / F.greatest(
         F.size(F.array_union("_hs_a", "_hs_b")), F.lit(1)
@@ -515,9 +547,14 @@ def minhash_dedup(
     the per-doc frame is locally checkpointed — it is O(corpus hash
     sets) on executor storage, replacing ``bands`` copies of the same
     sets flowing through the bucket exchange.  Banding then shuffles
-    only (id, bucket) pairs; the few surviving candidate pairs join the
-    hash sets back (broadcast-size under AQE) for the exact Jaccard
-    verify.  (Jaccard over 64-bit shingle hashes instead of shingle
+    only (id, bucket) pairs; surviving candidate pairs join back only
+    the hash sets of DOCS THAT APPEAR IN A PAIR (r8 64x-sweep fix: a
+    skinny semi-join shrink keeps the verify's build side broadcast-
+    able far past the corpus-wide threshold; when even the dup-involved
+    subset overflows, the SMJ fallback is linear under a fixed
+    strategy — measured 2.9x wall at 4x data with broadcast disabled).
+    Note the checkpoints make this builder EAGER in PySpark 4
+    (localCheckpoint runs its job at call time even with eager=False).  (Jaccard over 64-bit shingle hashes instead of shingle
     strings — collision probability is negligible.)  Earlier A/B also
     showed: computing sig and set as two array expressions doubles the
     gram work (CollapseProject inlines the gram subtree into both
@@ -792,7 +829,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     nlist: int | str = 16,
-    cap: int = _BUCKET_CAP,
+    cap: int | None = None,
     on_overflow: str = "truncate",
     centroids: list | None = None,
     verify: str = "pandas",
@@ -820,10 +857,16 @@ def semantic_dedup(
 
     ``nlist='auto'`` sizes the cluster count to the corpus the way the
     paper does (k grows with n): one count job, then
-    ``ceil(n / 256)`` clusters (min 16) — ~256 members each, safely
-    under the skew cap at any scale, with candidate pairs linear in n
-    (n x 256 / 2) instead of quadratic.  A fixed nlist stops scaling:
-    cluster membership grows with the corpus until it trips the cap.
+    ``ceil(n / 256)`` clusters (min 16) — ~256 members on AVERAGE,
+    with candidate pairs linear in n (n x 256 / 2) instead of
+    quadratic.  A fixed nlist stops scaling: cluster membership grows
+    with the corpus until it trips the cap.  k-means sizes are skewed
+    in practice (the 64x sweep measured clusters >4x the target), so
+    the matmul verify's default cap (``_CLUSTER_CAP``, 65536) sits
+    far above the mean: its scoring is row-blocked — memory stays
+    ~32 MB per task at ANY cluster size — and the cap only fences the
+    flops of a genuinely degenerate clustering (e.g. a near-constant
+    corpus).  The pair-join verify keeps the tight ``_BUCKET_CAP``.
 
     ``verify='pandas'`` (default) computes each cluster's cosine
     matrix as ONE normalized matmul in an applyInPandas group — the
@@ -846,6 +889,11 @@ def semantic_dedup(
     """
     from hbase_spark.functions.similarity import ivf_centroids
 
+    # default cap by verify mode: the matmul verify is block-bounded
+    # in memory so its budget is flops (_CLUSTER_CAP); the pair-join
+    # verify explodes cap^2/2 rows and keeps the tight _BUCKET_CAP
+    if cap is None:
+        cap = _CLUSTER_CAP if verify == "pandas" else _BUCKET_CAP
     n = None
     if nlist == "auto":
         n = vecs.count()
@@ -946,8 +994,11 @@ def _cluster_reps_arrow(
 
     The skew cap mirrors ``_capped_groups``: a cluster beyond ``cap``
     members raises under ``on_overflow='error'`` or keeps the sorted
-    capped prefix — a cluster is one task, so the cap bounds both the
-    matmul (cap^2 doubles) and the task's memory.
+    capped prefix.  A cluster is one task, but its memory is BLOCK
+    bounded (the scoring loop never materializes the m x m matrix),
+    so the cap's budget is flops per task — which is why
+    ``semantic_dedup`` defaults it to ``_CLUSTER_CAP`` here and to
+    the much tighter ``_BUCKET_CAP`` for the pair-exploding verify.
     """
     import numpy as np
     import pandas as pd
@@ -987,18 +1038,35 @@ def _cluster_reps_arrow(
         Vn = V / np.maximum(
             np.linalg.norm(V, axis=1, keepdims=True), 1e-12
         )
-        S = Vn @ Vn.T
-        hits = np.triu(S >= thr, k=1)  # i < j only (ids ascending)
-        has = hits.any(axis=0)
-        if not has.any():
+        m = len(ids)
+        # Row-blocked scoring: a skewed cluster's full m x m cosine
+        # matrix is the only O(m^2) MEMORY in this path, so score in
+        # blocks of B rows (B*m <= ~4M doubles, 32 MB) — flops stay
+        # m^2 (the cap's budget) but no task ever holds the square.
+        # Blocks ascend by row index and ids are sorted, so the FIRST
+        # block hitting column j holds the smallest qualifying id.
+        B = max(32, 4_000_000 // m)
+        best = np.full(m, -1, dtype="int64")
+        score = np.zeros(m, dtype="float64")
+        for s in range(0, m, B):
+            e = min(s + B, m)
+            S = Vn[s:e] @ Vn.T  # (B, m)
+            hit = (S >= thr) & (
+                np.arange(s, e)[:, None] < np.arange(m)[None, :]
+            )
+            cols = np.nonzero(hit.any(axis=0) & (best < 0))[0]
+            if cols.size:
+                first = hit[:, cols].argmax(axis=0)
+                best[cols] = s + first
+                score[cols] = S[first, cols]
+        js = np.nonzero(best >= 0)[0]
+        if not js.size:
             return pd.DataFrame(empty)
-        first = hits.argmax(axis=0)  # first True = smallest id_a
-        js = np.nonzero(has)[0]
         return pd.DataFrame(
             {
                 "_id": ids[js],
-                "dup_of": ids[first[js]],
-                "score": S[first[js], js],
+                "dup_of": ids[best[js]],
+                "score": score[js],
             }
         )
 

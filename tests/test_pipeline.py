@@ -156,6 +156,7 @@ def test_minhash_dedup_hot_bucket_raises(spark, docs):
     naming the bucket (no silent truncation — round-2 verdict item)."""
     import pytest
     from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     # 6 exact clones of one doc -> every band bucket holds 6 ids > cap 4
     one = docs.orderBy("doc_id").limit(1)
@@ -164,7 +165,13 @@ def test_minhash_dedup_hot_bucket_raises(spark, docs):
         clones = clones.unionByName(
             one.withColumn("doc_id", F.col("doc_id") + 400_000 + i)
         )
-    with pytest.raises(Py4JJavaError, match="LSH bucket over skew cap"):
+    # PySpark 4: localCheckpoint runs its job at call time even with
+    # eager=False, so the raise surfaces as SparkRuntimeException at
+    # BUILD (r8 pairs checkpoint) rather than Py4JJavaError at collect
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException),
+        match="LSH bucket over skew cap",
+    ):
         minhash_dedup(
             clones, threshold=0.8, num_hashes=64, bands=16,
             cap=4, on_overflow="error",
@@ -3076,3 +3083,47 @@ def test_training_pipeline_end_to_end(spark, docs, tmp_path):
     ).collect()
     assert sorted((r.shard, r.seq_id, tuple(r.ids)) for r in rows) == \
         sorted((r.shard, r.seq_id, tuple(r.ids)) for r in seqs2)
+
+
+def test_semantic_dedup_skewed_cluster_beyond_bucket_cap(spark):
+    """Round-8 64x sweep finding: k-means cluster sizes are skewed, so
+    a cluster can exceed the pair-join _BUCKET_CAP (1024) while the
+    matmul verify handles it fine — its scoring is row-blocked, memory
+    ~32 MB at any cluster size, and the default cap now reflects the
+    flops budget (_CLUSTER_CAP).  A 3000-member near-identical cluster
+    must dedup to ONE representative; explicit cap + on_overflow
+    'error' still fences degenerate clusterings."""
+    import math
+
+    from hbase_spark.functions.dedup import semantic_dedup
+
+    n = 3000
+    # all vectors nearly parallel (one giant natural cluster) plus a
+    # far-away second direction so nlist=2 has something to split
+    rows = [
+        (i, [1.0, 1e-9 * i, 0.0, 0.0]) for i in range(n)
+    ] + [(10_000 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(4)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rows_out = semantic_dedup(vecs, threshold=1 - 1e-9, nlist=2).collect()
+    kept = sorted(r.vec_id for r in rows_out if r.keep)
+    dropped = {r.vec_id: r.dup_of for r in rows_out if not r.keep}
+    # the near-identical mass dedups to one representative PER CLUSTER
+    # it was assigned to (k-means may split the dominant direction);
+    # what matters: a >1024-member cluster verified without error,
+    # every drop names a smaller same-mass id, nothing far got dropped
+    kept_giant = [k for k in kept if k < 10_000]
+    assert 0 in kept_giant and len(kept_giant) <= 2
+    assert len(dropped) >= n - 2
+    assert all(d < i < 10_000 for i, d in dropped.items())
+    assert math.isclose(
+        max(r.score for r in rows_out if not r.keep), 1.0, rel_tol=1e-9
+    )
+    # the explicit-cap contract still fences flops-degenerate clusters
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises(PythonException, match="skew cap"):
+        semantic_dedup(
+            vecs, threshold=0.999, nlist=2, cap=256, on_overflow="error"
+        ).collect()

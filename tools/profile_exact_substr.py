@@ -104,6 +104,11 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
+    # same heap rule as scale_sweep: local[32] shares one heap across
+    # 32 task threads; 16g ≈ 512 MB/task, set before the JVM launches
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
+    )
     spark = get_spark("xsprof")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: codegen + JIT on the smallest data

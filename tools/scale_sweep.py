@@ -97,14 +97,25 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
     return df
 
 
-def build_scaled(spark, k: int) -> str:
-    """Materialize a k-times copy of every table under SCALE_ROOT."""
+def build_scaled(spark, k: int, tables: list[str] | None = None) -> str:
+    """Materialize a k-times copy of every table (or a subset — large
+    octaves like 64x only need the tables their target queries read)
+    under SCALE_ROOT."""
+    want = list(TABLES) if tables is None else sorted(set(tables) | DIMS)
     out = f"{SCALE_ROOT}/x{k}"
     marker = f"{out}/_BUILT"
+    done = set()
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            lines = f.read().split("\n")
+        # legacy marker (time only) = every table was built
+        done = set(lines[1:]) - {""} or set(TABLES)
+        if set(want) <= done:
+            return out
     t0 = time.time()
-    for t in TABLES:
+    for t in want:
+        if t in done:
+            continue
         df = load_table(spark, BASE, t)
         if t not in DIMS:
             df = functools.reduce(
@@ -112,7 +123,7 @@ def build_scaled(spark, k: int) -> str:
             )
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     with open(marker, "w") as f:
-        f.write(str(time.time() - t0))
+        f.write(str(time.time() - t0) + "\n" + "\n".join(sorted(set(want) | done)))
     print(f"built x{k} in {time.time() - t0:.1f}s", file=sys.stderr)
     return out
 
@@ -122,9 +133,17 @@ def main() -> None:
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--out", default="SCALESWEEP.json")
     ap.add_argument("--names", default=",".join(bench.HEADLINE + bench.EXTENDED))
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list: build only these fact tables at each scale "
+        "(dims always included) and skip entrymod.prepare — for large "
+        "octaves whose target queries read a table subset",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     names = args.names.split(",")
+    tables = args.tables.split(",") if args.tables else None
 
     # local[32] shares ONE heap across 32 task threads — with the 1g
     # default that is ~32 MB/task, far below any real executor.  16g
@@ -149,8 +168,11 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {}
     for k in scales:
-        sf_dir = BASE if k == 1 else build_scaled(spark, k)
-        entrymod.prepare(spark, sf_dir)  # untimed, like a real deployment
+        sf_dir = BASE if k == 1 else build_scaled(spark, k, tables)
+        if tables is None:
+            entrymod.prepare(spark, sf_dir)  # untimed, like a deployment
+        if tables is None or "embeddings" in tables:
+            entrymod._pq_index_layout(spark, sf_dir)  # probe fixture
         times: dict[str, float] = {}
         for name in names:
             t0 = time.time()
