@@ -5494,6 +5494,59 @@ def q_agg_weighted_median(spark, sf):
 
 
 @_q(
+    "agg_grouped_median",
+    """WITH t AS (SELECT l_returnflag AS grp,
+                         cast(cast(l_quantity as decimal(18,2))
+                              as decimal(38,10)) q
+                  FROM lineitem)
+    SELECT grp,
+           cast(max(q) as double) AS max_v, cast(min(q) as double) AS min_v,
+           cast(sum(q) as double) AS sum_v, count(q) AS count_v,
+           round(cast(sum(q) as double) / count(q), 4) AS avg_v,
+           round(stddev_pop(cast(q as double)), 4) AS std_v,
+           round(cast(median(q) as double), 4) AS median_v
+    FROM t GROUP BY grp""",
+)
+def q_agg_grouped_median(spark, sf):
+    """The GROUPED endpoint aggregate with the round-8 bounded exact
+    median (operators/aggregations.py grouped_median_two_phase — the
+    per-group generalization of AggregationClient.java:778's two-phase
+    protocol): one grouped agg for the endpoint stats, distributed
+    histogram narrowing only for groups beyond final_cap, and a
+    spillable per-group rank selection — no unbounded percentile()
+    buffer anywhere in the plan (tests/test_aggregations.py pins the
+    plan shape; this arm hash-checks the VALUES per group against
+    DuckDB's median)."""
+    from hbase_spark.operators.aggregations import agg_table
+
+    li = load_table(spark, sf, "lineitem")
+    cells = li.select(
+        F.lpad(F.col("l_orderkey").cast("string"), 12, "0").alias("row"),
+        F.lit("li").alias("family"),
+        F.lit("l_quantity").alias("qualifier"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("string").alias(
+            "value"
+        ),
+        F.col("l_returnflag").alias("grp"),
+    )
+    out = agg_table(
+        cells, "li", "l_quantity", interpreter="decimal", group_by=["grp"]
+    )
+    return out.select(
+        "grp",
+        F.col("max").cast("double").alias("max_v"),
+        F.col("min").cast("double").alias("min_v"),
+        F.col("sum").cast("double").alias("sum_v"),
+        F.col("count").alias("count_v"),
+        F.round(
+            F.col("sum").cast("double") / F.col("count"), 4
+        ).alias("avg_v"),
+        F.round(F.col("std"), 4).alias("std_v"),
+        F.round(F.col("median"), 4).alias("median_v"),
+    )
+
+
+@_q(
     "doc_curation_report",
     None,  # oracle assigned below — needs _lang_pred_sql, defined above
 )
@@ -5540,6 +5593,7 @@ FROM base GROUP BY lang
 
 _TAIL = [
     "doc_curation_report",
+    "agg_grouped_median",
     "agg_weighted_median",
     "stream_replication_merge",
     "backup_restore_pit",
