@@ -235,13 +235,23 @@ def median_two_phase(
         bidx = F.least(
             F.floor((dv - F.lit(lo)) / F.lit(w)), F.lit(buckets - 1)
         ).cast("int")
-        hist = dict(
-            cand.groupBy(bidx.alias("_b")).agg(F.count("*").alias("_c"))
-            .collect()
-        )
+        # per-bucket ACTUAL min/max, not reconstructed lo + b*w edges:
+        # floor((v-lo)/w) and the rebuilt boundary can disagree by one
+        # ulp, silently dropping a rank-counted value from the next
+        # candidate set.  Bucket index is monotone in value, so the
+        # exact [min of b1, max of b2] interval selects precisely the
+        # straddling span.
+        hist = {
+            r["_b"]: (r["_c"], r["_mn"], r["_mx"])
+            for r in cand.groupBy(bidx.alias("_b")).agg(
+                F.count("*").alias("_c"),
+                F.min(dv).alias("_mn"),
+                F.max(dv).alias("_mx"),
+            ).collect()
+        }
         cum, b1, b2 = 0, None, None
         for b in range(buckets):
-            c = hist.get(b, 0)
+            c = hist.get(b, (0, None, None))[0]
             if b1 is None and cum + c >= k1:
                 b1 = b
                 below = cum
@@ -249,10 +259,14 @@ def median_two_phase(
                 b2 = b
                 break
             cum += c
-        cand = cand.filter(bidx.between(b1, b2))
-        c_n = sum(hist.get(b, 0) for b in range(b1, b2 + 1))
+        lo, hi = hist[b1][1], hist[b2][2]
+        # fresh range filter on the base projection (nested intervals),
+        # not a chained bucket filter — keeps the plan depth constant
+        cand = vals.filter(dv.between(F.lit(lo), F.lit(hi)))
+        c_n = sum(
+            hist.get(b, (0, None, None))[0] for b in range(b1, b2 + 1)
+        )
         k1, k2 = k1 - below, k2 - below
-        lo, hi = lo + b1 * w, min(hi, lo + (b2 + 1) * w)
         stalled = stalled + 1 if c_n >= prev_c_n else 0
     # ties collapsed the double range are resolved by this exact sort.
     # Both middle ranks come out of ONE job: the ordered top-k2 frame's
@@ -339,24 +353,34 @@ def grouped_median_two_phase(
         # grouping by them just carries the state through the agg
         carry = [*gb, "_cn", "_lo", "_hi", "_k1", "_k2", "_stall", "_w"]
         hist = j.groupBy(*carry, bidx.alias("_b")).agg(
-            F.count("*").alias("_c")
+            F.count("*").alias("_c"),
+            # ACTUAL per-bucket value extrema — the new range is taken
+            # from these, never rebuilt as lo + b*w, because the
+            # reconstructed edge can disagree with floor((v-lo)/w) by
+            # one ulp and silently drop a rank-counted value.  Bucket
+            # index is monotone in value, so [min of b1, max of b2]
+            # selects exactly the straddling span.
+            F.min(dv).alias("_bmin"),
+            F.max(dv).alias("_bmax"),
         )
         cum = F.sum("_c").over(Window.partitionBy(*gb).orderBy("_b"))
         hw = hist.withColumn("_cum", cum)
         # _cum is monotone in _b, so: rows below the k1-straddling
         # bucket are exactly those with _cum < k1 (their max _cum is
-        # the rank offset), and min-over-when picks each straddler
+        # the rank offset), min-over-when picks each straddler, and
+        # "bucket <= b2" is exactly "_cum - _c < _k2"
         s = hw.groupBy(*carry).agg(
             F.coalesce(
                 F.max(F.when(F.col("_cum") < F.col("_k1"), F.col("_cum"))),
                 F.lit(0),
             ).alias("_below"),
             F.min(
-                F.when(F.col("_cum") >= F.col("_k1"), F.col("_b"))
-            ).alias("_b1"),
-            F.min(
-                F.when(F.col("_cum") >= F.col("_k2"), F.col("_b"))
-            ).alias("_b2"),
+                F.when(F.col("_cum") >= F.col("_k1"), F.col("_bmin"))
+            ).alias("_lo2"),
+            F.max(
+                F.when(F.col("_cum") - F.col("_c") < F.col("_k2"),
+                       F.col("_bmax"))
+            ).alias("_hi2"),
             F.min(
                 F.when(F.col("_cum") >= F.col("_k2"), F.col("_cum"))
             ).alias("_cum2"),
@@ -364,11 +388,8 @@ def grouped_median_two_phase(
         advanced = s.select(
             *gb,
             (F.col("_cum2") - F.col("_below")).alias("_cn_new"),
-            (F.col("_lo") + F.col("_b1") * F.col("_w")).alias("_lo_new"),
-            F.least(
-                F.col("_hi"),
-                F.col("_lo") + (F.col("_b2") + 1) * F.col("_w"),
-            ).alias("_hi_new"),
+            F.col("_lo2").alias("_lo_new"),
+            F.col("_hi2").alias("_hi_new"),
             (F.col("_k1") - F.col("_below")).alias("_k1_new"),
             (F.col("_k2") - F.col("_below")).alias("_k2_new"),
             F.when(F.col("_cum2") - F.col("_below") >= F.col("_cn"),
@@ -390,10 +411,9 @@ def grouped_median_two_phase(
             .localCheckpoint()
         )
     # final: per-group middle ranks over the narrowed candidates.  The
-    # range re-scope is lower-exact / upper-superset of the iterated
-    # bucket filters (bucket b1 starts exactly at the new lo; values
-    # at the open upper edge can only rank ABOVE k2), so the k-th
-    # smallest selection is unchanged.
+    # carried (lo, hi) are actual candidate values (per-bucket extrema,
+    # not reconstructed edges), so the between() re-scope reproduces
+    # the counted bucket span exactly and the ranks line up.
     cand = vals.join(st, gb).filter(dv.between(F.col("_lo"), F.col("_hi")))
     rn = F.row_number().over(Window.partitionBy(*gb).orderBy("_v"))
     return (
