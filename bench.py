@@ -64,6 +64,7 @@ EXTENDED = [
     "doc_fim",                 # fill-in-the-middle transformation
     "embedding_pq_topk",       # IVF-PQ: ADC scan over codes + rerank
     "doc_bbpe_roundtrip",      # byte-level BPE apply + detokenize
+    "agg_grouped_median",      # bounded grouped exact median (r8)
 ]
 
 
