@@ -5591,8 +5591,81 @@ FROM base GROUP BY lang
 """
 
 
+_QUALITY_CLF: dict = {}
+
+
+def _quality_clf(spark, sf):
+    """Train-once fixture (the _pq_index_layout pattern): a deployment
+    fits its quality model once and scores corpora against it, so the
+    bench arm times SCORING; the correctness arm stays self-contained
+    (train + score in one call)."""
+    if sf not in _QUALITY_CLF:
+        from hbase_spark.functions.classifier import (
+            train_quality_classifier,
+        )
+        from hbase_spark.functions.text import gopher_filter
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        labeled = gopher_filter(docs).select(
+            "doc_id", "text", F.col("keep").cast("double").alias("label")
+        )
+        _QUALITY_CLF[sf] = train_quality_classifier(labeled, max_iter=30)
+    return _QUALITY_CLF[sf]
+
+
+def _quality_score_arm(spark, sf):
+    """The quality filter's SERVING path: one JVM map stage (HashingTF
+    + broadcast LR coefficients + Pareto lottery) over the corpus —
+    the part that scales with data; training is the untimed fixture."""
+    from hbase_spark.functions.classifier import (
+        pareto_select,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    scored = quality_scores(_quality_clf(spark, sf), docs)
+    return pareto_select(scored).select(
+        "doc_id", F.round("quality_prob", 3).alias("quality_prob"), "kept"
+    )
+
+
+@_q("doc_quality_classifier")  # rows-only: LBFGS has no SQL twin
+def q_doc_quality_classifier(spark, sf):
+    """The GPT-3-style trained quality filter end-to-end
+    (functions/classifier.py — Brown et al. 2020 Appendix A; the
+    fastText slot of CC-Net/DCLM): weak labels from the Gopher rule
+    battery stand in for the reference-vs-crawl split (the corpus has
+    no curated reference), LR-over-hashed-[1,2]-grams trains on the
+    labeled frame (MLlib LBFGS, deterministic hash-capped sample),
+    every document is scored in one JVM map stage, and the seeded
+    Pareto lottery decides keeps.  Rows-only by design: the oracle
+    battery already hash-checks the LABELS (gopher_rules); the
+    trained-model scores have no SQL twin.  Accuracy is pinned by
+    tests/test_classifier.py on a planted separable corpus."""
+    from hbase_spark.functions.classifier import (
+        pareto_select,
+        quality_scores,
+        train_quality_classifier,
+    )
+    from hbase_spark.functions.text import gopher_filter
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    labeled = gopher_filter(docs).select(
+        "doc_id", "text", F.col("keep").cast("double").alias("label")
+    )
+    clf = train_quality_classifier(labeled, max_iter=30)
+    scored = quality_scores(clf, docs)
+    return (
+        pareto_select(scored)
+        .select("doc_id", F.round("quality_prob", 3).alias("quality_prob"),
+                "kept")
+        .orderBy("doc_id")
+    )
+
+
 _TAIL = [
     "doc_curation_report",
+    "doc_quality_classifier",
     "agg_grouped_median",
     "agg_weighted_median",
     "stream_replication_merge",

@@ -65,6 +65,7 @@ EXTENDED = [
     "embedding_pq_topk",       # IVF-PQ: ADC scan over codes + rerank
     "doc_bbpe_roundtrip",      # byte-level BPE apply + detokenize
     "agg_grouped_median",      # bounded grouped exact median (r8)
+    "doc_quality_classifier",  # trained quality filter: score+lottery
 ]
 
 
@@ -96,6 +97,9 @@ def headline_queries() -> dict:
     queries.setdefault("doc_fim", entrymod._fim_arm)
     queries.setdefault("embedding_pq_topk", entrymod._pq_probe_arm)
     queries.setdefault("doc_bbpe_roundtrip", entrymod._bbpe_arm)
+    # serving path over the train-once fixture (the pq split pattern);
+    # the registry's own entry keeps the self-contained train+score
+    queries["doc_quality_classifier"] = entrymod._quality_score_arm
     return queries
 
 
@@ -113,6 +117,10 @@ def main() -> None:
     t0 = time.time()
     entrymod._pq_index_layout(spark, sf_dir)
     index_build = {"pq_index": round(time.time() - t0, 3)}
+    # quality model likewise trains once, untimed; scoring is the arm
+    t0 = time.time()
+    entrymod._quality_clf(spark, sf_dir)
+    index_build["quality_clf_train"] = round(time.time() - t0, 3)
 
     queries = headline_queries()
     # Warmup pass at the smallest SF: Janino codegen + JIT dominate cold

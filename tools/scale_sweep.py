@@ -173,6 +173,8 @@ def main() -> None:
             entrymod.prepare(spark, sf_dir)  # untimed, like a deployment
         if tables is None or "embeddings" in tables:
             entrymod._pq_index_layout(spark, sf_dir)  # probe fixture
+        if tables is None or "documents" in tables:
+            entrymod._quality_clf(spark, sf_dir)  # score-arm fixture
         times: dict[str, float] = {}
         for name in names:
             t0 = time.time()
