@@ -19,6 +19,8 @@ def main() -> None:
     spark = get_spark("plans", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     entrymod.prepare(spark, sf_dir)
+    entrymod._pq_index_layout(spark, sf_dir)  # pq probe fixture
+    entrymod._quality_clf(spark, sf_dir)  # quality score-arm fixture
     queries = headline_queries()
     out = ["# PLANS — executed physical plans of the headline queries\n"]
     out.append(f"Scale: `{sf_dir}`; final AQE plans (post-materialization).\n")
