@@ -1,6 +1,8 @@
 """Aggregation endpoint parity vs DuckDB oracle on TESTDATA (SURVEY.md
 §5.2 item 3), plus counters and SyncTable diff (FIXTURES.md §B)."""
 
+import math
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -74,6 +76,16 @@ def test_median_two_phase_matches_exact_percentile(spark, sf_dir, li_cells):
         [5.0, 5.0, 5.0, 5.0],          # all tied: double range collapses
         [1.0, 1.0, 2.0, 100.0, 100.0],  # skewed with ties at the middle
         [-4.5, 0.0, 0.0, 7.25, 7.25, 9.0],
+        # ulp-adjacent cluster: bucket widths hit double-rounding, the
+        # case that breaks reconstructed lo + b*w edges (the narrowing
+        # carries per-bucket ACTUAL extrema instead — r8 fix)
+        [
+            math.nextafter(1.0, 0.0),
+            1.0,
+            math.nextafter(1.0, 2.0),
+            math.nextafter(math.nextafter(1.0, 2.0), 2.0),
+            1.0 + 3e-16,
+        ],
     ],
 )
 def test_median_two_phase_small_lists(spark, vals):
@@ -285,6 +297,12 @@ def test_grouped_median_two_phase_matches_percentile(spark, sf_dir, li_cells):
         [("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)],
         [("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 100.0), ("a", 100.0),
          ("b", -4.5), ("b", 0.0), ("b", 0.0), ("b", 7.25)],
+        # ulp-adjacent cluster (see the ungrouped twin): per-bucket
+        # exact extrema must keep every rank-counted value in range
+        [("a", math.nextafter(1.0, 0.0)), ("a", 1.0),
+         ("a", math.nextafter(1.0, 2.0)), ("a", 1.0 + 3e-16),
+         ("a", math.nextafter(math.nextafter(1.0, 2.0), 2.0)),
+         ("b", 1e-300), ("b", math.nextafter(1e-300, 1.0)), ("b", 2e-300)],
     ],
 )
 def test_grouped_median_two_phase_small_lists(spark, vals):
