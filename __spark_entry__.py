@@ -5629,6 +5629,37 @@ def _quality_score_arm(spark, sf):
     )
 
 
+@_q(
+    "doc_pareto_lottery",
+    """SELECT doc_id,
+              ((doc_id * 37 + 11) % 100) / 100.0 AS score,
+              (POWER((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || ':0:pareto'), 1, 8))
+                           AS BIGINT) + 1.0) / 4294967296.0,
+                     -1.0 / 9.0) - 1.0)
+               > (1.0 - ((doc_id * 37 + 11) % 100) / 100.0) AS kept
+       FROM documents""",
+)
+def q_doc_pareto_lottery(spark, sf):
+    """The Pareto keep lottery itself, hash-checked: a deterministic
+    synthetic score (both engines compute (37*id+11) % 100 / 100) runs
+    through ``pareto_select(portable=True)`` — md5-seeded uniform, the
+    inverse-CDF pareto(9) draw, and the keep comparison — and DuckDB
+    replays every decision bit-for-bit.  This pins the lottery MATH;
+    the trained-model scores feeding it in production are covered by
+    the rows-only ``doc_quality_classifier`` + the pytest holdout."""
+    from hbase_spark.functions.classifier import pareto_select
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    scored = docs.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 37 + 11, F.lit(100)) / 100.0).alias(
+            "score"
+        ),
+    )
+    return pareto_select(scored, score_col="score", portable=True)
+
+
 @_q("doc_quality_classifier")  # rows-only: LBFGS has no SQL twin
 def q_doc_quality_classifier(spark, sf):
     """The GPT-3-style trained quality filter end-to-end
@@ -5666,6 +5697,7 @@ def q_doc_quality_classifier(spark, sf):
 _TAIL = [
     "doc_curation_report",
     "doc_quality_classifier",
+    "doc_pareto_lottery",
     "agg_grouped_median",
     "agg_weighted_median",
     "stream_replication_merge",

@@ -174,6 +174,7 @@ def pareto_select(
     seed: int = 0,
     id_col: str = "doc_id",
     score_col: str = "quality_prob",
+    portable: bool = False,
 ) -> DataFrame:
     """GPT-3's quality lottery (Brown et al. 2020, Appendix A): keep a
     document iff ``pareto(alpha) > 1 - score`` — high-scoring docs are
@@ -185,12 +186,34 @@ def pareto_select(
     of a SEEDED per-document uniform (xxhash64 of the id — stable
     across retries, partitionings, and sessions, unlike ``F.rand``
     whose draw depends on partition layout).  Pure Catalyst expression;
-    adds a ``kept`` column — filter or audit downstream."""
-    m = F.lit(float(1 << 31))
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), m)
-        + F.lit(1.0)
-    ) / m  # (0, 1]
+    adds a ``kept`` column — filter or audit downstream.
+
+    ``portable=True`` draws the uniform from the md5 scheme the other
+    seeded operators use (first 32 bits of ``md5(id || ':seed:pareto')``)
+    so a SQL oracle can replay every keep decision bit-for-bit —
+    slower (md5 vs xxhash64) but engine-portable."""
+    if portable:
+        bits = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f":{seed}:pareto"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        u = (bits + F.lit(1.0)) / F.lit(float(1 << 32))  # (0, 1]
+    else:
+        m = F.lit(float(1 << 31))
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), m)
+            + F.lit(1.0)
+        ) / m  # (0, 1]
     draw = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scored.withColumn(
         "kept", draw > (F.lit(1.0) - F.col(score_col))
