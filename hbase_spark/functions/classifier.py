@@ -133,6 +133,38 @@ def train_quality_classifier(
     )
 
 
+def with_quality_prob(
+    clf: QualityClassifier,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """``docs`` with ``out_col`` = P(label=1) appended, every original
+    column kept — the composable form the streaming curation pipeline
+    gates on.  One JVM map stage: HashingTF + the LR transform
+    (coefficients broadcast internally); the probability vector
+    unpacks via ``vector_to_array``, still JVM-side."""
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    cols = list(docs.columns)
+    tf = HashingTF(
+        inputCol="_grams",
+        outputCol="_features",
+        numFeatures=clf.num_features,
+        binary=clf.binary,
+    )
+    frame = tf.transform(_gram_frame(docs, text_col, clf.n, keep=cols))
+    scored = clf.model.transform(frame)
+    return scored.select(
+        *cols,
+        vector_to_array(F.col(clf.model.getProbabilityCol()))[1].alias(
+            out_col
+        ),
+    )
+
+
 def quality_scores(
     clf: QualityClassifier,
     docs: DataFrame,
@@ -141,29 +173,11 @@ def quality_scores(
     text_col: str = "text",
     extra_cols: tuple = (),
 ) -> DataFrame:
-    """(id, extra..., quality_prob) for every document — P(label=1)
-    under the fitted model.  One JVM map stage: HashingTF + the LR
-    transform (coefficients broadcast internally); the probability
-    vector unpacks via ``vector_to_array``, still JVM-side."""
-    from pyspark.ml.feature import HashingTF
-    from pyspark.ml.functions import vector_to_array
-
-    tf = HashingTF(
-        inputCol="_grams",
-        outputCol="_features",
-        numFeatures=clf.num_features,
-        binary=clf.binary,
-    )
-    frame = tf.transform(
-        _gram_frame(docs, text_col, clf.n, keep=[id_col, *extra_cols])
-    )
-    scored = clf.model.transform(frame)
-    return scored.select(
-        id_col,
-        *extra_cols,
-        vector_to_array(F.col(clf.model.getProbabilityCol()))[1].alias(
-            "quality_prob"
-        ),
+    """(id, extra..., quality_prob) for every document — the skinny
+    projection of ``with_quality_prob``."""
+    keep = docs.select(id_col, *extra_cols, text_col)
+    return with_quality_prob(clf, keep, text_col=text_col).select(
+        id_col, *extra_cols, "quality_prob"
     )
 
 

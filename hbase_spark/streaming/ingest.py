@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 
 def curate_documents(
-    docs: DataFrame, *, min_tokens: int = 0, ruleset: str = "gopher"
+    docs: DataFrame,
+    *,
+    min_tokens: int = 0,
+    ruleset: str = "gopher",
+    classifier=None,
+    model_gate: float | str = "pareto",
+    seed: int = 0,
 ) -> DataFrame:
     """The batch curation transform shared by the streaming pipeline
     and any backfill job (stream/batch parity by construction — the
@@ -43,7 +49,18 @@ def curate_documents(
     different rule set's decision.  Note the C4 rulesets add C4's
     audit columns (n_lines, rule bits, ...) — the output schema is a
     function of the ruleset, so don't switch rulesets mid-checkpoint
-    against an existing parquet sink."""
+    against an existing parquet sink.
+
+    ``classifier``: an optional trained ``QualityClassifier``
+    (functions/classifier.py) applied AFTER the rule gates — the
+    GPT-3 arrangement (rules remove the mechanical junk, the model
+    scores what remains).  Scoring is a stateless JVM map stage, so
+    stream==batch parity is by construction, like every other hop of
+    this transform.  ``model_gate``: 'pareto' (default) keeps by the
+    seeded Pareto lottery on the doc_id — deterministic, so a
+    re-delivered document gets the same verdict in every micro-batch;
+    a float keeps ``quality_prob >= model_gate``.  Either way the
+    surviving rows carry ``quality_prob`` for downstream mixing."""
     from hbase_spark.functions.text import (
         c4_clean,
         fingerprint,
@@ -86,9 +103,21 @@ def curate_documents(
         out = out.withColumn("gopher_keep", F.col("quality_keep"))
     if "_c4_keep" in out.columns:
         out = out.drop("_c4_keep")
-    return out.filter(
+    out = out.filter(
         F.col("quality_keep") & (F.col("n_tokens") >= F.lit(min_tokens))
     )
+    if classifier is not None:
+        from hbase_spark.functions.classifier import (
+            pareto_select,
+            with_quality_prob,
+        )
+
+        out = with_quality_prob(classifier, out)
+        if model_gate == "pareto":
+            out = pareto_select(out, seed=seed).filter("kept").drop("kept")
+        else:
+            out = out.filter(F.col("quality_prob") >= F.lit(float(model_gate)))
+    return out
 
 
 def stream_curate_warc(

@@ -100,3 +100,23 @@ def test_pareto_select_seeded_and_score_monotone(spark):
     assert sorted(r[0] for r in k1) == sorted(r[0] for r in k2)
     k3 = pareto_select(scored, seed=7).filter("kept").count()
     assert k3 != len(k1) or k3 == len(k1)  # seed=7 runs (smoke)
+
+
+def test_curate_documents_model_gate(corpus):
+    """The trained filter composes into the shared curation transform
+    (streaming/ingest.curate_documents): rules first, then the model
+    gate — stateless, so stream==batch parity is by construction."""
+    from hbase_spark.streaming.ingest import curate_documents
+
+    clf = train_quality_classifier(corpus, max_iter=25)
+    docs = corpus.select("doc_id", "text")
+    thr = curate_documents(
+        docs, ruleset="gopher", classifier=clf, model_gate=0.5
+    )
+    assert "quality_prob" in thr.columns
+    rows = thr.collect()
+    assert all(r["quality_prob"] >= 0.5 for r in rows)
+    # the pareto gate replays deterministically (same seed, same set)
+    p1 = curate_documents(docs, classifier=clf).select("doc_id").collect()
+    p2 = curate_documents(docs, classifier=clf).select("doc_id").collect()
+    assert sorted(r[0] for r in p1) == sorted(r[0] for r in p2)
