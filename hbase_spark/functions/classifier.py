@@ -133,6 +133,37 @@ def train_quality_classifier(
     )
 
 
+def save_quality_classifier(clf: QualityClassifier, path: str) -> None:
+    """Persist the fitted model + featurization config — the
+    train-once/serve-forever layout, like the persisted IVF-PQ index:
+    the MLlib model writes its own parquet directory, the config rides
+    in a JSON sidecar (NOT ``_``-prefixed — Hadoop input formats treat
+    those as hidden)."""
+    import json
+    import os
+
+    clf.model.write().overwrite().save(os.path.join(path, "model"))
+    with open(os.path.join(path, "classifier-config.json"), "w") as fh:
+        json.dump(
+            {"n": clf.n, "num_features": clf.num_features,
+             "binary": clf.binary},
+            fh,
+        )
+
+
+def load_quality_classifier(path: str) -> QualityClassifier:
+    """Inverse of ``save_quality_classifier``."""
+    import json
+    import os
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    with open(os.path.join(path, "classifier-config.json")) as fh:
+        cfg = json.load(fh)
+    model = LogisticRegressionModel.load(os.path.join(path, "model"))
+    return QualityClassifier(model=model, **cfg)
+
+
 def with_quality_prob(
     clf: QualityClassifier,
     docs: DataFrame,

@@ -120,3 +120,20 @@ def test_curate_documents_model_gate(corpus):
     p1 = curate_documents(docs, classifier=clf).select("doc_id").collect()
     p2 = curate_documents(docs, classifier=clf).select("doc_id").collect()
     assert sorted(r[0] for r in p1) == sorted(r[0] for r in p2)
+
+
+def test_save_load_roundtrip(corpus, tmp_path):
+    from hbase_spark.functions.classifier import (
+        load_quality_classifier,
+        save_quality_classifier,
+    )
+
+    clf = train_quality_classifier(corpus, max_iter=10)
+    save_quality_classifier(clf, str(tmp_path / "qclf"))
+    back = load_quality_classifier(str(tmp_path / "qclf"))
+    assert (back.n, back.num_features, back.binary) == (
+        clf.n, clf.num_features, clf.binary,
+    )
+    a = quality_scores(clf, corpus).orderBy("doc_id").collect()
+    b = quality_scores(back, corpus).orderBy("doc_id").collect()
+    assert [r["quality_prob"] for r in a] == [r["quality_prob"] for r in b]
