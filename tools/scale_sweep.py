@@ -62,8 +62,15 @@ STRIDES = {
         "l_suppkey": 1_000_000,
     },
     "events": {"event_id": 1_000_000_000, "user_id": 1_000_000},
-    "documents": {"doc_id": 1_000_000},
-    "embeddings": {"vec_id": 1_000_000},
+    # NOT 1_000_000: several query arms plant clones at id + 1_000_000,
+    # and a 1M copy stride makes those clone ids COLLIDE with the next
+    # copy's real ids (one id, two texts) — corrupting the dup
+    # structure the sweep exists to measure (caught round 8: colliding
+    # ids doubled the minhash verify's join rows at 16x/64x).  A 10M
+    # stride keeps the within-copy +1M clone relation intact and the
+    # id spaces disjoint (base ids < 1M at every bench SF).
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
 }
 
 
@@ -74,13 +81,19 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
         df = df.withColumn(col, F.col(col) + F.lit(i * stride))
     if table == "documents":
         # Suffix every token with the copy id: within-copy near-dup
-        # structure is preserved EXACTLY (the transform is uniform),
-        # while cross-copy shingle sets are disjoint — so candidate
-        # pairs in MinHash/SimHash grow linearly with the data, the
-        # way real corpora grow, not quadratically the way verbatim
-        # copies would.
+        # structure is preserved EXACTLY (the transform is a bijection
+        # on tokens), while cross-copy shingle sets are disjoint — so
+        # candidate pairs in MinHash/SimHash grow linearly with the
+        # data, the way real corpora grow, not quadratically the way
+        # verbatim copies would.  The suffix MUST survive the ASCII
+        # tokenizer as part of its word ("x{i}x", alphanumeric): the
+        # earlier "~{i}" form tokenized into a SEPARATE token between
+        # every pair of words, halving shingle diversity and inflating
+        # within-copy similarity — copy-sized LSH buckets that the
+        # base corpus does not have (caught round 8 when the id-stride
+        # fix stopped masking it).
         df = df.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+            "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}x")
         ).withColumn("n_chars", F.length("text"))
     if table == "embeddings":
         # Deterministic per-dimension jitter: copies are distinct
