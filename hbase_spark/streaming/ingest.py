@@ -189,6 +189,65 @@ def _codepoint_encode(docs: DataFrame, *, id_col: str, text_col: str,
     )
 
 
+def export_training(
+    spark: SparkSession,
+    docs_dir: str,
+    export_dir: str,
+    *,
+    encode=None,
+    seq_len: int = 1024,
+    shards: int = 8,
+    seed: int = 0,
+    eos_id: int | None = None,
+    drop_last: bool = True,
+    id_col: str = "doc_id",
+) -> None:
+    """ONE-SHOT training export of a curated document store: tokenize
+    → ``pack_token_sequences`` → ``seeded_shuffle`` → shard-partitioned
+    parquet under ``export_dir`` (overwrite).  Both hops order by the
+    seeded md5 scheme, so the output is a pure function of the
+    document SET — partitioning and write order cannot change a byte.
+
+    This is the per-batch body of ``stream_export_training`` exposed
+    as a batch call (same code path, so the stream==batch law is by
+    construction): a deployment whose trainer only reads the export
+    after ingest completes should run the curation STREAM without the
+    export hop and call this once when it drains — one whole-corpus
+    transpose instead of one per micro-batch.
+
+    ``encode``: callable docs_frame -> (id_col, ids array<int>) frame;
+    defaults to the portable codepoint toy encoder — swap in
+    ``functions.bpe.bbpe_encode`` for a real tokenizer."""
+    from hbase_spark.functions.text import (
+        pack_token_sequences,
+        seeded_shuffle,
+    )
+
+    enc_fn = encode or (
+        lambda d: _codepoint_encode(d, id_col=id_col, text_col="text")
+    )
+    full = spark.read.parquet(docs_dir)  # the accumulated store
+    packed = pack_token_sequences(
+        enc_fn(full), seq_len=seq_len, shards=shards, seed=seed,
+        eos_id=eos_id, drop_last=drop_last, id_col=id_col,
+    )
+    # epoch ordering over sequences: one scalar uid per sequence
+    # (pack's shard/seq_id pair), then the seeded permutation; the
+    # trainer reads shard files in pos order
+    uid = (F.col("shard").cast("long") * (1 << 32) + F.col("seq_id"))
+    ordered = seeded_shuffle(
+        packed.withColumn("seq_uid", uid).drop("shard"),
+        id_col="seq_uid", seed=seed, shards=shards,
+    )
+    (
+        ordered.repartition("shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(export_dir)
+    )
+
+
 def stream_export_training(
     spark: SparkSession,
     docs_dir: str,
@@ -210,7 +269,11 @@ def stream_export_training(
     ``stream_curate_warc`` sink), each micro-batch re-materializes the
     packed, epoch-ordered export of the ACCUMULATED store under
     ``export_dir`` (overwrite — the export is a whole-corpus
-    transpose, so it is refreshed, not appended).
+    transpose, so it is refreshed, not appended).  That per-batch
+    refresh buys an always-current export at the cost of one
+    corpus-sized job per micro-batch — size triggers accordingly, or
+    use the batch form (``export_training``) once after the stream
+    drains when the trainer only reads the final export.
 
     The stream==batch law holds BYTE-EXACTLY here because both hops
     order by the seeded md5 scheme: the export is a pure function of
@@ -226,14 +289,6 @@ def stream_export_training(
     defaults to the portable codepoint toy encoder — swap in
     ``functions.bpe.bbpe_encode`` for a real tokenizer.  Returns the
     started availableNow query."""
-    from hbase_spark.functions.text import (
-        pack_token_sequences,
-        seeded_shuffle,
-    )
-
-    enc_fn = encode or (
-        lambda d: _codepoint_encode(d, id_col=id_col, text_col="text")
-    )
     schema = spark.read.parquet(docs_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -241,25 +296,10 @@ def stream_export_training(
     stream = reader.parquet(docs_dir)
 
     def _export(batch: DataFrame, epoch_id: int) -> None:
-        full = spark.read.parquet(docs_dir)  # the accumulated store
-        packed = pack_token_sequences(
-            enc_fn(full), seq_len=seq_len, shards=shards, seed=seed,
-            eos_id=eos_id, drop_last=drop_last, id_col=id_col,
-        )
-        # epoch ordering over sequences: one scalar uid per sequence
-        # (pack's shard/seq_id pair), then the seeded permutation; the
-        # trainer reads shard files in pos order
-        uid = (F.col("shard").cast("long") * (1 << 32) + F.col("seq_id"))
-        ordered = seeded_shuffle(
-            packed.withColumn("seq_uid", uid).drop("shard"),
-            id_col="seq_uid", seed=seed, shards=shards,
-        )
-        (
-            ordered.repartition("shard")
-            .sortWithinPartitions("pos")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(export_dir)
+        export_training(
+            spark, docs_dir, export_dir, encode=encode, seq_len=seq_len,
+            shards=shards, seed=seed, eos_id=eos_id, drop_last=drop_last,
+            id_col=id_col,
         )
 
     return (
