@@ -254,11 +254,15 @@ def pareto_select(
         ).cast("double")
         u = (bits + F.lit(1.0)) / F.lit(float(1 << 32))  # (0, 1]
     else:
-        m = F.lit(float(1 << 31))
-        u = (
-            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), m)
-            + F.lit(1.0)
-        ) / m  # (0, 1]
+        # pmod in INTEGER space, cast after: a double modulus coerces
+        # the 64-bit hash to double first, and mantissa rounding at
+        # ~2^63 magnitude quantizes the uniform to ~2^20 distinct
+        # values; the long pmod keeps the full 31-bit resolution
+        bits = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+            F.lit(1 << 31),
+        ).cast("double")
+        u = (bits + F.lit(1.0)) / F.lit(float(1 << 31))  # (0, 1]
     draw = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scored.withColumn(
         "kept", draw > (F.lit(1.0) - F.col(score_col))

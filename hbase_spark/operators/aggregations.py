@@ -281,11 +281,34 @@ def median_two_phase(
         )
         k1, k2 = k1 - below, k2 - below
         stalled = stalled + 1 if c_n >= prev_c_n else 0
-    # ties collapsed the double range are resolved by this exact sort.
-    # Both middle ranks come out of ONE job: the ordered top-k2 frame's
-    # last two rows (k1 = k2 or k2-1 by construction).
-    t = cand.orderBy("_v").limit(k2).tail(1 if k1 == k2 else 2)
-    lo_v, hi_v = t[0]._v, t[-1]._v
+    if c_n <= final_cap:
+        # ties collapsed the double range are resolved by this exact
+        # sort.  Both middle ranks come out of ONE job: the ordered
+        # top-k2 frame's last two rows (k1 = k2 or k2-1 by
+        # construction); k2 <= c_n <= final_cap so the global ordered
+        # limit is cap-bounded, never rank-sized.
+        t = cand.orderBy("_v").limit(k2).tail(1 if k1 == k2 else 2)
+        lo_v, hi_v = t[0]._v, t[-1]._v
+    else:
+        # Narrowing exited on a tie run (stall guard, lo == hi, or ulp
+        # underflow) with c_n still above the cap.  A rank-SIZED
+        # ``limit(k2)`` here would materialize the whole tie run (a
+        # billion identical values) through TakeOrdered's driver merge.
+        # Instead select the ranks over DISTINCT values: a tie-run exit
+        # means the candidate mass is concentrated on few distinct
+        # values, so the per-value count frame is tiny even when c_n is
+        # enormous, and the cumulative-rank window over it is bounded by
+        # the distinct count, not the row count.  The straddling rows
+        # for both middle ranks (``_cum - _c < k`` and ``_cum >= k``)
+        # are at most two, collected in one job.
+        dist = cand.groupBy("_v").agg(F.count("*").alias("_c"))
+        cw = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = dist.withColumn("_cum", F.sum("_c").over(cw))
+        straddle = cum.filter(
+            ((F.col("_cum") - F.col("_c") < k1) & (F.col("_cum") >= k1))
+            | ((F.col("_cum") - F.col("_c") < k2) & (F.col("_cum") >= k2))
+        ).orderBy("_v").collect()
+        lo_v, hi_v = straddle[0]._v, straddle[-1]._v
     return (lo_v + hi_v) / 2
 
 

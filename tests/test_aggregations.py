@@ -97,6 +97,60 @@ def test_median_two_phase_small_lists(spark, vals):
     assert float(got) == pytest.approx(float(exact))
 
 
+def test_median_tie_run_never_issues_rank_sized_limit(spark, monkeypatch):
+    """Round-8 verdict item 1: when narrowing exits on a massive tie run
+    (stall guard or ``lo == hi``), the final selection must stay
+    rank-BOUNDED — a ``limit(k2)`` with rank-sized k2 would materialize
+    the whole tie run through TakeOrdered's driver-side merge.  Guard by
+    recording every ``DataFrame.limit(n)`` issued during the call and
+    asserting none exceeds ``final_cap``."""
+    from hbase_spark.operators.aggregations import median_two_phase
+
+    # patch the CONCRETE DataFrame class (pyspark 4 routes the
+    # pyspark.sql.DataFrame facade to a classic/connect subclass that
+    # overrides limit(), so patching the facade is a no-op)
+    cls = type(spark.range(1))
+    limits: list[int] = []
+    orig = cls.limit
+
+    def spy(self, n):
+        limits.append(n)
+        return orig(self, n)
+
+    monkeypatch.setattr(cls, "limit", spy)
+    cap = 100
+
+    # 1) all-tied column: min == max, narrowing never runs, c_n huge
+    df = spark.range(200_000).select(F.lit(7).cast("long").alias("v"))
+    assert median_two_phase(df, F.col("v"), buckets=16, final_cap=cap) == 7
+    # 2) middle straddles a 100k tie run with distinct neighbours
+    df = (
+        spark.range(102_000)
+        .select(
+            F.when(F.col("id") < 1_000, 1)
+            .when(F.col("id") < 101_000, 5)
+            .otherwise(9)
+            .cast("long")
+            .alias("v")
+        )
+    )
+    assert median_two_phase(df, F.col("v"), buckets=16, final_cap=cap) == 5
+    # 3) even count, two middle ranks in DIFFERENT tie runs (the stall
+    #    guard trips: no round can separate them)
+    df = spark.range(1_000).select(
+        F.when(F.col("id") < 500, 1).otherwise(2).cast("long").alias("v")
+    )
+    got = median_two_phase(df, F.col("v"), buckets=4, final_cap=cap)
+    assert float(got) == pytest.approx(1.5)
+    # 4) distinct values under the cap: takes the ordered-limit path,
+    #    proving the spy actually observes limit() calls
+    df = spark.range(51).select(F.col("id").cast("long").alias("v"))
+    assert median_two_phase(df, F.col("v"), buckets=16, final_cap=cap) == 25
+
+    assert limits, "spy never saw a limit — selection path changed?"
+    assert max(limits) <= cap, f"rank-sized limit issued: {max(limits)}"
+
+
 def test_row_count_and_cell_counter(spark, li_cells):
     visible = resolve(li_cells, versions=1)
     n = visible.select("row").distinct().count()

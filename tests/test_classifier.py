@@ -98,8 +98,14 @@ def test_pareto_select_seeded_and_score_monotone(spark):
     k1 = pareto_select(scored).filter("kept").select("doc_id").collect()
     k2 = pareto_select(scored).filter("kept").select("doc_id").collect()
     assert sorted(r[0] for r in k1) == sorted(r[0] for r in k2)
-    k3 = pareto_select(scored, seed=7).filter("kept").count()
-    assert k3 != len(k1) or k3 == len(k1)  # seed=7 runs (smoke)
+    # a different seed replays deterministically too, and the xxhash64
+    # uniform keeps full 31-bit resolution (the coarse double-pmod
+    # quantization would collapse distinct draws — ADVICE r8): the two
+    # seeds must not produce an identical keep set on 2k docs
+    k3 = pareto_select(scored, seed=7).filter("kept").select("doc_id").collect()
+    k3b = pareto_select(scored, seed=7).filter("kept").select("doc_id").collect()
+    assert sorted(r[0] for r in k3) == sorted(r[0] for r in k3b)
+    assert sorted(r[0] for r in k3) != sorted(r[0] for r in k1)
 
 
 def test_curate_documents_model_gate(corpus):

@@ -130,6 +130,19 @@ def build_scaled(spark, k: int, tables: list[str] | None = None) -> str:
         if t in done:
             continue
         df = load_table(spark, BASE, t)
+        if t in ("documents", "embeddings"):
+            # The 10M stride relies on base ids + the 1M clone offset
+            # staying below the stride (ADVICE r8): a larger base SF
+            # would silently re-introduce the clone-id collision the
+            # stride fix addressed.  Fail loudly instead.
+            id_col = "doc_id" if t == "documents" else "vec_id"
+            mx = df.agg(F.max(id_col)).first()[0]
+            stride = STRIDES[t][id_col]
+            assert mx + 1_000_000 < stride, (
+                f"{t}: max base {id_col}={mx} + 1M clone offset >= "
+                f"stride {stride} — copy id spaces would collide; "
+                f"raise the stride before sweeping this SF"
+            )
         if t not in DIMS:
             df = functools.reduce(
                 DataFrame.unionByName, [_copy(df, t, i) for i in range(k)]
