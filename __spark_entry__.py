@@ -23,6 +23,7 @@ Design notes for the oracle pairing:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5603,14 +5604,24 @@ def _quality_clf(spark, sf):
         from hbase_spark.functions.classifier import (
             train_quality_classifier,
         )
-        from hbase_spark.functions.text import gopher_filter
 
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        labeled = gopher_filter(docs).select(
-            "doc_id", "text", F.col("keep").cast("double").alias("label")
-        )
+        labeled = _quality_labels(spark, sf)
         _QUALITY_CLF[sf] = train_quality_classifier(labeled, max_iter=30)
     return _QUALITY_CLF[sf]
+
+
+def _quality_labels(spark, sf):
+    """CC-Net's discriminator split (Wenzek et al. 2020): lang == 'en'
+    as the high-quality reference class vs the rest of the crawl.  The
+    Gopher battery is NOT usable as the weak-label source on this
+    corpus: its min-length rule rejects every synthetic doc (~50 words),
+    which fits a degenerate single-class model (caught round 9 — the
+    portable fixture came out with intercept -inf)."""
+    return load_table(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("lang") == "en").cast("double").alias("label"),
+    )
 
 
 def _quality_score_arm(spark, sf):
@@ -5664,26 +5675,23 @@ def q_doc_pareto_lottery(spark, sf):
 def q_doc_quality_classifier(spark, sf):
     """The GPT-3-style trained quality filter end-to-end
     (functions/classifier.py — Brown et al. 2020 Appendix A; the
-    fastText slot of CC-Net/DCLM): weak labels from the Gopher rule
-    battery stand in for the reference-vs-crawl split (the corpus has
-    no curated reference), LR-over-hashed-[1,2]-grams trains on the
+    fastText slot of CC-Net/DCLM): the CC-Net discriminator split
+    (lang == 'en' reference vs rest — see _quality_labels) stands in
+    for reference-vs-crawl, LR-over-hashed-[1,2]-grams trains on the
     labeled frame (MLlib LBFGS, deterministic hash-capped sample),
     every document is scored in one JVM map stage, and the seeded
-    Pareto lottery decides keeps.  Rows-only by design: the oracle
-    battery already hash-checks the LABELS (gopher_rules); the
-    trained-model scores have no SQL twin.  Accuracy is pinned by
+    Pareto lottery decides keeps.  Rows-only by design: LBFGS
+    coefficient VALUES have no SQL twin; the serving arithmetic is
+    hash-checked by doc_quality_serving, and accuracy is pinned by
     tests/test_classifier.py on a planted separable corpus."""
     from hbase_spark.functions.classifier import (
         pareto_select,
         quality_scores,
         train_quality_classifier,
     )
-    from hbase_spark.functions.text import gopher_filter
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    labeled = gopher_filter(docs).select(
-        "doc_id", "text", F.col("keep").cast("double").alias("label")
-    )
+    labeled = _quality_labels(spark, sf)
     clf = train_quality_classifier(labeled, max_iter=30)
     scored = quality_scores(clf, docs)
     return (
@@ -5694,9 +5702,94 @@ def q_doc_quality_classifier(spark, sf):
     )
 
 
+def _quality_serving_sql() -> str | None:
+    """DuckDB twin for the portable serving path, generated from the
+    COMMITTED fixture (fixtures/quality_clf — fitted once by
+    tools/make_quality_fixture.py): the (bucket, weight) pairs embed as
+    a VALUES table and the twin recomputes every score from
+    ``documents.text`` independently — tokenizer, 1..2-gram bag, md5
+    bucket, binary presence, weight sum, sigmoid, and the md5-seeded
+    Pareto keep all replayed end-to-end."""
+    import json as _json
+
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "fixtures", "quality_clf")
+    try:
+        with open(os.path.join(fx, "portable-config.json")) as fh:
+            cfg = _json.load(fh)
+        pairs = []
+        with open(os.path.join(fx, "weights.csv")) as fh:
+            next(fh)
+            for line in fh:
+                b, w = line.rstrip("\n").split(",")
+                if float(w) != 0.0:
+                    pairs.append(f"({b},{w})")
+    except OSError:
+        return None  # fixture not built yet: register rows-only
+    nf = cfg["num_features"]
+    grams = (
+        "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || "
+        "toks[i+1]) ELSE [] END)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+f AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {nf} AS bucket
+      FROM (SELECT doc_id, unnest({grams}) AS g FROM d)),
+w AS (SELECT * FROM (VALUES {",".join(pairs)}) AS t(bucket, wt)),
+s AS (SELECT doc_id, sum(wt) AS zs FROM f JOIN w USING (bucket)
+      GROUP BY doc_id),
+p AS (SELECT base.doc_id,
+             round(1.0 / (1.0 + exp(-({cfg["intercept"]}
+                                      + coalesce(zs, 0.0)))), 4) AS p4
+      FROM (SELECT doc_id FROM documents) base LEFT JOIN s USING (doc_id))
+SELECT doc_id,
+       CAST(CAST(p4 AS DECIMAL(18,4)) AS VARCHAR) AS quality_prob,
+       (POWER((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':0:pareto'), 1, 8))
+                    AS BIGINT) + 1.0) / 4294967296.0,
+              -1.0 / 9.0) - 1.0) > (1.0 - p4) AS kept
+FROM p
+"""
+
+
+@_q("doc_quality_serving", _quality_serving_sql())
+def q_doc_quality_serving(spark, sf):
+    """The quality gate's SERVING math, hash-checked end-to-end
+    (round-8 verdict item 6): fitted LR weights frozen in the repo
+    fixture (fixtures/quality_clf, trained once by
+    tools/make_quality_fixture.py) score the corpus through the real
+    portable path — classifier.portable_quality_scores: one shuffle-
+    free map stage folding the 2048-weight array literal over each
+    doc's distinct md5 grams-buckets — then the md5-seeded Pareto
+    lottery decides keeps from the 4-decimal-rounded score (rounded on
+    BOTH sides so the keep comparison sees identical doubles).  This
+    closes the gap doc_quality_classifier's rows-only check left: LBFGS
+    fitting stays pytest-pinned (no SQL twin exists), but every piece
+    of serving arithmetic now replays bit-for-bit in DuckDB."""
+    from hbase_spark.functions.classifier import (
+        load_portable_quality_classifier,
+        pareto_select,
+        portable_quality_scores,
+    )
+
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "fixtures", "quality_clf")
+    model = load_portable_quality_classifier(fx)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    scored = portable_quality_scores(model, docs)
+    r = scored.select("doc_id", F.round("quality_prob", 4).alias("p4"))
+    out = pareto_select(r, score_col="p4", portable=True)
+    return out.select(
+        "doc_id", _dec4(F.col("p4")).alias("quality_prob"), "kept"
+    )
+
+
 _TAIL = [
     "doc_curation_report",
     "doc_quality_classifier",
+    "doc_quality_serving",
     "doc_pareto_lottery",
     "agg_grouped_median",
     "agg_weighted_median",

@@ -212,6 +212,182 @@ def quality_scores(
     )
 
 
+@dataclass
+class PortableQualityClassifier:
+    """A fitted quality LR in engine-portable form: a plain
+    (bucket -> weight) table + intercept over the md5 feature-bucket
+    scheme (``lm._bucket(portable=True)``), so ANY engine with md5 can
+    replay every score bit-for-bit from the exported weights — the
+    audit/replay companion to the murmur3 ``QualityClassifier`` (which
+    is faster to featurize but JVM-only).  Scoring needs no MLlib at
+    runtime: it is one Catalyst map stage."""
+
+    weights: list[float]  # len == num_features, bucket-indexed
+    intercept: float
+    n: int
+    num_features: int
+
+
+def _portable_buckets(
+    docs: DataFrame, text_col: str, n: int, num_features: int,
+    keep: list[str],
+) -> DataFrame:
+    """(keep..., _buckets) with the DISTINCT md5 feature buckets of the
+    word 1..n grams — binary presence, the same bag semantics as the
+    HashingTF path's ``binary=True``.  Pure array expressions: one map
+    stage, text never shuffles."""
+    from .lm import _bucket
+
+    g = _gram_frame(docs, text_col, n, keep)
+    return g.select(
+        *keep,
+        F.array_distinct(
+            F.transform(
+                "_grams", lambda s: _bucket(s, num_features, True)
+            )
+        ).alias("_buckets"),
+    )
+
+
+def train_quality_classifier_portable(
+    labeled: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    n: int = 2,
+    num_features: int = 2048,
+    max_iter: int = 100,
+    reg_param: float = 0.01,
+    elastic_net: float = 0.0,
+    train_cap: int = 1_000_000,
+    seed: int = 0,
+) -> PortableQualityClassifier:
+    """``train_quality_classifier`` over the portable md5 buckets,
+    returning the exported-weights form.  The default width is smaller
+    (2^11 vs 2^18): the portable model exists to be serialized into
+    replay oracles and cross-engine audits, so its weight table should
+    stay human-sized; murmur3/2^18 remains the production default.
+
+    The presence vector is built JVM-side (sequence + exists, then
+    ``array_to_vector``) — O(num_features x doc_buckets) per row, which
+    only ever runs over the hash-capped training sample, never the
+    corpus."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    rows = labeled.count()
+    if rows > train_cap:
+        stride = -(-rows // train_cap)  # ceil
+        labeled = labeled.filter(
+            F.pmod(F.xxhash64(F.col(text_col), F.lit(seed)), F.lit(stride))
+            == 0
+        )
+    b = _portable_buckets(
+        labeled, text_col, n, num_features, keep=[label_col]
+    )
+    frame = b.select(
+        F.col(label_col).cast("double").alias(label_col),
+        array_to_vector(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_features - 1)),
+                lambda i: F.exists(
+                    "_buckets", lambda bk: bk == i
+                ).cast("double"),
+            )
+        ).alias("_features"),
+    )
+    lr = LogisticRegression(
+        featuresCol="_features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+        standardization=False,
+    )
+    model = lr.fit(frame)
+    return PortableQualityClassifier(
+        weights=[float(w) for w in model.coefficients.toArray()],
+        intercept=float(model.intercept),
+        n=n,
+        num_features=num_features,
+    )
+
+
+def save_portable_quality_classifier(
+    clf: PortableQualityClassifier, path: str
+) -> None:
+    """Plain-file layout (no Spark needed on either end): weights.csv
+    with full-repr doubles (round-trip exact) + a JSON config sidecar.
+    This is the fixture an SQL replay oracle reads its (bucket, weight)
+    pairs from."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "weights.csv"), "w") as fh:
+        fh.write("bucket,weight\n")
+        for i, w in enumerate(clf.weights):
+            fh.write(f"{i},{w!r}\n")
+    with open(os.path.join(path, "portable-config.json"), "w") as fh:
+        json.dump(
+            {"intercept": repr(clf.intercept), "n": clf.n,
+             "num_features": clf.num_features},
+            fh,
+        )
+
+
+def load_portable_quality_classifier(path: str) -> PortableQualityClassifier:
+    """Inverse of ``save_portable_quality_classifier``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "portable-config.json")) as fh:
+        cfg = json.load(fh)
+    weights = [0.0] * cfg["num_features"]
+    with open(os.path.join(path, "weights.csv")) as fh:
+        next(fh)
+        for line in fh:
+            b, w = line.rstrip("\n").split(",")
+            weights[int(b)] = float(w)
+    return PortableQualityClassifier(
+        weights=weights,
+        intercept=float(cfg["intercept"]),
+        n=cfg["n"],
+        num_features=cfg["num_features"],
+    )
+
+
+def portable_quality_scores(
+    clf: PortableQualityClassifier,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Score documents with an exported portable model — ONE shuffle-
+    free Catalyst map stage: the weight table ships as a single array
+    literal in the plan (16 KB at the 2048 default), the per-doc score
+    is an ``aggregate`` fold over the distinct buckets, and the sigmoid
+    closes it.  No MLlib, no join, no Python."""
+    b = _portable_buckets(
+        docs, text_col, clf.n, clf.num_features,
+        keep=[id_col, *extra_cols],
+    )
+    w = F.lit(clf.weights)
+    z = F.lit(clf.intercept) + F.aggregate(
+        "_buckets",
+        F.lit(0.0),
+        lambda acc, bk: acc + F.get(w, bk.cast("int")),
+    )
+    return b.select(
+        id_col,
+        *extra_cols,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+    )
+
+
 def pareto_select(
     scored: DataFrame,
     *,

@@ -262,6 +262,7 @@ def stream_export_training(
     drop_last: bool = True,
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = None,
+    mode: str = "per_batch",
 ):
     """The training-export hops (tokenize → ``pack_token_sequences`` →
     ``seeded_shuffle``) running INSIDE the streaming ingest pipeline:
@@ -271,9 +272,18 @@ def stream_export_training(
     ``export_dir`` (overwrite — the export is a whole-corpus
     transpose, so it is refreshed, not appended).  That per-batch
     refresh buys an always-current export at the cost of one
-    corpus-sized job per micro-batch — size triggers accordingly, or
-    use the batch form (``export_training``) once after the stream
-    drains when the trainer only reads the final export.
+    corpus-sized job per micro-batch — size triggers accordingly.
+
+    ``mode='on_drain'`` (round-8 verdict item 5) is the convenience
+    for the common trainer posture — "the export is only read after
+    ingest completes": the availableNow stream drains through the
+    checkpoint WITHOUT exporting (each micro-batch is a committed
+    no-op, so drop/duplicate accounting stays exactly-once), the call
+    BLOCKS until termination, and the corpus transpose runs exactly
+    once at the end — N micro-batches cost ONE export job instead of
+    N.  Because the export is a pure function of the document set,
+    the drain-once bytes equal both the per-batch final state and the
+    batch ``export_training`` over the same store.
 
     The stream==batch law holds BYTE-EXACTLY here because both hops
     order by the seeded md5 scheme: the export is a pure function of
@@ -288,7 +298,11 @@ def stream_export_training(
     ``encode``: callable docs_frame -> (id_col, ids array<int>) frame;
     defaults to the portable codepoint toy encoder — swap in
     ``functions.bpe.bbpe_encode`` for a real tokenizer.  Returns the
-    started availableNow query."""
+    started availableNow query (``mode='per_batch'``) or the
+    TERMINATED query after the single drain export
+    (``mode='on_drain'``)."""
+    if mode not in ("per_batch", "on_drain"):
+        raise ValueError(f"mode must be per_batch|on_drain, got {mode!r}")
     schema = spark.read.parquet(docs_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -296,15 +310,26 @@ def stream_export_training(
     stream = reader.parquet(docs_dir)
 
     def _export(batch: DataFrame, epoch_id: int) -> None:
-        export_training(
-            spark, docs_dir, export_dir, encode=encode, seq_len=seq_len,
-            shards=shards, seed=seed, eos_id=eos_id, drop_last=drop_last,
-            id_col=id_col,
-        )
+        if mode == "per_batch":
+            export_training(
+                spark, docs_dir, export_dir, encode=encode,
+                seq_len=seq_len, shards=shards, seed=seed, eos_id=eos_id,
+                drop_last=drop_last, id_col=id_col,
+            )
+        # on_drain: the micro-batch commits as a no-op — the checkpoint
+        # still advances exactly-once, only the transpose is deferred
 
-    return (
+    q = (
         stream.writeStream.foreachBatch(_export)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+    if mode == "on_drain":
+        q.awaitTermination()
+        export_training(
+            spark, docs_dir, export_dir, encode=encode, seq_len=seq_len,
+            shards=shards, seed=seed, eos_id=eos_id, drop_last=drop_last,
+            id_col=id_col,
+        )
+    return q

@@ -128,6 +128,68 @@ def test_curate_documents_model_gate(corpus):
     assert sorted(r[0] for r in p1) == sorted(r[0] for r in p2)
 
 
+def test_portable_classifier_separates_and_replays(corpus, tmp_path):
+    """The portable (md5-bucket, exported-weights) variant: same recipe,
+    engine-replayable serving — must separate the planted corpus, score
+    through a JVM-only shuffle-free plan, round-trip its plain-file
+    fixture exactly, and agree with a pure-Python replay of the stored
+    (bucket, weight) pairs (the same recomputation the DuckDB oracle
+    twin does)."""
+    import hashlib
+    import math
+    import re
+
+    from hbase_spark.functions.classifier import (
+        load_portable_quality_classifier,
+        portable_quality_scores,
+        save_portable_quality_classifier,
+        train_quality_classifier_portable,
+    )
+
+    train = corpus.filter(F.col("doc_id") % 4 != 0)
+    hold = corpus.filter(F.col("doc_id") % 4 == 0)
+    clf = train_quality_classifier_portable(train, max_iter=25)
+    got = portable_quality_scores(
+        clf, hold, extra_cols=("label",)
+    ).collect()
+    acc = sum(
+        1 for r in got if (r["quality_prob"] >= 0.5) == (r["label"] == 1.0)
+    ) / len(got)
+    assert acc >= 0.9, f"portable holdout accuracy {acc}"
+
+    # serving plan: JVM-only, no shuffle (one map stage over docs)
+    sdf = portable_quality_scores(clf, corpus)
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    phys = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys.split("Initial Plan")[0]
+
+    # fixture round-trip: full-repr doubles survive the CSV exactly
+    save_portable_quality_classifier(clf, str(tmp_path / "pq"))
+    back = load_portable_quality_classifier(str(tmp_path / "pq"))
+    assert back.weights == clf.weights
+    assert back.intercept == clf.intercept
+    assert (back.n, back.num_features) == (clf.n, clf.num_features)
+
+    # independent replay of the stored pairs (what the SQL twin does)
+    hold_rows = hold.select("doc_id", "text").collect()
+    by_id = {r["doc_id"]: r["text"] for r in hold_rows}
+    for r in got[:16]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", by_id[r["doc_id"]].lower()) if t]
+        grams = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        buckets = {
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            % clf.num_features
+            for g in grams
+        }
+        z = clf.intercept + sum(clf.weights[b] for b in buckets)
+        assert r["quality_prob"] == pytest.approx(
+            1.0 / (1.0 + math.exp(-z)), abs=1e-12
+        )
+
+
 def test_save_load_roundtrip(corpus, tmp_path):
     from hbase_spark.functions.classifier import (
         load_quality_classifier,

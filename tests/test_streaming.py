@@ -867,3 +867,55 @@ def test_stream_export_matches_batch_export(spark, tmp_path):
     both = read_export()
     assert both == batch_export(spark.read.parquet(docs_dir))
     assert len(both) > len(first)  # export was refreshed, not stale
+
+
+def test_stream_export_on_drain_runs_exactly_one_export(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 verdict item 5 — the drain-once mode: multiple pending
+    micro-batches drain through the checkpoint as committed no-ops,
+    exactly ONE corpus transpose runs at termination, and its bytes
+    equal the per-batch mode's final state (pure-function-of-the-set
+    argument).  The export count is spied at the module seam."""
+    from hbase_spark.streaming import ingest
+
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in [(0, 30), (30, 55)]:
+        spark.createDataFrame(
+            [(i, f"document number {i} with some repeated text {i % 7}")
+             for i in range(lo, hi)],
+            "doc_id long, text string",
+        ).write.mode("append").parquet(docs_dir)
+
+    calls = []
+    real = ingest.export_training
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ingest, "export_training", spy)
+    kw = dict(seq_len=16, shards=4, seed=3, eos_id=0, drop_last=True)
+    # force one micro-batch per file so the drain covers >1 batch
+    q = ingest.stream_export_training(
+        spark, docs_dir, str(tmp_path / "drain"), ckpt,
+        max_files_per_trigger=1, mode="on_drain", **kw,
+    )
+    assert q.isActive is False  # blocked until drained
+    assert len(calls) == 1, f"expected exactly one export, got {len(calls)}"
+
+    # byte parity with the per-batch mode over the same corpus
+    ingest.stream_export_training(
+        spark, docs_dir, str(tmp_path / "perbatch"), str(tmp_path / "ckpt2"),
+        **kw,
+    ).awaitTermination()
+
+    def read(d):
+        return sorted(
+            (r.shard, r.pos, tuple(r.ids), r.n_tokens)
+            for r in spark.read.parquet(str(tmp_path / d)).collect()
+        )
+
+    assert read("drain") == read("perbatch")
+    assert read("drain")
