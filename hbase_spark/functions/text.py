@@ -1288,6 +1288,23 @@ def duplicate_ngram_stats(
     )
 
 
+def _rotl64(c: Column, k: Column) -> Column:
+    """Bit-rotate a long left by ``k`` (0..63).  Java shift counts are
+    taken mod 64, so the k=0 edge degenerates to ``c | c == c``."""
+    k = k.cast("int")
+    return F.call_function("shiftleft", c, k).bitwiseOR(
+        F.call_function("shiftrightunsigned", c, F.lit(64) - k)
+    )
+
+
+def _rotr64(c: Column, k: Column) -> Column:
+    """Bit-rotate a long right by ``k`` (0..63)."""
+    k = k.cast("int")
+    return F.call_function("shiftrightunsigned", c, k).bitwiseOR(
+        F.call_function("shiftleft", c, F.lit(64) - k)
+    )
+
+
 def remove_duplicated_substrings(
     docs: DataFrame,
     *,
@@ -1312,12 +1329,27 @@ def remove_duplicated_substrings(
     some duplicated ``n``-gram starts in ``[t-n+1, t]`` — exactly the
     positions a >=n-token repeated substring covers.
 
-    Scale shape: grams and the duplicate set travel as 8-byte xxhash64
-    values (text never shuffles); the duplicate test is one map-side-
+    Scale shape: grams and the duplicate set travel as 8-byte hashes
+    (text never shuffles); the duplicate test is one map-side-
     combinable gram-count agg + a semi-joinable inner join on hashes;
     coverage is a per-document RANGE window over token positions
     (state bounded by one document, never the corpus); reassembly is
     the same per-doc collect_list/array_sort bound as paragraph_dedup.
+
+    Gram hashing is O(tokens), not O(tokens x n) (round-8 verdict
+    item 1 — at the paper's n=50 the old per-start concat re-read and
+    re-hashed every token 50 times): each token is xxhash64'd ONCE,
+    rotated by its position (cyclic-polynomial / Buzhash scheme,
+    Cohen 1997), and the window hash at start ``i`` falls out of a
+    per-doc prefix-XOR as
+    ``rotr(PX[i+n-1] ^ PX[i-1], i mod 64)`` — two window expressions
+    over the SAME (doc, pos) sort the coverage pass already needs,
+    zero extra shuffles.  The scheme is position-independent (equal
+    grams always collide) and collision-random for n <= 64; above 64
+    tokens the in-window rotations repeat and two tokens exactly 64
+    apart could swap undetected, so wider grams fall back to direct
+    per-start hashing over the token-hash slice (still O(8n) bytes
+    per start, not O(chars x n)).
     """
     out_col = out_col or text_col
     base = docs.select(
@@ -1326,15 +1358,47 @@ def remove_duplicated_substrings(
     toks = base.select(
         "_id", F.posexplode("_t").alias("_pos", "_w")
     )
-    starts = base.filter(F.size("_t") >= n).select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - n),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))),
-            )
-        ).alias("_s", "_gh"),
-    )
+    if n <= 64:
+        # cyclic-polynomial rolling hash, relational form
+        wcum = (
+            Window.partitionBy("_id")
+            .orderBy("_pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wseq = Window.partitionBy("_id").orderBy("_pos")
+        px = F.bit_xor(
+            _rotl64(F.xxhash64("_w"), F.pmod(F.col("_pos"), F.lit(64)))
+        ).over(wcum)
+        hashed = toks.withColumn("_px", px)
+        gh = _rotr64(
+            F.lead("_px", n - 1).over(wseq).bitwiseXOR(
+                F.coalesce(F.lag("_px", 1).over(wseq), F.lit(0))
+            ),
+            F.pmod(F.col("_pos"), F.lit(64)),
+        )
+        toks = hashed.withColumn("_gh", gh).drop("_px")
+        starts = toks.filter(F.col("_gh").isNotNull()).select(
+            "_id", F.col("_pos").alias("_s"), "_gh"
+        )
+    else:
+        # n > 64: hash the n-long slice of PRE-HASHED tokens per start
+        # (xxhash64 accepts array<long> — structural hash over 8n
+        # bytes, still never re-reading text).  Token hashes
+        # materialize once in their own projection stage, like the
+        # tokenizer split (the re-evaluation trap documented in
+        # duplicate_ngram_stats).
+        th = base.filter(F.size("_t") >= n).select(
+            "_id", F.transform("_t", lambda t: F.xxhash64(t)).alias("_th")
+        )
+        starts = th.select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_th") - n),
+                    lambda i: F.xxhash64(F.slice("_th", i + 1, n)),
+                )
+            ).alias("_s", "_gh"),
+        )
     dup = (
         starts.groupBy("_gh")
         .agg(F.count("*").alias("_c"))
@@ -1350,7 +1414,8 @@ def remove_duplicated_substrings(
         .rangeBetween(-(n - 1), 0)
     )
     flagged = (
-        toks.join(dup_starts, ["_id", "_pos"], "left")
+        toks.drop("_gh")
+        .join(dup_starts, ["_id", "_pos"], "left")
         .withColumn("_cov", F.max("_d").over(w))
     )
     rebuilt = flagged.groupBy("_id").agg(

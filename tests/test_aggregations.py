@@ -151,6 +151,67 @@ def test_median_tie_run_never_issues_rank_sized_limit(spark, monkeypatch):
     assert max(limits) <= cap, f"rank-sized limit issued: {max(limits)}"
 
 
+def test_grouped_median_fast_path_skips_narrowing(spark, monkeypatch):
+    """Round-8 verdict item 7 (group-cardinality axis): when EVERY
+    group is under final_cap, the narrowing loop must not run at all —
+    the state scan decides in one isEmpty and the median comes from
+    the single rank-selection window.  The loop body is observable at
+    the unionByName seam (one call per narrowing round)."""
+    from hbase_spark.operators.aggregations import grouped_median_two_phase
+
+    cls = type(spark.range(1))
+    unions = []
+    orig = cls.unionByName
+
+    def spy(self, other, *a, **kw):
+        unions.append(1)
+        return orig(self, other, *a, **kw)
+
+    monkeypatch.setattr(cls, "unionByName", spy)
+    # 50k rows, 500 groups of 100 rows — all far under final_cap
+    df = spark.range(50_000).select(
+        (F.col("id") % 500).alias("grp"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+    )
+    got = {
+        r["grp"]: r["median"]
+        for r in grouped_median_two_phase(
+            df, F.col("v"), ["grp"]
+        ).collect()
+    }
+    assert not unions, f"narrowing ran {len(unions)} rounds on small groups"
+    exp = {
+        r["grp"]: r["m"]
+        for r in df.groupBy("grp")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got == pytest.approx(exp)
+    # and the mixed case narrows ONLY while a big group needs it: one
+    # 30k-row group over a forced tiny cap next to 499 small groups
+    unions.clear()
+    skew = spark.range(80_000).select(
+        F.when(F.col("id") < 30_000, F.lit(0))
+        .otherwise(F.col("id") % 499 + 1)
+        .alias("grp"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+    )
+    got2 = {
+        r["grp"]: r["median"]
+        for r in grouped_median_two_phase(
+            skew, F.col("v"), ["grp"], buckets=16, final_cap=1000
+        ).collect()
+    }
+    exp2 = {
+        r["grp"]: r["m"]
+        for r in skew.groupBy("grp")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got2 == pytest.approx(exp2)
+    assert unions, "expected narrowing rounds with final_cap=1000"
+
+
 def test_row_count_and_cell_counter(spark, li_cells):
     visible = resolve(li_cells, versions=1)
     n = visible.select("row").distinct().count()

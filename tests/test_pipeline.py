@@ -2675,6 +2675,32 @@ def test_remove_duplicated_substrings_can_empty_a_doc(spark):
     assert all(r["text"] == "" and r["n_removed"] == 4 for r in out)
 
 
+def test_remove_duplicated_substrings_wide_gram_fallback_agrees(spark):
+    """The two gram-hash paths — the O(tokens) cyclic-polynomial
+    scheme (n <= 64) and the hashed-slice fallback (n > 64) — must
+    make identical removal decisions on the same corpus.  A planted
+    70-token shared run is removed by both at n=70 (fallback) and at
+    n=64 (rolling), and the rolling path handles a gram width at the
+    64-rotation boundary exactly."""
+    from hbase_spark.functions.text import remove_duplicated_substrings
+
+    run = " ".join(f"tok{i}" for i in range(70))
+    docs = spark.createDataFrame(
+        [(0, f"alpha {run} beta"), (1, f"gamma {run} delta"),
+         (2, "entirely unrelated short text")],
+        "doc_id long, text string",
+    )
+    for n in (64, 70):
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicated_substrings(docs, n=n).collect()
+        }
+        assert out[0]["text"] == "alpha beta", f"n={n}"
+        assert out[1]["text"] == "gamma delta", f"n={n}"
+        assert out[0]["n_removed"] == 70, f"n={n}"
+        assert out[2]["n_removed"] == 0, f"n={n}"
+
+
 def test_lsh_params_optimizes_banding_near_threshold():
     from hbase_spark.functions.dedup import lsh_params
 

@@ -3,9 +3,13 @@ doc_exact_substr arm) at 1x vs 16x — the SCVF treatment the round-7
 verdict asked for (task 5): time each pipeline stage in isolation so
 the residual has an owner.
 
-Stages (functions/text.py remove_duplicated_substrings):
+Stages (functions/text.py remove_duplicated_substrings — round-9
+cyclic-polynomial form; stage bodies below mirror the library
+internals and must be kept in sync):
   tokenize  — split + posexplode of token positions
-  grams     — n-gram window hash per start position (concat+xxhash64)
+  grams     — O(tokens) rolling gram hash: per-token xxhash64 +
+              position rotate, per-doc prefix-XOR window, lead/lag
+              window difference (was O(tokens x n) concat+xxhash64)
   dup_agg   — gram-count hash agg + >=2 filter (the gram-count exchange)
   coverage  — dup-start join + per-doc RANGE window over positions
   full      — the whole arm incl. per-doc reassembly and the final join
@@ -63,16 +67,27 @@ def _stages(spark, sf):
         F.col("doc_id").alias("_id"), _ascii_tokens("text").alias("_t")
     )
     toks = base.select("_id", F.posexplode("_t").alias("_pos", "_w"))
-    starts = base.filter(F.size("_t") >= N).select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - N),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(F.col("_t"), i + 1, N))
-                ),
-            )
-        ).alias("_s", "_gh"),
+    from hbase_spark.functions.text import _rotl64, _rotr64
+
+    wcum = (
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wseq = Window.partitionBy("_id").orderBy("_pos")
+    px = F.bit_xor(
+        _rotl64(F.xxhash64("_w"), F.pmod(F.col("_pos"), F.lit(64)))
+    ).over(wcum)
+    hashed = toks.withColumn("_px", px)
+    gh = _rotr64(
+        F.lead("_px", N - 1).over(wseq).bitwiseXOR(
+            F.coalesce(F.lag("_px", 1).over(wseq), F.lit(0))
+        ),
+        F.pmod(F.col("_pos"), F.lit(64)),
+    )
+    toks = hashed.withColumn("_gh", gh).drop("_px")
+    starts = toks.filter(F.col("_gh").isNotNull()).select(
+        "_id", F.col("_pos").alias("_s"), "_gh"
     )
     dup = (
         starts.groupBy("_gh")
@@ -84,8 +99,10 @@ def _stages(spark, sf):
         "_id", F.col("_s").alias("_pos"), F.lit(1).alias("_d")
     )
     w = Window.partitionBy("_id").orderBy("_pos").rangeBetween(-(N - 1), 0)
-    flagged = toks.join(dup_starts, ["_id", "_pos"], "left").withColumn(
-        "_cov", F.max("_d").over(w)
+    flagged = (
+        toks.drop("_gh")
+        .join(dup_starts, ["_id", "_pos"], "left")
+        .withColumn("_cov", F.max("_d").over(w))
     )
     return {
         "tokenize": toks,

@@ -195,11 +195,18 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for k in scales:
         sf_dir = BASE if k == 1 else build_scaled(spark, k, tables)
-        if tables is None:
-            entrymod.prepare(spark, sf_dir)  # untimed, like a deployment
-        if tables is None or "embeddings" in tables:
+        if tables is None or {"orders", "lineitem"} <= set(tables):
+            # cell-layer queries scan persisted layouts (orders/lineitem
+            # melts + struct keys) — build them untimed, like a
+            # deployment; needs both source tables at this scale
+            entrymod.prepare(spark, sf_dir)
+        if "embedding_pq_topk" in names and (
+            tables is None or "embeddings" in tables
+        ):
             entrymod._pq_index_layout(spark, sf_dir)  # probe fixture
-        if tables is None or "documents" in tables:
+        if "doc_quality_classifier" in names and (
+            tables is None or "documents" in tables
+        ):
             entrymod._quality_clf(spark, sf_dir)  # score-arm fixture
         times: dict[str, float] = {}
         for name in names:
