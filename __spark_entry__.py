@@ -88,12 +88,30 @@ def _rk(df: DataFrame, *cols: str) -> DataFrame:
 _LAYOUT_BUILT: set[str] = set()
 
 
+def _layout_done(path: str) -> bool:
+    """Per-process layouts rebuild by default (testdata may change
+    between rounds).  HBASE_SPARK_LAYOUT_REUSE=1 additionally trusts a
+    completed on-disk build (parquet ``_SUCCESS`` at the layout root) —
+    set by the sweep harnesses, whose scaled corpora are immutable once
+    their marker exists, so repeat sightings skip minutes of in-process
+    prep writes (the round-9 lesson: heavy prep in the timing process
+    pollutes the next measurement)."""
+    if path in _LAYOUT_BUILT:
+        return True
+    if os.environ.get("HBASE_SPARK_LAYOUT_REUSE") == "1" and os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        _LAYOUT_BUILT.add(path)
+        return True
+    return False
+
+
 def _orders_layout(spark: SparkSession, sf: str) -> DataFrame:
     from hbase_spark.sources.layout import read_table, write_table
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/hbase_spark_q/orders_layout/{tag}"
-    if path not in _LAYOUT_BUILT:
+    if not _layout_done(path):
         write_table(
             _orders_cells(spark, sf), path, num_regions=8, by_family=False
         )
@@ -108,7 +126,7 @@ def _lineitem_cells_layout(spark: SparkSession, sf: str) -> DataFrame:
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/hbase_spark_q/lineitem_layout/{tag}"
-    if path not in _LAYOUT_BUILT:
+    if not _layout_done(path):
         li = load_table(spark, sf, "lineitem").withColumn(
             "pk", F.monotonically_increasing_id()
         )
@@ -2599,7 +2617,7 @@ def _struct_keys_layout(spark: SparkSession, sf: str) -> DataFrame:
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/hbase_spark_q/struct_keys/{tag}"
-    if path not in _LAYOUT_BUILT:
+    if not _layout_done(path):
         o = load_table(spark, sf, "orders")
         base = [F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok")]
         k1 = o.select(
@@ -5183,7 +5201,7 @@ def _pq_index_layout(spark, sf):
     )
 
     path = _tmp("pq_index", sf)
-    if path not in _LAYOUT_BUILT:
+    if not _layout_done(path):
         vecs = load_table(spark, sf, "embeddings").withColumn(
             "embedding", F.transform("embedding", lambda x: x.cast("double"))
         )
