@@ -213,6 +213,11 @@ def main() -> None:
             tables is None or "documents" in tables
         ):
             entrymod._quality_clf(spark, sf_dir)  # score-arm fixture
+        # settle after prep: fixture builds/layout writes that ARE
+        # needed by a selected arm still churn the shared heap; a full
+        # GC + pause keeps that cost out of the first timed query
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)
         times: dict[str, float] = {}
         for name in names:
             t0 = time.time()
