@@ -2701,6 +2701,69 @@ def test_remove_duplicated_substrings_wide_gram_fallback_agrees(spark):
         assert out[2]["n_removed"] == 0, f"n={n}"
 
 
+def test_remove_duplicated_substrings_matches_brute_force_spec(spark):
+    """Property test for the round-9 cyclic-polynomial gram hash: on
+    randomized corpora from a tiny vocabulary (forcing heavy duplicate
+    structure), the Spark output must equal a direct single-threaded
+    model of the Lee et al. rule — token position t removed iff some
+    corpus-duplicated n-gram starts in [t-n+1, t], all copies removed.
+    Exercises rolling-hash boundary cases (position rotations crossing
+    64, docs shorter than n, intra-doc repeats) across several n."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_spark.functions.text import remove_duplicated_substrings
+
+    vocab = ["aa", "bb", "cc", "dd"]
+
+    def spec(token_docs, n):
+        from collections import Counter
+
+        grams = Counter()
+        for toks in token_docs:
+            for i in range(len(toks) - n + 1):
+                grams[tuple(toks[i : i + n])] += 1
+        out = []
+        for toks in token_docs:
+            starts = {
+                i
+                for i in range(len(toks) - n + 1)
+                if grams[tuple(toks[i : i + n])] >= 2
+            }
+            kept = [
+                w
+                for t, w in enumerate(toks)
+                if not any(s in starts for s in range(max(0, t - n + 1), t + 1))
+            ]
+            removed = len(toks) - len(kept)
+            out.append((" ".join(kept), len(toks), removed))
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=90),
+            min_size=1,
+            max_size=8,
+        ),
+        st.sampled_from([2, 3, 8]),
+    )
+    def check(token_docs, n):
+        docs = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(token_docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+            for r in remove_duplicated_substrings(docs, n=n).collect()
+        }
+        exp = spec(token_docs, n)
+        for i, e in enumerate(exp):
+            assert got[i] == e, f"doc {i} n={n}: {got[i]} != {e}"
+
+    check()
+
+
 def test_lsh_params_optimizes_banding_near_threshold():
     from hbase_spark.functions.dedup import lsh_params
 
