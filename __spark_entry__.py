@@ -1543,6 +1543,83 @@ def q_doc_simhash_near_dups(spark, sf):
 _QUERIES["doc_simhash_near_dups"] = q_doc_simhash_near_dups
 
 
+def _simhash_portable_sql() -> str:
+    """Brute-force DuckDB twin of the portable SimHash pipeline: every
+    signature bit recomputed from md5 halves (two positive 32-bit
+    BIGINTs — no engine touches signed-64 overflow), pairwise Hamming
+    via bit_count(xor) on each half, same <= cutoff.  Valid as an
+    oracle for the BANDED Spark plan because bands > max_hamming makes
+    the pigeonhole candidate set exactly the true pair set."""
+    toks = (
+        "list_distinct(list_filter(regexp_split_to_array(lower(text), "
+        r"'[^\p{L}\p{N}]+'), x -> x <> ''))"
+    )
+    lo_bits = " + ".join(
+        f"CASE WHEN bsum{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    hi_bits = " + ".join(
+        f"CASE WHEN bsum{b} > 0 THEN {1 << (b - 32)} ELSE 0 END"
+        for b in range(32, 64)
+    )
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h{'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS bsum{b}"
+        for b in range(64)
+    )
+    return f"""
+WITH v AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
+t AS (
+  SELECT doc_id, unnest({toks}) AS tok
+  FROM (SELECT doc_id, text FROM v)),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
+  FROM t),
+b AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id),
+s AS (
+  SELECT v.doc_id,
+         coalesce({lo_bits}, 0) AS slo,
+         coalesce({hi_bits}, 0) AS shi
+  FROM (SELECT DISTINCT doc_id FROM v) v LEFT JOIN b USING (doc_id))
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(bit_count(xor(a.slo, c.slo))
+            + bit_count(xor(a.shi, c.shi)) AS INTEGER) AS hamming
+FROM s a JOIN s c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.slo, c.slo)) + bit_count(xor(a.shi, c.shi)) <= 3
+"""
+
+
+@_q("doc_simhash_portable", _simhash_portable_sql())
+def q_doc_simhash_portable(spark, sf):
+    """SimHash hash-checked end-to-end (round-9; flips the simhash
+    math from rows-only to oracle-checked): the portable md5-bit
+    variant of the SAME pipeline — distinct unicode tokens, per-bit
+    +/-1 sums, sign -> signature, pigeonhole banding + exact Hamming
+    verify (functions/dedup.py simhash_signatures(portable=True) /
+    hamming_candidates) — against a brute-force pairwise DuckDB twin
+    that recomputes every signature bit from documents.text.  The
+    xxhash64 production path stays the bench arm
+    (doc_simhash_near_dups); this pins the simhash MATH, the banding
+    recall law (bands > max_hamming => exact), and the clone planting
+    on both engines."""
+    from hbase_spark.functions.dedup import simhash_candidates
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return simhash_candidates(
+        docs.unionByName(clones), max_hamming=3, bands=4, portable=True
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @_q(
     "doc_ngram_jaccard",
     """WITH pairs AS (
@@ -5821,6 +5898,7 @@ _TAIL = [
     "multi_table_union_scan",
     "verify_replication",
     "doc_simhash_near_dups",
+    "doc_simhash_portable",
     "embedding_ivf_topk",
     "embedding_ann_topk",
     "multimodal_decode",

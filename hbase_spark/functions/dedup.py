@@ -674,21 +674,51 @@ def simhash(text_col: str | Column = "text", bits: int = 64) -> Column:
 
 
 def simhash_signatures(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64, portable: bool = False,
 ) -> DataFrame:
     """(_id, _sig) SimHash frame via explode + hash aggregation — same
     values as ``simhash()`` but with every operator inside codegen (see
     minhash_signatures for why the array-lambda form is the slow path).
     ``explode_outer`` keeps token-less docs (their signature is 0, as in
-    the Column form where every bit-sum is empty)."""
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(F.array_distinct(tokens(text_col))).alias("_t"),
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    the Column form where every bit-sum is empty).
+
+    ``portable=True`` draws the per-token hash bits from md5 instead of
+    xxhash64 — two 32-bit halves (hex slices 1-8 and 9-16), each a
+    non-negative long, so an SQL oracle replays every signature bit
+    without any engine touching signed-64 overflow.  Same discipline
+    as ``lm._bucket`` / ``pareto_select(portable=True)``: slower
+    hashing, bit-identical cross-engine."""
+    if portable and bits != 64:
+        raise ValueError("portable simhash is fixed at 64 bits")
+    if portable:
+        m = F.md5(F.col("_t"))
+        tok = docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(F.array_distinct(tokens(text_col))).alias("_t"),
+        ).select(
+            "_id",
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("_hhi"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("_hlo"),
+        )
+
+        def _h(b):
+            # bit b of the 64-bit md5 prefix: 0..31 from the low half,
+            # 32..63 from the high half — both halves < 2^32 so every
+            # bit test is plain positive-long arithmetic
+            half = F.col("_hlo") if b < 32 else F.col("_hhi")
+            return half.bitwiseAND(_bit_lit(b % 32))
+    else:
+        tok = docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(F.array_distinct(tokens(text_col))).alias("_t"),
+        ).select("_id", F.xxhash64("_t").alias("_h"))
+
+        def _h(b):
+            return F.col("_h").bitwiseAND(_bit_lit(b))
+
     aggs = [
-        F.sum(
-            F.when(F.col("_h").bitwiseAND(_bit_lit(b)) != 0, 1).otherwise(-1)
-        ).alias(f"_b{b}")
+        F.sum(F.when(_h(b) != 0, 1).otherwise(-1)).alias(f"_b{b}")
         for b in range(bits)
     ]
     per_bit = tok.groupBy("_id").agg(*aggs)
@@ -756,11 +786,21 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding (pigeonhole: two sigs
     within ``max_hamming`` bits share at least one of ``bands`` equal
-    16-bit blocks when bands > max_hamming), verified by exact Hamming."""
-    sig = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    16-bit blocks when bands > max_hamming), verified by exact Hamming.
+
+    With ``bands > max_hamming`` the pigeonhole guarantee makes the
+    banded candidate set EXACTLY the set of pairs within
+    ``max_hamming`` (no false negatives; false positives are removed
+    by the verify), so — absent bucket-cap truncation — the output
+    equals a brute-force pairwise Hamming filter, which is what the
+    portable oracle computes."""
+    sig = simhash_signatures(
+        docs, id_col=id_col, text_col=text_col, portable=portable
+    )
     return hamming_candidates(sig, max_hamming=max_hamming, bands=bands)
 
 

@@ -261,6 +261,72 @@ def test_simhash_candidates(spark, docs):
     assert brute_pairs == got
 
 
+def test_simhash_portable_variant_agrees_on_structure(spark, docs):
+    """The md5-bit portable variant (round-9, the oracle-checked path)
+    must behave like the xxhash64 production path: identical texts are
+    hamming-0 candidates, and the banded output equals brute-force
+    pairwise Hamming on the portable signatures (the pigeonhole
+    exactness the DuckDB twin relies on).  A Python replay of one md5
+    signature pins the bit layout (lo half = bits 0..31 = hex 9..16)."""
+    import hashlib
+
+    from hbase_spark.functions.dedup import (
+        hamming64,
+        simhash_candidates,
+        simhash_signatures,
+    )
+
+    near = docs.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 300_000
+    )
+    corpus = docs.unionByName(near)
+    out = simhash_candidates(corpus, max_hamming=3, bands=4, portable=True)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    expected = {
+        (i, i + 300_000)
+        for i in [r.doc_id for r in docs.orderBy("doc_id").limit(5).collect()]
+    }
+    assert expected <= pairs
+    # banded == brute force on the portable signatures
+    sample = simhash_signatures(
+        docs.filter(F.col("doc_id") < 60), portable=True
+    )
+    a = sample.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sa"))
+    b = sample.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("sa"), F.col("sb")) <= 3)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(
+            docs.filter(F.col("doc_id") < 60), max_hamming=3, bands=4,
+            portable=True,
+        ).collect()
+    }
+    assert brute == got
+    # bit-layout replay: one known doc vs pure Python
+    one = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id long, text string")
+    sig = simhash_signatures(one, portable=True).collect()[0]["_sig"]
+    exp_sig = 0
+    toks = ["alpha", "beta", "gamma"]
+    for bit in range(64):
+        s = 0
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            half = int(hx[8:16], 16) if bit < 32 else int(hx[0:8], 16)
+            s += 1 if (half >> (bit % 32)) & 1 else -1
+        if s > 0:
+            v = 1 << bit
+            exp_sig |= v
+    if exp_sig >= 1 << 63:
+        exp_sig -= 1 << 64
+    assert sig == exp_sig
+
+
 def test_simhash_deterministic(spark):
     df = spark.createDataFrame([("a b c d e",), ("a b c d e",)], ["text"])
     sigs = [r.s for r in df.select(simhash("text").alias("s")).collect()]
