@@ -2024,6 +2024,31 @@ class Admin:
             return procs
         return [p for p in procs if p["state"] == "RUNNABLE"]
 
+    def bypass_procedure(
+        self, pid: int, *, force: bool = False
+    ) -> bool:
+        """HBCK2 ``bypass`` (hbase-operator-tools HBCK2.java — the
+        operator escape hatch for a procedure wedged RUNNABLE, e.g.
+        after a master crash): mark the entry BYPASSED and release its
+        table lock so new DDL on that table can proceed.  Returns
+        whether anything changed.  Like the reference, bypassing a
+        procedure does NOT undo its partial effects — ``hbck()`` is
+        the report that surfaces any resulting inconsistency (its
+        ``stuck_after_sec`` knob flags candidates for this call).
+        ``force`` bypasses regardless of state, mirroring HBCK2's
+        ``-r/-f`` overrides; without it only RUNNABLE entries are
+        eligible."""
+        procs = self._read_procs()
+        hit = False
+        for p in procs:
+            if p["pid"] == pid and (force or p["state"] == "RUNNABLE"):
+                p["state"] = "BYPASSED"
+                p["completed_ts"] = time.time()
+                hit = True
+        if hit:
+            self._write_procs(procs)
+        return hit
+
     def list_locks(self) -> list[dict]:
         """shell `list_locks` (list_locks.rb): table locks held by
         in-flight procedures."""

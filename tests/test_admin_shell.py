@@ -1320,6 +1320,28 @@ def test_procedures_and_locks_journal_master_ops(catalog, spark):
         with catalog._procedure("NORMALIZE", "tp"):
             raise ValueError("boom")
     assert shell_list_procedures(catalog)[-1]["state"] == "ROLLEDBACK"
+    # HBCK2 bypass: a procedure wedged RUNNABLE (a crashed master's
+    # leftover — simulated by writing the entry a dead session leaves)
+    # is cleared and its table lock released; completed entries are
+    # untouched without force
+    procs = catalog._read_procs()
+    dead_pid = 1 + max(p["pid"] for p in procs)
+    procs.append({
+        "pid": dead_pid, "type": "MERGE_TABLE_REGIONS", "table": "tp",
+        "lock": "EXCLUSIVE", "state": "RUNNABLE",
+        "submitted_ts": 0.0, "completed_ts": None,
+    })
+    catalog._write_procs(procs)
+    assert shell_list_locks(catalog) != []
+    assert catalog.hbck("tp", stuck_after_sec=60)["stuck_procedures"]
+    assert catalog.bypass_procedure(dead_pid) is True
+    assert shell_list_locks(catalog) == []
+    by = [p for p in catalog._read_procs() if p["pid"] == dead_pid][0]
+    assert by["state"] == "BYPASSED" and by["completed_ts"] is not None
+    done_pid = [p["pid"] for p in catalog._read_procs()
+                if p["state"] == "SUCCESS"][0]
+    assert catalog.bypass_procedure(done_pid) is False  # needs force
+    assert catalog.bypass_procedure(done_pid, force=True) is True
 
 
 def test_wal_roll_and_zk_dump(catalog, spark, tmp_path):
