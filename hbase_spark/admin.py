@@ -1214,13 +1214,22 @@ class Admin:
         *,
         table_cfs: dict[str, list[str] | None] | None = None,
         enabled: bool = True,
+        remote_wal_dir: str | None = None,
     ) -> None:
         """Admin.addReplicationPeer — register a destination.
 
         ``cluster_key``: destination root directory.  ``table_cfs``:
         {table: [families] | None} — None family list means all scoped
         families; a None map means every replicated table (the
-        ReplicationPeerConfig.replicateAllUserTables default)."""
+        ReplicationPeerConfig.replicateAllUserTables default).
+
+        ``remote_wal_dir`` configures SYNCHRONOUS replication
+        (HBASE-19064): the directory on the DESTINATION cluster where
+        this cluster, while ACTIVE, duplicates its mutation log.  A
+        sync peer is born in DOWNGRADE_ACTIVE, exactly like
+        ReplicationPeerManager.addPeer
+        (master/replication/ReplicationPeerManager.java:293-296:
+        ``isSyncReplication() ? DOWNGRADE_ACTIVE : NONE``)."""
         peers = self._read_peers()
         if peer_id in peers:
             raise ValueError(f"peer {peer_id!r} already exists")
@@ -1228,13 +1237,27 @@ class Admin:
             "cluster_key": cluster_key,
             "table_cfs": table_cfs,
             "enabled": enabled,
+            "remote_wal_dir": remote_wal_dir,
+            "sync_state": "DOWNGRADE_ACTIVE" if remote_wal_dir else "NONE",
         }
         self._write_json(self._peers_path(), peers)
 
     def remove_peer(self, peer_id: str) -> None:
+        """Admin.removeReplicationPeer.  A SYNC peer must be in
+        DOWNGRADE_ACTIVE first (ReplicationPeerManager.java:210-214
+        preRemovePeer -> checkPeerInDAStateIfSyncReplication): removing
+        an ACTIVE peer would silently stop the remote WAL the standby
+        depends on, and removing a STANDBY's peer would lift its write
+        fence mid-failover."""
         peers = self._read_peers()
         if peer_id not in peers:
             raise ValueError(f"peer {peer_id!r} does not exist")
+        state = peers[peer_id].get("sync_state", "NONE")
+        if state not in ("NONE", "DOWNGRADE_ACTIVE"):
+            raise ValueError(
+                f"peer {peer_id!r} is in sync-replication state {state}; "
+                "transit to DOWNGRADE_ACTIVE before removing"
+            )
         del peers[peer_id]
         self._write_json(self._peers_path(), peers)
 
@@ -1262,6 +1285,17 @@ class Admin:
         checkpoint stays, so re-enabling resumes from where it left."""
         self._set_peer_enabled(peer_id, False)
 
+    def _reject_sync_scope_change(self, peer: dict, peer_id: str) -> None:
+        """ReplicationPeerManager.java:258-268 preUpdatePeerConfig:
+        changing the replicated table/family config on a SYNCHRONOUS
+        peer is not allowed — the remote WAL layout is keyed by the
+        scope the two clusters agreed on."""
+        if peer.get("remote_wal_dir"):
+            raise ValueError(
+                f"changing the replicated table config on a synchronous "
+                f"replication peer (peer_id: {peer_id}) is not allowed"
+            )
+
     def set_peer_table_cfs(
         self, peer_id: str, table_cfs: dict[str, list[str] | None] | None
     ) -> None:
@@ -1269,6 +1303,7 @@ class Admin:
         peers = self._read_peers()
         if peer_id not in peers:
             raise ValueError(f"peer {peer_id!r} does not exist")
+        self._reject_sync_scope_change(peers[peer_id], peer_id)
         peers[peer_id]["table_cfs"] = table_cfs
         self._write_json(self._peers_path(), peers)
 
@@ -1369,6 +1404,162 @@ class Admin:
         return self.spark.read.schema(cell_schema()).parquet(
             self._peer_table_dir(peer, name)
         )
+
+    # -- synchronous replication (HBASE-19064) ---------------------------
+    #
+    # Two catalogs model the two clusters, exactly as ExportSnapshot
+    # already does for cross-cluster snapshots.  Each cluster holds the
+    # peer pointing at the other with complementary sync states:
+    #
+    #   A (ACTIVE)   --remote WAL-->  {B's remote_wal_dir}
+    #   A (ACTIVE)   --async ship-->  B's table cells (replicate_log)
+    #   B (STANDBY)  rejects client writes to the peer's scope
+    #
+    # Failover: B: STANDBY -> DOWNGRADE_ACTIVE (replays A's remote
+    # WALs, lifts the fence, serves) -> ACTIVE; A (when it returns):
+    # ACTIVE -> DOWNGRADE_ACTIVE -> STANDBY.
+
+    _SYNC_TRANSITIONS = {
+        # master/replication/ReplicationPeerManager.java:111-117
+        # (allowedTransition) — verbatim matrix; NONE has no entry, so
+        # a non-sync peer can never transit (sync must be configured
+        # at add_peer time via remote_wal_dir)
+        "ACTIVE": {"DOWNGRADE_ACTIVE", "STANDBY"},
+        "STANDBY": {"DOWNGRADE_ACTIVE"},
+        "DOWNGRADE_ACTIVE": {"STANDBY", "ACTIVE"},
+    }
+
+    def get_peer_sync_replication_state(self, peer_id: str) -> str:
+        """shell `list_peers` SYNC_REPLICATION_STATE column."""
+        return self.get_peer_config(peer_id).get("sync_state", "NONE")
+
+    def transit_peer_sync_replication_state(
+        self, peer_id: str, state: str
+    ) -> None:
+        """shell `transit_peer_sync_replication_state` /
+        Admin.transitReplicationPeerSyncReplicationState
+        (master/replication/TransitPeerSyncReplicationStateProcedure
+        .java): move a SYNC peer between ACTIVE / DOWNGRADE_ACTIVE /
+        STANDBY, enforcing the reference's exact transition matrix
+        (ReplicationPeerManager.java:273-283
+        preTransitPeerSyncReplicationState — an illegal pair raises,
+        like its DoNotRetryIOException).
+
+        The STANDBY -> DOWNGRADE_ACTIVE promotion replays every remote
+        WAL the active shipped into our ``remote_wal_dir`` and archives
+        the consumed logs (SyncReplicationReplayWALProcedure +
+        SyncReplicationReplayWALManager rename-to-replayed), so the
+        promoted cluster serves from a log-complete table even for
+        edits the async ship had not applied yet."""
+        peers = self._read_peers()
+        if peer_id not in peers:
+            raise ValueError(f"peer {peer_id!r} does not exist")
+        cur = peers[peer_id].get("sync_state", "NONE")
+        allowed = self._SYNC_TRANSITIONS.get(cur)
+        if not allowed or state not in allowed:
+            raise ValueError(
+                f"can not transit current cluster state from {cur} to "
+                f"{state} for peer id={peer_id}"
+            )
+        with self._procedure(
+            "TRANSIT_PEER_SYNC_REPLICATION_STATE", None
+        ):
+            if cur == "STANDBY" and state == "DOWNGRADE_ACTIVE":
+                self._replay_remote_wals(peers[peer_id])
+            peers = self._read_peers()
+            peers[peer_id]["sync_state"] = state
+            self._write_json(self._peers_path(), peers)
+
+    def _remote_wal_table_dirs(self, peer: dict) -> list[tuple[str, str]]:
+        import os
+
+        root = peer.get("remote_wal_dir")
+        if not root or not os.path.isdir(root):
+            return []
+        return [
+            (d, os.path.join(root, d))
+            for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d)) and "-replayed" not in d
+        ]
+
+    def _replay_remote_wals(self, peer: dict) -> None:
+        """ReplaySyncReplicationWALs: wal_player over each table's
+        remote-WAL directory, appended to our table cells, then the
+        consumed directory renamed aside (the reference moves replayed
+        WALs to a ``-replayed`` area rather than deleting — they are
+        the failover audit trail)."""
+        import os
+
+        from hbase_spark.streaming.merge import wal_player
+
+        for name, d in self._remote_wal_table_dirs(peer):
+            if name not in self.list_tables():
+                continue
+            edits = wal_player(self.spark, d)
+            t = self.table(name)
+            merged = t.cells.unionByName(edits.select(*t.cells.columns))
+            self.flush(name, Table(merged))
+            os.rename(d, f"{d}-replayed-{int(time.time() * 1000)}")
+
+    def sync_wal_ship(self, name: str, log_dir: str) -> dict[str, int]:
+        """The ACTIVE side's remote-WAL duplication (the
+        DualAsyncFSWAL analog, regionserver/wal/DualAsyncFSWAL.java:
+        while ACTIVE every WAL append lands in the local log AND the
+        standby's remote WAL directory): one checkpointed availableNow
+        file-stream per ACTIVE sync peer appending the RAW log rows —
+        not applied, not resolved — under
+        ``{remote_wal_dir}/{table}``.  Idempotent per peer via the
+        stream checkpoint, like replicate_log.  DOWNGRADE_ACTIVE ships
+        nothing (that is the state's meaning: serve locally, no remote
+        WAL), so returns {peer: 1 if shipped else 0}."""
+        from hbase_spark.streaming.merge import mutation_stream
+
+        shipped: dict[str, int] = {}
+        scoped = self._scoped_families(name)
+        for peer_id, peer in sorted(self._read_peers().items()):
+            if (
+                peer.get("sync_state") != "ACTIVE"
+                or not peer["enabled"]
+                or not scoped
+                or not self._peer_scope(peer, name, scoped)
+            ):
+                shipped[peer_id] = 0
+                continue
+            stream = mutation_stream(self.spark, log_dir)
+            ckpt = (
+                f"{self.catalog_dir}/{_table_path(name)}/"
+                f"sync-wal/{peer_id}/ckpt"
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", f"{peer['remote_wal_dir']}/{name}")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            shipped[peer_id] = 1
+        return shipped
+
+    def assert_sync_writable(self, name: str) -> None:
+        """The STANDBY write fence: client writes to a table in a
+        STANDBY sync peer's scope raise (regionserver/
+        SyncReplicationPeerInfoProvider.java checkState with
+        RejectRequestsFromClientStateChecker — the region server
+        refuses client mutations while the cluster is the standby;
+        replication applies are exempt, which in this model simply
+        means replicate_log/stream_merge never call this check)."""
+        scoped = self._scoped_families(name)
+        for peer_id, peer in self._read_peers().items():
+            if peer.get("sync_state") != "STANDBY":
+                continue
+            if scoped and self._peer_scope(peer, name, scoped):
+                raise ValueError(
+                    f"table {name!r} is in the scope of STANDBY sync "
+                    f"peer {peer_id!r}: client writes are rejected "
+                    "until the cluster is promoted (transit to "
+                    "DOWNGRADE_ACTIVE)"
+                )
 
     # -- master switches (MasterSwitchType; shell splitormerge_switch /
     # normalizer_switch / balance_switch) ---------------------------------
@@ -1783,6 +1974,7 @@ class Admin:
         peers = self._read_peers()
         if peer_id not in peers:
             raise ValueError(f"peer {peer_id!r} does not exist")
+        self._reject_sync_scope_change(peers[peer_id], peer_id)
         cur = peers[peer_id].get("table_cfs") or {}
         for t, fams in table_cfs.items():
             if t in cur and cur[t] is not None and fams is not None:
@@ -1801,6 +1993,7 @@ class Admin:
         peers = self._read_peers()
         if peer_id not in peers:
             raise ValueError(f"peer {peer_id!r} does not exist")
+        self._reject_sync_scope_change(peers[peer_id], peer_id)
         cur = peers[peer_id].get("table_cfs") or {}
         for t, fams in table_cfs.items():
             if t not in cur:

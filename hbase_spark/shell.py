@@ -869,6 +869,16 @@ def shell_show_peer_table_cfs(admin, peer_id: str):
     return admin.get_peer_config(peer_id).get("table_cfs")
 
 
+def shell_transit_peer_sync_replication_state(
+    admin, peer_id: str, state: str
+) -> None:
+    """shell `transit_peer_sync_replication_state`
+    (transit_peer_sync_replication_state.rb) — round 9: previously a
+    needs-a-second-cluster scope-out; two catalogs now model the two
+    clusters (see Admin.transit_peer_sync_replication_state)."""
+    admin.transit_peer_sync_replication_state(peer_id, state)
+
+
 def shell_set_peer_bandwidth(admin, peer_id: str, bandwidth: int) -> None:
     admin.set_peer_bandwidth(peer_id, bandwidth)
 

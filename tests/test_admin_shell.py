@@ -624,6 +624,90 @@ def test_replication_peer_lifecycle_and_divergence(catalog, spark):
     ).count() == 0
 
 
+def test_sync_replication_failover_drill(catalog, spark):
+    """HBASE-19064 synchronous replication modeled over two catalogs
+    (round 9 — closes the 'needs a second cluster' scope-out the same
+    way ExportSnapshot models cross-cluster snapshots): the full
+    operational drill from the reference docs.
+
+    A is ACTIVE (ships the remote WAL + async-replicates), B is
+    STANDBY (client writes fenced).  A 'dies' with edits that the
+    async ship never applied; promoting B (STANDBY ->
+    DOWNGRADE_ACTIVE) replays the remote WAL so those edits are NOT
+    lost, lifts the fence, and archives the consumed logs."""
+    import shutil
+    import tempfile
+
+    from hbase_spark.admin import Admin
+
+    a = catalog  # the active cluster
+    b_dir = tempfile.mkdtemp(prefix="hb_standby_")
+    b = Admin(spark, b_dir)
+    try:
+        remote_wal = tempfile.mkdtemp(prefix="hb_rwal_")
+        for adm in (a, b):
+            adm.create_table("st", ["f"])
+            adm.enable_table_replication("st")
+        # A -> B: sync peer; born DOWNGRADE_ACTIVE, promoted to ACTIVE
+        a.add_peer("to_b", b_dir, remote_wal_dir=remote_wal)
+        assert a.get_peer_sync_replication_state("to_b") == "DOWNGRADE_ACTIVE"
+        a.transit_peer_sync_replication_state("to_b", "ACTIVE")
+        # B -> A: the standby side; DOWNGRADE_ACTIVE -> STANDBY
+        b.add_peer("to_a", a.catalog_dir, remote_wal_dir=remote_wal)
+        b.transit_peer_sync_replication_state("to_a", "STANDBY")
+
+        # illegal transitions raise like DoNotRetryIOException
+        with pytest.raises(ValueError, match="can not transit"):
+            b.transit_peer_sync_replication_state("to_a", "ACTIVE")
+        # non-sync peers cannot transit at all
+        a.add_peer("plain", tempfile.mkdtemp(prefix="hb_plain_"))
+        with pytest.raises(ValueError, match="can not transit"):
+            a.transit_peer_sync_replication_state("plain", "ACTIVE")
+        # sync peers refuse scope changes and non-DA removal
+        with pytest.raises(ValueError, match="not allowed"):
+            a.set_peer_table_cfs("to_b", {"st": ["f"]})
+        with pytest.raises(ValueError, match="DOWNGRADE_ACTIVE"):
+            a.remove_peer("to_b")
+
+        # the standby's write fence is up for the scoped table
+        with pytest.raises(ValueError, match="STANDBY"):
+            b.assert_sync_writable("st")
+
+        # A writes: batch 1 goes through BOTH paths (remote WAL + async
+        # ship); batch 2 reaches only the remote WAL — the async ship
+        # "never ran" before A died
+        log = tempfile.mkdtemp(prefix="hb_synclog_") + "/wal"
+        _write_log(
+            spark, log,
+            [(f"r{i}", "f", "q", 10, 4, f"v{i}", i) for i in range(6)],
+        )
+        assert a.sync_wal_ship("st", log) == {"plain": 0, "to_b": 1}
+        assert a.replicate_log("st", log)["to_b"] == 1
+        _write_log(
+            spark, log,
+            [("r9", "f", "q", 20, 4, "late", 99)], mode="append",
+        )
+        assert a.sync_wal_ship("st", log)["to_b"] == 1  # remote WAL only
+
+        # A dies.  Promote B: replay the remote WAL, lift the fence.
+        b.transit_peer_sync_replication_state("to_a", "DOWNGRADE_ACTIVE")
+        assert b.get_peer_sync_replication_state("to_a") == "DOWNGRADE_ACTIVE"
+        b.assert_sync_writable("st")  # fence lifted
+        vis = b.table("st").snapshot()
+        got = {(r.row, r.value) for r in vis.collect()}
+        assert ("r9", "late") in got, "remote-WAL edit lost in failover"
+        assert {(f"r{i}", f"v{i}") for i in range(6)} <= got
+        # consumed remote WALs archived, not deleted; nothing replayable
+        import os
+
+        assert any("-replayed-" in d for d in os.listdir(remote_wal))
+        assert b._remote_wal_table_dirs(b.get_peer_config("to_a")) == []
+        # the promoted cluster can complete the swap: DA -> ACTIVE
+        b.transit_peer_sync_replication_state("to_a", "ACTIVE")
+    finally:
+        shutil.rmtree(b_dir, ignore_errors=True)
+
+
 def test_replication_scope_and_table_cfs_filtering(catalog, spark):
     """Only REPLICATION_SCOPE=1 families ship, intersected with the
     peer's table_cfs map — and tables absent from the map don't ship."""
