@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from hbase_spark.model import cell_schema
 from hbase_spark.sources.layout import read_table, write_table
 from hbase_spark.table import FamilyDescriptor, Table
+from hbase_spark.topology import TopologyMixin
 
 _DESCRIPTOR = "table-descriptor.json"
 _NAMESPACE_DESC = "namespace-descriptor.json"
@@ -68,10 +69,11 @@ def _table_path(name: str) -> str:
     return name
 
 
-class Admin:
+class Admin(TopologyMixin):
     def __init__(self, spark: SparkSession, catalog_dir: str):
         self.spark = spark
         self.catalog_dir = catalog_dir
+        self._init_topology_state()
 
     # -- descriptor IO ------------------------------------------------------
 
@@ -127,7 +129,18 @@ class Admin:
             f: FamilyDescriptor(**knobs) for f, knobs in desc["families"].items()
         }
         data_dir = desc.get("data_dir", f"{_table_path(name)}/cells")
-        cells = read_table(self.spark, f"{self.catalog_dir}/{data_dir}")
+        sft_files = self._sft_files(name, desc)
+        if sft_files:
+            # FILE store-file tracker: open exactly the manifest's
+            # files (FileBasedStoreFileTracker.java) — no directory
+            # listing on the read path; basePath keeps the partition
+            # columns (family/_region) deriving so pruning still works
+            df = self.spark.read.option(
+                "basePath", f"{self.catalog_dir}/{data_dir}"
+            ).parquet(*sft_files)
+            cells = df.drop("_region") if "_region" in df.columns else df
+        else:
+            cells = read_table(self.spark, f"{self.catalog_dir}/{data_dir}")
         if desc.get("mob_dir"):
             # MOB store files merge into the scan like the reference's
             # mob store (mob/DefaultMobStoreFlusher.java): same region
@@ -191,6 +204,10 @@ class Admin:
         desc["version"] = v
         desc["data_dir"] = data_dir
         self._write_desc(name, desc)
+        if desc.get("sft") == "FILE":
+            # FILE tracker: the flush commits its store-file list
+            # atomically with the layout (StoreFileListFile.java)
+            self._write_sft_manifest(name, desc)
 
     def disable_table(self, name: str) -> None:
         desc = self._read_desc(name)
@@ -203,13 +220,17 @@ class Admin:
         self._write_desc(name, desc)
 
     def delete_table(self, name: str) -> None:
-        """Admin.deleteTable — requires disable first, like the reference."""
-        desc = self._read_desc(name)
-        if desc["enabled"]:
-            raise RuntimeError(f"table {name!r} must be disabled before delete")
-        # overwrite the descriptor with a tombstone marker; data dirs are
-        # left for storage-level GC (no filesystem API dependency here)
-        self._write_desc(name, {"enabled": False, "deleted": True, "families": {}})
+        """Admin.deleteTable — requires disable first, like the
+        reference.  Runs as a crash-recoverable stepped procedure
+        (master/procedure/DeleteTableProcedure.java): unassign the
+        regions, then tombstone the descriptor; data dirs are left for
+        storage-level GC.  A crash between the steps resumes via
+        ``recover_procedures``."""
+        from hbase_spark.procedures import (
+            DeleteTableProcedure, ProcedureExecutor,
+        )
+
+        ProcedureExecutor(self).submit(DeleteTableProcedure(table=name))
 
     def alter(
         self,
@@ -238,15 +259,15 @@ class Admin:
     def truncate_table(self, name: str) -> None:
         """shell `truncate` (shell/commands/truncate.rb): drop all data,
         keep the schema.  A new empty version dir, so snapshots taken
-        before the truncate still restore."""
-        desc = self._read_desc(name)
-        v = desc.get("version", 0) + 1
-        data_dir = f"{_table_path(name)}/cells-v{v}"
-        empty = self.spark.createDataFrame([], schema=cell_schema())
-        empty.write.mode("overwrite").parquet(f"{self.catalog_dir}/{data_dir}")
-        desc["version"] = v
-        desc["data_dir"] = data_dir
-        self._write_desc(name, desc)
+        before the truncate still restore.  Runs as a crash-recoverable
+        stepped procedure (TruncateTableProcedure.java): layout first,
+        descriptor repoint last — a crash between leaves the table
+        intact and ``recover_procedures`` completes the repoint."""
+        from hbase_spark.procedures import (
+            ProcedureExecutor, TruncateTableProcedure,
+        )
+
+        ProcedureExecutor(self).submit(TruncateTableProcedure(table=name))
 
     def is_table_enabled(self, name: str) -> bool:
         """Admin.isTableEnabled / shell `is_enabled`."""
@@ -1055,19 +1076,25 @@ class Admin:
         self, *, user: str | None = None, table: str | None = None,
         throttle_type: str = "REQUEST_NUMBER", limit: int | None = None,
         interval_ms: int = 1000, refill: str = "fixed",
-        remove: bool = False,
+        remove: bool = False, regionserver: bool = False,
     ) -> None:
         """shell `set_quota TYPE => THROTTLE, ...` — user and/or table
-        scoped; the most specific setting wins at lookup."""
+        scoped; the most specific setting wins at lookup.
+        ``regionserver=True`` stores the machine-level quota (the
+        shell's ``REGIONSERVER => 'all'`` scope) — the pool
+        exceed-throttle borrowing draws from."""
         from hbase_spark.quotas import THROTTLE_TYPES
 
-        if user is None and table is None:
+        if regionserver:
+            key = "rs=all"
+        elif user is None and table is None:
             raise ValueError("at least one of user/table required")
-        key = ",".join(
-            p for p in (
-                f"u={user}" if user else "", f"t={table}" if table else ""
-            ) if p
-        )
+        else:
+            key = ",".join(
+                p for p in (
+                    f"u={user}" if user else "", f"t={table}" if table else ""
+                ) if p
+            )
         q = self._read_quotas()
         if remove:
             q["throttle"].pop(key, None)
@@ -1094,8 +1121,12 @@ class Admin:
         The `rpc_throttle` master switch (shell enable/disable_rpc_
         throttle; Admin.switchRpcThrottle) gates ALL throttle
         enforcement — disabled means no limiter, exactly the
-        reference's RegionServerRpcQuotaManager bypass."""
-        from hbase_spark.quotas import limiter_from_setting
+        reference's RegionServerRpcQuotaManager bypass.  With the
+        exceed_throttle_quota switch on and a region server quota set
+        (``regionserver=True``), the limiter is an ExceedGate:
+        over-quota requests draw from the machine-level bucket
+        (ExceedOperationQuota.java)."""
+        from hbase_spark.quotas import ExceedGate, limiter_from_setting
 
         if not self.is_switch_enabled("rpc_throttle"):
             return None
@@ -1106,7 +1137,18 @@ class Admin:
             f"t={table}" if table else None,
         ):
             if key is not None and key in th:
-                return limiter_from_setting(th[key])
+                limiter = limiter_from_setting(th[key])
+                if (
+                    self.is_switch_enabled("exceed_throttle_quota")
+                    and "rs=all" in th
+                ):
+                    return ExceedGate(
+                        limiter, limiter_from_setting(th["rs=all"])
+                    )
+                return limiter
+        if "rs=all" in th:
+            # no user/table setting: the machine-level cap still applies
+            return limiter_from_setting(th["rs=all"])
         return None
 
     def _space_quota_for(self, name: str) -> dict | None:
@@ -1581,7 +1623,7 @@ class Admin:
         if kind not in (
             "split", "merge", "normalizer", "balancer", "snapshot_cleanup",
             "compaction", "catalogjanitor", "peer_modification",
-            "rpc_throttle", "cleaner_chore",
+            "rpc_throttle", "cleaner_chore", "exceed_throttle_quota",
         ):
             raise ValueError(f"unknown switch {kind!r}")
         sw = self._read_switches()
@@ -1592,8 +1634,11 @@ class Admin:
 
     def is_switch_enabled(self, kind: str) -> bool:
         """shell `splitormerge_enabled` / `normalizer_enabled` /
-        `balancer_enabled` — switches default ON like the reference."""
-        return bool(self._read_switches().get(kind, True))
+        `balancer_enabled` — switches default ON like the reference
+        (except exceed_throttle_quota, whose reference default is
+        OFF — QuotaCache.exceedThrottleQuotaEnabled = false)."""
+        default = kind != "exceed_throttle_quota"
+        return bool(self._read_switches().get(kind, default))
 
     def _require_switch(self, kind: str) -> None:
         if not self.is_switch_enabled(kind):
@@ -1709,7 +1754,11 @@ class Admin:
         re-resolves its member regions by start key, because each
         rewrite produces a new version dir.  ``split_prefix_len`` /
         ``split_delimiter`` make executed splits respect key-prefix
-        groups (KeyPrefix/DelimitedKeyPrefixRegionSplitPolicy)."""
+        groups (KeyPrefix/DelimitedKeyPrefixRegionSplitPolicy).
+        Skips in maintenance mode, like the balancer."""
+        self._require_master()
+        if self.is_in_maintenance_mode():
+            return []
         self._require_switch("normalizer")
         plans = self.compute_normalization_plans(name, **plan_kw)
         if plans:
@@ -2089,7 +2138,12 @@ class Admin:
         region count and re-evens mass by range-repartitioning on the
         row key (flush with the same region count).  Returns
         {table: report_row} for the tables that needed (or would need)
-        a rewrite; honors the balancer master switch."""
+        a rewrite; honors the balancer master switch, the virtual
+        master (MasterNotRunningException), and maintenance mode (the
+        reference disables the balancer while in maintenance)."""
+        self._require_master()
+        if self.is_in_maintenance_mode():
+            return {}
         self._require_switch("balancer")
         report = self.balancer_report(name)
         plans = {
@@ -2242,6 +2296,25 @@ class Admin:
             self._write_procs(procs)
         return hit
 
+    def submit_procedure(self, proc) -> int:
+        """Run a stepped, crash-recoverable procedure
+        (hbase_spark.procedures.StepProcedure; ProcedureExecutor.java
+        submitProcedure).  Returns the pid."""
+        from hbase_spark.procedures import ProcedureExecutor
+
+        return ProcedureExecutor(self).submit(proc)
+
+    def recover_procedures(self) -> list[dict]:
+        """New-master takeover (ProcedureExecutor.load): resume every
+        unfinished stepped procedure from its last persisted step —
+        rollforward for RUNNABLE, resumed rollback for
+        FAILED_ROLLINGBACK.  Plain journal entries are reported as
+        left for ``bypass_procedure``.  Returns one summary row per
+        procedure handled."""
+        from hbase_spark.procedures import ProcedureExecutor
+
+        return ProcedureExecutor(self).recover()
+
     def list_locks(self) -> list[dict]:
         """shell `list_locks` (list_locks.rb): table locks held by
         in-flight procedures."""
@@ -2249,7 +2322,8 @@ class Admin:
             {"resource": p["table"], "lock_type": p["lock"],
              "proc_pid": p["pid"], "proc_type": p["type"]}
             for p in self._read_procs()
-            if p["state"] == "RUNNABLE" and p["table"]
+            if p["state"] in ("RUNNABLE", "FAILED_ROLLINGBACK")
+            and p["table"]
         ]
 
     def hbck(

@@ -135,3 +135,27 @@ def limiter_from_setting(setting: dict) -> RateLimiter:
         setting.get("interval_ms", 1000),
         refill=setting.get("refill", "fixed"),
     )
+
+
+class ExceedGate:
+    """quotas/ExceedOperationQuota.java: when exceed-throttle is
+    enabled, the region server quota is the hard machine-level cap —
+    checked first, always consumed — and a request the user/table
+    limiter can't cover EXCEEDS it by drawing the whole amount from
+    the region server bucket instead (the reference grabs only the RS
+    quota on the exceed path, so the user's bucket refills normally)."""
+
+    def __init__(self, primary: RateLimiter, regionserver: RateLimiter):
+        self.primary = primary
+        self.regionserver = regionserver
+
+    def can_execute(self, amount: int, *, now_ms: int) -> bool:
+        return self.regionserver.can_execute(amount, now_ms=now_ms)
+
+    def consume(self, amount: int, *, now_ms: int) -> None:
+        if not self.regionserver.can_execute(amount, now_ms=now_ms):
+            # the machine-level quota is never exceedable
+            self.regionserver.consume(amount, now_ms=now_ms)
+        if self.primary.can_execute(amount, now_ms=now_ms):
+            self.primary.consume(amount, now_ms=now_ms)
+        self.regionserver.consume(amount, now_ms=now_ms)

@@ -1119,3 +1119,194 @@ def shell_set_visibility(
         label_col, F.when(match, F.lit(expression)).otherwise(existing)
     )
     return Table(out, table.families, table.now)
+
+
+# -- server topology / assignment commands (the 34 server-lifecycle
+# commands COVERAGE.md previously scoped out; hbase_spark/topology.py
+# has the model: server registry + deterministic assignment map) -----------
+
+
+def shell_move(admin, encoded_region: str, server: str | None = None) -> str:
+    """shell `move` (move.rb) — returns the destination server."""
+    return admin.move(encoded_region, server)
+
+
+def shell_assign(admin, encoded_region: str):
+    """shell `assign` (assign.rb)."""
+    return admin.assign(encoded_region)
+
+
+def shell_unassign(admin, encoded_region: str, force=None) -> None:
+    """shell `unassign` (unassign.rb; the force flag is deprecated in
+    the reference and ignored, same here)."""
+    admin.unassign(encoded_region)
+
+
+def shell_close_region(admin, encoded_region: str,
+                       server: str | None = None) -> None:
+    """shell `close_region` (deprecated alias of unassign)."""
+    admin.close_region(encoded_region, server)
+
+
+def shell_rit(admin) -> list[dict]:
+    """shell `rit` (rit.rb)."""
+    return admin.rit()
+
+
+def shell_reopen_regions(admin, name: str) -> int:
+    """reopen a table's regions (refresh the layout's cached listing)."""
+    return admin.reopen_regions(name)
+
+
+def shell_list_liveservers(admin) -> list[str]:
+    """shell `list_liveservers`."""
+    return admin.list_liveservers()
+
+
+def shell_list_deadservers(admin) -> list[str]:
+    """shell `list_deadservers`."""
+    return admin.list_deadservers()
+
+
+def shell_list_unknownservers(admin) -> list[str]:
+    """shell `list_unknownservers`."""
+    return admin.list_unknownservers()
+
+
+def shell_list_decommissioned_regionservers(admin) -> list[str]:
+    """shell `list_decommissioned_regionservers`."""
+    return admin.list_decommissioned_regionservers()
+
+
+def shell_decommission_regionservers(admin, servers, offload=False) -> None:
+    """shell `decommission_regionservers`."""
+    if isinstance(servers, str):
+        servers = [servers]
+    admin.decommission_regionservers(servers, offload)
+
+
+def shell_recommission_regionserver(admin, server: str,
+                                    encoded_regions=None) -> None:
+    """shell `recommission_regionserver`."""
+    admin.recommission_regionserver(server, encoded_regions)
+
+
+def shell_clear_deadservers(admin, *servers) -> list[str]:
+    """shell `clear_deadservers` — returns servers NOT cleared."""
+    return admin.clear_deadservers(list(servers) or None)
+
+
+def shell_stop_regionserver(admin, server: str) -> None:
+    """shell `stop_regionserver`."""
+    admin.stop_regionserver(server)
+
+
+def shell_stop_master(admin) -> None:
+    """shell `stop_master`."""
+    admin.stop_master()
+
+
+def shell_is_in_maintenance_mode(admin) -> bool:
+    """shell `is_in_maintenance_mode`."""
+    return admin.is_in_maintenance_mode()
+
+
+def shell_get_slowlog_responses(admin, servers="*", filters=None) -> list[dict]:
+    """shell `get_slowlog_responses`."""
+    return admin.get_slowlog_responses(servers, filters)
+
+
+def shell_get_largelog_responses(admin, servers="*", filters=None) -> list[dict]:
+    """shell `get_largelog_responses`."""
+    return admin.get_largelog_responses(servers, filters)
+
+
+def shell_clear_slowlog_responses(admin, servers=None) -> int:
+    """shell `clear_slowlog_responses`."""
+    return admin.clear_slowlog_responses(servers)
+
+
+def shell_trace(admin, startstop: str = "status",
+                spanname: str = "HBaseShell") -> bool:
+    """shell `trace` (trace.rb)."""
+    return admin.trace(startstop, spanname)
+
+
+def shell_clear_block_cache(admin, name: str) -> dict:
+    """shell `clear_block_cache`."""
+    return admin.clear_block_cache(name)
+
+
+def shell_clear_compaction_queues(admin, server: str,
+                                  queues=("long", "short")) -> int:
+    """shell `clear_compaction_queues`."""
+    return admin.clear_compaction_queues(server, queues)
+
+
+def shell_compact_rs(admin, server: str, major: bool = False) -> list[str]:
+    """shell `compact_rs` (compact_rs.rb)."""
+    return admin.compact_regionserver(server, major)
+
+
+def shell_flush_master_store(admin) -> dict:
+    """shell `flush_master_store`."""
+    return admin.flush_master_store()
+
+
+def shell_refresh_hfiles(admin, name: str) -> int:
+    """`refresh_hfiles` (RefreshHFilesEndpoint example)."""
+    return admin.refresh_hfiles(name)
+
+
+def shell_refresh_meta(admin) -> dict:
+    """shell `refresh_meta`."""
+    return admin.refresh_meta()
+
+
+def shell_change_sft(admin, name: str, family_or_tracker: str,
+                     tracker: str | None = None) -> None:
+    """shell `change_sft` (change_sft.rb)."""
+    admin.change_sft(name, family_or_tracker, tracker)
+
+
+def shell_change_sft_all(admin, tracker: str, pattern: str = ".*") -> list[str]:
+    """shell `change_sft_all`."""
+    return admin.change_sft_all(tracker, pattern)
+
+
+def shell_enable_exceed_throttle_quota(admin) -> bool:
+    """shell `enable_exceed_throttle_quota` — previous value."""
+    return admin.enable_exceed_throttle_quota()
+
+
+def shell_disable_exceed_throttle_quota(admin) -> bool:
+    """shell `disable_exceed_throttle_quota` — previous value."""
+    return admin.disable_exceed_throttle_quota()
+
+
+def shell_update_config(admin, server: str | None = None) -> dict:
+    """shell `update_config`."""
+    return admin.update_config(server)
+
+
+def shell_update_all_config(admin) -> dict:
+    """shell `update_all_config`."""
+    return admin.update_all_config()
+
+
+def shell_alter_async(admin, name: str, family: str, descriptor=None,
+                      *, method: str = "modify") -> int:
+    """shell `alter_async` — returns the procedure pid."""
+    return admin.alter_async(name, family, descriptor, method=method)
+
+
+def shell_alter_status(admin, name: str) -> dict:
+    """shell `alter_status` — regions updated / total."""
+    return admin.alter_status(name)
+
+
+def shell_table_help() -> str:
+    """shell `table_help` (table_help.rb)."""
+    from hbase_spark.topology import table_help
+
+    return table_help()

@@ -1,0 +1,255 @@
+"""Crash-recoverable stepped procedures (procedure2/ProcedureExecutor
+.java + master/procedure/*): persist-before-proceed, idempotent
+resume on a new session, reverse rollback on failure."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from hbase_spark.admin import Admin
+from hbase_spark.procedures import (
+    CreateTableProcedure,
+    DeleteTableProcedure,
+    SimulatedCrash,
+    Step,
+    StepProcedure,
+    TruncateTableProcedure,
+    register_procedure,
+)
+from hbase_spark.shell import shell_count, shell_put
+
+
+@pytest.fixture()
+def catalog_dir():
+    d = tempfile.mkdtemp(prefix="hb_proc_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def catalog(spark, catalog_dir):
+    return Admin(spark, catalog_dir)
+
+
+def _seed(catalog, name="t", rows=6):
+    catalog.create_table(name, ["f"])
+    t = catalog.table(name)
+    for i in range(rows):
+        t = shell_put(t, f"r{i}", "f:q", f"v{i}", ts=10, seq=i)
+    catalog.flush(name, t, num_regions=2)
+
+
+@register_procedure
+class _TwoMarkerProc(StepProcedure):
+    """Test procedure: two steps writing catalog markers, counting
+    executions in ctx (so resume-vs-rerun is observable), with an
+    injectable crash/failure point via class attributes."""
+
+    TYPE = "TEST_TWO_MARKER"
+    CRASH_AT: str | None = None
+    FAIL_AT: str | None = None
+
+    def steps(self, admin):
+        def run(step_name):
+            def execute(a, ctx):
+                if type(self).CRASH_AT == step_name:
+                    raise SimulatedCrash(step_name)
+                if type(self).FAIL_AT == step_name:
+                    raise ValueError(f"injected failure in {step_name}")
+                ctx[f"{step_name}_runs"] = ctx.get(f"{step_name}_runs", 0) + 1
+                a._write_json(
+                    f"{a.catalog_dir}/marker-{step_name}.json",
+                    {"step": step_name},
+                )
+            return execute
+
+        def undo(step_name):
+            def rollback(a, ctx):
+                ctx[f"{step_name}_undone"] = True
+            return rollback
+
+        return [Step("A", run("A"), undo("A")),
+                Step("B", run("B"), undo("B"))]
+
+
+@pytest.fixture(autouse=True)
+def _reset_injections():
+    yield
+    _TwoMarkerProc.CRASH_AT = None
+    _TwoMarkerProc.FAIL_AT = None
+
+
+def _entry(admin, pid):
+    return next(p for p in admin.list_procedures() if p["pid"] == pid)
+
+
+def test_success_path_persists_steps_and_succeeds(catalog):
+    pid = catalog.submit_procedure(_TwoMarkerProc(table=None))
+    e = _entry(catalog, pid)
+    assert e["state"] == "SUCCESS"
+    assert e["steps_done"] == ["A", "B"]
+    assert e["ctx"]["A_runs"] == e["ctx"]["B_runs"] == 1
+
+
+def test_crash_then_recover_resumes_without_rerunning(catalog, spark,
+                                                      catalog_dir):
+    _TwoMarkerProc.CRASH_AT = "B"
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_TwoMarkerProc(table=None))
+    # the crash left the entry RUNNABLE with step A persisted —
+    # exactly what a new master finds in the procedure store
+    pid = catalog.list_procedures(completed=False)[-1]["pid"]
+    e = _entry(catalog, pid)
+    assert e["state"] == "RUNNABLE" and e["steps_done"] == ["A"]
+    _TwoMarkerProc.CRASH_AT = None
+    fresh = Admin(spark, catalog_dir)  # the new master
+    summary = fresh.recover_procedures()
+    assert summary == [
+        {"pid": pid, "type": "TEST_TWO_MARKER", "action": "resumed"}
+    ]
+    e = _entry(fresh, pid)
+    assert e["state"] == "SUCCESS"
+    # idempotent resume: A was NOT rerun, B ran exactly once
+    assert e["ctx"]["A_runs"] == 1 and e["ctx"]["B_runs"] == 1
+
+
+def test_failure_rolls_back_in_reverse_and_journals(catalog):
+    _TwoMarkerProc.FAIL_AT = "B"
+    with pytest.raises(ValueError, match="injected failure"):
+        catalog.submit_procedure(_TwoMarkerProc(table=None))
+    e = catalog.list_procedures()[-1]
+    assert e["state"] == "ROLLEDBACK"
+    assert e["steps_done"] == []  # rollback journaled per transition
+    assert e["ctx"].get("A_undone") is True
+    assert "B_undone" not in e["ctx"]  # B never completed
+
+
+def test_crash_during_recovery_recovers_again(catalog, spark, catalog_dir):
+    _TwoMarkerProc.CRASH_AT = "B"
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_TwoMarkerProc(table=None))
+    # first recovery attempt ALSO crashes at B
+    with pytest.raises(SimulatedCrash):
+        Admin(spark, catalog_dir).recover_procedures()
+    _TwoMarkerProc.CRASH_AT = None
+    final = Admin(spark, catalog_dir)
+    final.recover_procedures()
+    e = final.list_procedures()[-1]
+    assert e["state"] == "SUCCESS" and e["ctx"]["A_runs"] == 1
+
+
+def test_truncate_crash_between_steps_leaves_table_intact(
+    catalog, spark, catalog_dir
+):
+    """The flagship crash window: after the new empty layout exists but
+    before the descriptor repoints, the table must still read its OLD
+    data; recovery completes the truncate."""
+    _seed(catalog)
+    assert shell_count(catalog.table("t")) == 6
+
+    class _CrashingTruncate(TruncateTableProcedure):
+        def steps(self, admin):
+            steps = super().steps(admin)
+            orig = steps[1].execute
+
+            def boom(a, ctx):
+                raise SimulatedCrash("before ADD_TO_META")
+
+            steps[1] = Step(steps[1].name, boom, steps[1].rollback)
+            self._orig = orig
+            return steps
+
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_CrashingTruncate(table="t"))
+    # crash window: old data still fully readable
+    assert shell_count(catalog.table("t")) == 6
+    fresh = Admin(spark, catalog_dir)
+    summary = fresh.recover_procedures()
+    assert summary[-1]["action"] == "resumed"
+    assert shell_count(fresh.table("t")) == 0
+    assert fresh._read_desc("t")["families"]  # schema kept
+
+
+def test_truncate_and_delete_still_behave_via_procedures(catalog):
+    _seed(catalog, "u")
+    catalog.truncate_table("u")
+    assert shell_count(catalog.table("u")) == 0
+    types = [p["type"] for p in catalog.list_procedures()]
+    assert "TRUNCATE_TABLE" in types
+    with pytest.raises(RuntimeError, match="disabled"):
+        catalog.delete_table("u")
+    catalog.disable_table("u")
+    catalog.delete_table("u")
+    assert not catalog.table_exists("u")
+    assert [p["type"] for p in catalog.list_procedures()].count(
+        "DELETE_TABLE"
+    ) >= 1  # the failed attempt rolled back, the good one succeeded
+    states = [
+        p["state"] for p in catalog.list_procedures()
+        if p["type"] == "DELETE_TABLE"
+    ]
+    assert states == ["ROLLEDBACK", "SUCCESS"]
+
+
+def test_delete_table_unassigns_topology(catalog):
+    catalog.register_regionservers(["rs1.example.com,16020,1"])
+    _seed(catalog, "d")
+    region = catalog._region_inventory("d")[0]
+    catalog.move(region, "rs1.example.com,16020,1")
+    catalog.disable_table("d")
+    catalog.delete_table("d")
+    t = catalog._read_topology()
+    assert not any(k.startswith("d/") for k in t["assignments"])
+
+
+def test_create_table_procedure_roundtrip(catalog):
+    pid = catalog.submit_procedure(
+        CreateTableProcedure(table="c", families=["f"], splits=["m"])
+    )
+    assert _entry(catalog, pid)["state"] == "SUCCESS"
+    assert catalog.table_exists("c")
+    assert catalog._read_desc("c")["split_points"] == ["m"]
+    # duplicate create fails in PRE_OPERATION and rolls back cleanly
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.submit_procedure(
+            CreateTableProcedure(table="c", families=["f"])
+        )
+    assert catalog.table_exists("c")
+
+
+def test_plain_journal_entries_left_for_bypass(catalog):
+    # a context-manager journal entry wedged RUNNABLE (crashed session)
+    procs = catalog._read_procs()
+    procs.append({
+        "pid": 999, "type": "OLD_STYLE", "table": "x",
+        "lock": "EXCLUSIVE", "state": "RUNNABLE",
+        "submitted_ts": 0.0, "completed_ts": None,
+    })
+    catalog._write_procs(procs)
+    summary = catalog.recover_procedures()
+    assert {"pid": 999, "type": "OLD_STYLE",
+            "action": "left_for_bypass"} in summary
+    assert catalog.bypass_procedure(999) is True
+
+
+def test_delete_table_procedure_crash_recovery(catalog, spark, catalog_dir):
+    _seed(catalog, "e")
+    catalog.disable_table("e")
+
+    class _CrashingDelete(DeleteTableProcedure):
+        def steps(self, admin):
+            steps = super().steps(admin)
+
+            def boom(a, ctx):
+                raise SimulatedCrash("before REMOVE_FROM_META")
+
+            steps[1] = Step(steps[1].name, boom, steps[1].rollback)
+            return steps
+
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_CrashingDelete(table="e"))
+    assert catalog.table_exists("e")  # not yet removed
+    fresh = Admin(spark, catalog_dir)
+    fresh.recover_procedures()
+    assert not fresh.table_exists("e")
