@@ -5881,7 +5881,113 @@ def q_doc_quality_serving(spark, sf):
     )
 
 
+@_q(
+    "gateway_topology_scan",
+    f"""WITH cells AS ({_ORDERS_CELLS_SQL}),
+    r AS (
+      SELECT rk, qualifier, value FROM cells
+      WHERE rk >= lpad('600', 12, '0') AND rk < lpad('900', 12, '0')
+        AND qualifier IN ('o_orderstatus'))
+    SELECT 'sft' AS arm, * FROM r
+    UNION ALL SELECT 'moved' AS arm, * FROM r
+    UNION ALL SELECT 'rest' AS arm, * FROM r""",
+)
+def q_gateway_topology_scan(spark, sf):
+    """Round-9 surfaces, hash-checked end-to-end: (a) `sft` — the table
+    is flipped to the FILE store-file tracker
+    (storefiletracker/FileBasedStoreFileTracker.java via
+    Admin.change_sft), so the range scan reads EXACTLY the manifest's
+    files through basePath with zero directory listing — the oracle
+    proves manifest reads lose nothing; (b) `moved` — a region is
+    moved to another registered server (AssignmentManager analog) and
+    the same scan re-runs: assignment metadata must not perturb data;
+    (c) `rest` — the same range pulled through a LIVE REST gateway
+    (hbase-rest Stargate scanner protocol: POST scanner -> Location,
+    GET batches of base64 CellSet JSON, 204 on exhaustion).  The REST
+    arm materializes on the driver by design — the protocol is a
+    row-at-a-time RPC surface, and the range is key-bounded (~300
+    order keys), not corpus-sized."""
+    import base64
+    import json
+    import shutil
+    import urllib.request
+
+    from hbase_spark.admin import Admin
+    from hbase_spark.rest import start_rest_gateway
+    from hbase_spark.shell import shell_scan
+    from hbase_spark.table import Table
+
+    path = _tmp("gateway", sf)
+    shutil.rmtree(path, ignore_errors=True)
+    adm = Admin(spark, path)
+    adm.register_regionservers(
+        ["rs1.example.com,16020,1", "rs2.example.com,16020,1"]
+    )
+    adm.create_table("orders_cells", ["o"])
+    adm.flush("orders_cells", Table(_orders_cells(spark, sf)), num_regions=4)
+    adm.disable_table("orders_cells")
+    adm.change_sft("orders_cells", "FILE")
+    adm.enable_table("orders_cells")
+    kw = dict(
+        STARTROW="600".zfill(12),
+        STOPROW="900".zfill(12),
+        COLUMNS=["o:o_orderstatus"],
+    )
+    sft = shell_scan(adm.table("orders_cells"), **kw)
+    region = adm._region_inventory("orders_cells")[0]
+    adm.move(region, "rs2.example.com,16020,1")
+    moved = shell_scan(adm.table("orders_cells"), **kw)
+
+    def b64(s):
+        return base64.b64encode(s.encode()).decode()
+
+    gw = start_rest_gateway(adm)
+    try:
+        req = urllib.request.Request(
+            f"{gw.base_url}/orders_cells/scanner",
+            data=json.dumps({
+                "startRow": b64("600".zfill(12)),
+                "endRow": b64("900".zfill(12)),
+                "column": [b64("o:o_orderstatus")],
+                "batch": 1000,
+            }).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            loc = resp.headers["Location"]
+        recs = []
+        while True:
+            with urllib.request.urlopen(loc) as resp:
+                if resp.status == 204:
+                    break
+                body = json.loads(resp.read())
+            for rm in body["Row"]:
+                rk = base64.b64decode(rm["key"]).decode()
+                for cm in rm["Cell"]:
+                    col = base64.b64decode(cm["column"]).decode()
+                    recs.append((
+                        rk, col.split(":", 1)[1],
+                        base64.b64decode(cm["$"]).decode(),
+                    ))
+    finally:
+        gw.stop()
+    rest = spark.createDataFrame(
+        recs, "rk string, qualifier string, value string"
+    )
+
+    def tag(df, arm):
+        return df.select(F.lit(arm).alias("arm"), "rk", "qualifier", "value")
+
+    return (
+        tag(_rk(sft, "qualifier", "value"), "sft")
+        .unionByName(tag(_rk(moved, "qualifier", "value"), "moved"))
+        .unionByName(tag(rest, "rest"))
+    )
+
+
 _TAIL = [
+    "gateway_topology_scan",
     "doc_curation_report",
     "doc_quality_classifier",
     "doc_quality_serving",
