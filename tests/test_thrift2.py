@@ -1,0 +1,189 @@
+"""Thrift2 gateway handler (thrift2/hbase.thrift THBaseService;
+ThriftHBaseServiceHandler.java): the full data-plane service surface
+driven in-process — the wire transport is the gated seam."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from hbase_spark.admin import Admin
+from hbase_spark.shell import shell_put
+from hbase_spark.thrift2 import (
+    TAppend,
+    TColumn,
+    TColumnIncrement,
+    TColumnValue,
+    TDelete,
+    TDeleteType,
+    TGet,
+    THBaseServiceHandler,
+    TIncrement,
+    TPut,
+    TScan,
+    TTimeRange,
+    serve,
+)
+
+
+@pytest.fixture(scope="module")
+def handler(spark):
+    d = tempfile.mkdtemp(prefix="hb_thrift_")
+    admin = Admin(spark, d)
+    admin.register_regionservers(["rs1.example.com,16020,1"])
+    admin.create_table("tt", ["f", "g"])
+    t = admin.table("tt")
+    for i in range(10):
+        t = shell_put(t, f"r{i:02d}", "f:q", f"v{i}", ts=100 + i, seq=i)
+    t = shell_put(t, "r00", "g:x", "gx", ts=300, seq=20)
+    admin.flush("tt", t, num_regions=2)
+    yield THBaseServiceHandler(admin)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_get_exists_and_shapes(handler):
+    res = handler.get("tt", TGet(row="r00"))
+    assert res.row == "r00"
+    cols = {(c.family, c.qualifier): c.value for c in res.columnValues}
+    assert cols == {("f", "q"): "v0", ("g", "x"): "gx"}
+    assert handler.exists("tt", TGet(row="r00")) is True
+    assert handler.exists("tt", TGet(row="nope")) is False
+    assert handler.existsAll(
+        "tt", [TGet(row="r01"), TGet(row="zz")]
+    ) == [True, False]
+    # column projection + timerange
+    res = handler.get("tt", TGet(
+        row="r00", columns=[TColumn("g", "x")],
+        timeRange=TTimeRange(300, 301),
+    ))
+    assert [c.value for c in res.columnValues] == ["gx"]
+    # filterString: the ParseFilter surface
+    res = handler.get("tt", TGet(
+        row="r00", filterString="QualifierFilter(=, 'binary:q')"
+    ))
+    assert {c.qualifier for c in res.columnValues} == {"q"}
+    assert handler.get("tt", TGet(row="nope")).row is None
+
+
+def test_get_multiple_uses_one_semi_join_for_plain_gets(handler):
+    out = handler.getMultiple(
+        "tt", [TGet(row="r02"), TGet(row="zz"), TGet(row="r03")]
+    )
+    assert [r.row for r in out] == ["r02", None, "r03"]
+
+
+def test_put_checkandput_roundtrip(handler):
+    handler.put("tt", TPut(row="p1", columnValues=[
+        TColumnValue("f", "q", "put1", timestamp=500),
+    ]))
+    assert handler.get("tt", TGet(row="p1")).columnValues[0].value == "put1"
+    # guard mismatch -> no write
+    ok = handler.checkAndPut("tt", "p1", "f", "q", "WRONG", TPut(
+        row="p1", columnValues=[TColumnValue("f", "q", "put2",
+                                             timestamp=501)],
+    ))
+    assert ok is False
+    # guard match -> write
+    ok = handler.checkAndPut("tt", "p1", "f", "q", "put1", TPut(
+        row="p1", columnValues=[TColumnValue("f", "q", "put2",
+                                             timestamp=502)],
+    ))
+    assert ok is True
+    assert handler.get("tt", TGet(row="p1")).columnValues[0].value == "put2"
+    # absence guard (value=None)
+    ok = handler.checkAndPut("tt", "p1", "f", "absent", None, TPut(
+        row="p1", columnValues=[TColumnValue("f", "absent", "a",
+                                             timestamp=503)],
+    ))
+    assert ok is True
+
+
+def test_delete_single_and_multiple(handler):
+    handler.putMultiple("tt", [
+        TPut(row="d1", columnValues=[TColumnValue("f", "a", "1",
+                                                  timestamp=600),
+                                     TColumnValue("f", "b", "2",
+                                                  timestamp=600)]),
+        TPut(row="d2", columnValues=[TColumnValue("f", "a", "3",
+                                                  timestamp=600)]),
+    ])
+    # column-scoped delete (DELETE_COLUMNS: all versions)
+    handler.deleteSingle("tt", TDelete(
+        row="d1", columns=[TColumn("f", "a")],
+        deleteType=TDeleteType.DELETE_COLUMNS,
+    ))
+    cols = {c.qualifier for c in
+            handler.get("tt", TGet(row="d1")).columnValues}
+    assert cols == {"b"}
+    # whole-row delete + batch form
+    failed = handler.deleteMultiple("tt", [TDelete(row="d1"),
+                                           TDelete(row="d2")])
+    assert failed == []
+    assert handler.exists("tt", TGet(row="d1")) is False
+    assert handler.exists("tt", TGet(row="d2")) is False
+
+
+def test_increment_append_return_results(handler):
+    handler.increment("tt", TIncrement(
+        row="ctr", columns=[TColumnIncrement("f", "n", 5)],
+    ))
+    res = handler.increment("tt", TIncrement(
+        row="ctr", columns=[TColumnIncrement("f", "n", 3)],
+    ))
+    assert res.row == "ctr"  # returnResults default true
+    assert int(res.columnValues[0].value) == 8
+    res = handler.append("tt", TAppend(
+        row="app", columns=[TColumnValue("f", "s", "abc")],
+    ))
+    assert res.columnValues[0].value == "abc"
+    res = handler.append("tt", TAppend(
+        row="app", columns=[TColumnValue("f", "s", "def")],
+        returnResults=False,
+    ))
+    assert res.row is None
+    assert handler.get(
+        "tt", TGet(row="app")
+    ).columnValues[0].value == "abcdef"
+
+
+def test_scanner_lifecycle_and_stateless_scan(handler):
+    sid = handler.openScanner("tt", TScan(
+        startRow="r02", stopRow="r07",
+        columns=[TColumn("f", "q")],
+        filterString="ValueFilter(!=, 'binary:v4')",
+    ))
+    got = []
+    while True:
+        batch = handler.getScannerRows(sid, 2)
+        if not batch:
+            break
+        got.extend(c.value for r in batch for c in r.columnValues)
+    handler.closeScanner(sid)
+    assert got == ["v2", "v3", "v5", "v6"]
+    with pytest.raises(ValueError, match="invalid scanner"):
+        handler.getScannerRows(sid, 1)
+    # stateless one-shot
+    out = handler.getScannerResults("tt", TScan(
+        startRow="r00", stopRow="r03", columns=[TColumn("f", "q")],
+    ), numRows=100)
+    assert [r.row for r in out] == ["r00", "r01", "r02"]
+    # reversed scan
+    out = handler.getScannerResults("tt", TScan(
+        startRow="r05", stopRow="r08", columns=[TColumn("f", "q")],
+        reversed=True,
+    ), numRows=100)
+    assert [r.row for r in out] == ["r07", "r06", "r05"]
+
+
+def test_region_locations(handler):
+    loc = handler.getRegionLocation("tt", "r01")
+    assert loc.serverName == "rs1.example.com,16020,1"
+    assert loc.regionInfo["region_file"]
+    locs = handler.getAllRegionLocations("tt")
+    assert len(locs) >= 2
+    assert all(loc.serverName for loc in locs)
+
+
+def test_serve_is_gated_on_the_thrift_dependency(handler):
+    with pytest.raises(NotImplementedError, match="thrift"):
+        serve(handler)
