@@ -2269,7 +2269,13 @@ class Admin(TopologyMixin):
         procs = self._read_procs()
         if completed:
             return procs
-        return [p for p in procs if p["state"] == "RUNNABLE"]
+        # FAILED_ROLLINGBACK is in-flight too: a crash mid-rollback
+        # leaves that state holding the table lock — it must surface
+        # in the incomplete view (and in hbck's stuck scan over it)
+        return [
+            p for p in procs
+            if p["state"] in ("RUNNABLE", "FAILED_ROLLINGBACK")
+        ]
 
     def bypass_procedure(
         self, pid: int, *, force: bool = False
@@ -2283,12 +2289,15 @@ class Admin(TopologyMixin):
         the report that surfaces any resulting inconsistency (its
         ``stuck_after_sec`` knob flags candidates for this call).
         ``force`` bypasses regardless of state, mirroring HBCK2's
-        ``-r/-f`` overrides; without it only RUNNABLE entries are
-        eligible."""
+        ``-r/-f`` overrides; without it only in-flight entries
+        (RUNNABLE, or FAILED_ROLLINGBACK from a crash mid-rollback)
+        are eligible."""
         procs = self._read_procs()
         hit = False
         for p in procs:
-            if p["pid"] == pid and (force or p["state"] == "RUNNABLE"):
+            if p["pid"] == pid and (
+                force or p["state"] in ("RUNNABLE", "FAILED_ROLLINGBACK")
+            ):
                 p["state"] = "BYPASSED"
                 p["completed_ts"] = time.time()
                 hit = True

@@ -79,10 +79,13 @@ class RestGateway:
 
     def __init__(self, admin, host: str = "127.0.0.1", port: int = 0):
         self.admin = admin
-        self._tables: dict[str, object] = {}   # pending mutable frames
         self._scanners: dict[str, _Scanner] = {}
         self._seq = 0
         self._lock = threading.Lock()
+        # per-table write locks: a mutation is read-mutate-flush, and
+        # two concurrent writers to one table would lose the first
+        # writer's cells (both start from the same base frame)
+        self._write_locks: dict[str, threading.Lock] = {}
         gw = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -159,18 +162,22 @@ class RestGateway:
             self._seq += 1
             return self._seq
 
-    def _table(self, name: str):
-        with self._lock:
-            if name not in self._tables:
-                self._tables[name] = self.admin.table(name)
-            return self._tables[name]
+    def _now_ms(self) -> int:
+        """Server timestamp for cells the client left unstamped — the
+        reference stamps HConstants.LATEST_TIMESTAMP server-side with
+        wall-clock ms.  Puts and deletes MUST share this clock: a
+        delete stamped in a different domain than later puts would
+        mask them forever."""
+        import time
 
-    def _commit(self, name: str, table) -> None:
+        return int(time.time() * 1000)
+
+    def _table(self, name: str):
+        return self.admin.table(name)
+
+    def _write_lock(self, name: str) -> threading.Lock:
         with self._lock:
-            self._tables[name] = table
-        self.admin.flush(name, table)
-        with self._lock:
-            del self._tables[name]  # reopen from the flushed layout
+            return self._write_locks.setdefault(name, threading.Lock())
 
     @staticmethod
     def _cellset(rows) -> dict:
@@ -266,8 +273,14 @@ class RestGateway:
             if not fams:
                 raise ValueError("ColumnSchema required")
             if admin.table_exists(name):
+                # Stargate clients PUT the full schema to add a family:
+                # only families the table lacks are added — existing
+                # descriptors keep their knobs (a default-constructed
+                # alter would silently reset VERSIONS/TTL)
+                existing = set(admin.describe(name)["families"])
                 for f in fams:
-                    admin.alter(name, f)
+                    if f not in existing:
+                        admin.alter(name, f)
                 return h._reply(200)
             admin.create_table(name, fams)
             return h._reply(201)
@@ -323,30 +336,34 @@ class RestGateway:
         if method in ("PUT", "POST"):
             body = h._body()
             seq = self._next_seq()
+            default_ts = ts if ts is not None else self._now_ms()
             puts = []
             for rm in body.get("Row", []):
                 rkey = _b64d(rm["key"])
                 for cm in rm.get("Cell", []):
                     fam, qual = self._split_col(_b64d(cm["column"]))
-                    cts = int(cm.get("timestamp", ts or seq))
+                    cts = int(cm.get("timestamp", default_ts))
                     puts.append((rkey, fam, qual, _b64d(cm["$"]), cts))
             if not puts:
                 raise ValueError("empty CellSet body")
-            out = table
-            for rkey, fam, qual, val, cts in puts:
-                out = out.put([(rkey, fam, qual, val)], ts=cts, seq=seq)
-            self._commit(name, out)
+            with self._write_lock(name):
+                out = self._table(name)
+                for rkey, fam, qual, val, cts in puts:
+                    out = out.put([(rkey, fam, qual, val)], ts=cts, seq=seq)
+                self.admin.flush(name, out)
             return h._reply(200)
         if method == "DELETE":
             from hbase_spark.shell import shell_delete, shell_deleteall
 
             seq = self._next_seq()
-            dts = ts if ts is not None else 2**40 + seq
-            if col:
-                out = shell_delete(table, row, col, ts=dts, seq=seq)
-            else:
-                out = shell_deleteall(table, row, ts=dts, seq=seq)
-            self._commit(name, out)
+            dts = ts if ts is not None else self._now_ms()
+            with self._write_lock(name):
+                base = self._table(name)
+                if col:
+                    out = shell_delete(base, row, col, ts=dts, seq=seq)
+                else:
+                    out = shell_deleteall(base, row, ts=dts, seq=seq)
+                self.admin.flush(name, out)
             return h._reply(200)
         raise ValueError(f"unsupported {method} on row")
 

@@ -152,6 +152,9 @@ class THBaseServiceHandler:
         self._scanners: dict[int, object] = {}
         self._next_scanner = 0
         self._lock = threading.Lock()
+        # per-table write locks: read-mutate-flush spans must not
+        # interleave or the first writer's cells are lost
+        self._write_locks: dict[str, threading.Lock] = {}
 
     # -- helpers ------------------------------------------------------------
 
@@ -160,8 +163,22 @@ class THBaseServiceHandler:
             self._seq += 1
             return self._seq
 
+    @staticmethod
+    def _now_ms() -> int:
+        """Server timestamp for unstamped cells (the reference stamps
+        LATEST_TIMESTAMP mutations with wall-clock ms).  Puts, deletes,
+        increments and appends all share this clock — stamping deletes
+        in a different domain would mask every later unstamped put."""
+        import time
+
+        return int(time.time() * 1000)
+
     def _table(self, name: str):
         return self.admin.table(name)
+
+    def _write_lock(self, name: str) -> threading.Lock:
+        with self._lock:
+            return self._write_locks.setdefault(name, threading.Lock())
 
     def _commit(self, name: str, table) -> None:
         self.admin.flush(name, table)
@@ -246,23 +263,21 @@ class THBaseServiceHandler:
     # -- mutations --------------------------------------------------------------
 
     def put(self, table: str, tput: TPut) -> None:
-        seq = self._bump()
-        t = self._table(table)
-        for cv in tput.columnValues:
-            ts = cv.timestamp or tput.timestamp or seq
-            t = t.put([(tput.row, cv.family, cv.qualifier, cv.value)],
-                      ts=int(ts), seq=seq)
-        self._commit(table, t)
+        self.putMultiple(table, [tput])
 
     def putMultiple(self, table: str, tputs: list[TPut]) -> None:
         seq = self._bump()
-        t = self._table(table)
-        for p in tputs:
-            for cv in p.columnValues:
-                ts = cv.timestamp or p.timestamp or seq
-                t = t.put([(p.row, cv.family, cv.qualifier, cv.value)],
-                          ts=int(ts), seq=seq)
-        self._commit(table, t)
+        now = self._now_ms()
+        with self._write_lock(table):
+            t = self._table(table)
+            for p in tputs:
+                for cv in p.columnValues:
+                    ts = cv.timestamp or p.timestamp or now
+                    t = t.put(
+                        [(p.row, cv.family, cv.qualifier, cv.value)],
+                        ts=int(ts), seq=seq,
+                    )
+            self._commit(table, t)
 
     def checkAndPut(self, table: str, row: str, family: str,
                     qualifier: str, value: str | None,
@@ -279,34 +294,54 @@ class THBaseServiceHandler:
         return ok
 
     def _apply_delete(self, t, tdel: TDelete, seq: int):
+        """TDelete -> tombstones.  The kind mapping follows the IDL:
+        a TColumn WITHOUT a qualifier is a family-level delete
+        (DELETE_FAMILY, or DELETE_FAMILY_VERSION for the
+        version-scoped type); with a qualifier, deleteType picks
+        DELETE_COLUMN (one version) vs DELETE_COLUMNS (all)."""
         from hbase_spark.model import CellType
 
         ts = int(tdel.timestamp) if tdel.timestamp is not None \
-            else 2**40 + seq
+            else self._now_ms()
         if not tdel.columns:
             from hbase_spark.shell import shell_deleteall
 
             return shell_deleteall(t, tdel.row, ts=ts, seq=seq)
-        kind = (
-            CellType.DELETE if tdel.deleteType == TDeleteType.DELETE_COLUMN
-            else CellType.DELETE_COLUMN
-        )
-        dels = [(tdel.row, c.family, c.qualifier) for c in tdel.columns]
-        return t.delete(dels, ts=ts, seq=seq, kind=kind)
+        by_kind: dict[object, list] = {}
+        for c in tdel.columns:
+            if c.qualifier is None:
+                kind = (
+                    CellType.DELETE_FAMILY_VERSION
+                    if tdel.deleteType == TDeleteType.DELETE_FAMILY_VERSION
+                    else CellType.DELETE_FAMILY
+                )
+            elif tdel.deleteType == TDeleteType.DELETE_COLUMN:
+                kind = CellType.DELETE
+            else:
+                kind = CellType.DELETE_COLUMN
+            cts = int(c.timestamp) if c.timestamp is not None else ts
+            by_kind.setdefault((kind, cts), []).append(
+                (tdel.row, c.family, c.qualifier)
+            )
+        for (kind, cts), dels in by_kind.items():
+            t = t.delete(dels, ts=cts, seq=seq, kind=kind)
+        return t
 
     def deleteSingle(self, table: str, tdelete: TDelete) -> None:
         seq = self._bump()
-        self._commit(table, self._apply_delete(
-            self._table(table), tdelete, seq
-        ))
+        with self._write_lock(table):
+            self._commit(table, self._apply_delete(
+                self._table(table), tdelete, seq
+            ))
 
     def deleteMultiple(self, table: str,
                        tdeletes: list[TDelete]) -> list[TDelete]:
         seq = self._bump()
-        t = self._table(table)
-        for d in tdeletes:
-            t = self._apply_delete(t, d, seq)
-        self._commit(table, t)
+        with self._write_lock(table):
+            t = self._table(table)
+            for d in tdeletes:
+                t = self._apply_delete(t, d, seq)
+            self._commit(table, t)
         return []  # the reference returns the deletes that FAILED
 
     def checkAndDelete(self, table: str, row: str, family: str,
@@ -324,13 +359,15 @@ class THBaseServiceHandler:
 
     def increment(self, table: str, tincrement: TIncrement) -> TResult:
         seq = self._bump()
-        t = self._table(table)
         deltas = [
             (tincrement.row, c.family, c.qualifier, c.amount)
             for c in tincrement.columns
         ]
-        t = t.increment(deltas, ts=seq, seq=seq)
-        self._commit(table, t)
+        with self._write_lock(table):
+            t = self._table(table).increment(
+                deltas, ts=self._now_ms(), seq=seq
+            )
+            self._commit(table, t)
         if not tincrement.returnResults:
             return TResult(row=None)
         cols = [TColumn(c.family, c.qualifier) for c in tincrement.columns]
@@ -338,13 +375,15 @@ class THBaseServiceHandler:
 
     def append(self, table: str, tappend: TAppend) -> TResult:
         seq = self._bump()
-        t = self._table(table)
         appends = [
             (tappend.row, c.family, c.qualifier, c.value)
             for c in tappend.columns
         ]
-        t = t.append(appends, ts=seq, seq=seq)
-        self._commit(table, t)
+        with self._write_lock(table):
+            t = self._table(table).append(
+                appends, ts=self._now_ms(), seq=seq
+            )
+            self._commit(table, t)
         if not tappend.returnResults:
             return TResult(row=None)
         cols = [TColumn(c.family, c.qualifier) for c in tappend.columns]

@@ -188,13 +188,22 @@ class TopologyMixin:
         self, servers: list[str], offload: bool = False
     ) -> None:
         """shell `decommission_regionservers`: mark servers draining so
-        no NEW region lands on them (DrainingServerTracker); offload
-        moves their current regions to the remaining live servers."""
+        no NEW region lands on them (DrainingServerTracker) — they
+        KEEP serving their current regions until ``offload=True``
+        moves those to the remaining live servers, the reference's
+        exact split between the marker and the region offload.
+        Keeping is implemented by PINNING the server's current regions
+        as explicit assignments before the state flips, so derived
+        placement (which is live-only) cannot silently migrate them."""
         self._require_master()
         t = self._read_topology()
         for s in servers:
             if s not in t["servers"]:
                 raise ValueError(f"unknown server {s!r}")
+        for s in servers:
+            if not offload:
+                for table, region in self._regions_on(s):
+                    t["assignments"][f"{table}/{region}"] = s
             t["servers"][s]["state"] = "DECOMMISSIONED"
         self._write_topology(t)
         if offload:
@@ -228,9 +237,9 @@ class TopologyMixin:
             held = self._regions_on(server)
             t = self._read_topology()
             t["servers"][server]["state"] = "DEAD"
-            self._write_topology(t)
             for table, region in held:
-                self._reassign_or_park(table, region)
+                self._reassign_or_park_t(t, table, region)
+            self._write_topology(t)
 
     def stop_master(self) -> None:
         """shell `stop_master`: master-loop operations (balance,
@@ -268,20 +277,29 @@ class TopologyMixin:
             for r in self.list_regions(name).collect()
         )
 
-    def _eligible_servers(self, name: str) -> list[str]:
-        """Placement candidates: live servers in the table's rsgroup
-        when the group has servers (RSGroupBasedLoadBalancer confines
-        placement to the group), else every live server."""
-        live = set(self.list_liveservers())
+    def _eligible_servers(self, name: str, *,
+                          topo: dict | None = None) -> list[str]:
+        """Placement candidates for NEW assignments: LIVE servers in
+        the table's rsgroup when the group has servers
+        (RSGroupBasedLoadBalancer confines placement to the group),
+        else every live server.  Draining servers are excluded —
+        their CURRENT regions keep serving because decommission pins
+        them as explicit assignments (DrainingServerTracker: the
+        marker only prevents additional assignment)."""
+        t = topo if topo is not None else self._read_topology()
+        pool = {
+            s for s, info in t["servers"].items()
+            if info["state"] == "LIVE"
+        }
         group = self.get_rsgroup_of_table(name)
         members = set(
             self._read_rsgroups().get(group, {}).get("servers", [])
         )
-        pool = sorted(live & members) if (live & members) else sorted(live)
-        return pool
+        return sorted(pool & members) if (pool & members) else sorted(pool)
 
-    def _derived_server(self, name: str, region: str) -> str | None:
-        pool = self._eligible_servers(name)
+    def _derived_server(self, name: str, region: str,
+                        topo: dict | None = None) -> str | None:
+        pool = self._eligible_servers(name, topo=topo)
         if not pool:
             return None
         h = int.from_bytes(
@@ -289,40 +307,53 @@ class TopologyMixin:
         )
         return pool[h % len(pool)]
 
-    def server_of_region(self, name: str, region: str) -> str | None:
-        """Who serves this region: the explicit assignment if an
-        operator placed it, else the deterministic derived placement.
-        None when no live server is eligible (the region is then in
-        transition)."""
-        t = self._read_topology()
+    def _server_of_region_t(self, t: dict, name: str,
+                            region: str) -> str | None:
+        """server_of_region against an already-read topology dict —
+        batch callers read once and reuse (the catalog file is bounded,
+        but per-region re-reads made crash handling O(R) file IO)."""
         explicit = t["assignments"].get(f"{name}/{region}")
-        if explicit and t["servers"].get(explicit, {}).get("state") == "LIVE":
+        if explicit and t["servers"].get(explicit, {}).get("state") in (
+            "LIVE", "DECOMMISSIONED",
+        ):
             return explicit
         if f"{name}/{region}" in t["rit"]:
             return None
-        return self._derived_server(name, region)
+        return self._derived_server(name, region, t)
+
+    def server_of_region(self, name: str, region: str) -> str | None:
+        """Who serves this region: the explicit assignment if an
+        operator placed it (honored while the server is live or
+        draining), else the deterministic derived placement.  None
+        when no server is eligible (the region is then in
+        transition)."""
+        return self._server_of_region_t(self._read_topology(), name, region)
 
     def assignments(self, name: str) -> dict[str, str | None]:
-        """Full region -> server map for a table."""
+        """Full region -> server map for a table (one topology read)."""
+        t = self._read_topology()
         return {
-            r: self.server_of_region(name, r)
+            r: self._server_of_region_t(t, name, r)
             for r in self._region_inventory(name)
         }
 
     def _regions_on(self, server: str) -> list[tuple[str, str]]:
         """Every (table, region) currently served by ``server`` —
-        explicit and derived."""
+        explicit and derived.  One topology read; one region-inventory
+        job per enabled table (bounded by region counts, the same
+        collect list_regions already does)."""
+        t = self._read_topology()
         out = []
         for name in self.list_tables():
             if not self.is_table_enabled(name):
                 continue
-            for region, s in self.assignments(name).items():
-                if s == server:
+            for region in self._region_inventory(name):
+                if self._server_of_region_t(t, name, region) == server:
                     out.append((name, region))
         return out
 
-    def _least_loaded(self, pool: list[str]) -> str:
-        t = self._read_topology()
+    @staticmethod
+    def _least_loaded(t: dict, pool: list[str]) -> str:
         counts = {s: 0 for s in pool}
         for s in t["assignments"].values():
             if s in counts:
@@ -337,15 +368,12 @@ class TopologyMixin:
                 return name
         raise ValueError(f"unknown region {region!r}")
 
-    def _reassign_or_park(self, table: str, region: str) -> None:
-        t = self._read_topology()
-        pool = [
-            s for s in self._eligible_servers(table)
-            if t["servers"].get(s, {}).get("state") == "LIVE"
-        ]
+    def _reassign_or_park_t(self, t: dict, table: str, region: str) -> None:
+        """Reassign in the given topology dict (caller persists once)."""
+        pool = self._eligible_servers(table, topo=t)
         key = f"{table}/{region}"
         if pool:
-            t["assignments"][key] = self._least_loaded(pool)
+            t["assignments"][key] = self._least_loaded(t, pool)
             t["rit"].pop(key, None)
         else:
             t["assignments"].pop(key, None)
@@ -353,11 +381,20 @@ class TopologyMixin:
                 "table": table, "region": region, "state": "CLOSED",
                 "since_ts": time.time(),
             }
+
+    def _reassign_or_park(self, table: str, region: str) -> None:
+        t = self._read_topology()
+        self._reassign_or_park_t(t, table, region)
         self._write_topology(t)
 
     def _evacuate_server(self, server: str) -> None:
-        for table, region in self._regions_on(server):
-            self._reassign_or_park(table, region)
+        """Move every region off a draining server: one topology
+        read-mutate-write, however many regions move."""
+        held = self._regions_on(server)
+        t = self._read_topology()
+        for table, region in held:
+            self._reassign_or_park_t(t, table, region)
+        self._write_topology(t)
 
     def move(self, region: str, server: str | None = None,
              observers: list | None = None) -> str:
@@ -378,10 +415,10 @@ class TopologyMixin:
                     f"server {server!r} is not live (state {state})"
                 )
         else:
-            pool = self._eligible_servers(table)
+            pool = self._eligible_servers(table, topo=t)
             if not pool:
                 raise ValueError("no live server to move to")
-            server = self._least_loaded(pool)
+            server = self._least_loaded(t, pool)
         key = f"{table}/{region}"
         with self._procedure("MOVE_REGION", table, lock="SHARED"):
             for ob in observers or []:
@@ -543,8 +580,7 @@ class TopologyMixin:
             wanted = {_host_port(s) for s in servers}
         recs = [
             r for r in self._slowlog_ring
-            if (wanted is None or _host_port(r["server"]) in wanted
-                or r["server"] == "master" and wanted is None)
+            if (wanted is None or _host_port(r["server"]) in wanted)
             and self._log_filters_match(r, filters)
         ]
         recs.sort(key=key, reverse=True)
@@ -644,10 +680,11 @@ class TopologyMixin:
         paths = [self._abs_data_dir(desc, name)]
         if desc.get("mob_dir"):
             paths.append(f"{self.catalog_dir}/{desc['mob_dir']}")
-        files = 0
-        for p in paths:
+        files = len(self._list_layout_files(desc, name))
+        for p in paths[1:]:
             for _root, _dirs, names in os.walk(p):
                 files += sum(n.endswith(".parquet") for n in names)
+        for p in paths:
             self.spark.catalog.refreshByPath(p)
         return {"table": name, "evicted_paths": len(paths),
                 "evicted_files": files}
@@ -658,12 +695,8 @@ class TopologyMixin:
         refreshByPath drops the cached listing; returns the file count
         now visible."""
         desc = self._read_desc(name)
-        path = self._abs_data_dir(desc, name)
-        self.spark.catalog.refreshByPath(path)
-        n = 0
-        for _root, _dirs, names in os.walk(path):
-            n += sum(x.endswith(".parquet") for x in names)
-        return n
+        self.spark.catalog.refreshByPath(self._abs_data_dir(desc, name))
+        return len(self._list_layout_files(desc, name))
 
     def refresh_meta(self) -> dict[str, int]:
         """shell `refresh_meta`: sync the catalog's region view with

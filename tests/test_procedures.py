@@ -49,6 +49,7 @@ class _TwoMarkerProc(StepProcedure):
     TYPE = "TEST_TWO_MARKER"
     CRASH_AT: str | None = None
     FAIL_AT: str | None = None
+    CRASH_ROLLBACK_AT: str | None = None
 
     def steps(self, admin):
         def run(step_name):
@@ -66,6 +67,8 @@ class _TwoMarkerProc(StepProcedure):
 
         def undo(step_name):
             def rollback(a, ctx):
+                if type(self).CRASH_ROLLBACK_AT == step_name:
+                    raise SimulatedCrash(f"rollback {step_name}")
                 ctx[f"{step_name}_undone"] = True
             return rollback
 
@@ -78,6 +81,7 @@ def _reset_injections():
     yield
     _TwoMarkerProc.CRASH_AT = None
     _TwoMarkerProc.FAIL_AT = None
+    _TwoMarkerProc.CRASH_ROLLBACK_AT = None
 
 
 def _entry(admin, pid):
@@ -137,6 +141,41 @@ def test_crash_during_recovery_recovers_again(catalog, spark, catalog_dir):
     final.recover_procedures()
     e = final.list_procedures()[-1]
     assert e["state"] == "SUCCESS" and e["ctx"]["A_runs"] == 1
+
+
+def test_crash_mid_rollback_surfaces_and_recovers(catalog, spark,
+                                                  catalog_dir):
+    """A crash DURING rollback leaves FAILED_ROLLINGBACK — it must
+    show in the incomplete-procedures view (hbck's stuck scan), be
+    bypassable without force, and recovery must resume the ROLLBACK
+    (not roll forward)."""
+    _TwoMarkerProc.FAIL_AT = "B"
+    _TwoMarkerProc.CRASH_ROLLBACK_AT = "A"
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_TwoMarkerProc(table="x"))
+    wedged = catalog.list_procedures(completed=False)
+    assert wedged and wedged[-1]["state"] == "FAILED_ROLLINGBACK"
+    pid = wedged[-1]["pid"]
+    # the table lock is still held and visible
+    assert any(lk["proc_pid"] == pid for lk in catalog.list_locks())
+    # recovery resumes the rollback, not the forward path
+    _TwoMarkerProc.CRASH_ROLLBACK_AT = None
+    _TwoMarkerProc.FAIL_AT = None
+    fresh = Admin(spark, catalog_dir)
+    summary = fresh.recover_procedures()
+    assert {"pid": pid, "type": "TEST_TWO_MARKER",
+            "action": "rolled_back"} in summary
+    e = next(p for p in fresh.list_procedures() if p["pid"] == pid)
+    assert e["state"] == "ROLLEDBACK" and e["ctx"].get("A_undone") is True
+
+
+def test_wedged_rollback_is_bypassable_without_force(catalog):
+    _TwoMarkerProc.FAIL_AT = "B"
+    _TwoMarkerProc.CRASH_ROLLBACK_AT = "A"
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_TwoMarkerProc(table="y"))
+    pid = catalog.list_procedures(completed=False)[-1]["pid"]
+    assert catalog.bypass_procedure(pid) is True  # no force needed
 
 
 def test_truncate_crash_between_steps_leaves_table_intact(

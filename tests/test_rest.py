@@ -145,6 +145,21 @@ def test_put_then_get_then_delete_roundtrip(gateway):
     assert code == 200
     code, _, _ = _req("GET", f"{gateway.base_url}/rt/row-new")
     assert code == 404
+    # put-after-delete with server-stamped timestamps must be
+    # readable: puts and deletes share the wall-clock domain, so the
+    # earlier tombstone cannot mask the later unstamped put
+    import time
+
+    time.sleep(0.002)  # ensure the next server stamp exceeds the delete's
+    cellset2 = {"Row": [{
+        "key": _b64e("row-new"),
+        "Cell": [{"column": _b64e("f:q"), "$": _b64e("reborn")}],
+    }]}
+    code, _, _ = _req("PUT", f"{gateway.base_url}/rt/row-new/f:q", cellset2)
+    assert code == 200
+    code, _, body = _req("GET", f"{gateway.base_url}/rt/row-new")
+    assert code == 200
+    assert _b64d(body["Row"][0]["Cell"][0]["$"]) == "reborn"
 
 
 def test_scanner_lifecycle_with_filter(gateway):

@@ -123,6 +123,33 @@ def test_delete_single_and_multiple(handler):
     assert handler.exists("tt", TGet(row="d2")) is False
 
 
+def test_family_level_delete_and_put_after_delete(handler):
+    import time
+
+    handler.put("tt", TPut(row="fd", columnValues=[
+        TColumnValue("f", "a", "1"), TColumnValue("f", "b", "2"),
+        TColumnValue("g", "x", "3"),
+    ]))
+    # TColumn WITHOUT qualifier = family-level delete (DELETE_FAMILY):
+    # every cell of family f goes, family g survives
+    handler.deleteSingle("tt", TDelete(
+        row="fd", columns=[TColumn(family="f")],
+        deleteType=TDeleteType.DELETE_FAMILY,
+    ))
+    res = handler.get("tt", TGet(row="fd"))
+    assert {(c.family, c.qualifier) for c in res.columnValues} == {("g", "x")}
+    # put-after-delete with server stamps: the shared wall-clock
+    # domain means the tombstone cannot mask the later unstamped put
+    time.sleep(0.002)
+    handler.put("tt", TPut(row="fd", columnValues=[
+        TColumnValue("f", "a", "back"),
+    ]))
+    res = handler.get("tt", TGet(row="fd"))
+    assert {(c.family, c.qualifier, c.value) for c in res.columnValues} == {
+        ("f", "a", "back"), ("g", "x", "3"),
+    }
+
+
 def test_increment_append_return_results(handler):
     handler.increment("tt", TIncrement(
         row="ctr", columns=[TColumnIncrement("f", "n", 5)],

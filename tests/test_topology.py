@@ -161,8 +161,16 @@ def test_move_rejects_dead_target(catalog):
 def test_decommission_offload_evacuates(catalog):
     _seed(catalog, rows=12, regions=6)
     victim = next(iter(set(catalog.assignments("t").values())))
+    # without offload the draining server KEEPS its current regions
+    # (the marker only blocks NEW assignment — DrainingServerTracker)
+    catalog.decommission_regionservers([victim])
+    assert victim in set(catalog.assignments("t").values())
+    catalog.recommission_regionserver(victim)
     catalog.decommission_regionservers([victim], offload=True)
     assert victim not in set(catalog.assignments("t").values())
+    # and NEW placement avoids it: a fresh table derives elsewhere
+    _seed(catalog, name="t2", rows=4, regions=2)
+    assert victim not in set(catalog.assignments("t2").values())
 
 
 def test_master_stop_gates_master_loop_ops(catalog):
