@@ -139,6 +139,11 @@ class Admin(TopologyMixin):
                 "basePath", f"{self.catalog_dir}/{data_dir}"
             ).parquet(*sft_files)
             cells = df.drop("_region") if "_region" in df.columns else df
+        elif sft_files is not None:
+            # FILE tracker with an EMPTY manifest: the table has no
+            # store files — honor that (directory listing would
+            # resurrect out-of-band files the tracker must hide)
+            cells = self.spark.createDataFrame([], schema=cell_schema())
         else:
             cells = read_table(self.spark, f"{self.catalog_dir}/{data_dir}")
         if desc.get("mob_dir"):

@@ -181,15 +181,25 @@ class ProcedureExecutor:
                             "action": "left_for_bypass"})
                 continue
             proc = cls(**p["args"])
-            if p["state"] == "FAILED_ROLLINGBACK":
-                self._rollback(p["pid"], proc, list(p["steps_done"]),
-                               dict(p["ctx"]))
+            # per-procedure failure isolation (the reference executor
+            # keeps loading the store when one procedure's resume
+            # fails) — except SimulatedCrash, which models THIS
+            # process dying and must propagate
+            try:
+                if p["state"] == "FAILED_ROLLINGBACK":
+                    self._rollback(p["pid"], proc, list(p["steps_done"]),
+                                   dict(p["ctx"]))
+                    out.append({"pid": p["pid"], "type": p["type"],
+                                "action": "rolled_back"})
+                else:
+                    self._drive(p["pid"], proc)
+                    out.append({"pid": p["pid"], "type": p["type"],
+                                "action": "resumed"})
+            except SimulatedCrash:
+                raise
+            except BaseException as e:  # noqa: BLE001 — isolation boundary
                 out.append({"pid": p["pid"], "type": p["type"],
-                            "action": "rolled_back"})
-            else:
-                self._drive(p["pid"], proc)
-                out.append({"pid": p["pid"], "type": p["type"],
-                            "action": "resumed"})
+                            "action": f"failed: {type(e).__name__}: {e}"})
         return out
 
 
@@ -228,13 +238,19 @@ class TruncateTableProcedure(StepProcedure):
         def add_to_meta(a, ctx):
             desc = a._read_desc(name)
             ctx["old_data_dir"] = desc.get("data_dir")
+            ctx["old_mob_dir"] = desc.get("mob_dir")
             desc["version"] = ctx["version"]
             desc["data_dir"] = ctx["data_dir"]
+            # the MOB side-store is table data too: truncate drops it
+            # (scans union mob_dir back in — leaving it would
+            # resurrect every over-threshold value)
+            desc["mob_dir"] = None
             a._write_desc(name, desc)
 
         def undo_meta(a, ctx):
             desc = a._read_desc(name)
             desc["data_dir"] = ctx["old_data_dir"]
+            desc["mob_dir"] = ctx["old_mob_dir"]
             a._write_desc(name, desc)
 
         return [

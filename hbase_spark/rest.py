@@ -79,7 +79,8 @@ class RestGateway:
 
     def __init__(self, admin, host: str = "127.0.0.1", port: int = 0):
         self.admin = admin
-        self._scanners: dict[str, _Scanner] = {}
+        self._scanners: dict[str, tuple] = {}  # sid -> (scanner, seen)
+        self.scanner_lease_sec = 300.0  # ScannerResource lease analog
         self._seq = 0
         self._lock = threading.Lock()
         # per-table write locks: a mutation is read-mutate-flush, and
@@ -197,6 +198,33 @@ class RestGateway:
         ]}
 
     @staticmethod
+    def _family_descriptor(col: dict):
+        """ColumnSchemaModel attributes -> FamilyDescriptor (the
+        reference applies the submitted VERSIONS/TTL/... — a bare
+        default would silently drop the client's schema knobs).
+        TTL arrives in seconds like the HBase attribute."""
+        from hbase_spark.table import FamilyDescriptor
+
+        kw = {}
+        if "VERSIONS" in col:
+            kw["max_versions"] = int(col["VERSIONS"])
+        if "MIN_VERSIONS" in col:
+            kw["min_versions"] = int(col["MIN_VERSIONS"])
+        if "TTL" in col:
+            kw["ttl_ms"] = int(col["TTL"]) * 1000
+        if "KEEP_DELETED_CELLS" in col:
+            kw["keep_deleted_cells"] = str(
+                col["KEEP_DELETED_CELLS"]
+            ).upper() in ("TRUE", "1")
+        if "NEW_VERSION_BEHAVIOR" in col:
+            kw["new_version_behavior"] = str(
+                col["NEW_VERSION_BEHAVIOR"]
+            ).upper() in ("TRUE", "1")
+        if "MOB_THRESHOLD" in col:
+            kw["mob_threshold"] = int(col["MOB_THRESHOLD"])
+        return FamilyDescriptor(**kw)
+
+    @staticmethod
     def _split_col(col: str) -> tuple[str, str | None]:
         if ":" in col:
             f, q = col.split(":", 1)
@@ -269,18 +297,20 @@ class RestGateway:
             })
         if method in ("PUT", "POST"):  # create / update
             body = h._body()
-            fams = [c["name"] for c in body.get("ColumnSchema", [])]
-            if not fams:
+            cols = body.get("ColumnSchema", [])
+            if not cols:
                 raise ValueError("ColumnSchema required")
+            fams = {c["name"]: self._family_descriptor(c) for c in cols}
             if admin.table_exists(name):
                 # Stargate clients PUT the full schema to add a family:
-                # only families the table lacks are added — existing
-                # descriptors keep their knobs (a default-constructed
-                # alter would silently reset VERSIONS/TTL)
+                # only families the table lacks are added, WITH their
+                # submitted attributes — existing descriptors keep
+                # their knobs (a default-constructed alter would
+                # silently reset VERSIONS/TTL)
                 existing = set(admin.describe(name)["families"])
-                for f in fams:
+                for f, fd in fams.items():
                     if f not in existing:
-                        admin.alter(name, f)
+                        admin.alter(name, f, fd)
                 return h._reply(200)
             admin.create_table(name, fams)
             return h._reply(201)
@@ -338,12 +368,18 @@ class RestGateway:
             seq = self._next_seq()
             default_ts = ts if ts is not None else self._now_ms()
             puts = []
-            for rm in body.get("Row", []):
-                rkey = _b64d(rm["key"])
-                for cm in rm.get("Cell", []):
-                    fam, qual = self._split_col(_b64d(cm["column"]))
-                    cts = int(cm.get("timestamp", default_ts))
-                    puts.append((rkey, fam, qual, _b64d(cm["$"]), cts))
+            try:
+                for rm in body.get("Row", []):
+                    rkey = _b64d(rm["key"])
+                    for cm in rm.get("Cell", []):
+                        fam, qual = self._split_col(_b64d(cm["column"]))
+                        cts = int(cm.get("timestamp", default_ts))
+                        puts.append(
+                            (rkey, fam, qual, _b64d(cm["$"]), cts)
+                        )
+            except KeyError as e:
+                # missing key/column/$ is a BAD REQUEST, not a 404
+                raise ValueError(f"malformed CellSet body: {e}") from e
             if not puts:
                 raise ValueError("empty CellSet body")
             with self._write_lock(name):
@@ -394,9 +430,19 @@ class RestGateway:
                 "row", "family", "qualifier"
             )
             sid = uuid.uuid4().hex[:16]
+            import time
+
             with self._lock:
-                self._scanners[sid] = _Scanner(
-                    df, int(body.get("batch", 100))
+                # lease expiry (ScannerResource's scanner lease):
+                # abandoned scanners must not pin iterators forever
+                now = time.time()
+                for k in [
+                    k for k, (_, seen) in self._scanners.items()
+                    if now - seen > self.scanner_lease_sec
+                ]:
+                    del self._scanners[k]
+                self._scanners[sid] = (
+                    _Scanner(df, int(body.get("batch", 100))), now
                 )
             return h._reply(201, {}, headers={
                 "Location": f"{self.base_url}/{name}/scanner/{sid}"
@@ -404,10 +450,15 @@ class RestGateway:
         if not rest:
             raise ValueError("scanner id required")
         sid = rest[0]
+        import time
+
         with self._lock:
-            sc = self._scanners.get(sid)
-        if sc is None:
+            entry = self._scanners.get(sid)
+            if entry is not None:
+                self._scanners[sid] = (entry[0], time.time())
+        if entry is None:
             raise KeyError(f"no scanner {sid}")
+        sc = entry[0]
         if method == "GET":
             cells = sc.next_cells()
             if not cells:

@@ -154,7 +154,8 @@ class THBaseServiceHandler:
         self._lock = threading.Lock()
         # per-table write locks: read-mutate-flush spans must not
         # interleave or the first writer's cells are lost
-        self._write_locks: dict[str, threading.Lock] = {}
+        self._write_locks: dict[str, threading.RLock] = {}
+        self.scanner_lease_sec = 300.0  # reference scanner lease analog
 
     # -- helpers ------------------------------------------------------------
 
@@ -176,9 +177,10 @@ class THBaseServiceHandler:
     def _table(self, name: str):
         return self.admin.table(name)
 
-    def _write_lock(self, name: str) -> threading.Lock:
+    def _write_lock(self, name: str):
+        # reentrant: checkAndPut holds it across guard-read + put
         with self._lock:
-            return self._write_locks.setdefault(name, threading.Lock())
+            return self._write_locks.setdefault(name, threading.RLock())
 
     def _commit(self, name: str, table) -> None:
         self.admin.flush(name, table)
@@ -228,6 +230,21 @@ class THBaseServiceHandler:
             kw["FILTER"] = tget.filterString
         return shell_get(self._table(name), tget.row, **kw)
 
+    @staticmethod
+    def _latest_ts(t, row, family, qualifier) -> int | None:
+        """Newest version's timestamp for one cell (bounded 1-row
+        read) — the reference's delete-latest-version resolution."""
+        from pyspark.sql import functions as F
+
+        cond = (F.col("family") == family)
+        if qualifier is not None:
+            cond = cond & (F.col("qualifier") == qualifier)
+        hit = (
+            t.get(row).filter(cond)
+            .orderBy(F.col("ts").desc()).select("ts").take(1)
+        )
+        return int(hit[0]["ts"]) if hit else None
+
     # -- point reads ----------------------------------------------------------
 
     def exists(self, table: str, tget: TGet) -> bool:
@@ -272,7 +289,10 @@ class THBaseServiceHandler:
             t = self._table(table)
             for p in tputs:
                 for cv in p.columnValues:
-                    ts = cv.timestamp or p.timestamp or now
+                    # explicit ts=0 is legal — no falsy coalescing
+                    ts = cv.timestamp if cv.timestamp is not None else (
+                        p.timestamp if p.timestamp is not None else now
+                    )
                     t = t.put(
                         [(p.row, cv.family, cv.qualifier, cv.value)],
                         ts=int(ts), seq=seq,
@@ -282,15 +302,21 @@ class THBaseServiceHandler:
     def checkAndPut(self, table: str, row: str, family: str,
                     qualifier: str, value: str | None,
                     tput: TPut) -> bool:
-        """value=None guards on column ABSENCE, like the reference."""
+        """value=None guards on column ABSENCE, like the reference.
+        Guard read and mutation run under the table's write lock —
+        check-and-mutate is atomic, not TOCTOU."""
         from hbase_spark.shell import shell_get
 
-        t = self._table(table)
-        cur = shell_get(t, row, COLUMNS=[f"{family}:{qualifier}"]).collect()
-        current = cur[0]["value"] if cur else None
-        ok = (current == value) if value is not None else (current is None)
-        if ok:
-            self.put(table, tput)
+        with self._write_lock(table):
+            t = self._table(table)
+            cur = shell_get(
+                t, row, COLUMNS=[f"{family}:{qualifier}"]
+            ).collect()
+            current = cur[0]["value"] if cur else None
+            ok = (current == value) if value is not None \
+                else (current is None)
+            if ok:
+                self.put(table, tput)
         return ok
 
     def _apply_delete(self, t, tdel: TDelete, seq: int):
@@ -301,25 +327,37 @@ class THBaseServiceHandler:
         DELETE_COLUMN (one version) vs DELETE_COLUMNS (all)."""
         from hbase_spark.model import CellType
 
-        ts = int(tdel.timestamp) if tdel.timestamp is not None \
-            else self._now_ms()
+        has_ts = tdel.timestamp is not None
+        ts = int(tdel.timestamp) if has_ts else self._now_ms()
         if not tdel.columns:
             from hbase_spark.shell import shell_deleteall
 
             return shell_deleteall(t, tdel.row, ts=ts, seq=seq)
         by_kind: dict[object, list] = {}
         for c in tdel.columns:
+            exact_version = False
             if c.qualifier is None:
-                kind = (
-                    CellType.DELETE_FAMILY_VERSION
-                    if tdel.deleteType == TDeleteType.DELETE_FAMILY_VERSION
-                    else CellType.DELETE_FAMILY
-                )
+                if tdel.deleteType == TDeleteType.DELETE_FAMILY_VERSION:
+                    kind, exact_version = (
+                        CellType.DELETE_FAMILY_VERSION, True
+                    )
+                else:
+                    kind = CellType.DELETE_FAMILY
             elif tdel.deleteType == TDeleteType.DELETE_COLUMN:
-                kind = CellType.DELETE
+                kind, exact_version = CellType.DELETE, True
             else:
                 kind = CellType.DELETE_COLUMN
-            cts = int(c.timestamp) if c.timestamp is not None else ts
+            if c.timestamp is not None:
+                cts = int(c.timestamp)
+            elif exact_version and not has_ts:
+                # exact-version tombstones mask ONLY their own ts: with
+                # no ts given, the reference deletes the NEWEST version
+                # - resolve its timestamp, else the delete is a no-op
+                cts = self._latest_ts(t, tdel.row, c.family, c.qualifier)
+                if cts is None:
+                    continue  # nothing to delete
+            else:
+                cts = ts
             by_kind.setdefault((kind, cts), []).append(
                 (tdel.row, c.family, c.qualifier)
             )
@@ -349,12 +387,16 @@ class THBaseServiceHandler:
                        tdelete: TDelete) -> bool:
         from hbase_spark.shell import shell_get
 
-        t = self._table(table)
-        cur = shell_get(t, row, COLUMNS=[f"{family}:{qualifier}"]).collect()
-        current = cur[0]["value"] if cur else None
-        ok = (current == value) if value is not None else (current is None)
-        if ok:
-            self.deleteSingle(table, tdelete)
+        with self._write_lock(table):
+            t = self._table(table)
+            cur = shell_get(
+                t, row, COLUMNS=[f"{family}:{qualifier}"]
+            ).collect()
+            current = cur[0]["value"] if cur else None
+            ok = (current == value) if value is not None \
+                else (current is None)
+            if ok:
+                self.deleteSingle(table, tdelete)
         return ok
 
     def increment(self, table: str, tincrement: TIncrement) -> TResult:
@@ -422,20 +464,35 @@ class THBaseServiceHandler:
         return df.orderBy(*order)
 
     def openScanner(self, table: str, tscan: TScan) -> int:
+        import time
+
         from hbase_spark.rest import _Scanner
 
         df = self._scan_df(table, tscan)
         with self._lock:
+            # lease expiry (the reference's scanner lease): abandoned
+            # scanners would otherwise pin their iterators forever
+            now = time.time()
+            for sid in [
+                k for k, (_, seen) in self._scanners.items()
+                if now - seen > self.scanner_lease_sec
+            ]:
+                del self._scanners[sid]
             self._next_scanner += 1
             sid = self._next_scanner
-            self._scanners[sid] = _Scanner(df, tscan.caching or 100)
+            self._scanners[sid] = (_Scanner(df, tscan.caching or 100), now)
         return sid
 
     def getScannerRows(self, scannerId: int, numRows: int = 1) -> list[TResult]:
+        import time
+
         with self._lock:
-            sc = self._scanners.get(scannerId)
-        if sc is None:
+            entry = self._scanners.get(scannerId)
+            if entry is not None:
+                self._scanners[scannerId] = (entry[0], time.time())
+        if entry is None:
             raise ValueError(f"invalid scanner id {scannerId}")
+        sc = entry[0]
         sc.batch = max(1, numRows)
         return self._tresults([r.asDict() for r in sc.next_cells()])
 

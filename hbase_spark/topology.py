@@ -236,9 +236,10 @@ class TopologyMixin:
         with self._procedure("SERVER_CRASH", None, lock="SHARED"):
             held = self._regions_on(server)
             t = self._read_topology()
+            g = self._read_rsgroups()
             t["servers"][server]["state"] = "DEAD"
             for table, region in held:
-                self._reassign_or_park_t(t, table, region)
+                self._reassign_or_park_t(t, table, region, g)
             self._write_topology(t)
 
     def stop_master(self) -> None:
@@ -277,29 +278,34 @@ class TopologyMixin:
             for r in self.list_regions(name).collect()
         )
 
-    def _eligible_servers(self, name: str, *,
-                          topo: dict | None = None) -> list[str]:
+    def _eligible_servers(self, name: str, *, topo: dict | None = None,
+                          groups: dict | None = None) -> list[str]:
         """Placement candidates for NEW assignments: LIVE servers in
         the table's rsgroup when the group has servers
         (RSGroupBasedLoadBalancer confines placement to the group),
         else every live server.  Draining servers are excluded —
         their CURRENT regions keep serving because decommission pins
         them as explicit assignments (DrainingServerTracker: the
-        marker only prevents additional assignment)."""
+        marker only prevents additional assignment).  Batch callers
+        pass ``topo`` AND ``groups`` so a crash affecting R regions
+        costs two catalog reads total, not 2R."""
         t = topo if topo is not None else self._read_topology()
+        g = groups if groups is not None else self._read_rsgroups()
         pool = {
             s for s, info in t["servers"].items()
             if info["state"] == "LIVE"
         }
-        group = self.get_rsgroup_of_table(name)
-        members = set(
-            self._read_rsgroups().get(group, {}).get("servers", [])
+        group = next(
+            (k for k, info in g.items() if name in info.get("tables", [])),
+            None,
         )
+        members = set(g.get(group, {}).get("servers", [])) if group else set()
         return sorted(pool & members) if (pool & members) else sorted(pool)
 
     def _derived_server(self, name: str, region: str,
-                        topo: dict | None = None) -> str | None:
-        pool = self._eligible_servers(name, topo=topo)
+                        topo: dict | None = None,
+                        groups: dict | None = None) -> str | None:
+        pool = self._eligible_servers(name, topo=topo, groups=groups)
         if not pool:
             return None
         h = int.from_bytes(
@@ -307,11 +313,12 @@ class TopologyMixin:
         )
         return pool[h % len(pool)]
 
-    def _server_of_region_t(self, t: dict, name: str,
-                            region: str) -> str | None:
-        """server_of_region against an already-read topology dict —
-        batch callers read once and reuse (the catalog file is bounded,
-        but per-region re-reads made crash handling O(R) file IO)."""
+    def _server_of_region_t(self, t: dict, name: str, region: str,
+                            groups: dict | None = None) -> str | None:
+        """server_of_region against already-read catalog dicts —
+        batch callers read once and reuse (the catalog files are
+        bounded, but per-region re-reads made crash handling O(R)
+        file IO)."""
         explicit = t["assignments"].get(f"{name}/{region}")
         if explicit and t["servers"].get(explicit, {}).get("state") in (
             "LIVE", "DECOMMISSIONED",
@@ -319,7 +326,7 @@ class TopologyMixin:
             return explicit
         if f"{name}/{region}" in t["rit"]:
             return None
-        return self._derived_server(name, region, t)
+        return self._derived_server(name, region, t, groups)
 
     def server_of_region(self, name: str, region: str) -> str | None:
         """Who serves this region: the explicit assignment if an
@@ -330,25 +337,28 @@ class TopologyMixin:
         return self._server_of_region_t(self._read_topology(), name, region)
 
     def assignments(self, name: str) -> dict[str, str | None]:
-        """Full region -> server map for a table (one topology read)."""
+        """Full region -> server map for a table (one topology read +
+        one rsgroups read)."""
         t = self._read_topology()
+        g = self._read_rsgroups()
         return {
-            r: self._server_of_region_t(t, name, r)
+            r: self._server_of_region_t(t, name, r, g)
             for r in self._region_inventory(name)
         }
 
     def _regions_on(self, server: str) -> list[tuple[str, str]]:
         """Every (table, region) currently served by ``server`` —
-        explicit and derived.  One topology read; one region-inventory
-        job per enabled table (bounded by region counts, the same
-        collect list_regions already does)."""
+        explicit and derived.  One topology read + one rsgroups read;
+        one region-inventory job per enabled table (bounded by region
+        counts, the same collect list_regions already does)."""
         t = self._read_topology()
+        g = self._read_rsgroups()
         out = []
         for name in self.list_tables():
             if not self.is_table_enabled(name):
                 continue
             for region in self._region_inventory(name):
-                if self._server_of_region_t(t, name, region) == server:
+                if self._server_of_region_t(t, name, region, g) == server:
                     out.append((name, region))
         return out
 
@@ -368,9 +378,10 @@ class TopologyMixin:
                 return name
         raise ValueError(f"unknown region {region!r}")
 
-    def _reassign_or_park_t(self, t: dict, table: str, region: str) -> None:
+    def _reassign_or_park_t(self, t: dict, table: str, region: str,
+                            groups: dict | None = None) -> None:
         """Reassign in the given topology dict (caller persists once)."""
-        pool = self._eligible_servers(table, topo=t)
+        pool = self._eligible_servers(table, topo=t, groups=groups)
         key = f"{table}/{region}"
         if pool:
             t["assignments"][key] = self._least_loaded(t, pool)
@@ -392,8 +403,9 @@ class TopologyMixin:
         read-mutate-write, however many regions move."""
         held = self._regions_on(server)
         t = self._read_topology()
+        g = self._read_rsgroups()
         for table, region in held:
-            self._reassign_or_park_t(t, table, region)
+            self._reassign_or_park_t(t, table, region, g)
         self._write_topology(t)
 
     def move(self, region: str, server: str | None = None,
@@ -680,10 +692,7 @@ class TopologyMixin:
         paths = [self._abs_data_dir(desc, name)]
         if desc.get("mob_dir"):
             paths.append(f"{self.catalog_dir}/{desc['mob_dir']}")
-        files = len(self._list_layout_files(desc, name))
-        for p in paths[1:]:
-            for _root, _dirs, names in os.walk(p):
-                files += sum(n.endswith(".parquet") for n in names)
+        files = sum(len(self._list_parquet(p)) for p in paths)
         for p in paths:
             self.spark.catalog.refreshByPath(p)
         return {"table": name, "evicted_paths": len(paths),
@@ -851,15 +860,27 @@ class TopologyMixin:
         safe = name.replace(":", "__")
         return f"{self.catalog_dir}/{safe}/sft-manifest.json"
 
-    def _list_layout_files(self, desc: dict, name: str) -> list[str]:
-        root = self._abs_data_dir(desc, name)
+    def _list_parquet(self, root: str) -> list[str]:
+        """Recursive parquet listing via the Hadoop FS API (like
+        ``_dir_bytes``), so manifests work on HDFS/object-store
+        catalogs, not just local paths — the FILE tracker exists
+        precisely for those."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return []
+        qroot = fs.makeQualified(p).toString().rstrip("/")
         out = []
-        for dirpath, _dirs, files in os.walk(root):
-            for f in files:
-                if f.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(dirpath, f), root)
-                    out.append(rel)
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next().getPath().toString()
+            if f.endswith(".parquet") and f.startswith(qroot + "/"):
+                out.append(f[len(qroot) + 1:])
         return sorted(out)
+
+    def _list_layout_files(self, desc: dict, name: str) -> list[str]:
+        return self._list_parquet(self._abs_data_dir(desc, name))
 
     def _write_sft_manifest(self, name: str, desc: dict) -> dict:
         """StoreFileListFile.java: persist the authoritative store-file

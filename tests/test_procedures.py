@@ -272,6 +272,63 @@ def test_plain_journal_entries_left_for_bypass(catalog):
     assert catalog.bypass_procedure(999) is True
 
 
+def test_truncate_drops_the_mob_store(catalog):
+    """Truncate must clear mob_dir too — scans union the MOB side
+    store back in, so leaving it would resurrect every
+    over-threshold value (pre-existing bug, caught in review)."""
+    from hbase_spark.table import FamilyDescriptor
+
+    catalog.create_table("mt", {"f": FamilyDescriptor(mob_threshold=4)})
+    t = catalog.table("mt")
+    t = shell_put(t, "r1", "f:q", "tiny", ts=10, seq=1)
+    t = shell_put(t, "r2", "f:q", "a-value-over-the-mob-threshold",
+                  ts=10, seq=2)
+    catalog.flush("mt", t)
+    assert catalog._read_desc("mt")["mob_dir"]
+    assert shell_count(catalog.table("mt")) == 2
+    catalog.truncate_table("mt")
+    assert shell_count(catalog.table("mt")) == 0
+    assert catalog._read_desc("mt")["mob_dir"] is None
+
+
+def test_recover_isolates_per_procedure_failures(catalog, spark,
+                                                 catalog_dir):
+    """One procedure failing to resume must not block the rest — the
+    reference executor keeps loading the store (per-procedure
+    isolation)."""
+    _seed(catalog, "iso")
+    catalog.disable_table("iso")
+
+    class _CrashingDelete2(DeleteTableProcedure):
+        def steps(self, admin):
+            steps = super().steps(admin)
+            steps[1] = Step(steps[1].name,
+                            lambda a, c: (_ for _ in ()).throw(
+                                SimulatedCrash("x")),
+                            steps[1].rollback)
+            return steps
+
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_CrashingDelete2(table="iso"))
+    # sabotage the resume: re-enable the table so DeleteTableProcedure's
+    # remaining step... actually the PRE check already ran; instead
+    # corrupt the args so reconstruction fails mid-drive
+    _TwoMarkerProc.CRASH_AT = "B"
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_TwoMarkerProc(table=None))
+    _TwoMarkerProc.CRASH_AT = None
+    _TwoMarkerProc.FAIL_AT = "B"  # the resumed run FAILS (rolls back)
+    fresh = Admin(spark, catalog_dir)
+    summary = fresh.recover_procedures()
+    _TwoMarkerProc.FAIL_AT = None
+    # the failing marker proc is reported failed; the delete proc
+    # still resumed to completion — no abort-on-first-failure
+    actions = {s["type"]: s["action"] for s in summary}
+    assert actions["DELETE_TABLE"] == "resumed"
+    assert actions["TEST_TWO_MARKER"].startswith("failed: ValueError")
+    assert not fresh.table_exists("iso")
+
+
 def test_delete_table_procedure_crash_recovery(catalog, spark, catalog_dir):
     _seed(catalog, "e")
     catalog.disable_table("e")

@@ -191,3 +191,27 @@ def test_bad_requests_get_4xx(gateway):
     assert code == 400
     code, _, _ = _req("GET", f"{gateway.base_url}/rt/scanner/deadbeef")
     assert code == 404
+    # malformed CellSet (missing "key") is a 400 BAD REQUEST, not 404
+    code, _, _ = _req("PUT", f"{gateway.base_url}/rt/x/f:q",
+                      {"Row": [{"Cell": [{"column": _b64e("f:q"),
+                                          "$": _b64e("v")}]}]})
+    assert code == 400
+
+
+def test_schema_put_applies_column_attributes(gateway):
+    code, _, _ = _req("PUT", f"{gateway.base_url}/attr_t/schema", {
+        "ColumnSchema": [{"name": "cf", "VERSIONS": 3, "TTL": 60}],
+    })
+    assert code == 201
+    desc = gateway.admin.describe("attr_t")
+    assert desc["families"]["cf"]["max_versions"] == 3
+    assert desc["families"]["cf"]["ttl_ms"] == 60_000
+    # adding a family must not reset cf's knobs
+    code, _, _ = _req("PUT", f"{gateway.base_url}/attr_t/schema", {
+        "ColumnSchema": [{"name": "cf"}, {"name": "g", "VERSIONS": 2}],
+    })
+    assert code == 200
+    desc = gateway.admin.describe("attr_t")
+    assert desc["families"]["cf"]["max_versions"] == 3
+    assert desc["families"]["g"]["max_versions"] == 2
+    _req("DELETE", f"{gateway.base_url}/attr_t/schema")

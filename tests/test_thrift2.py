@@ -150,6 +150,39 @@ def test_family_level_delete_and_put_after_delete(handler):
     }
 
 
+def test_delete_column_without_ts_deletes_newest_version(handler):
+    handler.putMultiple("tt", [
+        TPut(row="dv", columnValues=[TColumnValue("f", "v", "old",
+                                                  timestamp=100)]),
+        TPut(row="dv", columnValues=[TColumnValue("f", "v", "new",
+                                                  timestamp=200)]),
+    ])
+    # DELETE_COLUMN (single version) with no ts: the reference deletes
+    # the NEWEST version — the older one becomes visible again
+    handler.deleteSingle("tt", TDelete(
+        row="dv", columns=[TColumn("f", "v")],
+        deleteType=TDeleteType.DELETE_COLUMN,
+    ))
+    res = handler.get("tt", TGet(row="dv"))
+    assert [(c.value, c.timestamp) for c in res.columnValues] == [
+        ("old", 100)
+    ]
+    # deleting a nonexistent column is a no-op, not a stray tombstone
+    handler.deleteSingle("tt", TDelete(
+        row="dv", columns=[TColumn("f", "ghost")],
+        deleteType=TDeleteType.DELETE_COLUMN,
+    ))
+    assert handler.exists("tt", TGet(row="dv")) is True
+
+
+def test_put_timestamp_zero_is_honored(handler):
+    handler.put("tt", TPut(row="z0", columnValues=[
+        TColumnValue("f", "q", "epoch", timestamp=0),
+    ]))
+    res = handler.get("tt", TGet(row="z0", timeRange=TTimeRange(0, 1)))
+    assert res.columnValues[0].timestamp == 0
+
+
 def test_increment_append_return_results(handler):
     handler.increment("tt", TIncrement(
         row="ctr", columns=[TColumnIncrement("f", "n", 5)],

@@ -376,6 +376,17 @@ def test_change_sft_family_form_and_change_sft_all(catalog):
     assert catalog._read_desc("sft_g").get("sft") is None
 
 
+def test_sft_on_empty_table_reads_empty(catalog):
+    """A FILE-tracker table with an empty manifest must read as empty
+    (falling back to directory listing would resurrect out-of-band
+    files the tracker exists to hide)."""
+    catalog.create_table("sft_e", ["f"])
+    catalog.disable_table("sft_e")
+    catalog.change_sft("sft_e", "FILE")
+    catalog.enable_table("sft_e")
+    assert shell_count(catalog.table("sft_e")) == 0
+
+
 # -- exceed throttle quota ----------------------------------------------------
 
 
