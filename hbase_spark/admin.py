@@ -173,7 +173,13 @@ class Admin(TopologyMixin):
         ``action`` feeds space-quota enforcement
         (quotas/SpaceViolationPolicy.java): "write" (default),
         "compact" (major_compact's rewrite — allowed under NO_WRITES),
-        or "delete" (a deletes-only batch — allowed under NO_INSERTS)."""
+        or "delete" (a deletes-only batch — allowed under NO_INSERTS).
+
+        Client-write flushes are fenced on a STANDBY sync cluster
+        (assert_sync_writable); compaction rewrites stay allowed, like
+        the reference's server-side operations."""
+        if action == "write":
+            self.assert_sync_writable(name)
         self.check_space_quota(name, action=action)
         desc = self._read_desc(name)
         v = desc.get("version", 0) + 1
@@ -1044,6 +1050,12 @@ class Admin(TopologyMixin):
         except ValueError:
             return {"space": {}, "throttle": {}}
 
+    def _fs_exists(self, path: str) -> bool:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def _dir_bytes(self, path: str) -> int:
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
@@ -1332,6 +1344,15 @@ class Admin(TopologyMixin):
         checkpoint stays, so re-enabling resumes from where it left."""
         self._set_peer_enabled(peer_id, False)
 
+    def _guard_sync_scope(self, peer_id: str) -> None:
+        """Scope-change guard for every peer-config mutator that
+        alters WHAT replicates (ReplicationPeerManager.java
+        preUpdatePeerConfig diffs the whole config, not just
+        table_cfs): replicate_all, namespaces, excludes included."""
+        peer = self._read_peers().get(peer_id)
+        if peer is not None:
+            self._reject_sync_scope_change(peer, peer_id)
+
     def _reject_sync_scope_change(self, peer: dict, peer_id: str) -> None:
         """ReplicationPeerManager.java:258-268 preUpdatePeerConfig:
         changing the replicated table/family config on a SYNCHRONOUS
@@ -1508,14 +1529,32 @@ class Admin(TopologyMixin):
                 f"can not transit current cluster state from {cur} to "
                 f"{state} for peer id={peer_id}"
             )
+        promoting = cur == "STANDBY" and state == "DOWNGRADE_ACTIVE"
+        if promoting:
+            # shipped edits for a table this cluster lacks would be
+            # silently lost: fail the promotion BEFORE any state
+            # change so the operator can create the table and retry
+            missing = sorted(
+                n for n, _ in self._remote_wal_table_dirs(peers[peer_id])
+                if n not in self.list_tables()
+            )
+            if missing:
+                raise ValueError(
+                    "remote WALs reference table(s) this cluster does "
+                    f"not have: {missing}; create them before promoting"
+                )
         with self._procedure(
             "TRANSIT_PEER_SYNC_REPLICATION_STATE", None
         ):
-            if cur == "STANDBY" and state == "DOWNGRADE_ACTIVE":
-                self._replay_remote_wals(peers[peer_id])
+            # state first, replay second (the reference procedure
+            # transitions the peer state before REPLAY_REMOTE_WAL) —
+            # also required here so the replay's own flushes pass the
+            # standby write fence
             peers = self._read_peers()
             peers[peer_id]["sync_state"] = state
             self._write_json(self._peers_path(), peers)
+            if promoting:
+                self._replay_remote_wals(peers[peer_id])
 
     def _remote_wal_table_dirs(self, peer: dict) -> list[tuple[str, str]]:
         import os
@@ -1541,7 +1580,12 @@ class Admin(TopologyMixin):
 
         for name, d in self._remote_wal_table_dirs(peer):
             if name not in self.list_tables():
-                continue
+                # transit prechecks this; reaching it mid-replay means
+                # the table vanished under us — never silently drop
+                # shipped edits
+                raise ValueError(
+                    f"remote WALs for unknown table {name!r}"
+                )
             edits = wal_player(self.spark, d)
             t = self.table(name)
             merged = t.cells.unionByName(edits.select(*t.cells.columns))
@@ -1596,6 +1640,8 @@ class Admin(TopologyMixin):
         refuses client mutations while the cluster is the standby;
         replication applies are exempt, which in this model simply
         means replicate_log/stream_merge never call this check)."""
+        if not self._fs_exists(self._peers_path()):
+            return  # no peers at all: zero-cost fast path
         scoped = self._scoped_families(name)
         for peer_id, peer in self._read_peers().items():
             if peer.get("sync_state") != "STANDBY":
@@ -2542,6 +2588,7 @@ class Admin(TopologyMixin):
         replicate-all conflicts with an explicit include scope and
         not-replicate-all conflicts with an exclude scope
         (ReplicationPeerConfigUtil checks the same)."""
+        self._guard_sync_scope(peer_id)
 
         def mutate(p):
             if flag and (p.get("table_cfs") or p.get("namespaces")):
@@ -2584,26 +2631,32 @@ class Admin(TopologyMixin):
 
     def set_peer_namespaces(self, peer_id: str, namespaces) -> None:
         """shell `set_peer_namespaces`."""
+        self._guard_sync_scope(peer_id)
         self._set_peer_list(peer_id, "namespaces", namespaces)
 
     def append_peer_namespaces(self, peer_id: str, namespaces) -> None:
         """shell `append_peer_namespaces`."""
+        self._guard_sync_scope(peer_id)
         self._append_peer_list(peer_id, "namespaces", namespaces)
 
     def remove_peer_namespaces(self, peer_id: str, namespaces) -> None:
         """shell `remove_peer_namespaces`."""
+        self._guard_sync_scope(peer_id)
         self._remove_peer_list(peer_id, "namespaces", namespaces)
 
     def set_peer_exclude_namespaces(self, peer_id: str, namespaces) -> None:
         """shell `set_peer_exclude_namespaces`."""
+        self._guard_sync_scope(peer_id)
         self._set_peer_list(peer_id, "exclude_namespaces", namespaces)
 
     def append_peer_exclude_namespaces(self, peer_id: str, namespaces) -> None:
         """shell `append_peer_exclude_namespaces`."""
+        self._guard_sync_scope(peer_id)
         self._append_peer_list(peer_id, "exclude_namespaces", namespaces)
 
     def remove_peer_exclude_namespaces(self, peer_id: str, namespaces) -> None:
         """shell `remove_peer_exclude_namespaces`."""
+        self._guard_sync_scope(peer_id)
         self._remove_peer_list(peer_id, "exclude_namespaces", namespaces)
 
     @staticmethod
@@ -2632,12 +2685,14 @@ class Admin(TopologyMixin):
 
     def set_peer_exclude_table_cfs(self, peer_id: str, table_cfs) -> None:
         """shell `set_peer_exclude_tableCFs`."""
+        self._guard_sync_scope(peer_id)
         self._update_peer(
             peer_id, lambda p: p.__setitem__("exclude_table_cfs", table_cfs)
         )
 
     def append_peer_exclude_table_cfs(self, peer_id: str, table_cfs) -> None:
         """shell `append_peer_exclude_tableCFs`."""
+        self._guard_sync_scope(peer_id)
         self._update_peer(
             peer_id,
             lambda p: p.__setitem__(
@@ -2648,6 +2703,7 @@ class Admin(TopologyMixin):
 
     def remove_peer_exclude_table_cfs(self, peer_id: str, table_cfs) -> None:
         """shell `remove_peer_exclude_tableCFs`."""
+        self._guard_sync_scope(peer_id)
         self._update_peer(
             peer_id,
             lambda p: p.__setitem__(

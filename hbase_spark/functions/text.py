@@ -1305,6 +1305,61 @@ def _rotr64(c: Column, k: Column) -> Column:
     )
 
 
+def _gram_hash_frames(base: DataFrame, n: int):
+    """Shared gram-hashing stage of ExactSubstr: from ``base``
+    (``_id``, ``_t`` token array) build the exploded token frame
+    (``_id``, ``_pos``, ``_w`` [, ``_gh``]) and the gram-start frame
+    (``_id``, ``_s``, ``_gh``).  Exposed as a seam so the profiling
+    tool (tools/profile_exact_substr.py) times the REAL stage instead
+    of a copy that could drift.  See remove_duplicated_substrings for
+    the cyclic-polynomial scheme and the n > 64 fallback rationale."""
+    toks = base.select(
+        "_id", F.posexplode("_t").alias("_pos", "_w")
+    )
+    if n <= 64:
+        # cyclic-polynomial rolling hash, relational form
+        wcum = (
+            Window.partitionBy("_id")
+            .orderBy("_pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wseq = Window.partitionBy("_id").orderBy("_pos")
+        px = F.bit_xor(
+            _rotl64(F.xxhash64("_w"), F.pmod(F.col("_pos"), F.lit(64)))
+        ).over(wcum)
+        hashed = toks.withColumn("_px", px)
+        gh = _rotr64(
+            F.lead("_px", n - 1).over(wseq).bitwiseXOR(
+                F.coalesce(F.lag("_px", 1).over(wseq), F.lit(0))
+            ),
+            F.pmod(F.col("_pos"), F.lit(64)),
+        )
+        toks = hashed.withColumn("_gh", gh).drop("_px")
+        starts = toks.filter(F.col("_gh").isNotNull()).select(
+            "_id", F.col("_pos").alias("_s"), "_gh"
+        )
+    else:
+        # n > 64: hash the n-long slice of PRE-HASHED tokens per start
+        # (xxhash64 accepts array<long> — structural hash over 8n
+        # bytes, still never re-reading text).  Token hashes
+        # materialize once in their own projection stage, like the
+        # tokenizer split (the re-evaluation trap documented in
+        # duplicate_ngram_stats).
+        th = base.filter(F.size("_t") >= n).select(
+            "_id", F.transform("_t", lambda t: F.xxhash64(t)).alias("_th")
+        )
+        starts = th.select(
+            "_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_th") - n),
+                    lambda i: F.xxhash64(F.slice("_th", i + 1, n)),
+                )
+            ).alias("_s", "_gh"),
+        )
+    return toks, starts
+
+
 def remove_duplicated_substrings(
     docs: DataFrame,
     *,
@@ -1355,50 +1410,7 @@ def remove_duplicated_substrings(
     base = docs.select(
         F.col(id_col).alias("_id"), _ascii_tokens(text_col).alias("_t")
     )
-    toks = base.select(
-        "_id", F.posexplode("_t").alias("_pos", "_w")
-    )
-    if n <= 64:
-        # cyclic-polynomial rolling hash, relational form
-        wcum = (
-            Window.partitionBy("_id")
-            .orderBy("_pos")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        wseq = Window.partitionBy("_id").orderBy("_pos")
-        px = F.bit_xor(
-            _rotl64(F.xxhash64("_w"), F.pmod(F.col("_pos"), F.lit(64)))
-        ).over(wcum)
-        hashed = toks.withColumn("_px", px)
-        gh = _rotr64(
-            F.lead("_px", n - 1).over(wseq).bitwiseXOR(
-                F.coalesce(F.lag("_px", 1).over(wseq), F.lit(0))
-            ),
-            F.pmod(F.col("_pos"), F.lit(64)),
-        )
-        toks = hashed.withColumn("_gh", gh).drop("_px")
-        starts = toks.filter(F.col("_gh").isNotNull()).select(
-            "_id", F.col("_pos").alias("_s"), "_gh"
-        )
-    else:
-        # n > 64: hash the n-long slice of PRE-HASHED tokens per start
-        # (xxhash64 accepts array<long> — structural hash over 8n
-        # bytes, still never re-reading text).  Token hashes
-        # materialize once in their own projection stage, like the
-        # tokenizer split (the re-evaluation trap documented in
-        # duplicate_ngram_stats).
-        th = base.filter(F.size("_t") >= n).select(
-            "_id", F.transform("_t", lambda t: F.xxhash64(t)).alias("_th")
-        )
-        starts = th.select(
-            "_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_th") - n),
-                    lambda i: F.xxhash64(F.slice("_th", i + 1, n)),
-                )
-            ).alias("_s", "_gh"),
-        )
+    toks, starts = _gram_hash_frames(base, n)
     dup = (
         starts.groupBy("_gh")
         .agg(F.count("*").alias("_c"))

@@ -162,8 +162,22 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     directly, no servers).  Layouts written with explicit
     ``split_points`` carry a ``_region`` partition dir; it is dropped
     from the schema (its pruning value lives in the directory
-    structure, not the rows)."""
-    df = spark.read.parquet(path)
+    structure, not the rows).
+
+    An EMPTY layout written through ``partitionBy`` has no part files
+    at all (partition dirs only materialize per value), so schema
+    inference fails — that is a valid state (compacting or balancing
+    an empty table), read as an empty CellFrame."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from hbase_spark.model import cell_schema
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], schema=cell_schema())
+        raise
     return df.drop("_region") if "_region" in df.columns else df
 
 

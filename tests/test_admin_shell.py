@@ -663,15 +663,31 @@ def test_sync_replication_failover_drill(catalog, spark):
         a.add_peer("plain", tempfile.mkdtemp(prefix="hb_plain_"))
         with pytest.raises(ValueError, match="can not transit"):
             a.transit_peer_sync_replication_state("plain", "ACTIVE")
-        # sync peers refuse scope changes and non-DA removal
+        # sync peers refuse scope changes and non-DA removal — EVERY
+        # scope mutator is guarded (preUpdatePeerConfig diffs the
+        # whole config, not just table_cfs)
         with pytest.raises(ValueError, match="not allowed"):
             a.set_peer_table_cfs("to_b", {"st": ["f"]})
+        with pytest.raises(ValueError, match="not allowed"):
+            a.set_peer_replicate_all("to_b", False)
+        with pytest.raises(ValueError, match="not allowed"):
+            a.set_peer_namespaces("to_b", ["ns1"])
+        with pytest.raises(ValueError, match="not allowed"):
+            a.append_peer_exclude_namespaces("to_b", ["ns1"])
+        with pytest.raises(ValueError, match="not allowed"):
+            a.set_peer_exclude_table_cfs("to_b", {"st": None})
         with pytest.raises(ValueError, match="DOWNGRADE_ACTIVE"):
             a.remove_peer("to_b")
 
-        # the standby's write fence is up for the scoped table
+        # the standby's write fence is up for the scoped table — and
+        # it is WIRED INTO the client-write path, not just the
+        # voluntary check: a flush on the standby raises
         with pytest.raises(ValueError, match="STANDBY"):
             b.assert_sync_writable("st")
+        with pytest.raises(ValueError, match="STANDBY"):
+            b.flush("st", b.table("st"))
+        # server-side rewrites stay allowed (action != "write")
+        b.major_compact("st")
 
         # A writes: batch 1 goes through BOTH paths (remote WAL + async
         # ship); batch 2 reaches only the remote WAL — the async ship
@@ -688,6 +704,21 @@ def test_sync_replication_failover_drill(catalog, spark):
             [("r9", "f", "q", 20, 4, "late", 99)], mode="append",
         )
         assert a.sync_wal_ship("st", log)["to_b"] == 1  # remote WAL only
+
+        # promotion PRECHECKS the remote-WAL table set: shipped edits
+        # for a table the standby lacks must fail the transit loudly
+        # (silently dropping them was the bug), BEFORE any state flip
+        log2 = tempfile.mkdtemp(prefix="hb_synclog2_") + "/wal"
+        a.create_table("st2", ["f"])
+        a.enable_table_replication("st2")
+        _write_log(spark, log2, [("x", "f", "q", 10, 4, "v", 1)])
+        a.sync_wal_ship("st2", log2)
+        with pytest.raises(ValueError, match="st2"):
+            b.transit_peer_sync_replication_state(
+                "to_a", "DOWNGRADE_ACTIVE"
+            )
+        assert b.get_peer_sync_replication_state("to_a") == "STANDBY"
+        b.create_table("st2", ["f"])  # operator fixes it, retry works
 
         # A dies.  Promote B: replay the remote WAL, lift the fence.
         b.transit_peer_sync_replication_state("to_a", "DOWNGRADE_ACTIVE")

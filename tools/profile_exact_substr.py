@@ -60,35 +60,15 @@ def _docs(spark, sf):
 
 
 def _stages(spark, sf):
-    from hbase_spark.functions.text import _ascii_tokens
+    # the gram stage comes from the LIBRARY seam — the profiler times
+    # the real pipeline, never a copy that could drift
+    from hbase_spark.functions.text import _ascii_tokens, _gram_hash_frames
 
     docs = _docs(spark, sf)
     base = docs.select(
         F.col("doc_id").alias("_id"), _ascii_tokens("text").alias("_t")
     )
-    toks = base.select("_id", F.posexplode("_t").alias("_pos", "_w"))
-    from hbase_spark.functions.text import _rotl64, _rotr64
-
-    wcum = (
-        Window.partitionBy("_id")
-        .orderBy("_pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wseq = Window.partitionBy("_id").orderBy("_pos")
-    px = F.bit_xor(
-        _rotl64(F.xxhash64("_w"), F.pmod(F.col("_pos"), F.lit(64)))
-    ).over(wcum)
-    hashed = toks.withColumn("_px", px)
-    gh = _rotr64(
-        F.lead("_px", N - 1).over(wseq).bitwiseXOR(
-            F.coalesce(F.lag("_px", 1).over(wseq), F.lit(0))
-        ),
-        F.pmod(F.col("_pos"), F.lit(64)),
-    )
-    toks = hashed.withColumn("_gh", gh).drop("_px")
-    starts = toks.filter(F.col("_gh").isNotNull()).select(
-        "_id", F.col("_pos").alias("_s"), "_gh"
-    )
+    toks, starts = _gram_hash_frames(base, N)
     dup = (
         starts.groupBy("_gh")
         .agg(F.count("*").alias("_c"))

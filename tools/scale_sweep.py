@@ -163,8 +163,9 @@ def main() -> None:
         "--tables",
         default=None,
         help="comma list: build only these fact tables at each scale "
-        "(dims always included) and skip entrymod.prepare — for large "
-        "octaves whose target queries read a table subset",
+        "(dims always included); entrymod.prepare runs only when the "
+        "subset includes the cell-layer tables (orders+lineitem) — "
+        "for large octaves whose target queries read a table subset",
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
