@@ -5918,7 +5918,8 @@ def q_doc_quality_serving(spark, sf):
         AND qualifier IN ('o_orderstatus'))
     SELECT 'sft' AS arm, * FROM r
     UNION ALL SELECT 'moved' AS arm, * FROM r
-    UNION ALL SELECT 'rest' AS arm, * FROM r""",
+    UNION ALL SELECT 'rest' AS arm, * FROM r
+    UNION ALL SELECT 'thrift' AS arm, * FROM r""",
 )
 def q_gateway_topology_scan(spark, sf):
     """Round-9 surfaces, hash-checked end-to-end: (a) `sft` — the table
@@ -5931,10 +5932,14 @@ def q_gateway_topology_scan(spark, sf):
     the same scan re-runs: assignment metadata must not perturb data;
     (c) `rest` — the same range pulled through a LIVE REST gateway
     (hbase-rest Stargate scanner protocol: POST scanner -> Location,
-    GET batches of base64 CellSet JSON, 204 on exhaustion).  The REST
-    arm materializes on the driver by design — the protocol is a
-    row-at-a-time RPC surface, and the range is key-bounded (~300
-    order keys), not corpus-sized."""
+    GET batches of base64 CellSet JSON, 204 on exhaustion); (d)
+    `thrift` — round 10: the same range pulled through a LIVE thrift
+    socket (THBaseService getScannerResults over the hand-rolled
+    TBinaryProtocol + framed transport, hbase_spark/thrift_wire.py),
+    so BOTH gateway wire protocols are hash-checked end-to-end.  The
+    gateway arms materialize on the driver by design — the protocols
+    are row-at-a-time RPC surfaces, and the range is key-bounded
+    (~300 order keys), not corpus-sized."""
     import base64
     import json
     import shutil
@@ -6004,6 +6009,34 @@ def q_gateway_topology_scan(spark, sf):
         recs, "rk string, qualifier string, value string"
     )
 
+    from hbase_spark.thrift2 import (
+        TColumn, THBaseServiceHandler, TScan, serve,
+    )
+    from hbase_spark.thrift_wire import ThriftClient
+
+    tserver = serve(THBaseServiceHandler(adm), port=0)
+    try:
+        client = ThriftClient(tserver.host, tserver.port)
+        try:
+            trecs = [
+                (res.row, cv.qualifier, cv.value)
+                for res in client.getScannerResults(
+                    "orders_cells",
+                    TScan(startRow="600".zfill(12),
+                          stopRow="900".zfill(12),
+                          columns=[TColumn("o", "o_orderstatus")]),
+                    numRows=100000,
+                )
+                for cv in res.columnValues
+            ]
+        finally:
+            client.close()
+    finally:
+        tserver.stop()
+    thrift = spark.createDataFrame(
+        trecs, "rk string, qualifier string, value string"
+    )
+
     def tag(df, arm):
         return df.select(F.lit(arm).alias("arm"), "rk", "qualifier", "value")
 
@@ -6011,6 +6044,7 @@ def q_gateway_topology_scan(spark, sf):
         tag(_rk(sft, "qualifier", "value"), "sft")
         .unionByName(tag(_rk(moved, "qualifier", "value"), "moved"))
         .unionByName(tag(rest, "rest"))
+        .unionByName(tag(thrift, "thrift"))
     )
 
 

@@ -24,8 +24,12 @@ Execution notes for the Spark mapping:
   the reference REST gateway's filter language surface).
 * **Writes** are row-at-a-time RPCs by protocol; each mutation applies
   and flushes, so durability matches the reference's autoflush client.
-  Bulk traffic belongs on the native bulk-load path, same advice as
-  the reference gives.
+  Mutations SERIALIZE per table (a write lock guards each
+  read-mutate-flush span — the fix for a lost-update bug found in
+  round-9 review), so gateway write throughput is bounded by design.
+  Corpus-scale writers must use the batch path (``Table.put`` over
+  whole DataFrames, bulk load via ``sources/layout.py``), not a REST
+  loop — same advice as the reference gives.
 * **Scanners** are server-held iterators over ``toLocalIterator()`` —
   partition-at-a-time pull, never a whole-table collect, so a scanner
   over a 100 TB table streams at the client's pace with one partition

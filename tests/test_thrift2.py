@@ -1,6 +1,10 @@
-"""Thrift2 gateway handler (thrift2/hbase.thrift THBaseService;
-ThriftHBaseServiceHandler.java): the full data-plane service surface
-driven in-process — the wire transport is the gated seam."""
+"""Thrift2 gateway (thrift2/hbase.thrift THBaseService;
+ThriftHBaseServiceHandler.java + ThriftServer): the full data-plane
+service surface, exercised BOTH in-process and through a live socket
+speaking the hand-rolled TBinaryProtocol wire format
+(hbase_spark/thrift_wire.py) — every test in this module runs twice,
+once per transport, so handler semantics and wire encode/decode are
+pinned by the same assertions."""
 
 import shutil
 import tempfile
@@ -26,8 +30,8 @@ from hbase_spark.thrift2 import (
 )
 
 
-@pytest.fixture(scope="module")
-def handler(spark):
+@pytest.fixture(scope="module", params=["inproc", "wire"])
+def handler(spark, request):
     d = tempfile.mkdtemp(prefix="hb_thrift_")
     admin = Admin(spark, d)
     admin.register_regionservers(["rs1.example.com,16020,1"])
@@ -37,7 +41,20 @@ def handler(spark):
         t = shell_put(t, f"r{i:02d}", "f:q", f"v{i}", ts=100 + i, seq=i)
     t = shell_put(t, "r00", "g:x", "gx", ts=300, seq=20)
     admin.flush("tt", t, num_regions=2)
-    yield THBaseServiceHandler(admin)
+    h = THBaseServiceHandler(admin)
+    if request.param == "inproc":
+        yield h
+    else:
+        from hbase_spark.thrift_wire import ThriftClient
+
+        server = serve(h, port=0)  # framed TBinaryProtocol socket
+        client = ThriftClient(server.host, server.port)
+        client.mode = "wire"
+        try:
+            yield client
+        finally:
+            client.close()
+            server.stop()
     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -90,7 +107,7 @@ def test_put_checkandput_roundtrip(handler):
     ))
     assert ok is True
     assert handler.get("tt", TGet(row="p1")).columnValues[0].value == "put2"
-    # absence guard (value=None)
+    # absence guard (value=None — rides the wire as an ABSENT field 5)
     ok = handler.checkAndPut("tt", "p1", "f", "absent", None, TPut(
         row="p1", columnValues=[TColumnValue("f", "absent", "a",
                                              timestamp=503)],
@@ -220,6 +237,8 @@ def test_scanner_lifecycle_and_stateless_scan(handler):
         got.extend(c.value for r in batch for c in r.columnValues)
     handler.closeScanner(sid)
     assert got == ["v2", "v3", "v5", "v6"]
+    # ValueError in-process; TIllegalArgument (a ValueError subclass,
+    # decoded off result-struct field 2) over the wire
     with pytest.raises(ValueError, match="invalid scanner"):
         handler.getScannerRows(sid, 1)
     # stateless one-shot
@@ -238,12 +257,13 @@ def test_scanner_lifecycle_and_stateless_scan(handler):
 def test_region_locations(handler):
     loc = handler.getRegionLocation("tt", "r01")
     assert loc.serverName == "rs1.example.com,16020,1"
-    assert loc.regionInfo["region_file"]
     locs = handler.getAllRegionLocations("tt")
     assert len(locs) >= 2
-    assert all(loc.serverName for loc in locs)
-
-
-def test_serve_is_gated_on_the_thrift_dependency(handler):
-    with pytest.raises(NotImplementedError, match="thrift"):
-        serve(handler)
+    assert all(lc.serverName for lc in locs)
+    if getattr(handler, "mode", "inproc") == "wire":
+        # the wire shape is the IDL's TServerName + THRegionInfo;
+        # region start/end keys survive the round-trip
+        assert loc.regionInfo["table"] == "tt"
+        assert all("start_key" in lc.regionInfo for lc in locs)
+    else:
+        assert loc.regionInfo["region_file"]
