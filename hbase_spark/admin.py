@@ -511,6 +511,12 @@ class Admin(TopologyMixin):
         desc["version"] = v
         desc["data_dir"] = new_rel
         self._write_desc(name, desc)  # the catalog flip = the handoff
+        if desc.get("sft") == "FILE":
+            # geometry commits its store-file list atomically with the
+            # flip, exactly like flush (StoreFileListFile.java) — a
+            # FILE-tracked table must never depend on the read-path
+            # self-heal after its OWN region transitions
+            self._write_sft_manifest(name, desc)
         for f in opened:
             for ob in obs:
                 if getattr(ob, "post_open", None):

@@ -246,6 +246,10 @@ class TruncateTableProcedure(StepProcedure):
             # resurrect every over-threshold value)
             desc["mob_dir"] = None
             a._write_desc(name, desc)
+            if desc.get("sft") == "FILE":
+                # commit the (now empty) store-file list atomically
+                # with the repoint, like flush and _rewrite_regions
+                a._write_sft_manifest(name, desc)
 
         def undo_meta(a, ctx):
             desc = a._read_desc(name)

@@ -436,6 +436,11 @@ class RestGateway:
             sid = uuid.uuid4().hex[:16]
             import time
 
+            # build the scanner OUTSIDE the lock and BEFORE stamping its
+            # lease: toLocalIterator setup costs a Spark round-trip, and
+            # stamping first would hand the client a lease that is
+            # already ~1s old at reply time
+            scanner = _Scanner(df, int(body.get("batch", 100)))
             with self._lock:
                 # lease expiry (ScannerResource's scanner lease):
                 # abandoned scanners must not pin iterators forever
@@ -445,9 +450,7 @@ class RestGateway:
                     if now - seen > self.scanner_lease_sec
                 ]:
                     del self._scanners[k]
-                self._scanners[sid] = (
-                    _Scanner(df, int(body.get("batch", 100))), now
-                )
+                self._scanners[sid] = (scanner, now)
             return h._reply(201, {}, headers={
                 "Location": f"{self.base_url}/{name}/scanner/{sid}"
             })
@@ -458,13 +461,26 @@ class RestGateway:
 
         with self._lock:
             entry = self._scanners.get(sid)
+            now = time.time()
+            if entry is not None and now - entry[1] > self.scanner_lease_sec:
+                # lease enforcement on ACCESS, not just at open time:
+                # the reference's ScannerResource 404s an expired id
+                # even if no new scanner ever triggered a sweep
+                del self._scanners[sid]
+                entry = None
             if entry is not None:
-                self._scanners[sid] = (entry[0], time.time())
+                self._scanners[sid] = (entry[0], now)
         if entry is None:
             raise KeyError(f"no scanner {sid}")
         sc = entry[0]
         if method == "GET":
             cells = sc.next_cells()
+            # renew the lease AFTER the pull too — the reference renews
+            # when the RPC completes, so server-side scan time (a Spark
+            # job here) never counts against the client's idle window
+            with self._lock:
+                if sid in self._scanners:
+                    self._scanners[sid] = (sc, time.time())
             if not cells:
                 return h._reply(204)  # exhausted, like the reference
             return h._reply(200, self._cellset([r.asDict() for r in cells]))

@@ -477,6 +477,10 @@ class THBaseServiceHandler:
         from hbase_spark.rest import _Scanner
 
         df = self._scan_df(table, tscan)
+        # build outside the lock, BEFORE stamping the lease:
+        # toLocalIterator setup costs a Spark round-trip, and stamping
+        # first would hand out a lease already ~1s old at return time
+        scanner = _Scanner(df, tscan.caching or 100)
         with self._lock:
             # lease expiry (the reference's scanner lease): abandoned
             # scanners would otherwise pin their iterators forever
@@ -488,7 +492,7 @@ class THBaseServiceHandler:
                 del self._scanners[sid]
             self._next_scanner += 1
             sid = self._next_scanner
-            self._scanners[sid] = (_Scanner(df, tscan.caching or 100), now)
+            self._scanners[sid] = (scanner, now)
         return sid
 
     def getScannerRows(self, scannerId: int, numRows: int = 1) -> list[TResult]:
@@ -496,13 +500,27 @@ class THBaseServiceHandler:
 
         with self._lock:
             entry = self._scanners.get(scannerId)
+            now = time.time()
+            if entry is not None and now - entry[1] > self.scanner_lease_sec:
+                # lease enforcement on ACCESS (reference scanner-lease
+                # semantics): an abandoned id dies even if no new
+                # openScanner ever runs the sweep
+                del self._scanners[scannerId]
+                entry = None
             if entry is not None:
-                self._scanners[scannerId] = (entry[0], time.time())
+                self._scanners[scannerId] = (entry[0], now)
         if entry is None:
             raise ValueError(f"invalid scanner id {scannerId}")
         sc = entry[0]
         sc.batch = max(1, numRows)
-        return self._tresults([r.asDict() for r in sc.next_cells()])
+        out = self._tresults([r.asDict() for r in sc.next_cells()])
+        # renew after the pull: server-side scan time (a Spark job)
+        # never counts against the client's idle window, matching the
+        # reference's renew-on-RPC-completion lease semantics
+        with self._lock:
+            if scannerId in self._scanners:
+                self._scanners[scannerId] = (sc, time.time())
+        return out
 
     def closeScanner(self, scannerId: int) -> None:
         with self._lock:

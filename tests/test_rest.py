@@ -215,3 +215,91 @@ def test_schema_put_applies_column_attributes(gateway):
     assert desc["families"]["cf"]["max_versions"] == 3
     assert desc["families"]["g"]["max_versions"] == 2
     _req("DELETE", f"{gateway.base_url}/attr_t/schema")
+
+
+def test_scanner_streams_many_batches_without_collect(gateway, spark):
+    """Round-9 verdict task 5 (scale half): a scanner over a table much
+    bigger than one batch streams partition-at-a-time through
+    toLocalIterator — the driver never materializes the scan with a
+    full collect().  The spy patches DataFrame.collect for the PULL
+    phase only; a full-collect scanner implementation would trip it."""
+    from pyspark.sql import DataFrame
+
+    from hbase_spark.table import Table
+
+    t = gateway.admin
+    t.create_table("big_scan", ["f"])
+    tb = t.table("big_scan")
+    tb = tb.put(
+        [(f"k{i:04d}", "f", "q", f"v{i}") for i in range(300)],
+        ts=100, seq=1,
+    )
+    t.flush("big_scan", tb, num_regions=4)
+    code, headers, _ = _req(
+        "POST", f"{gateway.base_url}/big_scan/scanner",
+        {"batch": 20},
+    )
+    assert code == 201
+    loc = headers["Location"]
+
+    pulls = {"collects": 0}
+    orig_collect = DataFrame.collect
+
+    def spy(self_df):
+        pulls["collects"] += 1
+        return orig_collect(self_df)
+
+    DataFrame.collect = spy
+    try:
+        rows, batches = 0, 0
+        while True:
+            code, _, body = _req("GET", loc)
+            if code == 204:
+                break
+            assert code == 200
+            batches += 1
+            got = sum(len(rm["Cell"]) for rm in body["Row"])
+            assert got <= 20  # bounded per-pull transfer
+            rows += got
+    finally:
+        DataFrame.collect = orig_collect
+    assert rows == 300
+    assert batches == 15
+    assert pulls["collects"] == 0  # toLocalIterator only, no collect
+    _req("DELETE", loc)
+    t.disable_table("big_scan")
+    t.delete_table("big_scan")
+
+
+def test_scanner_lease_expiry_and_slow_client_survival(gateway):
+    """Round-9 verdict task 5 (lease half): an expired-lease scanner
+    404s on ACCESS (not only when a new openScanner sweeps), while a
+    slow client that keeps pulling inside the lease window survives
+    past the lease duration because every pull refreshes the lease."""
+    import time
+
+    old_lease = gateway.scanner_lease_sec
+    gateway.scanner_lease_sec = 0.5
+    try:
+        # expired: no touch for > lease -> 404
+        code, headers, _ = _req(
+            "POST", f"{gateway.base_url}/rt/scanner", {"batch": 2}
+        )
+        assert code == 201
+        dead = headers["Location"]
+        time.sleep(0.8)
+        code, _, _ = _req("GET", dead)
+        assert code == 404
+        # slow-but-alive: pulls at 0.3s < lease, total walltime > lease
+        code, headers, _ = _req(
+            "POST", f"{gateway.base_url}/rt/scanner", {"batch": 2}
+        )
+        assert code == 201
+        live = headers["Location"]
+        for _ in range(3):
+            time.sleep(0.3)
+            code, _, _ = _req("GET", live)
+            assert code in (200, 204)
+        _req("DELETE", live)
+    finally:
+        gateway.scanner_lease_sec = old_lease

@@ -387,6 +387,77 @@ def test_sft_on_empty_table_reads_empty(catalog):
     assert shell_count(catalog.table("sft_e")) == 0
 
 
+def test_sft_manifest_commits_with_geometry(catalog):
+    """Round-9 verdict task 6: split / merge / truncate on a
+    FILE-tracked table commit the store-file manifest atomically with
+    the catalog flip (like flush), so the read path opens exactly the
+    manifest's files and never needs the self-heal re-list after the
+    table's OWN region transitions."""
+    import types
+
+    _seed(catalog, "sft_geo", rows=12, regions=2)
+    catalog.disable_table("sft_geo")
+    catalog.change_sft("sft_geo", "FILE")
+    catalog.enable_table("sft_geo")
+    before = sorted(
+        (r.row, r.value)
+        for r in catalog.table("sft_geo").cells
+        .select("row", "value").collect()
+    )
+
+    calls = {"n": 0}
+    orig = catalog._list_layout_files
+
+    def spy(self, desc, name):
+        calls["n"] += 1
+        return orig(desc, name)
+
+    catalog._list_layout_files = types.MethodType(spy, catalog)
+
+    # split: exactly ONE re-list (the geometry op committing its
+    # manifest), and the post-split scan re-lists nothing
+    catalog.split_region("sft_geo", "r06")
+    assert calls["n"] == 1
+    desc = catalog._read_desc("sft_geo")
+    manifest = catalog._read_json(
+        catalog._sft_manifest_path("sft_geo"), "manifest"
+    )
+    assert manifest["version"] == desc["version"]
+    assert manifest["data_dir"] == desc["data_dir"]
+    after_split = sorted(
+        (r.row, r.value)
+        for r in catalog.table("sft_geo").cells
+        .select("row", "value").collect()
+    )
+    assert after_split == before
+    assert calls["n"] == 1  # manifest-exact read, no heal
+
+    # merge the daughters back: same discipline
+    catalog.merge_region("sft_geo", "r00", "r11")
+    assert calls["n"] == 2
+    after_merge = sorted(
+        (r.row, r.value)
+        for r in catalog.table("sft_geo").cells
+        .select("row", "value").collect()
+    )
+    assert after_merge == before
+    assert calls["n"] == 2
+
+    # truncate: the repoint step commits the truncated manifest (the
+    # fresh layout's single empty part file); the read honors it
+    # without a self-heal re-list and sees zero rows
+    catalog.truncate_table("sft_geo")
+    assert calls["n"] == 3
+    desc = catalog._read_desc("sft_geo")
+    manifest = catalog._read_json(
+        catalog._sft_manifest_path("sft_geo"), "manifest"
+    )
+    assert manifest["version"] == desc["version"]
+    assert manifest["data_dir"] == desc["data_dir"]
+    assert shell_count(catalog.table("sft_geo")) == 0
+    assert calls["n"] == 3
+
+
 # -- exceed throttle quota ----------------------------------------------------
 
 
