@@ -749,6 +749,13 @@ class ThriftServer:
                             reply = processor.process(r)
                         except EOFError:
                             return
+                        except TApplicationException:
+                            # bad frame length / bad protocol header:
+                            # the stream position is unrecoverable —
+                            # close the connection (the client sees
+                            # EOF), like a generated server's
+                            # transport-error path
+                            return
                         _write_message(f, reply, framed_opt)
                 except (ConnectionError, BrokenPipeError, OSError):
                     return

@@ -185,3 +185,24 @@ def test_strict_header_is_required():
     r = _Reader(io.BytesIO(bytes(w.buf) + b"x" * 32))
     with pytest.raises(TApplicationException, match="old-style"):
         r.message_begin()
+
+
+def test_malformed_stream_closes_connection_server_survives(wire):
+    """Garbage bytes make the stream position unrecoverable: the server
+    closes that connection (client sees EOF), but keeps serving new
+    connections."""
+    import socket as socket_mod
+
+    h, client = wire
+    bad = socket_mod.create_connection(
+        (client._sock.getpeername()[0], client._sock.getpeername()[1]),
+        timeout=5,
+    )
+    try:
+        bad.sendall(b"\x00\x00\x00\x04GARB")  # framed: 4-byte frame "GARB"
+        bad.settimeout(5)
+        assert bad.recv(1) == b""  # server closed the connection
+    finally:
+        bad.close()
+    # the original client connection still works
+    assert client.exists("t", TGet(row="yes")) is True
