@@ -206,3 +206,68 @@ def test_malformed_stream_closes_connection_server_survives(wire):
         bad.close()
     # the original client connection still works
     assert client.exists("t", TGet(row="yes")) is True
+
+
+# -- codec round-trip law -----------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from hbase_spark.thrift2 import (  # noqa: E402
+    TColumn,
+    TDelete,
+    TScan,
+    TTimeRange,
+)
+from hbase_spark.thrift_wire import TDELETE, TRESULT, TSCAN  # noqa: E402
+
+_txt = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+    max_size=40,
+)
+_ts = st.one_of(st.none(), st.integers(min_value=0, max_value=2**62))
+_col = st.builds(
+    TColumn, family=_txt, qualifier=st.one_of(st.none(), _txt),
+    timestamp=_ts,
+)
+_scan = st.builds(
+    TScan,
+    startRow=st.one_of(st.none(), _txt),
+    stopRow=st.one_of(st.none(), _txt),
+    columns=st.one_of(st.none(), st.lists(_col, max_size=3)),
+    caching=st.one_of(st.none(), st.integers(1, 10_000)),
+    maxVersions=st.integers(1, 100),
+    timeRange=st.one_of(st.none(), st.builds(
+        TTimeRange, minStamp=st.integers(0, 2**40),
+        maxStamp=st.integers(0, 2**40),
+    )),
+    filterString=st.one_of(st.none(), _txt),
+    reversed=st.booleans(),
+    limit=st.one_of(st.none(), st.integers(1, 10**6)),
+)
+_delete = st.builds(
+    TDelete, row=_txt,
+    columns=st.one_of(st.none(), st.lists(_col, min_size=1, max_size=3)),
+    timestamp=_ts, deleteType=st.integers(0, 3),
+)
+_result = st.builds(
+    TResult, row=st.one_of(st.none(), _txt),
+    columnValues=st.lists(st.builds(
+        TColumnValue, family=_txt, qualifier=_txt, value=_txt,
+        timestamp=_ts,
+    ), max_size=4),
+    stale=st.booleans(), partial=st.booleans(),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(obj=st.one_of(_scan, _delete, _result))
+def test_struct_codecs_round_trip(obj):
+    """encode(decode(x)) == x for random TScan/TDelete/TResult incl.
+    unicode strings, None optionals, and nested struct lists — the
+    codec law every method's args and results reduce to."""
+    spec = {TScan: TSCAN, TDelete: TDELETE, TResult: TRESULT}[type(obj)]
+    w = _Writer()
+    spec.encode(w, obj)
+    back = spec.decode(_Reader(io.BytesIO(bytes(w.buf))))
+    assert back == obj
