@@ -576,17 +576,19 @@ class THBaseServiceHandler:
 
 
 def serve(handler: THBaseServiceHandler, port: int = 9090,
-          host: str = "127.0.0.1", framed: bool = True):
+          host: str = "127.0.0.1", framed: bool = True,
+          protocol: str = "binary"):
     """ThriftServer.main analog: bind the handler to a threaded socket
-    server speaking the TBinaryProtocol wire format — hand-rolled in
+    server speaking the Thrift wire format — hand-rolled in
     :mod:`hbase_spark.thrift_wire` from the public Apache Thrift
-    binary-protocol spec, so no external ``thrift`` package is needed.
+    protocol specs, so no external ``thrift`` package is needed.
     Returns the started :class:`~hbase_spark.thrift_wire.ThriftServer`
     (``.host``/``.port`` for clients, ``.stop()`` to shut down).
-    ``framed`` mirrors the reference's
-    ``hbase.regionserver.thrift.framed`` option and must match the
-    client's setting."""
+    ``framed`` mirrors ``hbase.regionserver.thrift.framed`` and
+    ``protocol`` ("binary" | "compact") mirrors
+    ``hbase.regionserver.thrift.compact`` — both must match the
+    client's settings, exactly like the reference server."""
     from hbase_spark.thrift_wire import ThriftServer
 
     return ThriftServer(handler, host=host, port=port,
-                        framed=framed).start()
+                        framed=framed, protocol=protocol).start()

@@ -1,13 +1,17 @@
-"""Hand-rolled Thrift binary protocol + transports for THBaseService.
+"""Hand-rolled Thrift wire protocols + transports for THBaseService.
 
 Closes the one gated seam the round-9 verdict left: ``thrift2.serve()``
 previously raised because this environment ships no ``thrift``
-package.  The TBinaryProtocol strict encoding and the framed/buffered
-transports are small, public, stable formats (Apache Thrift
-specification, ``thrift/doc/specs/thrift-binary-protocol.md``), so
+package.  The TBinaryProtocol (strict) and TCompactProtocol encodings
+and the framed/buffered transports are small, public, stable formats
+(Apache Thrift specification, ``thrift/doc/specs/
+thrift-binary-protocol.md`` and ``thrift-compact-protocol.md``), so
 this module implements them directly — encode/decode for every
 THBaseService method the handler exposes, a threaded socket server,
-and a client — with zero external dependencies.
+and a client — with zero external dependencies.  The protocol x
+transport matrix matches the reference ThriftServer's options:
+``hbase.regionserver.thrift.framed`` and
+``hbase.regionserver.thrift.compact``.
 
 Reference parity: the struct field ids follow the public IDL at
 ``hbase-thrift/src/main/resources/org/apache/hadoop/hbase/thrift2/
@@ -99,7 +103,7 @@ class TApplicationException(RuntimeError):
 
 
 class _Writer:
-    """TBinaryProtocol encoder over an in-memory buffer."""
+    """TBinaryProtocol (strict) encoder over an in-memory buffer."""
 
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -139,6 +143,12 @@ class _Writer:
     def stop(self) -> None:
         self.byte(STOP)
 
+    def struct_begin(self) -> None:  # delta-id state hook (compact)
+        pass
+
+    def struct_end(self) -> None:
+        pass
+
     def list_begin(self, etype: int, size: int) -> None:
         self.byte(etype)
         self.i32(size)
@@ -149,8 +159,129 @@ class _Writer:
         self.i32(size)
 
 
-class _Reader:
-    """TBinaryProtocol decoder over a file-like byte stream."""
+# compact-protocol wire constants (Apache Thrift
+# thrift-compact-protocol.md; the reference thrift server enables it
+# via hbase.regionserver.thrift.compact)
+_COMPACT_PROTOCOL_ID = 0x82
+_COMPACT_VERSION = 1
+_CT_TRUE, _CT_FALSE = 1, 2
+_TO_COMPACT = {BYTE: 3, I16: 4, I32: 5, I64: 6, DOUBLE: 7, STRING: 8,
+               LIST: 9, SET: 10, MAP: 11, STRUCT: 12}
+_FROM_COMPACT = {3: BYTE, 4: I16, 5: I32, 6: I64, 7: DOUBLE, 8: STRING,
+                 9: LIST, 10: SET, 11: MAP, 12: STRUCT,
+                 _CT_TRUE: BOOL, _CT_FALSE: BOOL}
+
+
+def _zigzag(v: int, bits: int) -> int:
+    return (v << 1) ^ (v >> (bits - 1))
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+class _CompactWriter:
+    """TCompactProtocol encoder: varint/zigzag ints, field-id deltas,
+    bool-in-field-type, little-endian doubles (the Java encoding)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._fid_stack: list[int] = [0]
+        self._pending_bool_fid: int | None = None
+
+    def _varint(self, v: int) -> None:
+        while True:
+            if v & ~0x7F == 0:
+                self.buf.append(v)
+                return
+            self.buf.append((v & 0x7F) | 0x80)
+            v >>= 7
+
+    def byte(self, v: int) -> None:
+        self.buf += struct.pack("!b", v)
+
+    def i16(self, v: int) -> None:
+        self._varint(_zigzag(int(v), 16) & 0xFFFFFFFF)
+
+    def i32(self, v: int) -> None:
+        self._varint(_zigzag(int(v), 32) & 0xFFFFFFFF)
+
+    def i64(self, v: int) -> None:
+        self._varint(_zigzag(int(v), 64) & 0xFFFFFFFFFFFFFFFF)
+
+    def double(self, v: float) -> None:
+        self.buf += struct.pack("<d", v)  # LE, per the Java impl
+
+    def boolean(self, v: bool) -> None:
+        ct = _CT_TRUE if v else _CT_FALSE
+        if self._pending_bool_fid is not None:
+            fid = self._pending_bool_fid
+            self._pending_bool_fid = None
+            self._field_header(ct, fid)
+        else:
+            self.buf.append(ct)  # list/map element form
+
+    def binary(self, v) -> None:
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        self._varint(len(b))
+        self.buf += b
+
+    def message_begin(self, name: str, mtype: int, seqid: int) -> None:
+        self.buf.append(_COMPACT_PROTOCOL_ID)
+        self.buf.append(((mtype << 5) & 0xE0) | _COMPACT_VERSION)
+        self._varint(seqid)
+        self.binary(name)
+        self._fid_stack = [0]
+        self._pending_bool_fid = None
+
+    def _field_header(self, ctype: int, fid: int) -> None:
+        last = self._fid_stack[-1]
+        delta = fid - last
+        if 0 < delta <= 15:
+            self.buf.append((delta << 4) | ctype)
+        else:
+            self.buf.append(ctype)
+            self._varint(_zigzag(fid, 16) & 0xFFFFFFFF)
+        self._fid_stack[-1] = fid
+
+    def field(self, ttype: int, fid: int) -> None:
+        if ttype == BOOL:
+            # the value rides in the type nibble — defer to boolean()
+            self._pending_bool_fid = fid
+            return
+        self._field_header(_TO_COMPACT[ttype], fid)
+
+    def stop(self) -> None:
+        self.buf.append(STOP)
+
+    def struct_begin(self) -> None:
+        self._fid_stack.append(0)
+
+    def struct_end(self) -> None:
+        self._fid_stack.pop()
+
+    def list_begin(self, etype: int, size: int) -> None:
+        ct = _CT_TRUE if etype == BOOL else _TO_COMPACT[etype]
+        if size < 15:
+            self.buf.append((size << 4) | ct)
+        else:
+            self.buf.append(0xF0 | ct)
+            self._varint(size)
+
+    def map_begin(self, ktype: int, vtype: int, size: int) -> None:
+        if size == 0:
+            self.buf.append(0)
+            return
+        self._varint(size)
+        kt = _CT_TRUE if ktype == BOOL else _TO_COMPACT[ktype]
+        vt = _CT_TRUE if vtype == BOOL else _TO_COMPACT[vtype]
+        self.buf.append((kt << 4) | vt)
+
+
+class _ReaderBase:
+    """Shared decode plumbing: byte pump + a skip() written purely in
+    terms of the typed reads, so it is protocol-agnostic (compact
+    varints have no fixed width; binary does)."""
 
     def __init__(self, f) -> None:
         self.f = f
@@ -163,6 +294,54 @@ class _Reader:
                 raise EOFError("connection closed mid-message")
             out += chunk
         return out
+
+    def string(self) -> str:
+        return self.binary().decode("utf-8", "replace")
+
+    def struct_begin(self) -> None:  # delta-id state hook (compact)
+        pass
+
+    def struct_end(self) -> None:
+        pass
+
+    def skip(self, ttype: int) -> None:
+        if ttype == BOOL:
+            self.boolean()
+        elif ttype == BYTE:
+            self.byte()
+        elif ttype == I16:
+            self.i16()
+        elif ttype == I32:
+            self.i32()
+        elif ttype == I64:
+            self.i64()
+        elif ttype == DOUBLE:
+            self.double()
+        elif ttype == STRING:
+            self.binary()
+        elif ttype == STRUCT:
+            self.struct_begin()
+            while True:
+                ft, _ = self.field_begin()
+                if ft == STOP:
+                    break
+                self.skip(ft)
+            self.struct_end()
+        elif ttype in (LIST, SET):
+            etype, n = self.list_begin()
+            for _ in range(n):
+                self.skip(etype)
+        elif ttype == MAP:
+            ktype, vtype, n = self.map_begin()
+            for _ in range(n):
+                self.skip(ktype)
+                self.skip(vtype)
+        else:
+            raise TApplicationException(f"cannot skip thrift type {ttype}")
+
+
+class _Reader(_ReaderBase):
+    """TBinaryProtocol (strict) decoder over a file-like byte stream."""
 
     def byte(self) -> int:
         return struct.unpack("!b", self._read(1))[0]
@@ -185,9 +364,6 @@ class _Reader:
     def binary(self) -> bytes:
         return self._read(self.i32())
 
-    def string(self) -> str:
-        return self.binary().decode("utf-8", "replace")
-
     def message_begin(self) -> tuple[str, int, int]:
         first = self.i32()
         if first >= 0:
@@ -208,34 +384,107 @@ class _Reader:
             return STOP, 0
         return ttype, self.i16()
 
-    def skip(self, ttype: int) -> None:
-        if ttype == BOOL or ttype == BYTE:
-            self._read(1)
-        elif ttype == I16:
-            self._read(2)
-        elif ttype == I32:
-            self._read(4)
-        elif ttype in (I64, DOUBLE):
-            self._read(8)
-        elif ttype == STRING:
-            self.binary()
-        elif ttype == STRUCT:
-            while True:
-                ft, _ = self.field_begin()
-                if ft == STOP:
-                    return
-                self.skip(ft)
-        elif ttype in (LIST, SET):
-            etype = self.byte()
-            for _ in range(self.i32()):
-                self.skip(etype)
-        elif ttype == MAP:
-            ktype, vtype = self.byte(), self.byte()
-            for _ in range(self.i32()):
-                self.skip(ktype)
-                self.skip(vtype)
-        else:
-            raise TApplicationException(f"cannot skip thrift type {ttype}")
+    def list_begin(self) -> tuple[int, int]:
+        return self.byte(), self.i32()
+
+    def map_begin(self) -> tuple[int, int, int]:
+        return self.byte(), self.byte(), self.i32()
+
+
+class _CompactReader(_ReaderBase):
+    """TCompactProtocol decoder (the hbase.regionserver.thrift.compact
+    wire format)."""
+
+    def __init__(self, f) -> None:
+        super().__init__(f)
+        self._fid_stack: list[int] = [0]
+        self._pending_bool: bool | None = None
+
+    def _varint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self._read(1)[0]
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise TApplicationException("varint too long")
+
+    def byte(self) -> int:
+        return struct.unpack("!b", self._read(1))[0]
+
+    def i16(self) -> int:
+        return _unzigzag(self._varint())
+
+    def i32(self) -> int:
+        return _unzigzag(self._varint())
+
+    def i64(self) -> int:
+        return _unzigzag(self._varint())
+
+    def double(self) -> float:
+        return struct.unpack("<d", self._read(8))[0]
+
+    def boolean(self) -> bool:
+        if self._pending_bool is not None:
+            v = self._pending_bool
+            self._pending_bool = None
+            return v
+        return self._read(1)[0] == _CT_TRUE
+
+    def binary(self) -> bytes:
+        return self._read(self._varint())
+
+    def message_begin(self) -> tuple[str, int, int]:
+        if self._read(1)[0] != _COMPACT_PROTOCOL_ID:
+            raise TApplicationException("bad compact protocol id")
+        vt = self._read(1)[0]
+        if vt & 0x1F != _COMPACT_VERSION:
+            raise TApplicationException("bad compact protocol version")
+        mtype = (vt >> 5) & 0x07
+        seqid = self._varint()
+        name = self.string()
+        self._fid_stack = [0]
+        self._pending_bool = None
+        return name, mtype, seqid
+
+    def field_begin(self) -> tuple[int, int]:
+        head = self._read(1)[0]
+        if head == STOP:
+            return STOP, 0
+        ct = head & 0x0F
+        delta = (head >> 4) & 0x0F
+        fid = (self._fid_stack[-1] + delta) if delta else _unzigzag(
+            self._varint()
+        )
+        self._fid_stack[-1] = fid
+        ttype = _FROM_COMPACT.get(ct)
+        if ttype is None:
+            raise TApplicationException(f"bad compact field type {ct}")
+        if ttype == BOOL:
+            self._pending_bool = ct == _CT_TRUE
+        return ttype, fid
+
+    def struct_begin(self) -> None:
+        self._fid_stack.append(0)
+
+    def struct_end(self) -> None:
+        self._fid_stack.pop()
+
+    def list_begin(self) -> tuple[int, int]:
+        head = self._read(1)[0]
+        size = (head >> 4) & 0x0F
+        if size == 0x0F:
+            size = self._varint()
+        return _FROM_COMPACT[head & 0x0F], size
+
+    def map_begin(self) -> tuple[int, int, int]:
+        size = self._varint()
+        if size == 0:
+            return STOP, STOP, 0
+        kv = self._read(1)[0]
+        return _FROM_COMPACT[(kv >> 4) & 0x0F], _FROM_COMPACT[kv & 0x0F], size
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +542,9 @@ def _encode_value(w: _Writer, ttype: int, sub, v) -> None:
     elif ttype == STRING:
         w.binary(v)
     elif ttype == STRUCT:
+        w.struct_begin()
         sub.encode(w, v)
+        w.struct_end()
     elif ttype in (LIST, SET):
         etype, esub = sub
         w.list_begin(etype, len(v))
@@ -325,21 +576,23 @@ def _decode_value(r: _Reader, ttype: int, sub):
     if ttype == STRING:
         return r.string()
     if ttype == STRUCT:
-        return sub.decode(r)
+        r.struct_begin()
+        out = sub.decode(r)
+        r.struct_end()
+        return out
     if ttype in (LIST, SET):
         etype, esub = sub
-        wire_etype = r.byte()
-        n = r.i32()
+        wire_etype, n = r.list_begin()
         if wire_etype != etype:
             for _ in range(n):
                 r.skip(wire_etype)
             return []
         return [_decode_value(r, etype, esub) for _ in range(n)]
     if ttype == MAP:
-        ktype, vtype = r.byte(), r.byte()
+        ktype, vtype, n = r.map_begin()
         return {
             _decode_value(r, ktype, None): _decode_value(r, vtype, None)
-            for _ in range(r.i32())
+            for _ in range(n)
         }
     raise TApplicationException(f"cannot decode thrift type {ttype}")
 
@@ -630,10 +883,11 @@ class Processor:
     getException wrapping.
     """
 
-    def __init__(self, handler) -> None:
+    def __init__(self, handler, writer_cls=_Writer) -> None:
         self.handler = handler
+        self.writer_cls = writer_cls
 
-    def process(self, r: _Reader) -> bytes:
+    def process(self, r) -> bytes:
         name, mtype, seqid = r.message_begin()
         spec = METHODS.get(name)
         if spec is None:
@@ -642,7 +896,7 @@ class Processor:
                                  f"unknown method {name!r}", 1)
         argspec, result, throws = spec
         args = _decode_args(r, argspec)
-        w = _Writer()
+        w = self.writer_cls()
         try:
             value = self._invoke(name, args)
         except Exception as e:  # noqa: BLE001 — becomes a wire reply
@@ -652,7 +906,9 @@ class Processor:
                                      6)
             w.message_begin(name, MSG_REPLY, seqid)
             w.field(STRUCT, fid)
+            w.struct_begin()
             espec.encode(w, {"message": str(e)})
+            w.struct_end()
             w.stop()
             return bytes(w.buf)
         w.message_begin(name, MSG_REPLY, seqid)
@@ -685,9 +941,9 @@ class Processor:
             return 1, throws[1]
         return 0, None
 
-    @staticmethod
-    def _app_exc(name: str, seqid: int, message: str, etype: int) -> bytes:
-        w = _Writer()
+    def _app_exc(self, name: str, seqid: int, message: str,
+                 etype: int) -> bytes:
+        w = self.writer_cls()
         w.message_begin(name, MSG_EXCEPTION, seqid)
         w.field(STRING, 1)
         w.binary(message)
@@ -701,7 +957,13 @@ class Processor:
 # transports + server + client
 
 
-def _read_message(f, framed: bool) -> _Reader:
+PROTOCOLS = {
+    "binary": (_Writer, _Reader),
+    "compact": (_CompactWriter, _CompactReader),
+}
+
+
+def _read_message(f, framed: bool, reader_cls=_Reader):
     if framed:
         hdr = f.read(4)
         if not hdr:
@@ -717,8 +979,8 @@ def _read_message(f, framed: bool) -> _Reader:
             if not chunk:
                 raise EOFError("connection closed mid-frame")
             body += chunk
-        return _Reader(io.BytesIO(body))
-    return _Reader(f)
+        return reader_cls(io.BytesIO(body))
+    return reader_cls(f)
 
 
 def _write_message(f, payload: bytes, framed: bool) -> None:
@@ -735,8 +997,9 @@ class ThriftServer:
     buffered transport per the reference's ``framed`` option."""
 
     def __init__(self, handler, host: str = "127.0.0.1", port: int = 0,
-                 framed: bool = True) -> None:
-        processor = Processor(handler)
+                 framed: bool = True, protocol: str = "binary") -> None:
+        writer_cls, reader_cls = PROTOCOLS[protocol]
+        processor = Processor(handler, writer_cls)
         framed_opt = framed
 
         class _Conn(socketserver.BaseRequestHandler):
@@ -745,7 +1008,7 @@ class ThriftServer:
                 try:
                     while True:
                         try:
-                            r = _read_message(f, framed_opt)
+                            r = _read_message(f, framed_opt, reader_cls)
                             reply = processor.process(r)
                         except EOFError:
                             return
@@ -772,6 +1035,7 @@ class ThriftServer:
         self._server = _Server((host, port), _Conn)
         self.host, self.port = self._server.server_address
         self.framed = framed
+        self.protocol = protocol
         self._thread: threading.Thread | None = None
 
     def start(self) -> "ThriftServer":
@@ -799,10 +1063,11 @@ class ThriftClient:
     """
 
     def __init__(self, host: str, port: int, framed: bool = True,
-                 timeout: float = 30.0) -> None:
+                 timeout: float = 30.0, protocol: str = "binary") -> None:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._f = self._sock.makefile("rwb")
         self._framed = framed
+        self._writer_cls, self._reader_cls = PROTOCOLS[protocol]
         self._seqid = 0
 
     def close(self) -> None:
@@ -825,13 +1090,13 @@ class ThriftClient:
                 slots[ARG_NAMES[name].index(k)] = v
             args = tuple(slots)
         self._seqid += 1
-        w = _Writer()
+        w = self._writer_cls()
         w.message_begin(name, MSG_CALL, self._seqid)
         _encode_args(w, argspec, list(args) + [None] * (
             len(argspec) - len(args)
         ))
         _write_message(self._f, bytes(w.buf), self._framed)
-        r = _read_message(self._f, self._framed)
+        r = _read_message(self._f, self._framed, self._reader_cls)
         rname, mtype, seqid = r.message_begin()
         if mtype == MSG_EXCEPTION:
             msg, code = "unknown", 0
@@ -860,7 +1125,9 @@ class ThriftClient:
             if fid == 0 and result is not None and ttype == result[0]:
                 success = _decode_value(r, result[0], result[1])
             elif fid in throws and ttype == STRUCT:
+                r.struct_begin()
                 error = throws[fid].decode(r)
+                r.struct_end()
             else:
                 r.skip(ttype)
         if error is not None:

@@ -58,12 +58,18 @@ class StubHandler:
         return value is None
 
 
-@pytest.fixture(scope="module", params=[True, False],
-                ids=["framed", "buffered"])
+@pytest.fixture(scope="module", params=[
+    ("binary", True), ("binary", False),
+    ("compact", True), ("compact", False),
+], ids=["binary-framed", "binary-buffered",
+        "compact-framed", "compact-buffered"])
 def wire(request):
+    proto, framed = request.param
     h = StubHandler()
-    server = ThriftServer(h, port=0, framed=request.param).start()
-    client = ThriftClient(server.host, server.port, framed=request.param)
+    server = ThriftServer(h, port=0, framed=framed,
+                          protocol=proto).start()
+    client = ThriftClient(server.host, server.port, framed=framed,
+                          protocol=proto)
     yield h, client
     client.close()
     server.stop()
@@ -114,16 +120,14 @@ def test_unknown_method_is_application_exception(wire):
 
 def client_call_unknown(client):
     """Hand-encode a CALL for a method the server doesn't know."""
-    from hbase_spark.thrift_wire import _write_message
+    from hbase_spark.thrift_wire import _read_message, _write_message
 
-    w = _Writer()
+    w = client._writer_cls()
     client._seqid += 1
     w.message_begin("mutateRowsAtomically", MSG_CALL, client._seqid)
     w.stop()  # empty args struct
     _write_message(client._f, bytes(w.buf), client._framed)
-    from hbase_spark.thrift_wire import _read_message
-
-    r = _read_message(client._f, client._framed)
+    r = _read_message(client._f, client._framed, client._reader_cls)
     name, mtype, _ = r.message_begin()
     assert mtype == 3  # EXCEPTION
     # decode TApplicationException {1: message, 2: type}
@@ -265,9 +269,14 @@ _result = st.builds(
 def test_struct_codecs_round_trip(obj):
     """encode(decode(x)) == x for random TScan/TDelete/TResult incl.
     unicode strings, None optionals, and nested struct lists — the
-    codec law every method's args and results reduce to."""
+    codec law every method's args and results reduce to, under BOTH
+    wire protocols (binary's fixed-width ints and compact's
+    zigzag-varint + field-id-delta encoding)."""
+    from hbase_spark.thrift_wire import PROTOCOLS
+
     spec = {TScan: TSCAN, TDelete: TDELETE, TResult: TRESULT}[type(obj)]
-    w = _Writer()
-    spec.encode(w, obj)
-    back = spec.decode(_Reader(io.BytesIO(bytes(w.buf))))
-    assert back == obj
+    for writer_cls, reader_cls in PROTOCOLS.values():
+        w = writer_cls()
+        spec.encode(w, obj)
+        back = spec.decode(reader_cls(io.BytesIO(bytes(w.buf))))
+        assert back == obj
