@@ -141,7 +141,7 @@ def cosine_topk_batch(
     ]
     q = spark.createDataFrame(
         qrows, "query_id long, _qv array<double>, _qn double"
-    )
+    ).coalesce(1)  # literal query batch: one partition, no empty slices
     # zero-norm guard: a 0/0 score is NaN, and NaN sorts ABOVE every
     # real number in a descending order — an all-zero embedding (a
     # failed upstream write) would falsely take rank 1 for every

@@ -40,7 +40,9 @@ def multi_get(cells: DataFrame, row_keys: list, **scan_kwargs) -> DataFrame:
         narrowed = cells.filter(F.col("row").isin(list(row_keys)))
     else:
         spark = cells.sparkSession
-        keys = spark.createDataFrame([(k,) for k in row_keys], ["row"])
+        keys = spark.createDataFrame(
+            [(k,) for k in row_keys], ["row"]
+        ).coalesce(1)  # one client batch, one partition
         narrowed = cells.join(F.broadcast(keys), "row", "left_semi")
     return scan(narrowed, Scan(**scan_kwargs))
 

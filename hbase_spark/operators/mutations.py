@@ -31,8 +31,19 @@ from hbase_spark.operators.resolve import resolve
 
 
 def make_cells(spark, rows: list[tuple], key_type=None, value_type=None) -> DataFrame:
-    """Build a CellFrame from (row, family, qualifier, ts, type, value, seq) tuples."""
-    return spark.createDataFrame(rows, schema=cell_schema(key_type, value_type))
+    """Build a CellFrame from (row, family, qualifier, ts, type, value, seq) tuples.
+
+    One partition, deliberately: a driver-literal batch is one client
+    RPC batch — small by construction (big writes arrive as DataFrames
+    through bulk load, never Python lists).  createDataFrame's default
+    defaultParallelism slicing gives every put/delete batch ~4+ mostly
+    EMPTY partitions, and a k-mutation chain then drags ~4k partitions
+    into every downstream action — measured as 33 tasks to scan a
+    9-row table (round-10 suite profiling); pure scheduler overhead at
+    any scale."""
+    return spark.createDataFrame(
+        rows, schema=cell_schema(key_type, value_type)
+    ).coalesce(1)
 
 
 def put_cells(

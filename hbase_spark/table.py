@@ -138,7 +138,7 @@ class Table:
 
         keys = self.cells.sparkSession.createDataFrame(
             [(k,) for k in row_keys], ["row"]
-        )
+        ).coalesce(1)  # one client batch, one partition
         narrowed = self.cells.join(F.broadcast(keys), "row", "left_semi")
         return Table(narrowed, self.families, self.now).scan(Scan(**kw))
 
@@ -253,7 +253,9 @@ class Table:
         if with_seq:
             schema += ", seq long"
             rows = [(*t, i) for i, t in enumerate(m)]
-        return spark.createDataFrame(rows, schema)
+        # one partition: a literal delta list is one client batch (see
+        # operators.mutations.make_cells for the measured rationale)
+        return spark.createDataFrame(rows, schema).coalesce(1)
 
     # -- jobs ------------------------------------------------------------------
 

@@ -278,8 +278,12 @@ def test_scanner_lease_expiry_and_slow_client_survival(gateway):
     past the lease duration because every pull refreshes the lease."""
     import time
 
+    # margins sized for a loaded box (the sharded runner packs 4 Spark
+    # JVMs): the live client's idle gap (0.5s) stays far under the
+    # lease (2s) even with ~1s of scheduling noise, and the dead
+    # scanner's silence (2.6s) stays far over it
     old_lease = gateway.scanner_lease_sec
-    gateway.scanner_lease_sec = 0.5
+    gateway.scanner_lease_sec = 2.0
     try:
         # expired: no touch for > lease -> 404
         code, headers, _ = _req(
@@ -287,17 +291,17 @@ def test_scanner_lease_expiry_and_slow_client_survival(gateway):
         )
         assert code == 201
         dead = headers["Location"]
-        time.sleep(0.8)
+        time.sleep(2.6)
         code, _, _ = _req("GET", dead)
         assert code == 404
-        # slow-but-alive: pulls at 0.3s < lease, total walltime > lease
+        # slow-but-alive: pulls at 0.5s < lease, total walltime > lease
         code, headers, _ = _req(
             "POST", f"{gateway.base_url}/rt/scanner", {"batch": 2}
         )
         assert code == 201
         live = headers["Location"]
-        for _ in range(3):
-            time.sleep(0.3)
+        for _ in range(5):
+            time.sleep(0.5)
             code, _, _ = _req("GET", live)
             assert code in (200, 204)
         _req("DELETE", live)
