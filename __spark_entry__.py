@@ -6014,9 +6014,13 @@ def q_gateway_topology_scan(spark, sf):
     )
     from hbase_spark.thrift_wire import ThriftClient
 
-    tserver = serve(THBaseServiceHandler(adm), port=0)
+    # compact protocol on the live arm: test_thrift2's wire fixture
+    # already drives binary end-to-end, so the oracle-checked arm
+    # exercises the OTHER encoding (zigzag varints, field-id deltas)
+    tserver = serve(THBaseServiceHandler(adm), port=0, protocol="compact")
     try:
-        client = ThriftClient(tserver.host, tserver.port)
+        client = ThriftClient(tserver.host, tserver.port,
+                              protocol="compact")
         try:
             trecs = [
                 (res.row, cv.qualifier, cv.value)

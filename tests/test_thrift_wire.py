@@ -280,3 +280,16 @@ def test_struct_codecs_round_trip(obj):
         spec.encode(w, obj)
         back = spec.decode(reader_cls(io.BytesIO(bytes(w.buf))))
         assert back == obj
+
+
+def test_method_table_and_arg_names_agree():
+    """METHODS and ARG_NAMES must not drift: same method set, and each
+    name list exactly as long as its argspec."""
+    from hbase_spark.thrift_wire import ARG_NAMES, METHODS
+
+    assert set(METHODS) == set(ARG_NAMES)
+    for name, (argspec, _, throws) in METHODS.items():
+        assert len(ARG_NAMES[name]) == len(argspec), name
+        assert 1 in throws, name  # every method declares TIOError
+        fids = [fid for fid, _, _ in argspec]
+        assert fids == sorted(fids) and len(set(fids)) == len(fids), name
