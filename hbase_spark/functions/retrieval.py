@@ -58,9 +58,8 @@ def _query_terms(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFra
     strings, tokenized with the shared portable tokenizer.  Standard
     short-query convention: distinct terms, unit query weight.
     """
-    q = spark.createDataFrame(
-        queries, "query_id long, qtext string"
-    ).coalesce(1)  # literal query batch: one partition
+    q = spark.createDataFrame(queries, "query_id long, qtext string")
+    # LocalTableScan on purpose — see similarity.batched_cosine_topk
     return (
         q.select("query_id", F.explode(_ascii_tokens("qtext")).alias("_w"))
         .select("query_id", F.xxhash64("_w").alias("hw"))

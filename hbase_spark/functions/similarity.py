@@ -141,7 +141,11 @@ def cosine_topk_batch(
     ]
     q = spark.createDataFrame(
         qrows, "query_id long, _qv array<double>, _qn double"
-    ).coalesce(1)  # literal query batch: one partition, no empty slices
+    )
+    # q must stay a LocalTableScan (no coalesce/repartition): the
+    # broadcast below then builds driver-side with zero Spark jobs;
+    # wrapping it in ANY physical node forces a job to collect the
+    # broadcast (measured x5.4 on this arm when round 10 tried it)
     # zero-norm guard: a 0/0 score is NaN, and NaN sorts ABOVE every
     # real number in a descending order — an all-zero embedding (a
     # failed upstream write) would falsely take rank 1 for every

@@ -114,7 +114,7 @@ def agg_table(
         )
     )
     spark = visible.sparkSession
-    return spark.createDataFrame([row], agg_df.schema).coalesce(1).withColumn(
+    return spark.createDataFrame([row], agg_df.schema).withColumn(
         "median", F.lit(None if med is None else float(med)).cast("double")
     )
 

@@ -138,7 +138,7 @@ class Table:
 
         keys = self.cells.sparkSession.createDataFrame(
             [(k,) for k in row_keys], ["row"]
-        ).coalesce(1)  # one client batch, one partition
+        )  # stays a LocalTableScan: broadcast builds driver-side, no job
         narrowed = self.cells.join(F.broadcast(keys), "row", "left_semi")
         return Table(narrowed, self.families, self.now).scan(Scan(**kw))
 
