@@ -459,6 +459,8 @@ class RestGateway:
         sid = rest[0]
         import time
 
+        import math
+
         with self._lock:
             entry = self._scanners.get(sid)
             now = time.time()
@@ -468,19 +470,26 @@ class RestGateway:
                 # even if no new scanner ever triggered a sweep
                 del self._scanners[sid]
                 entry = None
-            if entry is not None:
-                self._scanners[sid] = (entry[0], now)
+            if entry is not None and method == "GET":
+                # in-use marker: an inf stamp keeps concurrent sweeps
+                # from reaping this scanner while its Spark pull runs
+                self._scanners[sid] = (entry[0], math.inf)
         if entry is None:
             raise KeyError(f"no scanner {sid}")
         sc = entry[0]
         if method == "GET":
-            cells = sc.next_cells()
-            # renew the lease AFTER the pull too — the reference renews
-            # when the RPC completes, so server-side scan time (a Spark
-            # job here) never counts against the client's idle window
-            with self._lock:
-                if sid in self._scanners:
-                    self._scanners[sid] = (sc, time.time())
+            try:
+                cells = sc.next_cells()
+            finally:
+                # renew AFTER the pull — the reference renews when the
+                # RPC completes, so server-side scan time (a Spark job
+                # here) never counts against the client's idle window;
+                # in a finally so a failed pull cannot leave the inf
+                # stamp behind, and guarded so a DELETE issued
+                # mid-pull stays closed
+                with self._lock:
+                    if sid in self._scanners:
+                        self._scanners[sid] = (sc, time.time())
             if not cells:
                 return h._reply(204)  # exhausted, like the reference
             return h._reply(200, self._cellset([r.asDict() for r in cells]))

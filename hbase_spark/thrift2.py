@@ -147,6 +147,40 @@ class THRegionLocation:
     regionInfo: dict
 
 
+class _RowScanner:
+    """Scanner state batched by ROW, not cell: the IDL's numRows counts
+    TResults, i.e. whole rows (round-10 review: the previous cell
+    budget split multi-column rows across batches as duplicate/partial
+    TResults with partial unset, and getScannerResults truncated
+    mid-row).  One cell of lookahead marks the row boundary; the
+    stream still pulls through toLocalIterator partition-at-a-time."""
+
+    def __init__(self, df) -> None:
+        self.rows = df.toLocalIterator()
+        self._pending = None
+
+    def next_rows(self, n_rows: int) -> list:
+        out: list = []
+        seen = 0
+        cur = None
+        while True:
+            if self._pending is not None:
+                cell, self._pending = self._pending, None
+            else:
+                try:
+                    cell = next(self.rows)
+                except StopIteration:
+                    break
+            if cell["row"] != cur:
+                if seen == n_rows:
+                    self._pending = cell  # starts row n+1 — keep it
+                    break
+                seen += 1
+                cur = cell["row"]
+            out.append(cell)
+        return out
+
+
 class THBaseServiceHandler:
     """thrift2/ThriftHBaseServiceHandler.java over one Admin catalog.
 
@@ -488,13 +522,11 @@ class THBaseServiceHandler:
     def openScanner(self, table: str, tscan: TScan) -> int:
         import time
 
-        from hbase_spark.rest import _Scanner
-
         df = self._scan_df(table, tscan)
         # build outside the lock, BEFORE stamping the lease:
         # toLocalIterator setup costs a Spark round-trip, and stamping
         # first would hand out a lease already ~1s old at return time
-        scanner = _Scanner(df, tscan.caching or 100)
+        scanner = _RowScanner(df)
         with self._lock:
             # lease expiry (the reference's scanner lease): abandoned
             # scanners would otherwise pin their iterators forever
@@ -512,6 +544,8 @@ class THBaseServiceHandler:
     def getScannerRows(self, scannerId: int, numRows: int = 1) -> list[TResult]:
         import time
 
+        import math
+
         with self._lock:
             entry = self._scanners.get(scannerId)
             now = time.time()
@@ -522,18 +556,28 @@ class THBaseServiceHandler:
                 del self._scanners[scannerId]
                 entry = None
             if entry is not None:
-                self._scanners[scannerId] = (entry[0], now)
+                # in-use marker: an inf stamp makes concurrent sweeps
+                # and access-expiry checks skip this scanner while its
+                # Spark pull runs — a pull longer than the lease must
+                # not get the live scanner reaped out from under the
+                # client (round-10 review)
+                self._scanners[scannerId] = (entry[0], math.inf)
         if entry is None:
             raise ValueError(f"invalid scanner id {scannerId}")
         sc = entry[0]
-        sc.batch = max(1, numRows)
-        out = self._tresults([r.asDict() for r in sc.next_cells()])
-        # renew after the pull: server-side scan time (a Spark job)
-        # never counts against the client's idle window, matching the
-        # reference's renew-on-RPC-completion lease semantics
-        with self._lock:
-            if scannerId in self._scanners:
-                self._scanners[scannerId] = (sc, time.time())
+        try:
+            out = self._tresults(
+                [r.asDict() for r in sc.next_rows(max(1, numRows))]
+            )
+        finally:
+            # renew after the pull: server-side scan time (a Spark job)
+            # never counts against the client's idle window, matching
+            # the reference's renew-on-RPC-completion lease semantics;
+            # in a finally so a failed pull cannot leave the inf stamp
+            # behind, guarded so a closeScanner mid-pull stays closed
+            with self._lock:
+                if scannerId in self._scanners:
+                    self._scanners[scannerId] = (sc, time.time())
         return out
 
     def closeScanner(self, scannerId: int) -> None:

@@ -472,19 +472,29 @@ class _CompactReader(_ReaderBase):
     def struct_end(self) -> None:
         self._fid_stack.pop()
 
+    @staticmethod
+    def _elem_type(ct: int) -> int:
+        ttype = _FROM_COMPACT.get(ct)
+        if ttype is None:
+            raise TApplicationException(
+                f"bad compact element type {ct}"
+            )
+        return ttype
+
     def list_begin(self) -> tuple[int, int]:
         head = self._read(1)[0]
         size = (head >> 4) & 0x0F
         if size == 0x0F:
             size = self._varint()
-        return _FROM_COMPACT[head & 0x0F], size
+        return self._elem_type(head & 0x0F), size
 
     def map_begin(self) -> tuple[int, int, int]:
         size = self._varint()
         if size == 0:
             return STOP, STOP, 0
         kv = self._read(1)[0]
-        return _FROM_COMPACT[(kv >> 4) & 0x0F], _FROM_COMPACT[kv & 0x0F], size
+        return (self._elem_type((kv >> 4) & 0x0F),
+                self._elem_type(kv & 0x0F), size)
 
 
 # ---------------------------------------------------------------------------
@@ -675,7 +685,11 @@ TSCAN = StructSpec(TScan, {
     6: ("timeRange", STRUCT, TTIMERANGE),
     7: ("filterString", STRING, None),
     11: ("reversed", BOOL, None),
-    14: ("limit", I32, None),
+    # 14 is readType (TReadType enum) in the public IDL — a physical
+    # knob here, skipped as unknown; limit is 15 (round-10 review
+    # caught 14: a generated client's readType would have decoded as
+    # a silent 2-row limit)
+    15: ("limit", I32, None),
 })
 
 # region locations cross the wire in the IDL's nested shape
@@ -1012,12 +1026,15 @@ class ThriftServer:
                             reply = processor.process(r)
                         except EOFError:
                             return
-                        except TApplicationException:
-                            # bad frame length / bad protocol header:
-                            # the stream position is unrecoverable —
-                            # close the connection (the client sees
-                            # EOF), like a generated server's
-                            # transport-error path
+                        except Exception:  # noqa: BLE001
+                            # bad frame length / protocol header /
+                            # collection type nibble / args missing a
+                            # required field: the stream position is
+                            # unrecoverable — close the connection
+                            # (the client sees EOF), like a generated
+                            # server's transport-error path.  Handler
+                            # failures never reach here — process()
+                            # converts them to wire replies.
                             return
                         _write_message(f, reply, framed_opt)
                 except (ConnectionError, BrokenPipeError, OSError):

@@ -267,3 +267,21 @@ def test_region_locations(handler):
         assert all("start_key" in lc.regionInfo for lc in locs)
     else:
         assert loc.regionInfo["region_file"]
+
+
+def test_scanner_numrows_counts_rows_not_cells(handler):
+    """The IDL's numRows counts TResults (whole rows): a multi-column
+    row must never split across batches as partial TResults (round-10
+    review — the prior cell budget did exactly that)."""
+    sid = handler.openScanner("tt", TScan(startRow="r00", stopRow="r02"))
+    batch = handler.getScannerRows(sid, 1)
+    assert len(batch) == 1
+    assert batch[0].row == "r00"
+    # r00 has cells in BOTH families — one TResult carries them all
+    assert {(c.family, c.qualifier) for c in batch[0].columnValues} == {
+        ("f", "q"), ("g", "x"),
+    }
+    batch2 = handler.getScannerRows(sid, 5)
+    assert [r.row for r in batch2] == ["r01"]
+    assert handler.getScannerRows(sid, 5) == []
+    handler.closeScanner(sid)

@@ -98,15 +98,22 @@ def main() -> int:
         est = sum(MEASURED.get(m, 10) for m in mods)
         print(f"shard {i}: ~{est}s est, {len(mods)} modules: "
               f"{' '.join(mods)}", flush=True)
+        # each shard writes to its own file: a PIPE drained only after
+        # earlier shards finish would block any shard whose output
+        # exceeds the ~64KB pipe buffer, silently serializing the run
+        # (round-10 review)
+        log = open(os.path.join(ROOT, f".pytest_shard_{i}.log"), "wb")
         procs.append((i, subprocess.Popen(
-            cmd, cwd=ROOT,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )))
+            cmd, cwd=ROOT, stdout=log, stderr=subprocess.STDOUT,
+        ), log))
 
     failed = False
-    for i, p in procs:
-        out, _ = p.communicate()
-        tail = out.decode(errors="replace").strip().split("\n")
+    for i, p, log in procs:
+        p.wait()
+        log.close()
+        with open(log.name, "rb") as f:
+            tail = f.read().decode(errors="replace").strip().split("\n")
+        os.unlink(log.name)
         print(f"--- shard {i} (exit {p.returncode}) ---", flush=True)
         for line in tail[-4:]:
             print(f"    {line}", flush=True)

@@ -78,21 +78,22 @@ def main() -> None:
         results[str(k)] = round(time.time() - t0, 3)
         print(f"x{k}: {results[str(k)]}s", file=sys.stderr, flush=True)
 
-    hi, mid = str(scales[-1]), str(scales[-2])
-    ratio = scales[-1] / scales[-2]
-    alpha = round(
-        math.log(results[hi] / results[mid]) / math.log(ratio), 2
-    )
     payload = {
         "base": BASE,
         "n": args.n,
         "path": "widegram fallback (n > 64): xxhash64 over n-long "
                 "slices of pre-hashed tokens per start",
         "scales": results,
-        "alpha": alpha,
-        "alpha_note": f"log(t_{hi}x/t_{mid}x)/log({ratio:g}); "
-                      "<=1 linear-or-better",
     }
+    if len(scales) >= 2:  # alpha needs a pair; never lose the timings
+        hi, mid = str(scales[-1]), str(scales[-2])
+        ratio = scales[-1] / scales[-2]
+        payload["alpha"] = round(
+            math.log(results[hi] / results[mid]) / math.log(ratio), 2
+        )
+        payload["alpha_note"] = (
+            f"log(t_{hi}x/t_{mid}x)/log({ratio:g}); <=1 linear-or-better"
+        )
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
