@@ -60,21 +60,25 @@ def _b64d(s: str) -> str:
 
 class _Scanner:
     """ScannerInstanceResource state: a batch-pulling iterator over the
-    scan's local iterator (partition-at-a-time, never a full collect)."""
+    scan's local iterator (partition-at-a-time, never a full collect).
+    Pulls serialize on a mutex — two concurrent GETs on one scanner id
+    share the iterator state."""
 
     def __init__(self, df, batch: int):
         self.rows = df.toLocalIterator()
         self.batch = max(1, batch)
         self.exhausted = False
+        self._mutex = threading.Lock()
 
     def next_cells(self) -> list:
         out = []
-        for _ in range(self.batch):
-            try:
-                out.append(next(self.rows))
-            except StopIteration:
-                self.exhausted = True
-                break
+        with self._mutex:
+            for _ in range(self.batch):
+                try:
+                    out.append(next(self.rows))
+                except StopIteration:
+                    self.exhausted = True
+                    break
         return out
 
 

@@ -158,8 +158,16 @@ class _RowScanner:
     def __init__(self, df) -> None:
         self.rows = df.toLocalIterator()
         self._pending = None
+        # concurrent getScannerRows on one id (two connections, or a
+        # timed-out client retrying beside its in-flight call) must
+        # serialize: the lookahead + iterator are shared state
+        self._mutex = threading.Lock()
 
     def next_rows(self, n_rows: int) -> list:
+        with self._mutex:
+            return self._next_rows_locked(n_rows)
+
+    def _next_rows_locked(self, n_rows: int) -> list:
         out: list = []
         seen = 0
         cur = None

@@ -1080,7 +1080,14 @@ class ThriftClient:
     """
 
     def __init__(self, host: str, port: int, framed: bool = True,
-                 timeout: float = 30.0, protocol: str = "binary") -> None:
+                 timeout: float | None = None,
+                 protocol: str = "binary") -> None:
+        # timeout default None (blocking), like a generated client's
+        # TSocket: server-side pulls are real Spark jobs whose latency
+        # scales with data, and a mid-read socket timeout permanently
+        # desyncs the stream (there is no resync path in the
+        # protocol).  Callers that want a bound must also be ready to
+        # discard the connection on timeout.
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._f = self._sock.makefile("rwb")
         self._framed = framed

@@ -113,10 +113,17 @@ def main() -> int:
         log.close()
         with open(log.name, "rb") as f:
             tail = f.read().decode(errors="replace").strip().split("\n")
-        os.unlink(log.name)
+        ok = p.returncode == 0
         print(f"--- shard {i} (exit {p.returncode}) ---", flush=True)
-        for line in tail[-4:]:
+        # failures keep their full log on disk and print enough tail
+        # to include the FAILURES tracebacks — deleting the evidence
+        # would force a ~10-minute single-process re-run to see it
+        for line in tail[-(4 if ok else 60):]:
             print(f"    {line}", flush=True)
+        if ok:
+            os.unlink(log.name)
+        else:
+            print(f"    full log kept: {log.name}", flush=True)
         failed |= p.returncode != 0
     print(f"total wall: {time.time() - t0:.0f}s "
           f"({'FAILED' if failed else 'all shards green'})", flush=True)
