@@ -6052,6 +6052,47 @@ def q_gateway_topology_scan(spark, sf):
     )
 
 
+@_q(
+    "pe_write_scan",
+    r"""WITH keys AS (
+      SELECT lpad(CAST(i AS VARCHAR), 26, '0') AS row
+      FROM generate_series(0, 499) t(i))
+    SELECT row, 'info0' AS family, '0' AS qualifier,
+           substring(
+             regexp_replace(
+               translate(md5(row || '|info0|0' || '#0'),
+                         '0123456789abcdef', 'ABCDEFGHIJKLMNOP'),
+               '(.)', '\1\1\1\1\1\1\1\1', 'g'),
+             1, 64) AS value
+    FROM keys""",
+)
+def q_pe_write_scan(spark, sf):
+    """PerformanceEvaluation write path, hash-checked end to end
+    (hbase-diagnostics PerformanceEvaluation.java:2408 sequentialWrite;
+    hbase_spark/pe.py): run the PE harness's sequentialWrite — 26-byte
+    zero-padded keys (:2596), deterministic generateData-shaped values
+    (8-byte letter runs, :2611) — through Admin.create_table + bulk
+    merge + flush into a real region layout, scan the table back, and
+    let DuckDB recompute every key AND every value byte independently
+    (generate_series + the same md5-chain derivation).  Proves the
+    harness's throughput numbers measure a write path that stores
+    exactly what it claims."""
+    import shutil
+
+    from hbase_spark.pe import PEOptions, PerformanceEvaluation
+
+    path = _tmp("pe", sf)
+    shutil.rmtree(path, ignore_errors=True)
+    pe = PerformanceEvaluation(
+        spark, path,
+        PEOptions(rows=500, value_size=64, families=1, columns=1,
+                  nclients=4),
+    )
+    pe.run("sequentialWrite")
+    snap = pe.admin.table(pe.opts.table).scan()
+    return snap.select("row", "family", "qualifier", "value")
+
+
 _TAIL = [
     "gateway_topology_scan",
     "doc_curation_report",
@@ -6071,6 +6112,7 @@ _TAIL = [
     "verify_replication",
     "doc_simhash_near_dups",
     "doc_simhash_portable",
+    "pe_write_scan",
     "embedding_ivf_topk",
     "embedding_ann_topk",
     "multimodal_decode",

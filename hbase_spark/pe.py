@@ -161,6 +161,14 @@ class PerformanceEvaluation:
         self.opts = opts or PEOptions()
         self.admin = Admin(spark, catalog_dir)
         self._loaded = False
+        # monotonic mutation clock: PE stamps server-now per op; a fixed
+        # ts would make a re-run write a conflicting cell at identical
+        # (ts, seq) coordinates
+        self._op_ts = 1
+
+    def _next_ts(self) -> int:
+        self._op_ts += 1
+        return self._op_ts
 
     # ---------------------------------------------------------- setup
 
@@ -173,14 +181,21 @@ class PerformanceEvaluation:
             self.admin.delete_table(o.table)
         self.admin.create_table(o.table, o.family_names)
         self._loaded = False
+        self._op_ts = 1
 
     def ensure_loaded(self) -> None:
         if self._loaded:
             return
         if self.opts.table not in self.admin.list_enabled_tables():
             self.init_create_table()
-        if self.admin.table(self.opts.table).cells.isEmpty():
+        cells = self.admin.table(self.opts.table).cells
+        if cells.isEmpty():
             self.sequential_write()
+        else:
+            # adopt an existing population (e.g. a prior process's run):
+            # advance the mutation clock past everything already written
+            top = cells.agg(F.max("ts")).first()[0]
+            self._op_ts = max(self._op_ts, int(top or 1))
         self._loaded = True
 
     # ------------------------------------------------------ generators
@@ -376,7 +391,8 @@ class PerformanceEvaluation:
             F.lit(self._cas_qualifier("IncrementTest")).alias("qualifier"),
             F.lit(1).cast("long").alias("delta"),
         )
-        t = self.admin.table(o.table).increment(deltas, ts=2, seq=1)
+        ts = self._next_ts()
+        t = self.admin.table(o.table).increment(deltas, ts=ts, seq=ts)
         self._flush(t)
         return o.rows * o.families, {}
 
@@ -392,7 +408,8 @@ class PerformanceEvaluation:
             F.col("row").alias("delta"),
             F.lit(1).cast("long").alias("seq"),
         )
-        t = self.admin.table(o.table).append(appends, ts=2, seq=1)
+        ts = self._next_ts()
+        t = self.admin.table(o.table).append(appends, ts=ts, seq=ts)
         self._flush(t)
         return o.rows * o.families, {}
 
@@ -406,12 +423,13 @@ class PerformanceEvaluation:
         fam = f"{FAMILY_NAME_BASE}0"
         sentinel = "S"
         keys = self._keys(sequential=True)
+        ts_known, ts_mut = self._next_ts(), self._next_ts()
         known = keys.select(
             "row", F.lit(fam).alias("family"), F.lit(qual).alias("qualifier"),
-            F.lit(2).cast("long").alias("ts"),
+            F.lit(ts_known).cast("long").alias("ts"),
             F.lit(int(CellType.PUT)).cast("int").alias("type"),
             F.lit(sentinel).alias("value"),
-            F.lit(1).cast("long").alias("seq"),
+            F.lit(ts_known).cast("long").alias("seq"),
         )
         t = self.admin.table(o.table).with_cells(known)
         if kind == "Delete":
@@ -420,10 +438,10 @@ class PerformanceEvaluation:
             mut_type, mut_value = int(CellType.PUT), "T"
         muts = keys.select(
             "row", F.lit(fam).alias("family"), F.lit(qual).alias("qualifier"),
-            F.lit(3).cast("long").alias("ts"),
+            F.lit(ts_mut).cast("long").alias("ts"),
             F.lit(mut_type).cast("int").alias("type"),
             F.lit(mut_value).cast("string").alias("value"),
-            F.lit(2).cast("long").alias("seq"),
+            F.lit(ts_mut).cast("long").alias("seq"),
         )
         t = t.check_and_mutate(
             muts, guard_family=fam, guard_qualifier=qual,

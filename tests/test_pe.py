@@ -98,6 +98,10 @@ def test_increment_and_append(pe, loaded):
     snap = _snapshot(pe).filter("qualifier = 'IncrementTest'")
     assert snap.count() == ROWS * 2  # every row x family
     assert {r["value"] for r in snap.select("value").distinct().collect()} == {"1"}
+    # re-running accumulates (the monotonic op clock: no ts collisions)
+    pe.run("increment")
+    snap = _snapshot(pe).filter("qualifier = 'IncrementTest'")
+    assert {r["value"] for r in snap.select("value").distinct().collect()} == {"2"}
 
     pe.run("append")
     snap = _snapshot(pe).filter("qualifier = 'AppendTest'")
