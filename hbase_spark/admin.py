@@ -74,6 +74,11 @@ class Admin(TopologyMixin):
         self.spark = spark
         self.catalog_dir = catalog_dir
         self._init_topology_state()
+        # region-inventory cache for point lookups (the client-side
+        # META location cache, client/AsyncNonMetaRegionLocator.java):
+        # keyed by descriptor version, so any flush / geometry rewrite
+        # (all bump the version) invalidates it
+        self._region_cache: dict = {}
 
     # -- descriptor IO ------------------------------------------------------
 
@@ -86,8 +91,35 @@ class Admin(TopologyMixin):
         ).write.mode("overwrite").text(self._desc_path(name))
 
     def _read_desc(self, name: str) -> dict:
+        """Read the table descriptor.  The descriptor is catalog METADATA
+        on the hot path of every Admin/gateway call; going through a
+        Spark job costs ~50-70ms per read, so local catalogs read the
+        written part files directly (the layout Spark's text writer
+        produces) and only non-local catalog URIs (s3://, hdfs://) fall
+        back to the Spark reader, which speaks any Hadoop FS."""
+        path = self._desc_path(name)
+        local = self._local_path(path)
+        if "://" not in path or path.startswith("file:"):
+            import glob
+            import os
+
+            try:
+                if os.path.isfile(local):
+                    txt = open(local).read()
+                else:
+                    parts = sorted(glob.glob(f"{local}/part-*"))
+                    if not parts:
+                        raise FileNotFoundError(local)
+                    txt = "\n".join(
+                        open(p).read().rstrip("\n") for p in parts
+                    )
+            except OSError as e:
+                raise ValueError(f"table {name!r} does not exist") from e
+            # a corrupt descriptor is NOT a missing table: let the
+            # JSON error surface, like the Spark-reader path does
+            return json.loads(txt)
         try:
-            rows = self.spark.read.text(self._desc_path(name)).collect()
+            rows = self.spark.read.text(path).collect()
         except Exception as e:  # noqa: BLE001
             raise ValueError(f"table {name!r} does not exist") from e
         return json.loads("\n".join(r.value for r in rows))
@@ -429,7 +461,7 @@ class Admin(TopologyMixin):
     def get_splits(self, name: str) -> list[str]:
         """shell `get_splits`: the region start keys after the first."""
         return [
-            r.start_key for r in self.list_regions(name).collect()
+            r.start_key for r in self._cached_region_inventory(name)
         ][1:]
 
     # -- region geometry (shell `split` / `merge_region`;
@@ -623,6 +655,37 @@ class Admin(TopologyMixin):
             self._rewrite_regions(name, files, write_parts,
                                   observers=observers)
 
+    def _scan_region_boundaries(self, name: str) -> list:
+        """One slim boundary scan: (region_file, start_key, end_key)
+        only — the row column alone, so parquet column pruning keeps
+        this cheap even on value-heavy tables (unlike the shell's full
+        ``list_regions`` report, which also sums value bytes)."""
+        from pyspark.sql import functions as F
+
+        t = self.table(name)
+        return (
+            t.cells.groupBy(F.input_file_name().alias("region_file"))
+            .agg(F.min("row").alias("start_key"),
+                 F.max("row").alias("end_key"))
+            .orderBy("start_key")
+            .collect()
+        )
+
+    def _cached_region_inventory(self, name: str) -> list:
+        """The collected region-boundary list, memoized per descriptor
+        state — one boundary scan per (version, data_dir, mob_dir,
+        sft), then pure driver-side lookups until the next
+        flush/geometry op."""
+        desc = self._read_desc(name)
+        key = (desc.get("version", 0), desc.get("data_dir"),
+               desc.get("mob_dir"), desc.get("sft"))
+        hit = self._region_cache.get(name)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        rows = self._scan_region_boundaries(name)
+        self._region_cache[name] = (key, rows)
+        return rows
+
     def locate_region(self, name: str, row) -> dict:
         """shell `locate_region 't', 'row'`: the region whose range
         holds ``row`` (regions are sorted; the owner is the last region
@@ -634,8 +697,13 @@ class Admin(TopologyMixin):
         ``start_key`` here is the *observed minimum* of the region's
         data, so a row sorting before it still floors to the first
         region by convention; such lookups carry ``out_of_range=True``
-        so callers can distinguish ownership from the floor fallback."""
-        regions = self.list_regions(name).collect()
+        so callers can distinguish ownership from the floor fallback.
+
+        The boundary scan runs ONCE per table version (the layout is
+        immutable version dirs, so boundaries cannot drift under a
+        cached inventory) — repeated lookups are driver-side floor
+        searches, like the reference's client META cache."""
+        regions = self._cached_region_inventory(name)
         if not regions:
             raise ValueError(f"table {name!r} has no regions")
         owner = regions[0]
