@@ -36,8 +36,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # measured seconds per module (round-10 durations profile, quiet box);
 # used only for balancing — a missing entry means "small"
 MEASURED = {
-    "test_admin_shell.py": 550,
+    # test_admin_shell was one 1,066s module (the whole suite's
+    # wall-clock floor); round 10 split it in half so shards can
+    # parallelize it
+    "test_admin_shell.py": 540,
+    "test_admin_shell_ops.py": 530,
     "test_topology.py": 190,
+    "test_pe.py": 70,
     "test_pipeline.py": 160,
     "test_thrift2.py": 140,
     "test_quotas.py": 115,
