@@ -349,3 +349,72 @@ def test_delete_table_procedure_crash_recovery(catalog, spark, catalog_dir):
     fresh = Admin(spark, catalog_dir)
     fresh.recover_procedures()
     assert not fresh.table_exists("e")
+
+
+# -- chaos sweep: crash before EVERY step of every registered procedure
+# (the ChaosMonkey posture of hbase-it, SURVEY.md §5.1, applied to the
+# procedure store: the single-step drills above sample the crash
+# windows; this closes the class — any step boundary, same convergence)
+
+
+def _crashing(base, k):
+    class _Chaos(base):
+        def steps(self, admin):
+            steps = super().steps(admin)
+
+            def boom(a, ctx):
+                raise SimulatedCrash(f"before {steps[k].name}")
+
+            steps[k] = Step(steps[k].name, boom, steps[k].rollback)
+            return steps
+
+    return _Chaos
+
+
+@pytest.mark.parametrize("k", [0, 1])
+def test_chaos_truncate_crash_at_any_step_recovers(
+    catalog, spark, catalog_dir, k
+):
+    _seed(catalog, "ct")
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_crashing(TruncateTableProcedure, k)(table="ct"))
+    # every pre-completion crash window leaves the OLD data readable
+    assert shell_count(catalog.table("ct")) == 6
+    fresh = Admin(spark, catalog_dir)
+    assert fresh.recover_procedures()[-1]["action"] == "resumed"
+    assert shell_count(fresh.table("ct")) == 0
+    assert fresh._read_desc("ct")["families"]  # schema kept
+    assert fresh.recover_procedures() == []  # converged: nothing pending
+
+
+@pytest.mark.parametrize("k", [0, 1])
+def test_chaos_create_crash_at_any_step_recovers(
+    catalog, spark, catalog_dir, k
+):
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_crashing(CreateTableProcedure, k)(
+            table="cc", families=["f"]))
+    fresh = Admin(spark, catalog_dir)
+    assert fresh.recover_procedures()[-1]["action"] == "resumed"
+    # converged to the success end state: enabled, empty, writable
+    assert fresh.table_exists("cc")
+    t = fresh.table("cc")
+    assert shell_count(t) == 0
+    fresh.flush("cc", shell_put(t, "r0", "f:q", "v", ts=10, seq=1),
+                num_regions=1)
+    assert shell_count(fresh.table("cc")) == 1
+    assert fresh.recover_procedures() == []
+
+
+@pytest.mark.parametrize("k", [0, 1])
+def test_chaos_delete_crash_at_any_step_recovers(
+    catalog, spark, catalog_dir, k
+):
+    _seed(catalog, "cd")
+    catalog.disable_table("cd")
+    with pytest.raises(SimulatedCrash):
+        catalog.submit_procedure(_crashing(DeleteTableProcedure, k)(table="cd"))
+    fresh = Admin(spark, catalog_dir)
+    assert fresh.recover_procedures()[-1]["action"] == "resumed"
+    assert not fresh.table_exists("cd")
+    assert fresh.recover_procedures() == []
