@@ -502,6 +502,10 @@ class PerformanceEvaluation:
             raise ValueError(
                 f"unknown PE command {command!r}; one of {sorted(self.COMMANDS)}")
         fn = getattr(self, self.COMMANDS[command])
+        if command not in ("sequentialWrite", "randomWrite"):
+            # population is setup, not workload: a standalone read
+            # command must not time the write that seeds the table
+            self.ensure_loaded()
         t0 = time.perf_counter()
         ops, details = fn()
         sec = time.perf_counter() - t0
@@ -522,7 +526,8 @@ class PerformanceEvaluation:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         description="PerformanceEvaluation analog (see BASELINE.md)")
-    p.add_argument("command", help="PE workload name, or 'all'")
+    p.add_argument("command",
+                   help="PE workload name, comma-separated list, or 'all'")
     p.add_argument("nclients", nargs="?", type=int, default=4,
                    help="write parallelism (PE's client count)")
     p.add_argument("--rows", type=int, default=100_000,
@@ -543,6 +548,10 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.shuffle.partitions", str(max(a.nclients * 4, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # PE's default run materializes ~1 GB of generated cells in one
+        # local JVM; Spark's 1g driver default thrashes GC there
+        .config("spark.driver.memory", "16g")
+        .config("spark.driver.maxResultSize", "2g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -551,7 +560,7 @@ def main(argv: list[str] | None = None) -> int:
                      families=a.families, columns=a.columns,
                      nclients=a.nclients, queries=a.queries, table=a.table)
     pe = PerformanceEvaluation(spark, catalog, opts)
-    cmds = list(pe.COMMANDS) if a.command == "all" else [a.command]
+    cmds = list(pe.COMMANDS) if a.command == "all" else a.command.split(",")
     for c in cmds:
         print(json.dumps(pe.run(c)))
     return 0
