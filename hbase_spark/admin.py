@@ -367,7 +367,7 @@ class Admin(TopologyMixin):
             for ob in observers
         ):
             candidates = [
-                r.region_file for r in self.list_regions(name).collect()
+                r.region_file for r in self._cached_region_inventory(name)
             ]
             selected = list(candidates)
             for ob in observers:
@@ -402,7 +402,7 @@ class Admin(TopologyMixin):
         region count for observability."""
         desc = self._read_desc(name)
         try:
-            n = self.list_regions(name).count()
+            n = len(self._cached_region_inventory(name))
         except Exception:  # noqa: BLE001 — empty/disabled layout
             n = 0
         return {
@@ -588,7 +588,7 @@ class Admin(TopologyMixin):
         split master switch (MasterSwitchType.SPLIT).  ``observers``
         receive the region-lifecycle hooks (see _rewrite_regions)."""
         self._require_switch("split")
-        regions = self.list_regions(name).collect()
+        regions = self._cached_region_inventory(name)
         target = next(
             (
                 r
@@ -3130,7 +3130,7 @@ def canary(admin: Admin, tables: list[str] | None = None) -> dict:
                 report["tables"][name] = entry
                 continue
             t0 = _t.monotonic()
-            regions = admin.list_regions(name).collect()
+            regions = admin._cached_region_inventory(name)
             entry["regions"] = len(regions)
             # one probe scan touching each region's start key range
             tbl = admin.table(name)

@@ -330,7 +330,7 @@ class RestGateway:
 
     def _regions(self, h, name: str):
         # TableInfoModel (RegionsResource): region name/range rows
-        rows = self.admin.list_regions(name).collect()
+        rows = self.admin._cached_region_inventory(name)
         return h._reply(200, {"name": name, "Region": [
             {"name": r["region_file"].rsplit("/", 1)[-1],
              "startKey": _b64e(str(r["start_key"])),

@@ -499,7 +499,7 @@ def shell_status(admin, fmt: str = "summary") -> dict:
     per_table: dict[str, int] = {}
     for t in tables:
         try:
-            n = admin.list_regions(t).count()
+            n = len(admin._cached_region_inventory(t))
         except Exception:  # noqa: BLE001 — table with no layout yet
             n = 0
         per_table[t] = n

@@ -616,7 +616,7 @@ class THBaseServiceHandler:
 
     def getAllRegionLocations(self, table: str) -> list[THRegionLocation]:
         out = []
-        for r in self.admin.list_regions(table).collect():
+        for r in self.admin._cached_region_inventory(table):
             region = r["region_file"].rsplit("/", 1)[-1]
             out.append(THRegionLocation(
                 serverName=self.admin.server_of_region(table, region),

@@ -272,10 +272,11 @@ class TopologyMixin:
 
     def _region_inventory(self, name: str) -> list[str]:
         """Encoded region names of a table = layout-file basenames
-        (bounded collect: one row per region, same as list_regions)."""
+        (served from the per-version boundary cache — placement
+        derivation must not cost a table scan per call)."""
         return sorted(
             os.path.basename(self._local_path(r["region_file"]))
-            for r in self.list_regions(name).collect()
+            for r in self._cached_region_inventory(name)
         )
 
     def _eligible_servers(self, name: str, *, topo: dict | None = None,
