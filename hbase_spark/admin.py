@@ -86,43 +86,94 @@ class Admin(TopologyMixin):
         return f"{self.catalog_dir}/{_table_path(name)}/{_DESCRIPTOR}"
 
     def _write_desc(self, name: str, desc: dict) -> None:
-        self.spark.createDataFrame([(json.dumps(desc),)], "v string").coalesce(
-            1
-        ).write.mode("overwrite").text(self._desc_path(name))
+        self._write_text_state(self._desc_path(name), json.dumps(desc))
 
-    def _read_desc(self, name: str) -> dict:
-        """Read the table descriptor.  The descriptor is catalog METADATA
-        on the hot path of every Admin/gateway call; going through a
-        Spark job costs ~50-70ms per read, so local catalogs read the
-        written part files directly (the layout Spark's text writer
-        produces) and only non-local catalog URIs (s3://, hdfs://) fall
-        back to the Spark reader, which speaks any Hadoop FS."""
-        path = self._desc_path(name)
-        local = self._local_path(path)
-        if "://" not in path or path.startswith("file:"):
+    # -- catalog state IO.  Catalog state (descriptors, topology, ACLs,
+    # quotas, snapshots, the procedure journal) is METADATA on the hot
+    # path of every Admin/gateway/procedure call; going through a Spark
+    # job costs ~50-140ms per touch.  Local catalogs read the files
+    # directly and write atomically (tmp + os.replace — strictly better
+    # than the Spark writer's delete-then-write window); non-local
+    # catalog URIs (s3://, hdfs://) keep the Spark reader/writer, which
+    # speaks any Hadoop FS.  Both layouts interoperate: the local
+    # reader accepts Spark's part-file directories, the Spark reader
+    # accepts plain files. ------------------------------------------------
+
+    @staticmethod
+    def _is_local_uri(path: str) -> bool:
+        return "://" not in path or path.startswith("file:")
+
+    def _read_text_state(self, path: str, what: str) -> str:
+        if self._is_local_uri(path):
             import glob
             import os
 
+            local = self._local_path(path)
             try:
                 if os.path.isfile(local):
-                    txt = open(local).read()
-                else:
-                    parts = sorted(glob.glob(f"{local}/part-*"))
-                    if not parts:
-                        raise FileNotFoundError(local)
-                    txt = "\n".join(
-                        open(p).read().rstrip("\n") for p in parts
-                    )
+                    return open(local).read()
+                parts = sorted(glob.glob(f"{local}/part-*"))
+                if not parts:
+                    raise FileNotFoundError(local)
+                return "\n".join(
+                    open(p).read().rstrip("\n") for p in parts
+                )
             except OSError as e:
-                raise ValueError(f"table {name!r} does not exist") from e
-            # a corrupt descriptor is NOT a missing table: let the
-            # JSON error surface, like the Spark-reader path does
-            return json.loads(txt)
+                raise ValueError(f"{what} does not exist") from e
         try:
             rows = self.spark.read.text(path).collect()
         except Exception as e:  # noqa: BLE001
-            raise ValueError(f"table {name!r} does not exist") from e
-        return json.loads("\n".join(r.value for r in rows))
+            raise ValueError(f"{what} does not exist") from e
+        return "\n".join(r.value for r in rows)
+
+    def _write_text_state(self, path: str, payload: str) -> None:
+        if self._is_local_uri(path):
+            import os
+            import shutil
+            import tempfile as _tf
+
+            local = self._local_path(path)
+            parent = os.path.dirname(local) or "."
+            os.makedirs(parent, exist_ok=True)
+            if os.path.isdir(local):
+                # a prior Spark-written part-file directory: replace
+                # with the plain-file layout
+                shutil.rmtree(local)
+            fd, tmp = _tf.mkstemp(dir=parent, prefix=".state-")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    f.write(payload)
+                os.replace(tmp, local)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            return
+        self.spark.createDataFrame([(payload,)], "v string").coalesce(
+            1
+        ).write.mode("overwrite").text(path)
+
+    def _glob_state(self, pattern: str) -> list[str]:
+        """Catalog discovery: paths matching ``pattern`` — a plain glob
+        locally, the Hadoop-FS glob via Spark otherwise.  Matches both
+        state layouts (plain files and Spark part-file dirs: the dir
+        path itself matches the glob)."""
+        if self._is_local_uri(pattern):
+            import glob
+
+            return sorted(glob.glob(self._local_path(pattern)))
+        try:
+            return sorted(self.spark.read.text(pattern).inputFiles())
+        except Exception:  # noqa: BLE001 — nothing matches
+            return []
+
+    def _read_desc(self, name: str) -> dict:
+        # a corrupt descriptor is NOT a missing table: the JSON error
+        # surfaces, only IO errors map to "does not exist"
+        return json.loads(
+            self._read_text_state(
+                self._desc_path(name), f"table {name!r}"
+            )
+        )
 
     # -- Admin surface ------------------------------------------------------
 
@@ -850,11 +901,7 @@ class Admin(TopologyMixin):
                 r"/([^/]+)/([^/]+)/" + _DESCRIPTOR,
             ),
         ):
-            try:
-                df = self.spark.read.text(pattern)
-            except Exception:  # noqa: BLE001 — nothing at this depth
-                continue
-            for f in df.inputFiles():
+            for f in self._glob_state(pattern):
                 m = re.search(rx, f)
                 if not m:
                     continue
@@ -876,16 +923,10 @@ class Admin(TopologyMixin):
         return f"{self.catalog_dir}/snapshots/{snapshot}.json"
 
     def _write_json(self, path: str, obj: dict) -> None:
-        self.spark.createDataFrame([(json.dumps(obj),)], "v string").coalesce(
-            1
-        ).write.mode("overwrite").text(path)
+        self._write_text_state(path, json.dumps(obj))
 
     def _read_json(self, path: str, what: str) -> dict:
-        try:
-            rows = self.spark.read.text(path).collect()
-        except Exception as e:  # noqa: BLE001
-            raise ValueError(f"{what} does not exist") from e
-        return json.loads("\n".join(r.value for r in rows))
+        return json.loads(self._read_text_state(path, what))
 
     def snapshot(
         self,
@@ -1014,14 +1055,10 @@ class Admin(TopologyMixin):
         self._write_json(self._snap_path(snapshot), {"deleted": True})
 
     def list_snapshots(self) -> list[str]:
-        try:
-            df = self.spark.read.text(f"{self.catalog_dir}/snapshots/*.json")
-        except Exception:  # noqa: BLE001 — no snapshots yet
-            return []
         import re
 
         names = set()
-        for f in df.inputFiles():
+        for f in self._glob_state(f"{self.catalog_dir}/snapshots/*.json"):
             m = re.search(r"/snapshots/([^/]+)\.json/", f + "/")
             if m:
                 name = m.group(1)
@@ -1042,14 +1079,10 @@ class Admin(TopologyMixin):
         )
 
     def list_namespaces(self) -> list[str]:
-        try:
-            df = self.spark.read.text(f"{self.catalog_dir}/*/{_NAMESPACE_DESC}")
-        except Exception:  # noqa: BLE001
-            return ["default"]
         import re
 
         names = {"default"}
-        for f in df.inputFiles():
+        for f in self._glob_state(f"{self.catalog_dir}/*/{_NAMESPACE_DESC}"):
             m = re.search(r"/([^/]+)/" + _NAMESPACE_DESC, f)
             if m:
                 d = self._read_json(

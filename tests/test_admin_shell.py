@@ -984,3 +984,26 @@ def test_locate_region_boundary_scan_cached_per_version(catalog):
         assert scans == 2
     finally:
         type(catalog)._scan_region_boundaries = orig
+
+
+def test_local_catalog_state_io_avoids_spark_jobs(catalog, monkeypatch):
+    """Catalog metadata (descriptors, topology, discovery globs) on a
+    local catalog must not launch Spark jobs — the text reader is the
+    non-local fallback only (Admin._read_text_state/_glob_state)."""
+    catalog.create_table("fastio", ["f"])
+    called = []
+    reader_cls = type(catalog.spark.read)
+    orig = reader_cls.text
+
+    def spying(self, path, *a, **kw):
+        called.append(path)
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(reader_cls, "text", spying)
+    catalog._read_desc("fastio")
+    catalog.list_tables()
+    catalog.list_snapshots()
+    catalog.list_namespaces()
+    catalog._read_topology()
+    catalog.describe("fastio")
+    assert called == []
