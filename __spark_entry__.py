@@ -125,34 +125,47 @@ def _layout_done(path: str, source_dir: str | None = None) -> bool:
     return False
 
 
+def _bucketed_layout_name(kind: str, tag: str) -> str:
+    return f"hsq_{kind}_{tag}".replace(".", "_").replace("-", "_")
+
+
 def _orders_layout(spark: SparkSession, sf: str) -> DataFrame:
-    from hbase_spark.sources.layout import read_table, write_table
+    """Persisted orders CellFrame as a BUCKETED+SORTED table
+    (layout.write_bucketed): the scan carries hashpartitioning(row)
+    and the HFile sort order, so every resolve over it aggregates with
+    zero Exchange and zero Sort, point reads prune buckets on
+    row =/IN pushdown, and row-keyed joins co-partition.  (r10
+    optimization: the former range layout re-sorted and re-shuffled
+    the table under every snapshot resolve.)"""
+    from hbase_spark.sources.layout import read_bucketed_path, write_bucketed
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/tmp/hbase_spark_q/orders_layout/{tag}"
+    path = f"/tmp/hbase_spark_q/orders_layout_b/{tag}"
+    name = _bucketed_layout_name("orders_layout", tag)
     if not _layout_done(path, sf):
-        write_table(
-            _orders_cells(spark, sf), path, num_regions=8, by_family=False
+        write_bucketed(
+            _orders_cells(spark, sf), name, num_buckets=32, path=path
         )
         _LAYOUT_BUILT.add(path)
-    return read_table(spark, path)
+    return read_bucketed_path(spark, path, name, num_buckets=32)
 
 
 def _lineitem_cells_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted melt of lineitem.l_quantity (the aggregation-endpoint
-    input table), same rationale as _orders_layout."""
-    from hbase_spark.sources.layout import read_table, write_table
+    input table), same bucketed layout rationale as _orders_layout."""
+    from hbase_spark.sources.layout import read_bucketed_path, write_bucketed
 
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/tmp/hbase_spark_q/lineitem_layout/{tag}"
+    path = f"/tmp/hbase_spark_q/lineitem_layout_b/{tag}"
+    name = _bucketed_layout_name("lineitem_layout", tag)
     if not _layout_done(path, sf):
         li = load_table(spark, sf, "lineitem").withColumn(
             "pk", F.monotonically_increasing_id()
         )
         cells = melt_table(li, "pk", "li", ["l_quantity"], key_width=16)
-        write_table(cells, path, num_regions=8, by_family=False)
+        write_bucketed(cells, name, num_buckets=32, path=path)
         _LAYOUT_BUILT.add(path)
-    return read_table(spark, path)
+    return read_bucketed_path(spark, path, name, num_buckets=32)
 
 
 def prepare(spark: SparkSession, sf: str) -> None:

@@ -187,6 +187,7 @@ def write_bucketed(
     *,
     num_buckets: int = 32,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Catalog-registered BUCKETED layout: ``bucketBy(row)`` +
     ``sortBy`` into a managed table, so Spark *knows* the partitioning.
@@ -199,17 +200,62 @@ def write_bucketed(
     in tests/test_plans.py).  The range layout (`write_table`) remains
     the scan-pruning store; bucketed tables are the join-heavy
     deployment's variant, exactly like keeping HBase regions aligned
-    across tables for coprocessor-local joins."""
-    (
-        cells.write.mode(mode)
+    across tables for coprocessor-local joins.
+
+    The sort spec is the HFile invariant itself — cells ordered by
+    (row, family, qualifier, ts, seq) inside each store file — and the
+    pre-write ``repartition(num_buckets, row)`` (the same hash the
+    bucket spec uses) leaves exactly ONE file per bucket, which is the
+    condition under which Spark's scan also reports the sort ORDER
+    (``spark.sql.legacy.bucketedTableScan.outputOrdering``, set by
+    ``get_spark``).  Snapshot resolution's per-cell max_by is a
+    sort-based aggregation (struct buffers are not hash-aggregable),
+    so on this layout it runs with NO Exchange and NO Sort — one
+    stage, the plan the reference gets for free from the LSM order.
+    ``path`` makes the table external (bulk-load layouts live outside
+    the warehouse and are re-registered per session by
+    ``read_bucketed_path``).  Sizing: pick ``num_buckets`` for
+    0.5-1 GB per bucket file at the target scale, exactly like
+    ``write_table``'s num_regions."""
+    out = cells.repartition(num_buckets, F.col("row"))
+    writer = (
+        out.write.mode(mode)
         .bucketBy(num_buckets, "row")
-        .sortBy("row", "family", "qualifier")
+        .sortBy("row", "family", "qualifier", "ts", "seq")
         .option("parquet.bloom.filter.enabled#row", "true")
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
 
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed CellFrame with its bucket spec attached."""
+    return spark.table(table_name)
+
+
+def read_bucketed_path(
+    spark: SparkSession,
+    path: str,
+    table_name: str,
+    *,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Attach an on-disk bucketed layout (written by ``write_bucketed``
+    with ``path=``) to THIS session's catalog, so a fresh process reads
+    it with the bucket spec and sort order intact — the session-local
+    analog of opening a snapshot's manifest.  No data IO beyond one
+    parquet footer for the schema."""
+    if not spark.catalog.tableExists(table_name):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+        )
+        spark.sql(
+            f"CREATE TABLE `{table_name}` ({cols}) USING parquet "
+            f"CLUSTERED BY (row) "
+            f"SORTED BY (row, family, qualifier, ts, seq) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
     return spark.table(table_name)

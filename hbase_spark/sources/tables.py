@@ -33,9 +33,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def get_spark(app: str = "hbase_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Heap sizing (optimization guide §5): Spark's default
+    # spark.driver.memory=1g puts the WHOLE local[n] cluster — all n
+    # concurrent tasks, shuffle buffers, broadcasts, and the block
+    # manager holding every localCheckpoint/persist — in one 1 GiB
+    # heap, so the memory store thrashes and GC dominates the tail of
+    # long sessions (measured: the bench's extended arms degrade 2-7x
+    # as the old gen fills).  Only honored when this call launches the
+    # JVM (first session in the process); parameterized for other
+    # deployments, where executor memory is sized per §5.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -47,6 +58,11 @@ def get_spark(app: str = "hbase_spark", cpus: int | None = None) -> SparkSession
         # of requiring an exact key match — zero-exchange diffs between
         # co-bucketed tables (guarded in tests/test_plans.py)
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # bucketed layouts are written one-file-per-bucket with the
+        # HFile sort (row, family, qualifier, ts, seq); this makes the
+        # scan REPORT that order, so resolve's sort-based max_by
+        # aggregation runs with no Sort at all (layout.write_bucketed)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.warehouse.dir", "/tmp/hbase_spark_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
