@@ -1357,10 +1357,12 @@ def _lang_pred_sql(source: str = "documents") -> str:
 @_q("doc_language_id", _lang_pred_sql())
 def q_doc_language_id(spark, sf):
     """Marker-word language ID (argmax with lang-desc tie-break,
-    mirrored exactly in the oracle CASE)."""
+    mirrored exactly in the oracle CASE).  spread=True: the arm is one
+    marker-scan map stage with no exchange of its own (guide §2.5
+    input-skew; measured −0.72s median at sf0.1)."""
     from hbase_spark.functions.text import lang_id
 
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents", spread=True)
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
@@ -1519,7 +1521,11 @@ def q_doc_minhash_dedup(spark, sf):
     engines disagree in practice."""
     from hbase_spark.functions.dedup import minhash_dedup
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # spread=True: the shingle+minhash signature aggregation is one
+    # map-side pass over the text (guide §2.5; measured −0.79s median)
+    docs = load_table(spark, sf, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     clones = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
     )
@@ -4221,7 +4227,11 @@ def _cc_arm(spark, sf):
     oracle with a recursive min-label CTE over the same edge relation."""
     from hbase_spark.functions.dedup import dedup_clusters, paragraph_link_pairs
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # spread=True: paragraph hashing is the arm's one heavy map stage
+    # (guide §2.5; measured −0.70s median at sf0.1)
+    docs = load_table(spark, sf, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     inj = docs.withColumn(
         "text",
         F.concat(
@@ -4689,7 +4699,9 @@ def _c4_arm(spark, sf):
     every page rule hash-check."""
     from hbase_spark.functions.text import c4_clean
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # spread=True: the line/page rule battery is pure per-row regex
+    # work in the scan stage (guide §2.5; measured −0.16s median)
+    docs = load_table(spark, sf, "documents", spread=True).select("doc_id")
     text = F.lit(_C4_VARIANTS[0])
     for i, v in enumerate(_C4_VARIANTS[1:], start=1):
         text = F.when(F.pmod("doc_id", F.lit(8)) == i, F.lit(v)).otherwise(text)
@@ -5319,9 +5331,14 @@ def _pq_index_layout(spark, sf):
         coded = pq_encode(
             ivf_assign(vecs, cents), books, extra_cols=("list_id",)
         )
-        coded.write.partitionBy("list_id").mode("overwrite").parquet(
-            path + "/codes"
-        )
+        # cluster by list_id before the partitioned write (optimization
+        # guide §6): without it every input partition opens a file in
+        # every list directory (tasks x nlist tiny files — measured
+        # 15s of commit overhead and a slower pruned probe read); with
+        # it each list directory holds exactly one file
+        coded.repartition("list_id").write.partitionBy("list_id").mode(
+            "overwrite"
+        ).parquet(path + "/codes")
         with open(path + "/model.json", "w") as fh:
             _json.dump({"books": books, "cents": cents}, fh)
         # the reuse marker _layout_done checks lives at the layout
@@ -5765,7 +5782,11 @@ def _quality_score_arm(spark, sf):
         quality_scores,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # spread=True: serving is one HashingTF+dot-product map stage
+    # (guide §2.5; measured −0.85s median at sf0.1)
+    docs = load_table(spark, sf, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     scored = quality_scores(_quality_clf(spark, sf), docs)
     return pareto_select(scored).select(
         "doc_id", F.round("quality_prob", 3).alias("quality_prob"), "kept"
@@ -5822,7 +5843,9 @@ def q_doc_quality_classifier(spark, sf):
         train_quality_classifier,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     labeled = _quality_labels(spark, sf)
     clf = train_quality_classifier(labeled, max_iter=30)
     scored = quality_scores(clf, docs)

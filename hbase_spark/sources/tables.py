@@ -70,16 +70,39 @@ def get_spark(app: str = "hbase_spark", cpus: int | None = None) -> SparkSession
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     """Read one testdata table, normalizing nano-timestamp columns.
 
     Pins the session timezone to UTC (runtime-settable) so the
     NTZ→timestamp cast and date rendering are stable even when the
     caller's session was built without get_spark — e.g. the driver's
-    own session — matching the DuckDB oracles' naive-as-UTC reading."""
+    own session — matching the DuckDB oracles' naive-as-UTC reading.
+
+    ``spread=True`` arms the input-skew guard (optimization guide
+    §2.5): a corpus stored as fewer splittable units than the cluster
+    has cores (the testdata tables are ONE file with ONE row group
+    each) pins every downstream per-row computation to that many
+    tasks, so consumers whose cost is a tokenize/score map stage
+    repartition once right after the read.  Opt-in per call site, not
+    blanket: an alternating bench-triplet A/B measured the blanket
+    form a clear win exactly where a single map stage dominates
+    (language id −0.72s, quality scoring −0.85s, MinHash shingling
+    −0.79s, CC pair building −0.70s medians at sf0.1) and a pure
+    regression on many-exchange plans whose work is spread by their
+    own first shuffle anyway (naive bayes +0.82s, increment +0.89s,
+    BBPE +0.49s) — there the repartition only adds an exchange of raw
+    text.  At production scale file count >> cores and the guard is a
+    no-op either way.  Round-robin repartition is deterministic under
+    retries (sortBeforeRepartition stays on)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     if name == "events":
         dt = df.schema["ts"].dataType
         if isinstance(dt, T.LongType):
