@@ -85,34 +85,52 @@ def train_bigram_lm(
     """Train the bigram LM on a reference corpus (CC-Net trains one
     LM per language on Wikipedia; pass the trusted subset here).
 
-    One pass: tokenize map-side, hash-agg unigram and bigram counts on
-    xxhash64 keys.  Only (hash, count) pairs shuffle.
+    ONE tokenize pass for both orders (optimization guide §1.2: the
+    separate unigram and bigram aggregations each re-scanned and
+    re-tokenized the reference corpus): every token contributes an
+    order-1 gram hash and every adjacent pair an order-2 hash to a
+    single tagged explode, one combined hash-agg counts them, and the
+    per-order count frames are filters over the localCheckpointed
+    result — which is vocabulary-bounded, never corpus-sized, so the
+    materialization is the model itself.  Only (order, hash, count)
+    rows shuffle.
     """
     base = ref_docs.select(_ascii_tokens(text_col).alias("_t"))
-    uni = (
-        base.select(F.explode("_t").alias("_w"))
-        .groupBy(F.xxhash64("_w").alias("h1"))
-        .agg(F.count("*").alias("c1"))
-    )
-    # Bigram occurrences: positions 1..n-1 of each doc, as "w1 w2".
-    bi = (
-        base.select(
-            F.explode(
-                F.when(
-                    F.size("_t") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_t") - 1),
-                        lambda i: F.concat_ws(
+    tagged = F.concat(
+        F.transform(
+            F.col("_t"),
+            lambda w: F.struct(
+                F.lit(1).alias("_k"), F.xxhash64(w).alias("_h")
+            ),
+        ),
+        F.when(
+            F.size("_t") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.lit(2).alias("_k"),
+                    F.xxhash64(
+                        F.concat_ws(
                             " ",
                             F.element_at("_t", i),
                             F.element_at("_t", i + 1),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("_g")
-        )
-        .groupBy(F.xxhash64("_g").alias("h12"))
-        .agg(F.count("*").alias("c12"))
+                        )
+                    ).alias("_h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<_k:int,_h:long>>")),
+    )
+    counts = (
+        base.select(F.explode(tagged).alias("_g"))
+        .groupBy(F.col("_g._k").alias("_k"), F.col("_g._h").alias("_h"))
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    uni = counts.filter(F.col("_k") == 1).select(
+        F.col("_h").alias("h1"), F.col("_c").alias("c1")
+    )
+    bi = counts.filter(F.col("_k") == 2).select(
+        F.col("_h").alias("h12"), F.col("_c").alias("c12")
     )
     stats = uni.agg(
         F.count("*").cast("long").alias("vocab_size"),
@@ -257,21 +275,41 @@ def train_naive_bayes(
     id_col: str = "doc_id",
     add_k: float = 1.0,
 ) -> NaiveBayesModel:
-    """Train multinomial NB from labeled documents: two hash-aggs.
-    Only (word hash, label, count) rows shuffle; the model is
-    vocab × classes aggregates, never corpus-sized.
+    """Train multinomial NB from labeled documents in ONE tokenize
+    pass (optimization guide §1.2: the word-class counts, the class
+    priors, and the vocab stat each used to re-scan and re-tokenize
+    the corpus): a localCheckpointed (id, label, word-hash) occurrence
+    frame — ``explode_outer`` keeps token-less documents as one
+    NULL-hash row so the class priors still count them — feeds all
+    three aggregates.  Only (word hash, label, count) rows shuffle;
+    the model is vocab × classes aggregates, never corpus-sized.
+
+    ``id_col`` must identify documents uniquely (the class prior is a
+    distinct-count over it).
     """
-    tok = docs.select(
-        F.col(label_col).alias("label"), _ascii_tokens(text_col).alias("_t")
+    feats = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            _ascii_tokens(text_col).alias("_t"),
+        )
+        .select(
+            "_id",
+            "label",
+            F.explode_outer(
+                F.transform("_t", lambda w: F.xxhash64(w))
+            ).alias("hw"),
+        )
+        .localCheckpoint(eager=False)
     )
     word_class = (
-        tok.select("label", F.explode("_t").alias("_w"))
-        .groupBy(F.xxhash64("_w").alias("hw"), "label")
+        feats.filter(F.col("hw").isNotNull())
+        .groupBy("hw", "label")
         .agg(F.count("*").alias("c_wc"))
     )
-    classes = tok.groupBy("label").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size("_t")).cast("long").alias("n_tokens"),
+    classes = feats.groupBy("label").agg(
+        F.count_distinct("_id").cast("long").alias("n_docs"),
+        F.count("hw").cast("long").alias("n_tokens"),
     )
     stats = word_class.agg(
         F.count_distinct("hw").cast("long").alias("vocab_size")
@@ -435,19 +473,39 @@ def _bucket(gram: Column, buckets: int, portable: bool) -> Column:
 def train_ngram_lm(
     ref_docs: DataFrame, *, n: int = 3, text_col: str = "text"
 ) -> NgramLM:
-    """Count every order 1..n in one tokenize pass — the MapReduce
+    """Count every order 1..n in ONE tokenize pass — the MapReduce
     LM-training shape of "Large Language Models in Machine
-    Translation" (Brants et al., 2007): each order is a map-side-
-    combinable hash-agg over 8-byte gram hashes; text never shuffles.
+    Translation" (Brants et al., 2007).  Optimization guide §1.2: the
+    per-order aggregations used to re-scan and re-tokenize the corpus
+    n times; now every order's gram hashes ride one tagged explode
+    into one combined hash-agg (map-side combinable; text never
+    shuffles), and the per-order frames filter the localCheckpointed
+    counts — vocabulary-bounded, the model itself.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
     base = ref_docs.select(_ascii_tokens(text_col).alias("_t"))
+
+    def _tag(k: int):
+        # closure factory, NOT a default-arg lambda: pyspark passes the
+        # array index to any two-parameter higher-order-function lambda
+        return lambda h: F.struct(F.lit(k).alias("_k"), h.alias("_h"))
+
+    tagged = F.concat(
+        *[
+            F.transform(_gram_hashes(F.col("_t"), k), _tag(k))
+            for k in range(1, n + 1)
+        ]
+    )
+    counts = (
+        base.select(F.explode(tagged).alias("_g"))
+        .groupBy(F.col("_g._k").alias("_k"), F.col("_g._h").alias("_h"))
+        .agg(F.count("*").cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     orders = {
-        k: (
-            base.select(F.explode(_gram_hashes(F.col("_t"), k)).alias("_h"))
-            .groupBy(F.col("_h").alias(f"h{k}"))
-            .agg(F.count("*").cast("long").alias(f"c{k}"))
+        k: counts.filter(F.col("_k") == k).select(
+            F.col("_h").alias(f"h{k}"), F.col("_c").alias(f"c{k}")
         )
         for k in range(1, n + 1)
     }

@@ -168,10 +168,25 @@ def bm25_topk(
         eager=False
     )
     qt = _query_terms(spark, queries)
+    # Corpus stats derived from the postings frame instead of a second
+    # tokenize scan of the corpus (optimization guide §1.2/§2.3):
+    # per-doc length already rides on tf; documents absent from tf are
+    # token-less and contribute 0 to the length sum, so only n_docs
+    # needs the docs frame — a zero-column count, not a tokenize.
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    sum_dl = (
+        tf.groupBy(id_col)
+        .agg(F.max("dl").alias("_dl"))
+        .agg(F.sum("_dl").cast("double").alias("_sum_dl"))
+    )
+    stats = n_docs.crossJoin(sum_dl).select(
+        "n_docs",
+        (F.col("_sum_dl") / F.col("n_docs")).alias("avgdl"),
+    )
     scored = bm25_score(
         tf,
         document_frequencies(tf, id_col=id_col),
-        corpus_stats(docs, text_col=text_col),
+        stats,
         qt,
         id_col=id_col,
         k1=k1,
