@@ -288,6 +288,11 @@ def q_scan_range(spark, sf):
     out = scan(
         _orders_cells(spark, sf),
         Scan(start_row="100".zfill(12), stop_row="200".zfill(12)),
+        # the melt is PUT-only at one constant (ts, seq) over the
+        # unique o_orderkey: resolution is an identity (resolve.py
+        # single_version) — the scan is a pure map plan (r10: was a
+        # sort-agg + exchange re-deriving the single version per cell)
+        single_version=True,
     )
     return _rk(out, "qualifier", "value")
 
@@ -330,7 +335,12 @@ def q_multi_get(spark, sf):
     from hbase_spark.operators.get import multi_get
 
     keys = [k.zfill(12) for k in ("1", "7", "32", "999")]
-    return _rk(multi_get(_orders_layout(spark, sf), keys), "qualifier", "value")
+    # single-version layout: the point read is scan-prune + project only
+    return _rk(
+        multi_get(_orders_layout(spark, sf), keys, single_version=True),
+        "qualifier",
+        "value",
+    )
 
 
 # snapshot resolution (SURVEY §2.9)
@@ -578,7 +588,9 @@ def q_filter_scvf(spark, sf):
     from hbase_spark.filters import SingleColumnValueFilter
 
     flt = SingleColumnValueFilter("o", "o_orderstatus", "=", "F")
-    out = scan(_orders_layout(spark, sf), Scan(filter=flt))
+    out = scan(
+        _orders_layout(spark, sf), Scan(filter=flt), single_version=True
+    )
     return _rk(out, "qualifier", "value")
 
 
@@ -844,7 +856,13 @@ def q_increment_merge(spark, sf):
             [CellType.DELETE_FAMILY, CellType.DELETE_FAMILY_VERSION]
         )
     )
-    view = increment_view(proj, deltas, ts=2, seq=10_000_000)
+    # single_version: the layout is PUT-only at one constant (ts, seq)
+    # over unique keys, so the base-snapshot resolve inside the view is
+    # an identity — the merge is one scan + one delta agg + the join
+    view = increment_view(
+        proj, deltas, ts=2, seq=10_000_000,
+        resolve_kw={"single_version": True},
+    )
     return _rk(view, "value")
 
 
@@ -959,7 +977,13 @@ def q_agg_endpoint(spark, sf):
     single-row frame).  No executor ever buffers the whole column."""
     from hbase_spark.operators.aggregations import median_two_phase
 
-    visible = resolve(_lineitem_cells_layout(spark, sf), versions=1)
+    visible = resolve(
+        _lineitem_cells_layout(spark, sf), versions=1,
+        # the persisted melt is single-version by construction (unique
+        # synthetic pk, constant ts): resolve is a put filter, and the
+        # stats pass reads parquet -> aggregate with no exchange at all
+        single_version=True,
+    )
     v = F.col("value").cast("decimal(18,2)").cast("decimal(38,10)")
     # One resolved-value column persisted across the two passes — the
     # analog of the reference's second scan hitting the block cache the

@@ -16,12 +16,14 @@ from pyspark.sql import functions as F
 from hbase_spark.operators.scan import Scan, scan
 
 
-def get(cells: DataFrame, row_key, **scan_kwargs) -> DataFrame:
+def get(
+    cells: DataFrame, row_key, *, single_version: bool = False, **scan_kwargs
+) -> DataFrame:
     """Fetch one row (client/Table.java:156)."""
     spec = Scan(
         start_row=row_key, stop_row=row_key, stop_inclusive=True, **scan_kwargs
     )
-    return scan(cells, spec)
+    return scan(cells, spec, single_version=single_version)
 
 
 # Below this size a literal IN-list beats any join: Catalyst pushes
@@ -31,11 +33,19 @@ def get(cells: DataFrame, row_key, **scan_kwargs) -> DataFrame:
 _ISIN_MAX = 1000
 
 
-def multi_get(cells: DataFrame, row_keys: list, **scan_kwargs) -> DataFrame:
+def multi_get(
+    cells: DataFrame,
+    row_keys: list,
+    *,
+    single_version: bool = False,
+    **scan_kwargs,
+) -> DataFrame:
     """Batch point reads (client/Table.java:176).
 
     Small batches become a pushed-down IN predicate (file/row-group
-    pruning, zero shuffle); large batches a broadcast semi-join."""
+    pruning, zero shuffle); large batches a broadcast semi-join.
+    ``single_version`` is the resolve-is-identity caller contract
+    (operators.resolve.resolve)."""
     if len(row_keys) <= _ISIN_MAX:
         narrowed = cells.filter(F.col("row").isin(list(row_keys)))
     else:
@@ -46,7 +56,7 @@ def multi_get(cells: DataFrame, row_keys: list, **scan_kwargs) -> DataFrame:
         # Repartition forces a real job before the broadcast (measured
         # 3-5x on the batched-query arms, round 10)
         narrowed = cells.join(F.broadcast(keys), "row", "left_semi")
-    return scan(narrowed, Scan(**scan_kwargs))
+    return scan(narrowed, Scan(**scan_kwargs), single_version=single_version)
 
 
 def exists(cells: DataFrame, row_key) -> bool:

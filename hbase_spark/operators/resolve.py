@@ -76,6 +76,19 @@ def _norm_flag(flag) -> bool | frozenset:
     return fams if fams else False
 
 
+def _cap_is_identity(versions: int | dict) -> bool:
+    """True when keeping the newest ``versions`` per column cannot drop
+    anything from a single-version frame — every cap >= 1.  Validates
+    the int form exactly like cap_versions so the single_version fast
+    path rejects the same bad input."""
+    v = _norm_versions(versions)
+    if isinstance(v, int):
+        if v <= 0:
+            raise ValueError("versions must be >= 1")
+        return True
+    return all(x >= 1 for x in v.values())
+
+
 def resolve(
     cells: DataFrame,
     *,
@@ -89,6 +102,7 @@ def resolve(
     new_version_behavior: bool | set = False,
     keep_deleted_cells: bool | set = False,
     cell_ttl_col: str | None = None,
+    single_version: bool = False,
 ) -> DataFrame:
     """Resolve a raw CellFrame into the visible snapshot.
 
@@ -136,6 +150,17 @@ def resolve(
         ``seePastDeleteMarkers ? tr.withinTimeRange(ts) :
         tr.withinOrAfterTimeRange(ts)``).  No-op without a bounded
         time_range, exactly like the reference.
+    single_version:
+        Caller contract (optimization guide §8 — use what you know the
+        optimizer cannot): the frame holds at most ONE put per
+        (row, family, qualifier) and no tombstones — e.g. a bulk-load
+        melt with constant (ts, seq) over a unique source key.
+        Tombstone masking and version capping are then identities, so
+        the resolve collapses to a put-type filter plus the
+        put-visibility time predicates: no aggregation, no sort, no
+        exchange.  A wrong assertion surfaces as duplicate versions in
+        the output (each declared query over an asserted frame stays
+        hash-checked against its oracle), never as silent masking.
     cell_ttl_col:
         Column carrying a per-cell TTL in millis (NULL = no tag) — the
         Mutation#setTTL / TagType.TTL_TAG_TYPE analog.  Reference
@@ -194,6 +219,22 @@ def resolve(
                 cutoff = None
 
     puts = c.filter(F.col("type") == CellType.PUT)
+    if single_version and _cap_is_identity(versions):
+        out = puts
+        if time_range is not None:
+            out = out.filter(_time_range_pred(time_range))
+        if cutoff is not None:
+            # expired cells survive only where min_versions keeps the
+            # newest cell — with one version per column, rank is 1
+            minv = (
+                F.lit(min_versions)
+                if isinstance(min_versions, int)
+                else _fam_col(min_versions, 0)
+            )
+            out = out.filter(
+                cutoff.isNull() | (F.col("ts") >= cutoff) | (minv >= 1)
+            )
+        return out
     dels = c.filter(F.col("type") != CellType.PUT)
     if keep_deleted_cells and time_range is not None and time_range[1] is not None:
         hi = F.lit(time_range[1])

@@ -124,9 +124,17 @@ def scan(
     new_version_behavior: bool | set = False,
     min_versions: int | dict = 0,
     keep_deleted_cells: bool | set = False,
+    single_version: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Execute a Scan over a raw CellFrame, returning visible cells."""
+    """Execute a Scan over a raw CellFrame, returning visible cells.
+
+    ``single_version=True`` is the caller's contract that the frame
+    holds at most one PUT per (row, family, qualifier) and no
+    tombstones (see operators.resolve.resolve) — snapshot resolution
+    then degenerates to the put-type filter and the scan runs with no
+    aggregation, sort or exchange of its own; filters, pagination,
+    batching and limits apply unchanged."""
     spec = spec or Scan(**kwargs)
     if isinstance(spec.filter, str):
         # shell/REST parity: a string filter goes through ParseFilter
@@ -159,6 +167,7 @@ def scan(
         tp = _scan_time_pred(spec)
         if tp is not None:
             out = out.filter(tp)
+        return _scan_tail(out, spec, resolved=False)
     else:
         from hbase_spark.operators.resolve import _fam_member, _norm_flag, _norm_versions
 
@@ -189,7 +198,30 @@ def scan(
                 )
                 if not pos_fams:
                     cutoff = None
+        from hbase_spark.operators.resolve import _cap_is_identity, _fam_col
+
         puts = c.filter(F.col("type") == CellType.PUT)
+        if single_version and _cap_is_identity(spec.versions):
+            out = puts
+            tp = _scan_time_pred(spec)
+            if tp is not None:
+                out = out.filter(tp)
+            if isinstance(spec.filter, Column):
+                out = out.filter(spec.filter)
+            elif isinstance(spec.filter, Filter):
+                pred = spec.filter.cell_pred()
+                if pred is not None:
+                    out = out.filter(pred)
+            if cutoff is not None:
+                minv = (
+                    F.lit(min_versions)
+                    if isinstance(min_versions, int)
+                    else _fam_col(min_versions, 0)
+                )
+                out = out.filter(
+                    cutoff.isNull() | (F.col("ts") >= cutoff) | (minv >= 1)
+                )
+            return _scan_tail(out, spec)
         dels = c.filter(F.col("type") != CellType.PUT)
         hi = _kdc_hi(spec)
         if keep_deleted_cells and hi is not None:
@@ -220,7 +252,14 @@ def scan(
         out = cap_versions(
             out, spec.versions, min_versions=min_versions, ttl_cutoff=cutoff
         )
+        return _scan_tail(out, spec)
 
+def _scan_tail(out: DataFrame, spec: Scan, *, resolved: bool = True) -> DataFrame:
+    """Post-resolution scan stages, shared by the resolved, raw and
+    single_version paths: per-row column pagination and the row-stage
+    filter (resolved scans only — matcher order), then transport
+    batching, the row limit, and reversed ordering."""
+    if resolved:
         # per-row per-family column pagination (Scan.java:514,523)
         if spec.max_results_per_family is not None or spec.row_offset_per_family:
             from pyspark.sql import Window

@@ -638,3 +638,31 @@ def test_bpe_vocab_join_is_aqe_decided_not_forced(spark):
         forced = enc(docs, merges, broadcast_vocab=True)
         # the optimizer consumes the hint onto the Join node
         assert "strategy=broadcast" in _logical_plan_of(forced)
+
+
+def test_single_version_resolve_is_map_only_and_equivalent(spark):
+    """resolve/scan(single_version=True): on a PUT-only one-version
+    frame the output matches the general path exactly AND the plan
+    carries no Exchange, Sort or aggregate — the contract the
+    scan_range/multi_get/agg_endpoint/increment_merge bench arms
+    assert over the bulk-load melts (r10 optimization)."""
+    from hbase_spark.operators.scan import Scan, scan
+
+    c = cells(spark)
+    general = resolve(c, versions=1)
+    fast = resolve(c, versions=1, single_version=True)
+    assert fast.exceptAll(general).count() == 0
+    assert general.exceptAll(fast).count() == 0
+    plan = plan_of(fast)
+    for node in ("Exchange", "Sort", "Aggregate"):
+        assert node not in plan, plan
+    # the scan form keeps filters + limits working on the fast path
+    spec = Scan(start_row="000010", stop_row="000030", limit=5)
+    a = scan(c, spec).orderBy("row", "qualifier").collect()
+    b = scan(c, spec, single_version=True).orderBy("row", "qualifier").collect()
+    assert a == b and len(a) == 10
+
+
+def test_single_version_rejects_bad_versions_like_cap_versions(spark):
+    with pytest.raises(ValueError, match="versions must be >= 1"):
+        resolve(cells(spark), versions=0, single_version=True)
