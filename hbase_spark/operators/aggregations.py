@@ -463,13 +463,33 @@ def grouped_median_two_phase(
     # carried (lo, hi) are actual candidate values (per-bucket extrema,
     # not reconstructed edges), so the between() re-scope reproduces
     # the counted bucket span exactly and the ranks line up.
+    #
+    # Rank selection runs over DISTINCT values (r10: the r8 ungrouped
+    # tie-run pattern generalized per group): candidates collapse to a
+    # (group, value, count) hash-agg — map-side combinable, every core
+    # participates — and ONE window over the per-group distinct-value
+    # histogram computes cumulative mass; the value at rank k is the
+    # first value whose cumulative count reaches k, and the median
+    # averages the k1/k2 picks exactly like the row form ((v+v)/2 == v
+    # in IEEE for the odd case).  The former row_number form sorted
+    # every candidate ROW in one window task per group — the per-group
+    # parallelism bottleneck now only ever sees the distinct values
+    # (worst case it degenerates to the same final_cap bound).
     cand = vals.join(st, gb).filter(dv.between(F.col("_lo"), F.col("_hi")))
-    rn = F.row_number().over(Window.partitionBy(*gb).orderBy("_v"))
-    return (
-        cand.withColumn("_rn", rn)
-        .filter((F.col("_rn") == F.col("_k1")) | (F.col("_rn") == F.col("_k2")))
-        .groupBy(*gb)
-        .agg(F.avg(dv).alias("median"))
+    wcand = cand.groupBy(*gb, "_k1", "_k2", "_v").agg(
+        F.count("*").alias("_c")
+    )
+    hw = wcand.withColumn(
+        "_cum", F.sum("_c").over(Window.partitionBy(*gb).orderBy("_v"))
+    )
+    return hw.groupBy(*gb).agg(
+        (
+            (
+                F.min(F.when(F.col("_cum") >= F.col("_k1"), dv))
+                + F.min(F.when(F.col("_cum") >= F.col("_k2"), dv))
+            )
+            / 2
+        ).alias("median")
     )
 
 
