@@ -4541,7 +4541,7 @@ def _dsir_arm(spark, sf):
     kw = dict(n=2, buckets=10_000, portable=True)
     feats = hashed_ngram_features(
         docs, extra_cols=("lang",), **kw
-    ).persist()  # lazy materialize-once (r10; was an eager checkpoint)
+    ).localCheckpoint(eager=False)
     target = hashed_ngram_counts(
         docs, features=feats.filter(F.col("lang") == "en"), **kw
     )

@@ -463,8 +463,7 @@ def minhash_pairs(
     ]
     per_doc = hx.groupBy("_id").agg(
         *mins, F.collect_set("_h64").alias("_hs")
-    ).persist()  # lazy materialize-once (r10: localCheckpoint is eager
-    # in PySpark 4 — it ran a synchronous job per builder call)
+    ).localCheckpoint(eager=False)
     banded = per_doc.select(
         "_id",
         F.explode(
@@ -498,13 +497,15 @@ def minhash_pairs(
     # shrinks both SMJ inputs when even that overflows.  (A
     # groupBy-collect_list re-keying was measured 2.8x worse at 16x:
     # the hash agg copies every set array an extra time.)
-    pairs = pairs.persist()  # lazy; see per_doc
+    pairs = pairs.localCheckpoint(eager=False)
     cand_docs = pairs.select(
         F.explode(F.array("a", "b")).alias("_id")
     ).distinct()
     # checkpointed: BOTH pair sides read this frame — without it the
     # semi-join (which sorts the set payload by _id) runs twice
-    hsets = per_doc.join(cand_docs, "_id", "left_semi").persist()
+    hsets = per_doc.join(cand_docs, "_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     ha = hsets.select(F.col("_id").alias("a"), F.col("_hs").alias("_hs_a"))
     hb = hsets.select(F.col("_id").alias("b"), F.col("_hs").alias("_hs_b"))
     verified = pairs.join(ha, "a").join(hb, "b")
@@ -953,7 +954,7 @@ def semantic_dedup(
     assigned = _assign_clusters_arrow(
         vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         centroids,
-    ).persist()  # lazy; see minhash_pairs
+    ).localCheckpoint(eager=False)
     from hbase_spark.functions.similarity import dot, norm
 
     if verify == "pandas":

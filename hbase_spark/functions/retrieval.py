@@ -164,7 +164,9 @@ def bm25_topk(
     # localCheckpoint so the corpus tokenizes once, not per consumer
     # (the persisted-index role an inverted index plays in a search
     # engine; at 100 TB this frame is what you'd write to parquet).
-    tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     qt = _query_terms(spark, queries)
     # Corpus stats derived from the postings frame instead of a second
     # tokenize scan of the corpus (optimization guide §1.2/§2.3):

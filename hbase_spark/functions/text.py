@@ -1263,7 +1263,7 @@ def duplicate_ngram_stats(
         ).alias("_g"),
     ).select(id_col, F.xxhash64("_g").alias("_h"))
     if materialize:
-        grams = grams.persist()  # lazy materialize-once (r10)
+        grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("_h")
         .agg(F.count("*").alias("_docs"))

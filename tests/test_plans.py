@@ -458,11 +458,7 @@ def test_bm25_broadcasts_query_terms_and_windows_matched_set_only(spark):
     from hbase_spark.functions.retrieval import bm25_topk
 
     plan = plan_of(bm25_topk(_text_docs(spark), [(1, "alpha tok1")], k=5))
-    # assert the JOIN STRATEGY, not the exchange node name: with the
-    # persisted postings frame (r10) the broadcast build side prints as
-    # a BroadcastQueryStage under AQE instead of a literal
-    # BroadcastExchange line
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
     assert "Window" in plan
     # the window's sort input comes from the scored (post-join) agg,
     # partitioned by query_id — a single-column long partition key
