@@ -90,7 +90,7 @@ def train_bigram_lm(
     re-tokenized the reference corpus): every token contributes an
     order-1 gram hash and every adjacent pair an order-2 hash to a
     single tagged explode, one combined hash-agg counts them, and the
-    per-order count frames are filters over the persisted
+    per-order count frames are filters over the localCheckpointed
     result — which is vocabulary-bounded, never corpus-sized, so the
     materialization is the model itself.  Only (order, hash, count)
     rows shuffle.
@@ -124,11 +124,7 @@ def train_bigram_lm(
         base.select(F.explode(tagged).alias("_g"))
         .groupBy(F.col("_g._k").alias("_k"), F.col("_g._h").alias("_h"))
         .agg(F.count("*").alias("_c"))
-        # persist, not localCheckpoint: same materialize-once sharing,
-        # but lazy — no synchronous job at model-construction time
-        # (PySpark-4 localCheckpoint is eager even with eager=False);
-        # the first consumer computes the counts, the rest reuse them
-        .persist()
+        .localCheckpoint(eager=False)
     )
     uni = counts.filter(F.col("_k") == 1).select(
         F.col("_h").alias("h1"), F.col("_c").alias("c1")
@@ -282,7 +278,7 @@ def train_naive_bayes(
     """Train multinomial NB from labeled documents in ONE tokenize
     pass (optimization guide §1.2: the word-class counts, the class
     priors, and the vocab stat each used to re-scan and re-tokenize
-    the corpus): a persisted (id, label, word-hash) occurrence
+    the corpus): a localCheckpointed (id, label, word-hash) occurrence
     frame — ``explode_outer`` keeps token-less documents as one
     NULL-hash row so the class priors still count them — feeds all
     three aggregates.  Only (word hash, label, count) rows shuffle;
@@ -304,7 +300,7 @@ def train_naive_bayes(
                 F.transform("_t", lambda w: F.xxhash64(w))
             ).alias("hw"),
         )
-        .persist()  # lazy materialize-once; see train_bigram_lm
+        .localCheckpoint(eager=False)
     )
     word_class = (
         feats.filter(F.col("hw").isNotNull())
@@ -483,7 +479,7 @@ def train_ngram_lm(
     per-order aggregations used to re-scan and re-tokenize the corpus
     n times; now every order's gram hashes ride one tagged explode
     into one combined hash-agg (map-side combinable; text never
-    shuffles), and the per-order frames filter the persisted
+    shuffles), and the per-order frames filter the localCheckpointed
     counts — vocabulary-bounded, the model itself.
     """
     if n < 1:
@@ -505,7 +501,7 @@ def train_ngram_lm(
         base.select(F.explode(tagged).alias("_g"))
         .groupBy(F.col("_g._k").alias("_k"), F.col("_g._h").alias("_h"))
         .agg(F.count("*").cast("long").alias("_c"))
-        .persist()  # lazy materialize-once; see train_bigram_lm
+        .localCheckpoint(eager=False)
     )
     orders = {
         k: counts.filter(F.col("_k") == k).select(
