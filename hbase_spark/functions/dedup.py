@@ -452,18 +452,56 @@ def minhash_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    hx = (
-        shingle_frame(docs, id_col=id_col, text_col=text_col, n=shingle_n)
-        .select("_id", F.xxhash64("_s").alias("_h64"))
-        .select("_id", "_h64", F.pmod(F.col("_h64"), F.lit(_MERSENNE)).alias("_h"))
+    # Per-doc gram hashes, signature slots and hash set as PURE MAP
+    # work over the token array (r10 rewrite, guide §2.4): grams are
+    # hashed with one multi-argument xxhash64 over the n tokens — no
+    # gram string is ever allocated — and each signature slot is an
+    # array_min over a universal-hash transform of the gram-hash
+    # array.  This removes the token-stream shuffle the old
+    # posexplode+window gram assembly paid plus the 64-min hash
+    # aggregation after it: the first exchange of the whole pipeline
+    # is now the banding shuffle of (id, bucket) pairs.  Measured at
+    # sf0.1 (fresh process, warm JIT): per-doc frame 1.33s -> 0.35s.
+    # The map recomputes once per consumer (banding; candidates-only
+    # verify) instead of being checkpointed: two cheap map passes
+    # beat one eager checkpoint job plus corpus-sized executor
+    # storage of every doc's hash set — only candidate docs' sets are
+    # ever materialized now (the semi-join prunes BEFORE the
+    # collect, and column pruning drops the signature transforms from
+    # the verify branch).
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
-    mins = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % _MERSENNE).alias(f"_m{i}")
+    gh = F.when(
+        F.size("_t") >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - shingle_n),
+            lambda i: F.xxhash64(
+                *[F.element_at("_t", i + j + 1) for j in range(shingle_n)]
+            ),
+        ),
+    ).otherwise(
+        # short doc: one whole-doc gram (token-less docs hash '')
+        F.array(F.xxhash64(F.concat_ws(" ", "_t")))
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform("_harr", lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE)
+        ).alias(f"_m{i}")
         for i, (a, b) in enumerate(_uh_consts(num_hashes))
     ]
-    per_doc = hx.groupBy("_id").agg(
-        *mins, F.collect_set("_h64").alias("_hs")
-    ).localCheckpoint(eager=False)
+    per_doc = (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .select("_id", gh.alias("_gh"))
+        .select(
+            "_id",
+            "_gh",
+            F.transform("_gh", lambda h: F.pmod(h, F.lit(_MERSENNE))).alias(
+                "_harr"
+            ),
+        )
+        .select("_id", *sig_cols, F.array_distinct("_gh").alias("_hs"))
+    )
     banded = per_doc.select(
         "_id",
         F.explode(
@@ -540,26 +578,26 @@ def minhash_dedup(
     with ``bucket_overflow()`` over the banded frame) or fails the job
     with ``on_overflow='error'``.  Never a silent bare slice.
 
-    Plan shape (round-2.5, measured 35% over the fused hash-set-through-
-    the-buckets form at sf0.1): ONE codegen hash aggregation over the
-    exploded gram stream computes the k minima AND the doc's hash set
-    (every gram hashed exactly once, map-side partial aggregation);
-    the per-doc frame is locally checkpointed — it is O(corpus hash
-    sets) on executor storage, replacing ``bands`` copies of the same
-    sets flowing through the bucket exchange.  Banding then shuffles
-    only (id, bucket) pairs; surviving candidate pairs join back only
-    the hash sets of DOCS THAT APPEAR IN A PAIR (r8 64x-sweep fix: a
-    skinny semi-join shrink keeps the verify's build side broadcast-
-    able far past the corpus-wide threshold; when even the dup-involved
-    subset overflows, the SMJ fallback is linear under a fixed
-    strategy — measured 2.9x wall at 4x data with broadcast disabled).
-    Note the checkpoints make this builder EAGER in PySpark 4
-    (localCheckpoint runs its job at call time even with eager=False).  (Jaccard over 64-bit shingle hashes instead of shingle
-    strings — collision probability is negligible.)  Earlier A/B also
-    showed: computing sig and set as two array expressions doubles the
-    gram work (CollapseProject inlines the gram subtree into both
-    consumers), and exploding an array-built gram column loses
-    whole-stage codegen around the aggregation.
+    Plan shape (r10 rewrite; see the inline notes in
+    ``minhash_pairs``): per-doc gram hashes, signature slots and the
+    hash set are PURE MAP work over the token array (multi-arg
+    xxhash64 over the n tokens — no gram string, no token-stream
+    shuffle, no signature aggregation; the old posexplode+window gram
+    assembly plus 64-min hash-agg measured 1.33s against 0.35s for
+    the map form at sf0.1).  The first exchange of the pipeline is
+    the banding shuffle of (id, bucket) pairs; surviving candidate
+    pairs join back only the hash sets of DOCS THAT APPEAR IN A PAIR
+    (r8 64x-sweep fix: a skinny semi-join shrink keeps the verify's
+    build side broadcastable far past the corpus-wide threshold; when
+    even the dup-involved subset overflows, the SMJ fallback is
+    linear under a fixed strategy — measured 2.9x wall at 4x data
+    with broadcast disabled).  Only the pair and candidate-set frames
+    are checkpointed (both candidate-sized); the corpus-sized per-doc
+    frame is recomputed per consumer — two cheap map passes beat an
+    eager checkpoint job plus corpus-sized executor storage
+    (localCheckpoint runs its job at call time in PySpark 4 even with
+    eager=False).  (Jaccard over 64-bit shingle hashes instead of
+    shingle strings — collision probability is negligible.)
     """
     dup = minhash_pairs(
         docs, id_col=id_col, text_col=text_col, threshold=threshold,
