@@ -452,68 +452,65 @@ def minhash_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # Per-doc gram hashes, signature slots and hash set as PURE MAP
-    # work over the token array (r10 rewrite, guide §2.4): grams are
-    # hashed with one multi-argument xxhash64 over the n tokens — no
-    # gram string is ever allocated — and each signature slot is an
-    # array_min over a universal-hash transform of the gram-hash
-    # array.  This removes the token-stream shuffle the old
-    # posexplode+window gram assembly paid plus the 64-min hash
-    # aggregation after it: the first exchange of the whole pipeline
-    # is now the banding shuffle of (id, bucket) pairs.  Measured at
-    # sf0.1 (fresh process, warm JIT): per-doc frame 1.33s -> 0.35s.
-    # The map recomputes once per consumer (banding; candidates-only
-    # verify) instead of being checkpointed: two cheap map passes
-    # beat one eager checkpoint job plus corpus-sized executor
-    # storage of every doc's hash set — only candidate docs' sets are
-    # ever materialized now (the semi-join prunes BEFORE the
-    # collect, and column pruning drops the signature transforms from
-    # the verify branch).
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    # Per-doc gram hashes, signature and hash set as PURE MAP work
+    # over the token array (r10 rewrite, guide §2.4): grams are hashed
+    # with one multi-argument xxhash64 over the n tokens — no gram
+    # string is ever allocated — and the signature is one nested
+    # transform over the (a, b) constant array.  This removes the
+    # token-stream shuffle the old posexplode+window gram assembly
+    # paid plus the 64-min hash aggregation after it: the first
+    # exchange of the whole pipeline is the banding shuffle of
+    # (id, bucket) pairs.  Built as SQL expr strings, one parse per
+    # projection: the per-slot Column/lambda form cost ~1s of py4j
+    # round-trips PER QUERY CONSTRUCTION (64 slots x several JVM
+    # calls each), which the bench pays inside the timed arm —
+    # measured at sf0.1: construct 1.2s -> 0.25s, per-doc execution
+    # 1.33s (window+agg) -> ~0.4s.  The map recomputes once per
+    # consumer (banding; candidates-only verify) instead of being
+    # checkpointed: two cheap map passes beat one eager checkpoint
+    # job plus corpus-sized executor storage of every doc's hash set
+    # — only candidate docs' sets are ever materialized now (the
+    # semi-join prunes before the verify joins, and column pruning
+    # drops the signature transform from the verify branch).
+    consts_sql = ",".join(
+        f"named_struct('a',{a}L,'b',{b}L)" for a, b in _uh_consts(num_hashes)
     )
-    gh = F.when(
-        F.size("_t") >= shingle_n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_t") - shingle_n),
-            lambda i: F.xxhash64(
-                *[F.element_at("_t", i + j + 1) for j in range(shingle_n)]
-            ),
-        ),
-    ).otherwise(
-        # short doc: one whole-doc gram (token-less docs hash '')
-        F.array(F.xxhash64(F.concat_ws(" ", "_t")))
+    gram_args = ",".join(
+        f"element_at(_t,i+{j + 1})" for j in range(shingle_n)
     )
-    sig_cols = [
-        F.array_min(
-            F.transform("_harr", lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE)
-        ).alias(f"_m{i}")
-        for i, (a, b) in enumerate(_uh_consts(num_hashes))
-    ]
     per_doc = (
-        docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
-        .select("_id", gh.alias("_gh"))
-        .select(
-            "_id",
-            "_gh",
-            F.transform("_gh", lambda h: F.pmod(h, F.lit(_MERSENNE))).alias(
-                "_harr"
-            ),
+        docs.selectExpr(
+            f"`{id_col}` AS _id",
+            f"filter(split(lower(`{text_col}`), '[^a-z0-9]+'),"
+            " x -> x != '') AS _t",
         )
-        .select("_id", *sig_cols, F.array_distinct("_gh").alias("_hs"))
+        .selectExpr(
+            "_id",
+            # short doc: one whole-doc gram (token-less docs hash '')
+            f"CASE WHEN size(_t) >= {shingle_n}"
+            f" THEN transform(sequence(0, size(_t)-{shingle_n}),"
+            f" i -> xxhash64({gram_args}))"
+            " ELSE array(xxhash64(concat_ws(' ', _t))) END AS _gh",
+        )
+        .selectExpr(
+            "_id", "_gh",
+            f"transform(_gh, h -> pmod(h, {_MERSENNE}L)) AS _harr",
+        )
+        .selectExpr(
+            "_id",
+            f"transform(array({consts_sql}),"
+            f" c -> array_min(transform(_harr,"
+            f" h -> (c.a * h + c.b) % {_MERSENNE}L))) AS _sig",
+            "array_distinct(_gh) AS _hs",
+        )
     )
-    banded = per_doc.select(
+    band_slots = ",".join(
+        f"element_at(_sig, b*{r}+{j + 1})" for j in range(r)
+    )
+    banded = per_doc.selectExpr(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col(f"_m{b * r + j}") for j in range(r)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bucket"),
+        f"explode(transform(sequence(0, {bands - 1}),"
+        f" b -> xxhash64(b, {band_slots}))) AS _bucket",
     )
     groups = _capped_groups(banded, "_bucket", cap=cap, on_overflow=on_overflow)
     pairs = (
