@@ -109,12 +109,10 @@ def train_bigram_lm(
                 F.sequence(F.lit(1), F.size("_t") - 1),
                 lambda i: F.struct(
                     F.lit(2).alias("_k"),
+                    # multi-arg xxhash64 — no gram-string allocation;
+                    # must stay consistent with lm_score's h12
                     F.xxhash64(
-                        F.concat_ws(
-                            " ",
-                            F.element_at("_t", i),
-                            F.element_at("_t", i + 1),
-                        )
+                        F.element_at("_t", i), F.element_at("_t", i + 1)
                     ).alias("_h"),
                 ),
             ),
@@ -173,12 +171,9 @@ def lm_score(
                 F.transform(
                     F.sequence(F.lit(1), F.size("_t") - 1),
                     lambda i: F.struct(
+                        # multi-arg xxhash64, consistent with training
                         F.xxhash64(
-                            F.concat_ws(
-                                " ",
-                                F.element_at("_t", i),
-                                F.element_at("_t", i + 1),
-                            )
+                            F.element_at("_t", i), F.element_at("_t", i + 1)
                         ).alias("h12"),
                         F.xxhash64(F.element_at("_t", i)).alias("h1"),
                     ),
@@ -455,8 +450,25 @@ def _gram_strings(toks: Column, k: int) -> Column:
 
 
 def _gram_hashes(toks: Column, k: int) -> Column:
-    """Array of xxhash64 over every k-token window of ``toks``."""
-    return F.transform(_gram_strings(toks, k), lambda g: F.xxhash64(g))
+    """Array of one xxhash64 per k-token window of ``toks`` — the
+    multi-argument form (r10, guide §2.4): hashing the k token
+    elements directly skips the per-window ``slice``+``concat_ws``
+    gram-string allocation the string form paid.  Internal-only hash:
+    training and scoring both key on it, and every oracle recomputes
+    counts from gram STRINGS, so the scheme only has to be consistent
+    across the two sides (the portable DSIR/classifier buckets keep
+    ``_gram_strings`` — md5 over the string IS their contract)."""
+    if k == 1:
+        return F.transform(toks, lambda w: F.xxhash64(w))
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def _bucket(gram: Column, buckets: int, portable: bool) -> Column:
@@ -546,37 +558,58 @@ def lm_score_backoff(
     """
     n = lm.n
     base = docs.select(F.col(id_col), _ascii_tokens(text_col).alias("_t"))
-    # one row per token position, carrying the gram hash ENDING at the
+
+    # One struct per token position with the gram hash ENDING at the
     # position for every order k (null when the position has fewer
-    # than k-1 context tokens before it)
-    pos_cols = [
-        F.when(
-            F.col("_i") >= k - 1,
-            F.xxhash64(
-                F.concat_ws(
-                    " ", F.slice(F.col("_t"), F.col("_i") - (k - 2), k)
-                )
-            ),
-        ).alias(f"g{k}")
-        for k in range(1, n + 1)
-    ]
-    # context hash for order k = gram of the k-1 tokens before position
-    ctx_cols = [
-        F.when(
-            F.col("_i") >= k - 1,
-            F.xxhash64(
-                F.concat_ws(
-                    " ", F.slice(F.col("_t"), F.col("_i") - (k - 2), k - 1)
-                )
-            ),
-        ).alias(f"x{k}")
-        for k in range(2, n + 1)
-    ]
+    # than k-1 context tokens before it) and the context hash for
+    # every order.  Built as ONE array transform over the token array
+    # and exploded (r10, guide §2.4): the old posexplode form carried
+    # the full token array on every position row and built 2n-1 gram
+    # STRINGS per position via slice+concat_ws; here each hash is a
+    # multi-arg xxhash64 straight over the token elements (consistent
+    # with _gram_hashes, which trains the count tables).
+    def _g(i, k):  # gram of the k tokens ending at 0-based position i
+        return F.xxhash64(
+            *[F.element_at("_t", i - k + 2 + j) for j in range(k)]
+        )
+
+    def _pos_struct(i):
+        fields = [
+            (F.when(i >= k - 1, _g(i, k)) if k > 1 else _g(i, 1)).alias(
+                f"g{k}"
+            )
+            for k in range(1, n + 1)
+        ]
+        fields += [
+            F.when(i >= k - 1, _g(i - 1, k - 1)).alias(f"x{k}")
+            for k in range(2, n + 1)
+        ]
+        return F.struct(*fields)
+
     pos = base.select(
         id_col,
-        F.posexplode("_t").alias("_i", "_w"),
-        F.col("_t"),
-    ).select(id_col, F.col("_i"), *pos_cols, *ctx_cols)
+        F.explode(
+            F.when(
+                F.size("_t") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 1), _pos_struct
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<"
+                    + ",".join(
+                        [f"g{k}:bigint" for k in range(1, n + 1)]
+                        + [f"x{k}:bigint" for k in range(2, n + 1)]
+                    )
+                    + ">>"
+                )
+            )
+        ).alias("_p"),
+    ).select(
+        id_col,
+        *[F.col(f"_p.g{k}").alias(f"g{k}") for k in range(1, n + 1)],
+        *[F.col(f"_p.x{k}").alias(f"x{k}") for k in range(2, n + 1)],
+    )
     j = pos
     for k in range(1, n + 1):
         j = j.join(
