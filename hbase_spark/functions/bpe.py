@@ -128,7 +128,9 @@ def _train_merges(
     (remapped byte units, no marker)."""
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
-    words = words.localCheckpoint()
+    # lazy: each round's collect() is the action that materializes
+    # the frame - eager checkpoints cost one extra job per round
+    words = words.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     rounds = 0
     while len(merges) < num_merges:
@@ -170,7 +172,9 @@ def _train_merges(
         for a, b in chosen:
             expr = _fold_merge(expr, a, b)
         merges.extend(chosen)
-        words = words.select(expr.alias("syms"), "count").localCheckpoint()
+        words = words.select(expr.alias("syms"), "count").localCheckpoint(
+            eager=False
+        )
     if _stats is not None:
         _stats["rounds"] = rounds
     return merges

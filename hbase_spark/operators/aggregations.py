@@ -98,7 +98,9 @@ def agg_table(
         # checkpointed so the endpoint-stats scan runs ONCE: the median
         # protocol's phase 1 reads (count, min, max) straight from this
         # frame — the grouped twin of the ungrouped stats= sharing
-        base = cells.groupBy(*group_by).agg(*base_aggs).localCheckpoint()
+        base = cells.groupBy(*group_by).agg(*base_aggs).localCheckpoint(
+            eager=False
+        )
         med = grouped_median_two_phase(cells, v, group_by, stats=base)
         # all-null-value groups carry count 0 in base and no median row
         return base.join(med, group_by, "left")
@@ -381,7 +383,10 @@ def grouped_median_two_phase(
             F.expr("(_cn + 2) div 2").alias("_k2"),
             F.lit(0).alias("_stall"),
         )
-        .localCheckpoint()
+        # lazy: the loop's isEmpty() check is the first action anyway,
+        # so the materialization folds into it instead of costing a
+        # separate job at construction (r10; eager was the default)
+        .localCheckpoint(eager=False)
     )
     active = (
         (F.col("_cn") > final_cap)
@@ -457,7 +462,8 @@ def grouped_median_two_phase(
         st = (
             st.filter(~active)
             .unionByName(advanced)
-            .localCheckpoint()
+            # lazy; next round's isEmpty() materializes it (see above)
+            .localCheckpoint(eager=False)
         )
     # final: per-group middle ranks over the narrowed candidates.  The
     # carried (lo, hi) are actual candidate values (per-bucket extrema,
