@@ -75,7 +75,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _vec_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one parsed SQL array literal, not len(vec) py4j F.lit calls
+    # (repr round-trips each double exactly)
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")"
+    )
 
 
 def cosine_topk(
@@ -579,14 +583,21 @@ def pq_adc_score(codebooks: list, query: list, code_col: str = "code") -> Column
     q = q / max(float(np.linalg.norm(q)), 1e-12)
     books = [np.asarray(b, dtype="float64") for b in codebooks]
     dsub = books[0].shape[1]
-    score = None
+    # One SQL expression for the whole ADC sum (r10): building the m
+    # lookup tables as F.lit(list) Columns cost ~1.5s of py4j
+    # round-trips per query construction (m x ksub element
+    # conversions); a single expr string parses once in the JVM.
+    # repr() round-trips doubles exactly, so the parsed literals are
+    # bit-identical to the numpy values.
+    terms = []
     for j, C in enumerate(books):
         table = (C @ q[j * dsub:(j + 1) * dsub]).tolist()
-        term = F.element_at(
-            F.lit(table), F.element_at(F.col(code_col), j + 1).cast("int") + 1
+        arr = ",".join(f"{x!r}D" for x in table)
+        terms.append(
+            f"element_at(array({arr}),"
+            f" cast(element_at(`{code_col}`, {j + 1}) as int) + 1)"
         )
-        score = term if score is None else score + term
-    return score
+    return F.expr(" + ".join(terms))
 
 
 def pq_topk(
