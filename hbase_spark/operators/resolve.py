@@ -268,7 +268,18 @@ def mask_deletes(
     - (row, family, qualifier): DELETE_COLUMN max-ts + the exact
                                 (ts, seq) markers of single-version
                                 DELETEs.
+
+    The tombstone slice is materialized ONCE with a lazy
+    localCheckpoint (r10): both build sides read ``dels``, and
+    without it each aggregation re-scans (and re-melts) the source —
+    the tombstone log was the only part of the input read twice.
+    Lazy, so no job runs at plan-build time (resolve() is called from
+    ~50 query paths); the first build side's computation stores the
+    slice, the second reads it.  Tombstones are a small fraction of
+    cells, so the stored slice is marker-bounded, never table-sized.
     """
+    if not dels.isStreaming:
+        dels = dels.localCheckpoint(eager=False)
     fam_side = (
         dels.filter(
             F.col("type").isin(CellType.DELETE_FAMILY, CellType.DELETE_FAMILY_VERSION)
