@@ -39,7 +39,7 @@ pipelines (e.g. the cluster step of Lee et al. 2022's NearDup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def _signature(edges: DataFrame) -> tuple:
@@ -70,15 +70,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
     re-shuffles the edges anyway); the window's per-partition buffer
     spills through the same external sorter the SMJ would have used.
     No distinct here: duplicates are collapsed by small-star's
-    terminal distinct, and dropping it saves an exchange per round."""
-    sym = edges.unionByName(
-        edges.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    )
-    m = F.least(F.min("_v").over(Window.partitionBy("_u")), F.col("_u"))
+    terminal distinct, and dropping it saves an exchange per round.
+
+    Built from SQL expr strings (r10): the loop constructs this plan
+    every round, and the Column/Window form cost ~0.5s of py4j
+    round-trips per round at the driver — one parsed string per
+    projection makes the build driver-cheap."""
+    sym = edges.unionByName(edges.selectExpr("_v AS _u", "_u AS _v"))
     return (
-        sym.withColumn("_m", m)
-        .filter(F.col("_v") > F.col("_u"))
-        .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+        sym.selectExpr(
+            "_u", "_v",
+            "least(min(_v) OVER (PARTITION BY _u), _u) AS _m",
+        )
+        .filter("_v > _u")
+        .selectExpr("_v AS _u", "_m AS _v")
     )
 
 
@@ -94,24 +99,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     union branches).  The terminal ``distinct`` restores the exact
     edge SET the classic formulation produces, which the fixpoint
     signature (XOR of row hashes) requires."""
-    oriented = edges.select(
-        F.greatest("_u", "_v").alias("_u"), F.least("_u", "_v").alias("_v")
-    ).filter(F.col("_u") != F.col("_v"))
-    w = oriented.withColumn(
-        "_m", F.min("_v").over(Window.partitionBy("_u"))
-    )
-    pair = F.when(
-        F.col("_v") != F.col("_m"),
-        F.array(
-            F.struct(F.col("_v").alias("_u"), F.col("_m").alias("_v")),
-            F.struct(F.col("_u").alias("_u"), F.col("_m").alias("_v")),
-        ),
-    ).otherwise(
-        F.array(F.struct(F.col("_u").alias("_u"), F.col("_m").alias("_v")))
-    )
+    oriented = edges.selectExpr(
+        "greatest(_u, _v) AS _u", "least(_u, _v) AS _v"
+    ).filter("_u != _v")
     return (
-        w.select(F.explode(pair).alias("_e"))
-        .select(F.col("_e._u").alias("_u"), F.col("_e._v").alias("_v"))
+        oriented.selectExpr(
+            "_u", "_v", "min(_v) OVER (PARTITION BY _u) AS _m"
+        )
+        .selectExpr(
+            "explode(CASE WHEN _v != _m"
+            " THEN array(named_struct('_u', _v, '_v', _m),"
+            " named_struct('_u', _u, '_v', _m))"
+            " ELSE array(named_struct('_u', _u, '_v', _m)) END) AS _e"
+        )
+        .selectExpr("_e._u AS _u", "_e._v AS _v")
         .distinct()
     )
 
