@@ -1410,6 +1410,18 @@ def remove_duplicated_substrings(
     base = docs.select(
         F.col(id_col).alias("_id"), _ascii_tokens(text_col).alias("_t")
     )
+    # Tokenize ONCE (r10): the duplicate-gram aggregation, the
+    # gram-join-back, and the coverage pass each re-scanned the text
+    # and re-ran the split (three parquet text scans in the plan).  A
+    # lazy checkpoint of the (id, token array) frame materializes at
+    # the first consumer inside the action and the other two read it.
+    # All three consumers need the FULL token set, so — unlike
+    # minhash's candidates-only verify — storing beats recomputing
+    # (measured at sf0.1: 1.80 → 1.68 median; checkpointing the
+    # post-window starts frame instead was measured WORSE, 1.61 →
+    # 1.73, because exchange/stage reuse already shares that subtree).
+    if not base.isStreaming:
+        base = base.localCheckpoint(eager=False)
     toks, starts = _gram_hash_frames(base, n)
     dup = (
         starts.groupBy("_gh")
