@@ -352,8 +352,20 @@ def q_multi_get(spark, sf):
     SELECT rk, qualifier, ts, value FROM ranked WHERE rn = 1""",
 )
 def q_resolve_latest(spark, sf):
-    """Tombstone masking + latest version (ScanDeleteTracker/version cap)."""
-    out = resolve(_events_cells(spark, sf), versions=1)
+    """Tombstone masking + latest version (ScanDeleteTracker/version cap).
+
+    The events melt synthesizes column-scoped markers ONLY
+    (``event_id % 23`` -> DELETE_COLUMN), so the caller passes the
+    ``delete_kinds`` contract (resolve.py, guide §8) and the whole
+    resolve runs as ONE grouped aggregation over the melt: one scan of
+    the source, one exchange — no tombstone-slice materialization, no
+    broadcast mask joins (r11; was 2 scans + 2 agg/broadcast builds +
+    2 joins + the separate version-cap aggregation)."""
+    out = resolve(
+        _events_cells(spark, sf),
+        versions=1,
+        delete_kinds={CellType.DELETE_COLUMN},
+    )
     return _rk(out, "qualifier", "ts", "value")
 
 
@@ -377,7 +389,10 @@ def q_resolve_timerange(spark, sf):
     """Time-range read (TimeRange.java:30): deletes apply first, then
     the range restricts puts, then versions count."""
     out = resolve(
-        _events_cells(spark, sf), versions=1, time_range=(None, 1706000000000)
+        _events_cells(spark, sf),
+        versions=1,
+        time_range=(None, 1706000000000),
+        delete_kinds={CellType.DELETE_COLUMN},
     )
     return _rk(out, "qualifier", "ts", "value")
 
@@ -402,7 +417,12 @@ def q_resolve_as_of(spark, sf):
     """Historical snapshot: only mutations with seq <= readpoint are
     visible (the mvccReadPoint analog, client/Scan.java:997)."""
     cells = _events_cells(spark, sf).filter(F.col("seq") <= 5000)
-    return _rk(resolve(cells, versions=1), "qualifier", "ts", "value")
+    return _rk(
+        resolve(cells, versions=1, delete_kinds={CellType.DELETE_COLUMN}),
+        "qualifier",
+        "ts",
+        "value",
+    )
 
 
 @_q(
@@ -442,6 +462,7 @@ def q_resolve_keep_deleted_timerange(spark, sf):
         versions=1,
         time_range=(None, 1_706_000_000_000),
         keep_deleted_cells=True,
+        delete_kinds={CellType.DELETE_COLUMN},
     )
     return _rk(out, "qualifier", "ts", "value")
 

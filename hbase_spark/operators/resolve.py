@@ -103,6 +103,7 @@ def resolve(
     keep_deleted_cells: bool | set = False,
     cell_ttl_col: str | None = None,
     single_version: bool = False,
+    delete_kinds: frozenset | set | tuple | None = None,
 ) -> DataFrame:
     """Resolve a raw CellFrame into the visible snapshot.
 
@@ -161,6 +162,21 @@ def resolve(
         exchange.  A wrong assertion surfaces as duplicate versions in
         the output (each declared query over an asserted frame stays
         hash-checked against its oracle), never as silent masking.
+    delete_kinds:
+        Caller contract (optimization guide §8, like ``single_version``):
+        the set of tombstone CellTypes the frame can contain — e.g. a
+        melt that synthesizes only column-scoped markers passes
+        ``{CellType.DELETE_COLUMN}``.  When the set is within
+        {DELETE_COLUMN} and the read uses the default knobs
+        (``versions`` normalizing to 1, ``min_versions`` 0, no
+        NEW_VERSION_BEHAVIOR, no family-TTL carry-over), tombstone
+        masking and version capping FUSE into one grouped aggregation
+        over the cells (``_resolve_column_deletes_v1``): no tombstone
+        re-scan, no broadcast joins, one exchange.  A wrong assertion
+        surfaces as unmasked rows in output (each asserted frame's
+        declared queries stay hash-checked against their oracle), never
+        as silent extra masking.  Ignored (general path) whenever any
+        knob falls outside the fused contract.
     cell_ttl_col:
         Column carrying a per-cell TTL in millis (NULL = no tag) — the
         Mutation#setTTL / TagType.TTL_TAG_TYPE analog.  Reference
@@ -235,6 +251,15 @@ def resolve(
                 cutoff.isNull() | (F.col("ts") >= cutoff) | (minv >= 1)
             )
         return out
+    if (
+        delete_kinds is not None
+        and set(delete_kinds) <= {CellType.DELETE_COLUMN}
+        and _norm_versions(versions) == 1
+        and _norm_versions(min_versions, default=0) == 0
+        and cutoff is None
+        and _norm_flag(new_version_behavior) is False
+    ):
+        return _resolve_column_deletes_v1(c, time_range, keep_deleted_cells)
     dels = c.filter(F.col("type") != CellType.PUT)
     if keep_deleted_cells and time_range is not None and time_range[1] is not None:
         hi = F.lit(time_range[1])
@@ -250,6 +275,72 @@ def resolve(
         masked = masked.filter(_time_range_pred(time_range))
 
     return cap_versions(masked, versions, min_versions=min_versions, ttl_cutoff=cutoff)
+
+
+def _resolve_column_deletes_v1(
+    c: DataFrame,
+    time_range: tuple[int | None, int | None] | None,
+    keep_deleted_cells: bool | frozenset,
+) -> DataFrame:
+    """Fused mask+cap for the ``delete_kinds <= {DELETE_COLUMN}``,
+    ``versions=1`` contract: ONE grouped aggregation over the cells
+    replaces the tombstone-slice checkpoint, its two aggregate+broadcast
+    build sides, both mask joins, and the separate version-cap
+    aggregation — the cell source is scanned once and the put rows
+    cross exactly one exchange (as pre-aggregated partials).
+
+    Why the fuse is exact: a DELETE_COLUMN marker masks every put of
+    its column with ``ts <= marker ts``, so the surviving puts of a
+    column are precisely those with ``ts`` above the column's maximum
+    marker ts — a *suffix* of the version order.  The newest put (by
+    ts, then seq) is therefore visible iff it clears that single
+    threshold, and when it does not, no older put can — which is what
+    lets the winner be picked before the mask is applied.  (DELETE, the
+    exact-version kind, has no such monotonicity — an exact-ts delete
+    of the newest put can expose an older one — so it is outside the
+    contract and takes the general mask_deletes path.)  Matcher order
+    is preserved: the marker maximum is taken over ALL markers
+    (deletes apply before the time-range check), the put ordering only
+    over in-range puts, and KEEP_DELETED_CELLS restricts which markers
+    are tracked exactly as the general path's ``dels`` filter does.
+    """
+    extra = [x for x in c.columns if x not in ("row", "family", "qualifier")]
+    put_pred = F.col("type") == CellType.PUT
+    if time_range is not None:
+        put_pred = put_pred & _time_range_pred(time_range)
+    del_pred = F.col("type") == CellType.DELETE_COLUMN
+    if keep_deleted_cells and time_range is not None and time_range[1] is not None:
+        in_range = F.col("ts") < F.lit(time_range[1])
+        if keep_deleted_cells is True:
+            del_pred = del_pred & in_range
+        else:
+            del_pred = del_pred & (
+                ~_fam_member(keep_deleted_cells) | in_range
+            )
+    payload = F.struct(*[F.col(x) for x in extra])
+    ordering = F.struct(F.col("ts"), F.col("seq"))
+    agged = c.groupBy("row", "family", "qualifier").agg(
+        F.max(F.when(del_pred, F.col("ts"))).alias("_dmax"),
+        # max_by skips rows whose ordering is NULL (verified on this
+        # build), so tombstone rows never contend for the winner slot
+        # and put-less groups aggregate to NULL.
+        F.max_by(
+            F.when(put_pred, payload), F.when(put_pred, ordering)
+        ).alias("_cell"),
+    )
+    return (
+        agged.filter(
+            F.col("_cell").isNotNull()
+            & (F.col("_dmax").isNull() | (F.col("_cell.ts") > F.col("_dmax")))
+        )
+        .select(
+            "row",
+            "family",
+            "qualifier",
+            *[F.col(f"_cell.{x}").alias(x) for x in extra],
+        )
+        .select(*c.columns)
+    )
 
 
 def mask_deletes(

@@ -666,3 +666,70 @@ def test_single_version_resolve_is_map_only_and_equivalent(spark):
 def test_single_version_rejects_bad_versions_like_cap_versions(spark):
     with pytest.raises(ValueError, match="versions must be >= 1"):
         resolve(cells(spark), versions=0, single_version=True)
+
+
+def _column_delete_cells(spark):
+    """Multi-version puts + DELETE_COLUMN markers exercising every
+    edge of the fused contract: a marker masking all versions of its
+    column, a marker tied exactly with the newest put (delete wins),
+    a marker older than the newest put (older versions masked, newest
+    survives), marker-only columns, and untouched columns."""
+    rows = []
+    for i in range(32):
+        key = str(i).zfill(6)
+        rows += [(key, "f", "a", t, 4, f"v{i}.{t}", 10 * i + t) for t in (1, 2, 3)]
+        if i % 3 == 0:  # masks everything (ts >= newest put)
+            rows.append((key, "f", "a", 5, 12, None, 1000 + i))
+        if i % 3 == 1:  # exact tie with newest put: delete wins
+            rows.append((key, "f", "a", 3, 12, None, 1000 + i))
+        if i % 4 == 0:  # older marker: only ts<=2 masked
+            rows.append((key, "f", "b", 2, 12, None, 2000 + i))
+        rows += [(key, "f", "b", t, 4, f"w{i}.{t}", 30 * i + t) for t in (1, 3)]
+        if i % 5 == 0:  # marker-only column
+            rows.append((key, "f", "c", 9, 12, None, 3000 + i))
+    return make_cells(spark, rows)
+
+
+def test_column_delete_kinds_resolve_fused_and_equivalent(spark):
+    """resolve(delete_kinds={DELETE_COLUMN}): one grouped aggregation
+    replaces mask_deletes + cap_versions — output matches the general
+    path exactly (including same-ts delete-wins ties, fully-masked and
+    marker-only columns, time ranges) and the plan has NO join and ONE
+    exchange (r11 optimization; the resolve_latest bench arm's shape)."""
+    from hbase_spark.model import CellType
+
+    c = _column_delete_cells(spark)
+    kinds = {CellType.DELETE_COLUMN}
+    for kw in (
+        dict(versions=1),
+        dict(versions=1, time_range=(None, 3)),
+        dict(versions=1, time_range=(2, 4)),
+        dict(versions=1, time_range=(None, 4), keep_deleted_cells=True),
+    ):
+        general = resolve(c, **kw)
+        fused = resolve(c, delete_kinds=kinds, **kw)
+        assert fused.exceptAll(general).count() == 0, kw
+        assert general.exceptAll(fused).count() == 0, kw
+    plan = plan_of(resolve(c, versions=1, delete_kinds=kinds))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2  # tree + details listing
+
+
+def test_column_delete_kinds_falls_back_outside_contract(spark):
+    """Any knob outside the fused contract (versions>1, min_versions,
+    NVB, family TTL) must take the general mask path — the contract
+    narrows the plan, never the semantics."""
+    from hbase_spark.model import CellType
+
+    c = _column_delete_cells(spark)
+    kinds = {CellType.DELETE_COLUMN}
+    for kw in (
+        dict(versions=2),
+        dict(versions=1, min_versions=1, ttl_by_family={"f": 1}, now=10),
+        dict(versions=1, new_version_behavior=True),
+    ):
+        fb = resolve(c, delete_kinds=kinds, **kw)
+        assert "Join" in plan_of(fb), kw
+        general = resolve(c, **kw)
+        assert fb.exceptAll(general).count() == 0, kw
+        assert general.exceptAll(fb).count() == 0, kw
