@@ -17,6 +17,16 @@ near-dup — the standard large-corpus dedup toolbox, built Spark-first:
 
 All hashing is seeded/deterministic — reruns produce identical
 clusters (required for reproducible data recipes).
+
+Materialization note (cluster deployments): materialize-once frames
+here use ``localCheckpoint(eager=False)`` — stored UNREPLICATED on
+executors with lineage truncated, so losing an executor (dynamic
+allocation, decommission, preemption) fails downstream actions
+instead of recomputing; Spark marks local checkpoints "not reliable".
+The frames involved are candidate-bounded and cheap to rebuild by
+re-running the query, which is the deliberate trade; on long-lived
+clusters with executor churn swap those call sites to ``.persist()``
+(+ unpersist) or a reliable ``checkpoint()``.
 """
 
 from __future__ import annotations
@@ -28,6 +38,14 @@ from hbase_spark.functions.text import normalize_text, tokens
 
 
 # ---------------------------------------------------------------- exact
+
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into a SQL
+    expression string, escaping embedded backticks (`` ` `` ->
+    ``` `` ```) — the interpolated selectExpr forms must stay as
+    robust to odd column names as the F.col path they replaced."""
+    return "`" + name.replace("`", "``") + "`"
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per exact normalized text.
@@ -480,8 +498,8 @@ def minhash_pairs(
     )
     per_doc = (
         docs.selectExpr(
-            f"`{id_col}` AS _id",
-            f"filter(split(lower(`{text_col}`), '[^a-z0-9]+'),"
+            f"{_ident(id_col)} AS _id",
+            f"filter(split(lower({_ident(text_col)}), '[^a-z0-9]+'),"
             " x -> x != '') AS _t",
         )
         .selectExpr(
@@ -590,11 +608,10 @@ def minhash_dedup(
     linear under a fixed strategy — measured 2.9x wall at 4x data
     with broadcast disabled).  Only the pair and candidate-set frames
     are checkpointed (both candidate-sized); the corpus-sized per-doc
-    frame is recomputed per consumer — two cheap map passes beat an
-    eager checkpoint job plus corpus-sized executor storage
-    (localCheckpoint runs its job at call time in PySpark 4 even with
-    eager=False).  (Jaccard over 64-bit shingle hashes instead of
-    shingle strings — collision probability is negligible.)
+    frame is recomputed per consumer — two cheap map passes beat
+    storing every doc's hash set in executor storage.  (Jaccard over
+    64-bit shingle hashes instead of shingle strings — collision
+    probability is negligible.)
     """
     dup = minhash_pairs(
         docs, id_col=id_col, text_col=text_col, threshold=threshold,

@@ -21,10 +21,14 @@ revisions): transitive closure needs iteration, and a driver-side
 union-find needs the whole edge set on one machine.  This runs entirely
 as DataFrame ops.
 
-Scale shape, per round: one union (symmetrize / orient — map-only), one
-window per star (edges shuffled by node once, neighborhood minimum in
-the same pass — r10: replaced a groupBy+join that cost an extra AQE
-stage and a second edge scan per round), one distinct per pair.
+Scale shape, per round: one union (symmetrize / orient — map-only) and
+one window per star (edges shuffled by node once; the input dedup AND
+the neighborhood minimum both ride that single exchange — r10 replaced
+a groupBy+join that cost an extra AQE stage and a second edge scan per
+round; r11 moved the per-round terminal distinct, a third full pair
+exchange, onto the stars' own exchanges).  TWO pair exchanges per
+round total; the fixpoint signature's distinct-aggregate exchange
+carries map-side-deduped 8-byte hashes, not pairs.
 Rows are pairs of longs throughout; hub nodes never materialize a
 neighbor array (no collect_list/collect_set — the window's min buffer
 spills through the external sorter), and nothing data-sized reaches
@@ -43,14 +47,18 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _signature(edges: DataFrame) -> tuple:
-    """Cheap deterministic fixpoint signature: (row count, XOR of row
-    hashes) — XOR is order-independent and overflow-free under ANSI
-    mode.  One tiny aggregate job; collision odds are negligible for a
-    convergence check that only ever compares successive rounds (the
-    edge set is distinct, so no even-multiplicity cancellation)."""
+    """Cheap deterministic fixpoint signature: (distinct-pair count,
+    XOR of distinct pair hashes) — set semantics, so the stored edge
+    frame may carry duplicate rows (r11: the terminal per-round
+    ``distinct`` is gone; each star dedups its own input on the
+    exchange it already pays, and small-star's output keeps its
+    cross-partition duplicates until the next round).  One aggregate
+    job whose exchange carries 8-byte hashes pre-deduped per map
+    partition, not edge pairs; collision odds are negligible for a
+    convergence check that only ever compares successive rounds."""
     row = edges.agg(
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(_u, _v))").alias("h"),
+        F.expr("count(DISTINCT xxhash64(_u, _v))").alias("n"),
+        F.expr("bit_xor(DISTINCT xxhash64(_u, _v))").alias("h"),
     ).first()
     return (row["n"], row["h"])
 
@@ -69,8 +77,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins side outgrows broadcast and falls back to a sort-merge that
     re-shuffles the edges anyway); the window's per-partition buffer
     spills through the same external sorter the SMJ would have used.
-    No distinct here: duplicates are collapsed by small-star's
-    terminal distinct, and dropping it saves an exchange per round.
+
+    Input dedup rides the window's own exchange (r11, guide §2.4):
+    ``repartition(_u)`` then ``distinct`` — hashpartitioning(_u)
+    satisfies the dedup aggregation's ClusteredDistribution([_u, _v])
+    (subset rule) AND the window's ClusteredDistribution([_u]), so
+    dedup + neighborhood-min cost ONE exchange, verified in-plan.
+    This replaced small-star's terminal distinct (a third full pair
+    exchange per round): each star now cleans the duplicates of the
+    frame it is about to shuffle anyway.
 
     Built from SQL expr strings (r10): the loop constructs this plan
     every round, and the Column/Window form cost ~0.5s of py4j
@@ -78,7 +93,9 @@ def _large_star(edges: DataFrame) -> DataFrame:
     projection makes the build driver-cheap."""
     sym = edges.unionByName(edges.selectExpr("_v AS _u", "_u AS _v"))
     return (
-        sym.selectExpr(
+        sym.repartition("_u")
+        .distinct()
+        .selectExpr(
             "_u", "_v",
             "least(min(_v) OVER (PARTITION BY _u), _u) AS _m",
         )
@@ -92,18 +109,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
     m = min of its smaller neighbors + itself; emit (v, m) for every
     smaller neighbor v != m, plus (u, m).
 
-    Same one-window shape as ``_large_star``; the moved-edges and
+    Same one-window shape as ``_large_star``, with the same
+    exchange-riding input dedup (r11).  The moved-edges and
     rooted-edge outputs are fused into a single explode so the
     windowed frame is scanned once (a union of two projections would
     execute the window subtree twice — Spark does not CSE across
-    union branches).  The terminal ``distinct`` restores the exact
-    edge SET the classic formulation produces, which the fixpoint
-    signature (XOR of row hashes) requires."""
+    union branches).  The terminal ``distinct`` is GONE (it was a
+    third full pair exchange per round): the output keeps the
+    cross-partition duplicate (v, m) pairs two windows can emit, the
+    next round's stars dedup them on their own exchanges, and the
+    fixpoint signature compares DISTINCT sets — so each round's edge
+    SET (what the classic formulation tracks) is unchanged, per-row
+    multiplicity is bounded by the emitting round (stars emit per
+    *distinct* input edge, so duplicates never compound), and only
+    ``connected_components``'s final assignment dedups once."""
     oriented = edges.selectExpr(
         "greatest(_u, _v) AS _u", "least(_u, _v) AS _v"
     ).filter("_u != _v")
     return (
-        oriented.selectExpr(
+        oriented.repartition("_u")
+        .distinct()
+        .selectExpr(
             "_u", "_v", "min(_v) OVER (PARTITION BY _u) AS _m"
         )
         .selectExpr(
@@ -113,7 +139,6 @@ def _small_star(edges: DataFrame) -> DataFrame:
             " ELSE array(named_struct('_u', _u, '_v', _m)) END) AS _e"
         )
         .selectExpr("_e._u AS _u", "_e._v AS _v")
-        .distinct()
     )
 
 
@@ -196,7 +221,12 @@ def connected_components(
 
     # Fixpoint edge set is a star forest: (node, root) for every
     # non-root node.  Roots and isolated nodes map to themselves.
-    assign = e.select(F.col("_u").alias("node"), F.col("_v").alias("component"))
+    # distinct: the stored rounds carry duplicate rows by design (the
+    # per-round terminal distinct moved onto the stars' own exchanges,
+    # r11) — the output contract stays one row per node.
+    assign = e.select(
+        F.col("_u").alias("node"), F.col("_v").alias("component")
+    ).distinct()
     roots = assign.select(F.col("component").alias("node")).distinct().join(
         assign.select("node"), "node", "left_anti"
     )

@@ -32,6 +32,15 @@ dimension tables: Spark broadcasts them when small and shuffle-joins
 on the hash key when not.  Scoring never collects anything to the
 driver; scalar statistics (vocab size, class totals) ride along as
 1-row/¦classes¦-row frames cross-joined into the plan.
+
+Materialization note (cluster deployments): trained count tables and
+the DSIR feature frame materialize with ``localCheckpoint(eager=False)``
+— unreplicated executor storage with truncated lineage, so an executor
+loss fails downstream scoring actions instead of recomputing (Spark
+marks local checkpoints "not reliable").  The stored frames are
+vocabulary-bounded and rebuilt by re-running training; on clusters
+with executor churn prefer ``.persist()`` or a reliable
+``checkpoint()`` at those call sites.
 """
 
 from __future__ import annotations

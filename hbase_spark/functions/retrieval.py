@@ -15,6 +15,14 @@ of terms: the term list broadcast-joins against the tf frame (semi-
 join prunes every non-matching posting map-side), corpus statistics
 (N, avgdl) ride as a 1-row broadcast, and top-k per query is a
 TakeOrdered — no global sort, no collect.
+
+Materialization note (cluster deployments): the postings frame
+materializes with ``localCheckpoint(eager=False)`` — unreplicated
+executor storage with truncated lineage, so an executor loss fails
+downstream queries instead of recomputing (Spark marks local
+checkpoints "not reliable"); rebuilding is one re-run of the
+tokenize+agg.  On clusters with executor churn prefer ``.persist()``
+or a reliable ``checkpoint()`` there.
 """
 
 from __future__ import annotations

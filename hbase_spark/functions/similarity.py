@@ -76,10 +76,16 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _vec_lit(vec: list[float]) -> Column:
     # one parsed SQL array literal, not len(vec) py4j F.lit calls
-    # (repr round-trips each double exactly)
-    return F.expr(
-        "array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")"
-    )
+    # (repr round-trips each double exactly).  Non-finite values would
+    # render as 'infD'/'nanD', which do not PARSE — reject them with a
+    # clear error instead of a parser failure (the old F.lit path
+    # produced valid NaN/Infinity literals, but a NaN query vector is
+    # a caller bug in every consumer here: cosine/ADC scores would be
+    # NaN-poisoned).
+    vals = [float(v) for v in vec]
+    if any(v != v or v in (float("inf"), float("-inf")) for v in vals):
+        raise ValueError("query/codebook vector contains NaN or Infinity")
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def cosine_topk(
@@ -580,8 +586,12 @@ def pq_adc_score(codebooks: list, query: list, code_col: str = "code") -> Column
     import numpy as np
 
     q = np.asarray(list(query), dtype="float64")
+    if not np.all(np.isfinite(q)):
+        raise ValueError("query vector contains NaN or Infinity")
     q = q / max(float(np.linalg.norm(q)), 1e-12)
     books = [np.asarray(b, dtype="float64") for b in codebooks]
+    if not all(np.all(np.isfinite(b)) for b in books):
+        raise ValueError("codebook contains NaN or Infinity")
     dsub = books[0].shape[1]
     # One SQL expression for the whole ADC sum (r10): building the m
     # lookup tables as F.lit(list) Columns cost ~1.5s of py4j
@@ -593,9 +603,10 @@ def pq_adc_score(codebooks: list, query: list, code_col: str = "code") -> Column
     for j, C in enumerate(books):
         table = (C @ q[j * dsub:(j + 1) * dsub]).tolist()
         arr = ",".join(f"{x!r}D" for x in table)
+        code_ident = "`" + code_col.replace("`", "``") + "`"
         terms.append(
             f"element_at(array({arr}),"
-            f" cast(element_at(`{code_col}`, {j + 1}) as int) + 1)"
+            f" cast(element_at({code_ident}, {j + 1}) as int) + 1)"
         )
     return F.expr(" + ".join(terms))
 

@@ -6,6 +6,13 @@ document fingerprinting over a ``text`` column.  Everything here is
 built from JVM-side pyspark.sql.functions (no Python in the hot path),
 so the operators stay inside whole-stage codegen and scale linearly —
 at 100 TB they are a single map stage with no shuffle.
+
+Materialization note (cluster deployments): ``exact_substr_dedup``
+materializes its tokenized frame with ``localCheckpoint(eager=False)``
+— unreplicated executor storage, truncated lineage, so an executor
+loss fails the action instead of recomputing (Spark marks local
+checkpoints "not reliable"); rebuild is one re-run of the query.  On
+clusters with executor churn prefer ``.persist()`` there.
 """
 
 from __future__ import annotations

@@ -368,6 +368,10 @@ def mask_deletes(
     ~50 query paths); the first build side's computation stores the
     slice, the second reads it.  Tombstones are a small fraction of
     cells, so the stored slice is marker-bounded, never table-sized.
+    Cluster note: local checkpoints live unreplicated on executors
+    with truncated lineage — an executor loss fails the read instead
+    of recomputing the slice; re-running the read rebuilds it.  On
+    clusters with executor churn prefer ``.persist()`` here.
     """
     if not dels.isStreaming:
         dels = dels.localCheckpoint(eager=False)
