@@ -30,6 +30,18 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parsed-frame memo: (applicationId, sf_dir, table, spread) -> DataFrame.
+# Holds plan HANDLES (an analyzed parquet relation), never results —
+# every action over a memoized frame still computes from the parquet
+# input.  Rationale (guide §6): each spark.read.parquet re-reads the
+# footer and rebuilds the FileIndex on the DRIVER, ~50-80 ms of pure
+# metadata latency per call that a catalog-backed deployment pays once
+# at table registration, not per query (a 6-table star join paid it 6
+# times per construction).  Keyed by applicationId so a new session
+# never sees another session's frames; the testdata corpora and the
+# sweep's scaled copies are immutable within a process.
+_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
 
 def get_spark(app: str = "hbase_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -75,6 +87,11 @@ def load_table(
 ) -> DataFrame:
     """Read one testdata table, normalizing nano-timestamp columns.
 
+    The analyzed frame is memoized per (session, dir, table, spread) —
+    see ``_FRAME_CACHE`` above: plan handles only, so every action
+    still computes from the parquet files; what is saved is the
+    per-construction footer read + FileIndex build on the driver.
+
     Pins the session timezone to UTC (runtime-settable) so the
     NTZ→timestamp cast and date rendering are stable even when the
     caller's session was built without get_spark — e.g. the driver's
@@ -98,6 +115,10 @@ def load_table(
     retries (sortBeforeRepartition stays on)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name, bool(spread))
+    cached = _FRAME_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
         par = spark.sparkContext.defaultParallelism
@@ -114,4 +135,5 @@ def load_table(
             # Newer parquet readers surface TIMESTAMP(NANOS) as NTZ;
             # session tz is pinned to UTC so the cast is value-preserving.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _FRAME_CACHE[key] = df
     return df
