@@ -17,10 +17,44 @@ clusters with executor churn prefer ``.persist()`` there.
 
 from __future__ import annotations
 
+import functools as _functools
 import re as _re
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _memo_expr(fn):
+    """Memoize a pure expression BUILDER on hashable arguments.
+
+    The big rule batteries here (language-ID marker/script trees, the
+    C4 line rules) are constants of the library parameterized only by
+    a column NAME, yet each build pays 0.07-0.17 s of py4j round-trips
+    constructing the same unresolved expression tree (measured at r11;
+    the tree for ``lang_id`` alone was an entire bench arm's
+    construction cost).  Column objects wrap immutable unresolved JVM
+    expressions, so one instance is safely shared across any number of
+    DataFrames and queries in the process.  Builders called with a
+    Column (or any unhashable) argument are never cached — only
+    name-string forms, whose output cannot depend on caller state.
+    """
+
+    cache: dict = {}
+
+    @_functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        key = (args, tuple(sorted(kwargs.items())))
+        try:
+            hash(key)
+        except TypeError:
+            return fn(*args, **kwargs)
+        got = cache.get(key)
+        if got is None:
+            got = fn(*args, **kwargs)
+            cache[key] = got
+        return got
+
+    return wrapper
 
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
 # Deliberately small and public-knowledge (top function words).  The
@@ -94,6 +128,7 @@ def lang_scores(col: str | Column = "text") -> Column:
     return F.map_from_entries(F.array(*entries))
 
 
+@_memo_expr
 def lang_id(col: str | Column = "text", default: str = "unknown") -> Column:
     """Two-stage language ID, still one codegen map stage per row:
 
@@ -197,6 +232,11 @@ def lang_id(col: str | Column = "text", default: str = "unknown") -> Column:
 def quality_features(col: str | Column = "text") -> dict[str, Column]:
     """The classic cheap quality signals (length / punctuation /
     stopword ratios, mean word length, repetition)."""
+    return dict(_quality_features(col))
+
+
+@_memo_expr
+def _quality_features(col: str | Column = "text") -> dict[str, Column]:
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(c)
     n_tok = F.greatest(F.size(toks), F.lit(1))
@@ -218,6 +258,7 @@ def quality_features(col: str | Column = "text") -> dict[str, Column]:
     }
 
 
+@_memo_expr
 def quality_score(col: str | Column = "text") -> Column:
     """Composite [0,1] quality score from the features above.  Weights
     are heuristic; the point is a deterministic, fully JVM-side scorer
@@ -375,6 +416,13 @@ GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_rules(col: str | Column = "text") -> dict[str, Column]:
+    """See ``_gopher_rules`` — returns a fresh dict over the memoized
+    rule expressions so callers may add/remove entries freely."""
+    return dict(_gopher_rules(col))
+
+
+@_memo_expr
+def _gopher_rules(col: str | Column = "text") -> dict[str, Column]:
     """The document-level quality rules of Gopher (Rae et al. 2021,
     Table A1) as boolean columns: word count in [50, 100k], mean word
     length in [3, 10], symbol-to-word ratio (# and ...) <= 0.1, <= 90%
@@ -436,36 +484,10 @@ def gopher_filter(
     return out.withColumn("keep", keep)
 
 
-def c4_clean(
-    docs: DataFrame,
-    *,
-    text_col: str = "text",
-    bad_words: tuple = (),
-    min_sentences: int = 5,
-    out_col: str = "c4_text",
-) -> DataFrame:
-    """The C4 cleaning battery (Raffel et al. 2020 §2.2 — the other
-    canonical web-filter set next to ``gopher_rules``): line-level
-    retention then page-level drops.
-
-    Lines are KEPT only when they end in a terminal punctuation mark
-    (period / exclamation / question mark / end quote), contain at
-    least 3 words, and do not mention "javascript" (the paper's
-    enable-JS boilerplate rule).  Pages are then flagged when the
-    cleaned text has fewer than ``min_sentences`` sentences, contains
-    a curly bracket (code), the phrase "lorem ipsum" (placeholder
-    text), or any word from ``bad_words`` (plug the standard blocklist
-    at deployment; the default ships empty).  The paper's remaining
-    step — drop all but one occurrence of any three-sentence span —
-    is corpus-level, not per-page: run ``paragraph_dedup`` /
-    ``remove_duplicated_substrings`` after this.
-
-    Output: input + ``out_col`` (the line-cleaned text) + integer
-    audit columns (n_lines, n_lines_kept, n_sentences) + per-rule
-    booleans + ``keep``.  All rules are integer counts or substring
-    tests on regex classes common to Java and RE2 — hash-checkable
-    against a SQL twin.  One line split, single map stage, no shuffle.
-    """
+@_memo_expr
+def _c4_parts(text_col: str, bad_words: tuple) -> tuple:
+    """The C4 battery's expression pieces (memoized builder — see
+    ``_memo_expr``): (lines, kept, clean, n_sent, low, bad)."""
     c = F.col(text_col)
     lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
     kept = F.filter(
@@ -502,6 +524,42 @@ def c4_clean(
             return "\\Q" + p.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
         bad = bad | low.rlike("|".join(q(p) for p in phrases))
+    return (lines, kept, clean, n_sent, low, bad)
+
+
+def c4_clean(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    bad_words: tuple = (),
+    min_sentences: int = 5,
+    out_col: str = "c4_text",
+) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2 — the other
+    canonical web-filter set next to ``gopher_rules``): line-level
+    retention then page-level drops.
+
+    Lines are KEPT only when they end in a terminal punctuation mark
+    (period / exclamation / question mark / end quote), contain at
+    least 3 words, and do not mention "javascript" (the paper's
+    enable-JS boilerplate rule).  Pages are then flagged when the
+    cleaned text has fewer than ``min_sentences`` sentences, contains
+    a curly bracket (code), the phrase "lorem ipsum" (placeholder
+    text), or any word from ``bad_words`` (plug the standard blocklist
+    at deployment; the default ships empty).  The paper's remaining
+    step — drop all but one occurrence of any three-sentence span —
+    is corpus-level, not per-page: run ``paragraph_dedup`` /
+    ``remove_duplicated_substrings`` after this.
+
+    Output: input + ``out_col`` (the line-cleaned text) + integer
+    audit columns (n_lines, n_lines_kept, n_sentences) + per-rule
+    booleans + ``keep``.  All rules are integer counts or substring
+    tests on regex classes common to Java and RE2 — hash-checkable
+    against a SQL twin.  One line split, single map stage, no shuffle.
+    """
+    lines, kept, clean, n_sent, low, bad = _c4_parts(
+        text_col, tuple(bad_words)
+    )
     out = (
         docs.withColumn("_lines", lines)
         .withColumn(out_col, clean)
