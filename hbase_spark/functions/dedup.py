@@ -221,6 +221,62 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     )
 
 
+def _tok_expr(text_col: str) -> str:
+    """selectExpr string: ascii token array of ``text_col`` as _t."""
+    return (
+        f"filter(split(lower({_ident(text_col)}), '[^a-z0-9]+'),"
+        " x -> x != '') AS _t"
+    )
+
+
+def _gram_hash_exprs(num_hashes: int, shingle_n: int) -> tuple[str, str, str]:
+    """The r10 pure-map signature pipeline as three selectExpr strings
+    over a token-array column ``_t`` (shared by minhash_pairs, the
+    batch banding and the streaming twin — ONE scheme, so stream==batch
+    bucket equality is by construction):
+
+    - ``_gh``  — one multi-arg xxhash64 per n-token window (no gram
+      string is ever allocated; short docs hash the whole-doc join,
+      token-less docs the empty string);
+    - ``_harr`` — gram hashes folded into the Mersenne field;
+    - ``_sig`` — k universal-hash minima as one nested transform over
+      the (a, b) constant array.
+    """
+    gram_args = ",".join(
+        f"element_at(_t,i+{j + 1})" for j in range(shingle_n)
+    )
+    gh = (
+        f"CASE WHEN size(_t) >= {shingle_n}"
+        f" THEN transform(sequence(0, size(_t)-{shingle_n}),"
+        f" i -> xxhash64({gram_args}))"
+        " ELSE array(xxhash64(concat_ws(' ', _t))) END AS _gh"
+    )
+    harr = f"transform(_gh, h -> pmod(h, {_MERSENNE}L)) AS _harr"
+    consts_sql = ",".join(
+        f"named_struct('a',{a}L,'b',{b}L)" for a, b in _uh_consts(num_hashes)
+    )
+    sig = (
+        f"transform(array({consts_sql}),"
+        f" c -> array_min(transform(_harr,"
+        f" h -> (c.a * h + c.b) % {_MERSENNE}L))) AS _sig"
+    )
+    return gh, harr, sig
+
+
+def _band_bucket_expr(num_hashes: int, bands: int) -> str:
+    """selectExpr string: explode the ``_sig`` column into one
+    xxhash64 bucket id per band (hashes the band's r slots directly as
+    longs — no per-(doc, band) string)."""
+    r = num_hashes // bands
+    band_slots = ",".join(
+        f"element_at(_sig, b*{r}+{j + 1})" for j in range(r)
+    )
+    return (
+        f"explode(transform(sequence(0, {bands - 1}),"
+        f" b -> xxhash64(b, {band_slots}))) AS _bucket"
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -228,20 +284,25 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 128,
     shingle_n: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, _sig) signature frame — a pure map stage over per-doc
-    shingle arrays, NO shuffle.
-
-    Round-1 used explode + k codegen ``min`` aggregates (map-side
-    combine, one pre-aggregated row per doc on the exchange).  Measured
-    at sf0.1 the array form is 2.3x faster despite interpreted
-    higher-order lambdas, because the explode path must shuffle the
-    token stream through the gram-assembly window first; at 100 TB the
-    array form is also the safer shape — signatures become
-    embarrassingly parallel map work with zero exchange."""
-    hx = shingle_arrays(docs, id_col=id_col, text_col=text_col, n=shingle_n)
-    return hx.select(
-        "_id", minhash_signature(F.col("_g"), num_hashes).alias("_sig")
+    """(id, _sig[, *extra_cols]) signature frame — a pure map stage,
+    NO shuffle, built from the shared ``_gram_hash_exprs`` pipeline:
+    grams are hashed with one multi-argument xxhash64 over the n
+    tokens (r11 — the gram-string ``concat_ws`` assembly this replaced
+    measured ~5x slower at r10, and the string allocation volume grew
+    with corpus size), and the k signature slots are integer universal
+    hashes folded in a single nested transform.  At 100 TB signatures
+    stay embarrassingly parallel map work with zero exchange."""
+    extras = [_ident(c) for c in extra_cols]
+    gh, harr, sig = _gram_hash_exprs(num_hashes, shingle_n)
+    return (
+        docs.selectExpr(
+            f"{_ident(id_col)} AS _id", *extras, _tok_expr(text_col)
+        )
+        .selectExpr("_id", *extras, gh)
+        .selectExpr("_id", *extras, harr)
+        .selectExpr("_id", *extras, sig)
     )
 
 
@@ -261,29 +322,10 @@ def minhash_candidates(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     banded = minhash_signatures(
         docs, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
-    ).select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    # hash the band's r slots directly as longs — no
-                    # string materialization per (doc, band)
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at(F.col("_sig"), b * r + j + 1)
-                            for j in range(r)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bucket"),
-    )
+    ).selectExpr("_id", _band_bucket_expr(num_hashes, bands))
     return _bucket_pairs(banded, "_bucket")
 
 
@@ -469,66 +511,38 @@ def minhash_pairs(
     ``minhash_dedup`` for the plan-shape notes."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     # Per-doc gram hashes, signature and hash set as PURE MAP work
-    # over the token array (r10 rewrite, guide §2.4): grams are hashed
-    # with one multi-argument xxhash64 over the n tokens — no gram
-    # string is ever allocated — and the signature is one nested
-    # transform over the (a, b) constant array.  This removes the
-    # token-stream shuffle the old posexplode+window gram assembly
-    # paid plus the 64-min hash aggregation after it: the first
-    # exchange of the whole pipeline is the banding shuffle of
-    # (id, bucket) pairs.  Built as SQL expr strings, one parse per
-    # projection: the per-slot Column/lambda form cost ~1s of py4j
-    # round-trips PER QUERY CONSTRUCTION (64 slots x several JVM
-    # calls each), which the bench pays inside the timed arm —
-    # measured at sf0.1: construct 1.2s -> 0.25s, per-doc execution
-    # 1.33s (window+agg) -> ~0.4s.  The map recomputes once per
-    # consumer (banding; candidates-only verify) instead of being
-    # checkpointed: two cheap map passes beat one eager checkpoint
-    # job plus corpus-sized executor storage of every doc's hash set
-    # — only candidate docs' sets are ever materialized now (the
-    # semi-join prunes before the verify joins, and column pruning
-    # drops the signature transform from the verify branch).
-    consts_sql = ",".join(
-        f"named_struct('a',{a}L,'b',{b}L)" for a, b in _uh_consts(num_hashes)
-    )
-    gram_args = ",".join(
-        f"element_at(_t,i+{j + 1})" for j in range(shingle_n)
-    )
+    # over the token array (r10 rewrite, guide §2.4), built from the
+    # shared ``_gram_hash_exprs`` / ``_band_bucket_expr`` pipeline
+    # (identical SQL strings — the streaming twin and the plain
+    # banding use the same scheme).  Grams are hashed with one
+    # multi-argument xxhash64 over the n tokens — no gram string is
+    # ever allocated — and the signature is one nested transform over
+    # the (a, b) constant array.  This removes the token-stream
+    # shuffle the old posexplode+window gram assembly paid plus the
+    # 64-min hash aggregation after it: the first exchange of the
+    # whole pipeline is the banding shuffle of (id, bucket) pairs.
+    # Built as SQL expr strings, one parse per projection: the
+    # per-slot Column/lambda form cost ~1s of py4j round-trips PER
+    # QUERY CONSTRUCTION (64 slots x several JVM calls each), which
+    # the bench pays inside the timed arm — measured at sf0.1:
+    # construct 1.2s -> 0.25s, per-doc execution 1.33s (window+agg)
+    # -> ~0.4s.  The map recomputes once per consumer (banding;
+    # candidates-only verify) instead of being checkpointed: two
+    # cheap map passes beat one eager checkpoint job plus
+    # corpus-sized executor storage of every doc's hash set — only
+    # candidate docs' sets are ever materialized now (the semi-join
+    # prunes before the verify joins, and column pruning drops the
+    # signature transform from the verify branch).
+    gh, harr, sig = _gram_hash_exprs(num_hashes, shingle_n)
     per_doc = (
-        docs.selectExpr(
-            f"{_ident(id_col)} AS _id",
-            f"filter(split(lower({_ident(text_col)}), '[^a-z0-9]+'),"
-            " x -> x != '') AS _t",
-        )
-        .selectExpr(
-            "_id",
-            # short doc: one whole-doc gram (token-less docs hash '')
-            f"CASE WHEN size(_t) >= {shingle_n}"
-            f" THEN transform(sequence(0, size(_t)-{shingle_n}),"
-            f" i -> xxhash64({gram_args}))"
-            " ELSE array(xxhash64(concat_ws(' ', _t))) END AS _gh",
-        )
-        .selectExpr(
-            "_id", "_gh",
-            f"transform(_gh, h -> pmod(h, {_MERSENNE}L)) AS _harr",
-        )
-        .selectExpr(
-            "_id",
-            f"transform(array({consts_sql}),"
-            f" c -> array_min(transform(_harr,"
-            f" h -> (c.a * h + c.b) % {_MERSENNE}L))) AS _sig",
-            "array_distinct(_gh) AS _hs",
-        )
-    )
-    band_slots = ",".join(
-        f"element_at(_sig, b*{r}+{j + 1})" for j in range(r)
+        docs.selectExpr(f"{_ident(id_col)} AS _id", _tok_expr(text_col))
+        .selectExpr("_id", gh)
+        .selectExpr("_id", "_gh", harr)
+        .selectExpr("_id", sig, "array_distinct(_gh) AS _hs")
     )
     banded = per_doc.selectExpr(
-        "_id",
-        f"explode(transform(sequence(0, {bands - 1}),"
-        f" b -> xxhash64(b, {band_slots}))) AS _bucket",
+        "_id", _band_bucket_expr(num_hashes, bands)
     )
     groups = _capped_groups(banded, "_bucket", cap=cap, on_overflow=on_overflow)
     pairs = (

@@ -127,10 +127,14 @@ def stream_minhash_candidates(
     near-dedup over the full corpus can't run per-arrival.
 
     Signatures and band buckets are computed MAP-SIDE with the exact
-    expressions the batch path uses (``minhash_signature`` + the
-    ``xxhash64(band, slots...)`` bucket hash), so stream and batch
-    agree on what "same bucket" means — the stream==batch law is
-    pytest-pinned.  State per bucket is a capped long-id list (first
+    SQL pipeline the batch path uses (``minhash_signatures`` +
+    ``_band_bucket_expr`` — multi-arg xxhash64 gram hashes, one nested
+    transform for the k slots, ``xxhash64(band, slots...)`` bucket
+    hash), so stream and batch agree on what "same bucket" means — the
+    stream==batch law is pytest-pinned.  The shared selectExpr form
+    also keeps per-micro-batch query construction off the py4j
+    round-trip path (the per-slot Column/lambda form this replaced
+    cost seconds of driver time PER BATCH at 128 hashes).  State per bucket is a capped long-id list (first
     ``cap`` arrivals; later members still PAIR with the stored ones
     but stop being stored — the same truncation contract as the batch
     ``_capped_groups`` default), evicted ``state_ttl_ms`` after the
@@ -148,38 +152,27 @@ def stream_minhash_candidates(
         StructType,
     )
 
-    from hbase_spark.functions.dedup import minhash_signature, shingle_arrays
+    from hbase_spark.functions.dedup import (
+        _band_bucket_expr,
+        _ident,
+        minhash_signatures,
+    )
 
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    sigs = shingle_arrays(
-        stream, id_col=id_col, text_col=text_col, n=shingle_n,
+    sigs = minhash_signatures(
+        stream, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
         extra_cols=(ts_col,),
-    ).select(
+    ).selectExpr(
         "_id",
-        F.col(ts_col).cast("long").alias("_ts_ms"),
-        F.timestamp_millis(F.col(ts_col)).alias("_event_time"),
-        minhash_signature(F.col("_g"), num_hashes).alias("_sig"),
+        f"CAST({_ident(ts_col)} AS LONG) AS _ts_ms",
+        f"timestamp_millis({_ident(ts_col)}) AS _event_time",
+        "_sig",
     )
-    banded = sigs.select(
-        "_id",
-        "_ts_ms",
-        "_event_time",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at(F.col("_sig"), b * r + j + 1)
-                            for j in range(r)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bucket"),
+    banded = sigs.selectExpr(
+        "_id", "_ts_ms", "_event_time",
+        _band_bucket_expr(num_hashes, bands),
     )
 
     out_schema = StructType(
