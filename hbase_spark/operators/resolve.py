@@ -76,6 +76,53 @@ def _norm_flag(flag) -> bool | frozenset:
     return fams if fams else False
 
 
+def _check_caller_contracts(
+    cells: DataFrame, single_version: bool, delete_kinds
+) -> None:
+    """Debug-mode validation of the resolve caller contracts
+    (``single_version`` / ``delete_kinds``) — OFF the hot path: runs
+    only when ``HBASE_SPARK_DEBUG_CONTRACTS=1`` is set, because each
+    check is a counting job over the frame.  With it on, a wrong
+    contract fails loudly here instead of surfacing as duplicate or
+    unmasked rows downstream.  Streaming frames are skipped (no
+    batch count on an unbounded source)."""
+    import os
+
+    if os.environ.get("HBASE_SPARK_DEBUG_CONTRACTS") != "1":
+        return
+    if cells.isStreaming:
+        return
+    if single_version:
+        if cells.filter(F.col("type") != CellType.PUT).limit(1).count():
+            raise ValueError(
+                "single_version contract violated: frame contains tombstones"
+            )
+        dup = (
+            cells.groupBy("row", "family", "qualifier")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "single_version contract violated: a (row, family,"
+                " qualifier) holds more than one version"
+            )
+    if delete_kinds is not None:
+        stray = (
+            cells.filter(F.col("type") != CellType.PUT)
+            .filter(~F.col("type").isin([int(k) for k in delete_kinds]))
+            .limit(1)
+            .count()
+        )
+        if stray:
+            raise ValueError(
+                "delete_kinds contract violated: frame contains a"
+                f" tombstone type outside {set(delete_kinds)}"
+            )
+
+
 def _cap_is_identity(versions: int | dict) -> bool:
     """True when keeping the newest ``versions`` per column cannot drop
     anything from a single-version frame — every cap >= 1.  Validates
@@ -161,7 +208,10 @@ def resolve(
         put-visibility time predicates: no aggregation, no sort, no
         exchange.  A wrong assertion surfaces as duplicate versions in
         the output (each declared query over an asserted frame stays
-        hash-checked against its oracle), never as silent masking.
+        hash-checked against its oracle), never as silent masking;
+        set ``HBASE_SPARK_DEBUG_CONTRACTS=1`` to validate the contract
+        with counting jobs before the fast path runs (debug mode —
+        off the hot path by default).
     delete_kinds:
         Caller contract (optimization guide §8, like ``single_version``):
         the set of tombstone CellTypes the frame can contain — e.g. a
@@ -175,8 +225,10 @@ def resolve(
         re-scan, no broadcast joins, one exchange.  A wrong assertion
         surfaces as unmasked rows in output (each asserted frame's
         declared queries stay hash-checked against their oracle), never
-        as silent extra masking.  Ignored (general path) whenever any
-        knob falls outside the fused contract.
+        as silent extra masking; ``HBASE_SPARK_DEBUG_CONTRACTS=1``
+        validates it up front like ``single_version``.  Ignored
+        (general path) whenever any knob falls outside the fused
+        contract.
     cell_ttl_col:
         Column carrying a per-cell TTL in millis (NULL = no tag) — the
         Mutation#setTTL / TagType.TTL_TAG_TYPE analog.  Reference
@@ -188,6 +240,8 @@ def resolve(
         the family TTL still applies on top.  Raw scans are exempt
         (preCheckRaw :189).  Requires ``now``.
     """
+    if single_version or delete_kinds is not None:
+        _check_caller_contracts(cells, single_version, delete_kinds)
     c = cells
     if as_of is not None:
         c = c.filter(F.col("ts") <= F.lit(as_of))

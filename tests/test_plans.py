@@ -668,6 +668,42 @@ def test_single_version_rejects_bad_versions_like_cap_versions(spark):
         resolve(cells(spark), versions=0, single_version=True)
 
 
+def test_debug_mode_validates_caller_contracts(spark, monkeypatch):
+    """HBASE_SPARK_DEBUG_CONTRACTS=1 turns the trusted single_version /
+    delete_kinds caller contracts into checked ones: a violating frame
+    fails loudly at resolve() instead of surfacing as duplicate or
+    unmasked rows downstream.  Off (the default), the same calls build
+    plans without running any validation job."""
+    from hbase_spark.model import CellType
+
+    good = cells(spark)
+    multi = make_cells(
+        spark,
+        [("000001", "f", "a", t, 4, f"v{t}", t) for t in (1, 2)],
+    )
+    tomb = make_cells(
+        spark,
+        [
+            ("000001", "f", "a", 1, 4, "v", 1),
+            ("000001", "f", "a", 2, 8, None, 2),  # exact-version DELETE
+        ],
+    )
+    # default: no validation job, contract trusted (plan builds fine)
+    resolve(multi, versions=1, single_version=True)
+
+    monkeypatch.setenv("HBASE_SPARK_DEBUG_CONTRACTS", "1")
+    # satisfied contracts still pass with validation on
+    assert resolve(good, versions=1, single_version=True).count() == 128
+    with pytest.raises(ValueError, match="single_version contract"):
+        resolve(multi, versions=1, single_version=True)
+    with pytest.raises(ValueError, match="single_version contract"):
+        resolve(tomb, versions=1, single_version=True)
+    with pytest.raises(ValueError, match="delete_kinds contract"):
+        resolve(
+            tomb, versions=1, delete_kinds={CellType.DELETE_COLUMN}
+        )
+
+
 def _column_delete_cells(spark):
     """Multi-version puts + DELETE_COLUMN markers exercising every
     edge of the fused contract: a marker masking all versions of its
